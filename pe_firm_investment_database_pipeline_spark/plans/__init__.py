@@ -1,0 +1,11 @@
+"""Named query plans. ``all_queries()`` is the merged §2 inventory."""
+
+from __future__ import annotations
+
+from ..registry import QuerySpec, merge
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    from . import relational
+
+    return merge(relational.QUERIES)

@@ -1,0 +1,899 @@
+"""Core relational operator plans (SURVEY.md §2.1-§2.8) on the star schema.
+
+Every query here is expressed declaratively with the DataFrame API so
+Catalyst gets full freedom: filter/projection pushdown into the
+parquet scan, broadcast-vs-shuffle join selection (we hint
+``F.broadcast`` only for the fixed-cardinality dims), AQE partition
+coalescing and skew splitting at runtime.
+
+Cross-engine determinism rules (see functions/exact.py):
+- money aggregates run in exact integer cents;
+- every window/topk ordering carries a total-order tiebreak key;
+- computed ints are int64 on both engines, computed floats are
+  produced by identical-operand division;
+- no raw timestamps in outputs (year()/month() ints instead).
+
+Reference parity: each Op-ID cites the reference behavior it
+re-expresses (file:line relative to /root/reference/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents, pct, qty_int
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# revenue in exact cents*100 units: price_cents * (100 - discount_pct)
+def _rev_c(price="l_extendedprice", disc="l_discount"):
+    return cents(price) * (100 - pct(disc))
+
+
+_REV_SQL = (
+    "CAST(round(l_extendedprice*100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount*100) AS BIGINT))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry): explode-filter-dedup-project pattern of the reference
+# seed pipeline (seed_aic.py:309-366) recast as revenue-by-nation.
+# ---------------------------------------------------------------------------
+
+def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation): filter, join,
+    hash-agg, sort — the reference's acquire→filter→project dataflow
+    (seed_aic.py:309-366) on the analytic schema. Joins on the fact
+    side shuffle by key; nation (25 rows, fixed cardinality) is
+    broadcast so the last join is shuffle-free."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.where(F.year("l_shipdate").between(1995, 1998))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_rev_c()) / 10000.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+_FLAGSHIP_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_REV_SQL}) AS BIGINT) / 10000.0 AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE year(l_shipdate) BETWEEN 1995 AND 1998
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection (seed_aic.py:359-363 exports 2 of 7 cols).
+    Catalyst prunes the parquet scan to exactly these columns."""
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+def flt_member_pe_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin + contains conjunctive filter — the PE+Australia member
+    filter (seed_aic.py:336) on the customer table. Both predicates
+    push down to the parquet scan."""
+    c = _t(spark, sf_dir, "customer")
+    return c.where(
+        c.c_mktsegment.isin("BUILDING", "AUTOMOBILE") & c.c_name.contains("5")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def flt_year_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-range predicate (founded_year.py:83,91: 1800 <= y <= now)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.year("o_orderdate").between(1996, 1998))
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped hash aggregate with partial (map-side) combine —
+    Spark does partial+final automatically. Money math in exact cents
+    (at true 100 TB the cents sums move to decimal(38,0) to avoid
+    int64 overflow; same plan shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_c = cents("l_extendedprice") * (100 - pct("l_discount"))
+    charge_c = disc_c * (100 + pct("l_tax"))
+    return (
+        li.where(F.year("l_shipdate") <= 2000)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_int("l_quantity")).alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(disc_c) / 10000.0).alias("sum_disc_price"),
+            (F.sum(charge_c) / 1000000.0).alias("sum_charge"),
+            (
+                F.sum(qty_int("l_quantity")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty"),
+            (
+                F.sum(pct("l_discount")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / 100.0
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_AGG_HASH_GROUPBY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+       CAST(SUM({_REV_SQL}) AS BIGINT) / 10000.0 AS sum_disc_price,
+       CAST(SUM({_REV_SQL} * (100 + CAST(round(l_tax*100) AS BIGINT))) AS BIGINT) / 1000000.0 AS sum_charge,
+       CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE year(l_shipdate) <= 2000
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen dedup (seed_aic.py:311,336-338 seen-set) made
+    deterministic: per o_custkey keep the lowest o_orderkey row.
+    Window + row_number shuffles once on the dedup key — at scale
+    this is the same single shuffle a seen-set would need."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def agg_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-kept dedup (step3_attempt1.py:497-504: sort by -score then
+    name, keep first) — per (nation, segment) keep the customer with
+    the highest balance; tie-break on c_custkey for a total order."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        F.desc(cents("c_acctbal")), F.asc("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_mktsegment", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per supplier (expand+dedup+count under the
+    hood; two-phase with partial aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB-scale path for
+    distincts. No SQL oracle (sketch values are engine-specific); the
+    driver records a rows-only check. Accuracy vs exact is asserted
+    in tests/test_relational_extras.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) — multi-level aggregate in one pass
+    (Catalyst Expand operator) instead of N scans."""
+    c = _t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_bal"),
+        )
+    )
+
+
+def agg_collect_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-as-document (main_portCo.py:115-122: portcos nested under
+    firm). Emitted as a sorted joined string so the value-hash is
+    representation-stable across engines; the write-side nested JSON
+    sink is exercised in tests (snk_json_nested)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias(
+                "cust_names"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def join_equi_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-join orders ⋈ customer (shuffle/SMJ or broadcast per
+    AQE stats) + aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderpriority")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderpriority")
+        .agg(
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small side (supplier+nation) so the
+    600M-row fact side never shuffles — the 100 TB-safe shape for
+    fact ⋈ dim (SURVEY §2.3 join_broadcast)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_rev_c()) / 10000.0).alias("supp_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left_semi — customers with >=1 urgent order. Semi join
+    never duplicates or widens rows (vs inner+distinct)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left_anti (step3_attempt1.py:373-378 excludes the
+    firm itself from its entity set) — customers with no URGENT order
+    (non-empty at every sf, unlike 'no orders at all')."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_nested_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (BroadcastNestedLoopJoin): unordered region pairs."""
+    r1 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k1"), F.col("r_name").alias("name1")
+    )
+    r2 = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("k2"), F.col("r_name").alias("name2")
+    )
+    return r1.crossJoin(r2).where(F.col("k1") < F.col("k2")).select(
+        "name1", "name2"
+    )
+
+
+def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent strictly
+    prior view by the same user. Expressed as one window pass over the
+    interleaved event stream (union trick) — a single shuffle on
+    user_id, no range-join blowup; this is the scalable as-of shape
+    (events sorted within partition, last(ignorenulls) carry-forward).
+    Ordering key is (epoch_micros, event_id): ns timestamps are
+    truncated to micros so both engines order identically."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_view_id", prior_view)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "prior_view_id"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows
+# ---------------------------------------------------------------------------
+
+def win_ranking_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over the tie-prone key (exact cents so tie
+    structure is engine-identical); row_number/ntile over the
+    tie-broken total order."""
+    c = _t(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    w_ties = W.partitionBy("c_nationkey").orderBy(F.desc(bal))
+    w_total = W.partitionBy("c_nationkey").orderBy(F.desc(bal), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w_ties).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w_ties).cast("long").alias("bal_dense_rank"),
+        F.row_number().over(w_total).cast("long").alias("bal_row_number"),
+        F.ntile(4).over(w_total).cast("long").alias("bal_quartile"),
+    )
+
+
+def win_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running frame sum per customer order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate"),
+        "o_orderkey",
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.sum(cents("o_totalprice")).over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            / 100.0
+        ).alias("running_spend"),
+    )
+
+
+def win_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax-per-group (step3_attempt1.py:404-412: best card per
+    entity): highest-value order per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc(cents("o_totalprice")), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("best_orderkey"),
+            F.col("o_totalprice").alias("best_price"),
+        )
+    )
+
+
+def limit_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group limit (founded_year.py:108,124: first 400 DOM nodes) —
+    first 3 orders per customer by date, then aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate"),
+        "o_orderkey",
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_first_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("early_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k
+# ---------------------------------------------------------------------------
+
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-k (sort_score_name semantics,
+    step3_attempt1.py:499: sort by (-score, name)). TakeOrderedAndProject
+    — no full sort materialization."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc(cents("c_acctbal")), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of key sets (founded_year.py:212-213 set algebra,
+    relational form)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(c.c_mktsegment == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = o.where(o.o_orderpriority == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) of key sets: customers minus those with a
+    5-LOW order (non-empty at every sf)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "5-LOW")
+    all_c = c.select(F.col("c_custkey").alias("custkey"))
+    low = o.select(F.col("o_custkey").alias("custkey"))
+    return all_c.exceptAll(low.distinct()).distinct()
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two key sets (founded_year.py:211)."""
+    c = _t(spark, sf_dir, "customer")
+    machinery = c.where(c.c_mktsegment == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    rich = c.where(cents("c_acctbal") > 900000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    return machinery.union(rich).distinct()
+
+
+def set_member_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isin membership filter (seed_aic.py:336 member-type set)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions: dates, json, url, string norm
+# ---------------------------------------------------------------------------
+
+def date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (date_now_stamp surface, seed_aic.py:147):
+    monthly order revenue; y/m emitted as ints (no raw timestamps in
+    the comparison surface)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+        )
+        .agg(
+            (F.sum(cents("o_totalprice")) / 100.0).alias("month_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the events.props string column
+    (json_parse/json_get_nested, seed_aic.py:128-131 +
+    founded_year.py:71-75). get_json_object runs JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_k"
+            ),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL domain normalization (_domain, step3_attempt1.py:43-57:
+    netloc, lowercase, strip www.) over synthesized supplier URLs."""
+    s = _t(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://www."),
+        F.lower(F.regexp_replace("s_name", r"[^A-Za-z0-9]", "")),
+        F.lit(".com.au/portfolio/companies"),
+    )
+    return s.select(
+        "s_suppkey",
+        url.alias("url"),
+        F.regexp_extract(url, r"^https?://(?:www\.)?([^/]+)", 1).alias("domain"),
+        F.regexp_extract(url, r"(?:portfolio|investments)/([a-z]+)", 1).alias(
+            "url_slug"
+        ),
+    )
+
+
+def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace collapse + trim (_norm, step3_attempt1.py:36-41)."""
+    c = _t(spark, sf_dir, "customer")
+    messy = F.concat(F.lit("  "), F.regexp_replace("c_name", "#", "   # "), F.lit("  "))
+    return c.select(
+        "c_custkey",
+        F.trim(F.regexp_replace(messy, r"\s+", " ")).alias("name_norm"),
+    )
+
+
+QUERIES = {
+    "flagship_revenue_by_nation": QuerySpec(
+        flagship_revenue_by_nation, _FLAGSHIP_SQL, ("join", "agg", "flagship")
+    ),
+    "proj_select": QuerySpec(
+        proj_select,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        ("projection",),
+    ),
+    "flt_member_pe_au": QuerySpec(
+        flt_member_pe_au,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_name LIKE '%5%'
+        """,
+        ("filter",),
+    ),
+    "flt_year_range": QuerySpec(
+        flt_year_range,
+        """
+        SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority
+        FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+        """,
+        ("filter",),
+    ),
+    "agg_hash_groupby": QuerySpec(
+        agg_hash_groupby, _AGG_HASH_GROUPBY_SQL, ("agg",)
+    ),
+    "agg_dedup_first": QuerySpec(
+        agg_dedup_first,
+        """
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority FROM (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders) WHERE rn = 1
+        """,
+        ("dedup",),
+    ),
+    "agg_dedup_best": QuerySpec(
+        agg_dedup_best,
+        """
+        SELECT c_nationkey, c_mktsegment, c_custkey, c_name, c_acctbal FROM (
+          SELECT c_nationkey, c_mktsegment, c_custkey, c_name, c_acctbal,
+                 row_number() OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey
+                 ) AS rn
+          FROM customer) WHERE rn = 1
+        """,
+        ("dedup",),
+    ),
+    "agg_distinct_exact": QuerySpec(
+        agg_distinct_exact,
+        """
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_suppkey
+        """,
+        ("agg",),
+    ),
+    "agg_distinct_approx": QuerySpec(agg_distinct_approx, None, ("agg", "approx")),
+    "agg_grouping_sets": QuerySpec(
+        agg_grouping_sets,
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        """,
+        ("agg", "rollup"),
+    ),
+    "agg_collect_nested": QuerySpec(
+        agg_collect_nested,
+        """
+        SELECT n_name, COUNT(*) AS n_custs,
+               string_agg(c_name, '|' ORDER BY c_name) AS cust_names
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        ("agg", "nested"),
+    ),
+    "join_equi_hash": QuerySpec(
+        join_equi_hash,
+        """
+        SELECT n_name, o_orderpriority,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_orderpriority
+        """,
+        ("join",),
+    ),
+    "join_broadcast": QuerySpec(
+        join_broadcast,
+        f"""
+        SELECT n_name,
+               CAST(SUM({_REV_SQL}) AS BIGINT) / 10000.0 AS supp_revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        ("join", "broadcast"),
+    ),
+    "join_left_semi": QuerySpec(
+        join_left_semi,
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        ("join", "semi"),
+    ),
+    "join_left_anti": QuerySpec(
+        join_left_anti,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        """,
+        ("join", "anti"),
+    ),
+    "join_nested_loop": QuerySpec(
+        join_nested_loop,
+        """
+        SELECT r1.r_name AS name1, r2.r_name AS name2
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey < r2.r_regionkey
+        """,
+        ("join", "theta"),
+    ),
+    "join_range_asof": QuerySpec(
+        join_range_asof,
+        """
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(ts::TIMESTAMP) AS ts_us
+          FROM events WHERE event_type IN ('purchase','view')
+        )
+        SELECT event_id AS purchase_id, user_id, prior_view_id FROM (
+          SELECT event_id, user_id, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_id
+          FROM ev)
+        WHERE event_type = 'purchase'
+        """,
+        ("join", "asof"),
+    ),
+    "win_ranking_fns": QuerySpec(
+        win_ranking_fns,
+        """
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(rank() OVER w_ties AS BIGINT) AS bal_rank,
+               CAST(dense_rank() OVER w_ties AS BIGINT) AS bal_dense_rank,
+               CAST(row_number() OVER w_total AS BIGINT) AS bal_row_number,
+               CAST(ntile(4) OVER w_total AS BIGINT) AS bal_quartile
+        FROM customer
+        WINDOW
+          w_ties AS (PARTITION BY c_nationkey
+                     ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC),
+          w_total AS (PARTITION BY c_nationkey
+                      ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey)
+        """,
+        ("window",),
+    ),
+    "win_analytic_fns": QuerySpec(
+        win_analytic_fns,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate),
+                                   o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 / 100.0 AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate),
+                              o_orderkey)
+        """,
+        ("window",),
+    ),
+    "win_best_match": QuerySpec(
+        win_best_match,
+        """
+        SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_price
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+                     ) AS rn
+              FROM orders)
+        WHERE rn = 1
+        """,
+        ("window", "argmax"),
+    ),
+    "limit_per_group": QuerySpec(
+        limit_per_group,
+        """
+        SELECT o_custkey, COUNT(*) AS n_first_orders,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS early_spend
+        FROM (SELECT o_custkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY year(o_orderdate)*10000 + month(o_orderdate)*100 + day(o_orderdate),
+                                o_orderkey
+                     ) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        GROUP BY o_custkey
+        """,
+        ("window", "limit"),
+    ),
+    "sort_topk": QuerySpec(
+        sort_topk,
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey
+        LIMIT 25
+        """,
+        ("sort", "topk"),
+    ),
+    "set_intersect": QuerySpec(
+        set_intersect,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        ("setop",),
+    ),
+    "set_except": QuerySpec(
+        set_except,
+        """
+        SELECT c_custkey AS custkey FROM customer
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        """,
+        ("setop",),
+    ),
+    "set_union": QuerySpec(
+        set_union,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        UNION
+        SELECT c_custkey AS custkey FROM customer
+        WHERE CAST(round(c_acctbal*100) AS BIGINT) > 900000
+        """,
+        ("setop",),
+    ),
+    "set_member_types": QuerySpec(
+        set_member_types,
+        """
+        SELECT event_type, COUNT(*) AS n_events FROM events
+        WHERE event_type IN ('signup','purchase') GROUP BY event_type
+        """,
+        ("filter", "setop"),
+    ),
+    "date_trunc_agg": QuerySpec(
+        date_trunc_agg,
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(month(o_orderdate) AS BIGINT) AS o_month,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS month_spend,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+        """,
+        ("date", "agg"),
+    ),
+    "json_get": QuerySpec(
+        json_get,
+        """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+        """,
+        ("json",),
+    ),
+    "url_domain": QuerySpec(
+        url_domain,
+        r"""
+        SELECT s_suppkey, url,
+               regexp_extract(url, '^https?://(?:www\.)?([^/]+)', 1) AS domain,
+               regexp_extract(url, '(?:portfolio|investments)/([a-z]+)', 1) AS url_slug
+        FROM (SELECT s_suppkey,
+                     'https://www.' || lower(regexp_replace(s_name, '[^A-Za-z0-9]', '', 'g'))
+                       || '.com.au/portfolio/companies' AS url
+              FROM supplier)
+        """,
+        ("url",),
+    ),
+    "str_norm": QuerySpec(
+        str_norm,
+        r"""
+        SELECT c_custkey,
+               trim(regexp_replace('  ' || regexp_replace(c_name, '#', '   # ', 'g') || '  ',
+                                   '\s+', ' ', 'g')) AS name_norm
+        FROM customer
+        """,
+        ("string",),
+    ),
+}
