@@ -1,0 +1,83 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<op>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect). Timings include Catalyst planning but share one
+JVM/session — the same way a resident cluster would serve them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from pe_firm_investment_database_pipeline_spark.plans import all_queries
+from pe_firm_investment_database_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "flagship_revenue_by_nation",
+    "agg_hash_groupby",
+    "agg_distinct_exact",
+    "join_equi_hash",
+    "join_broadcast",
+    "join_range_asof",
+    "win_best_match",
+    "win_ranking_fns",
+    "agg_consensus",
+    "agg_weighted_vote",
+    "txt_quality_score",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+    "sim_knn_blocked",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("pe-pipeline-bench")
+    registry = all_queries()
+
+    # JVM/codegen warmup on the smallest sf so headline timings measure
+    # the query, not first-call initialization.
+    warm_dir = "/root/testdata/sf0.001"
+    registry["flagship_revenue_by_nation"].fn(spark, warm_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for op_id in HEADLINE:
+        fn = registry[op_id].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[op_id] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

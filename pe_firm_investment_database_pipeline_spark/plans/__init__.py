@@ -6,6 +6,8 @@ from ..registry import QuerySpec, merge
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import relational
+    from . import enrichment, relational, similarity, textops
 
-    return merge(relational.QUERIES)
+    return merge(
+        relational.QUERIES, enrichment.QUERIES, textops.QUERIES, similarity.QUERIES
+    )

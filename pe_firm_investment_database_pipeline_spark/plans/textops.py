@@ -1,0 +1,453 @@
+"""Text analysis + deduplication over the documents table — the
+training-data-pipeline extension surface (repo:BASELINE.json:6;
+SURVEY.md §2 *(ext)* rows).
+
+All operators are expressed with built-in JVM-side functions (regexp,
+array HOFs, md5) — no Python UDFs in any hot path — and each has a
+DuckDB oracle. Scale notes per operator:
+
+- exact dedup: hash-groupBy, one shuffle on the digest — the 100 TB
+  shape (digest is computed map-side, shuffle carries 16 bytes/row).
+- n-gram Jaccard: shingle-explode + equi-join on shingle. Never a
+  cross join; skew from stop-shingles is bounded by dropping
+  ultra-frequent shingles (document-frequency cap) — at 100 TB add a
+  broadcast DF-filter of the top-k shingles.
+- MinHash+LSH: k=16 keyed-md5 min-hashes, 4 bands x 4 rows; candidate
+  pairs via equi-join on (band, band_key). This is the sub-quadratic
+  scale path: cost is O(docs x k) + join on collisions only.
+- SimHash: 16-dim signature from per-token md5 digits; Hamming <= 3
+  within blocking buckets. Pairwise compare is shown at test scale;
+  the blocking key (first band) is what survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+_STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
+
+# token/shingle builders shared across operators (Spark SQL expr + DuckDB).
+#
+# PERFORMANCE RULE: on the Spark side, tokens and shingles are staged as
+# real projection columns (one `select` per stage) and every lambda
+# references the *attribute*, never the building expression. Inlining
+# regexp_extract_all into a higher-order-function lambda re-evaluates
+# the regexp once per element per reference (measured 100x slowdown at
+# sf0.1); a projection boundary evaluates it once per row, and
+# CollapseProject keeps the boundary because the alias is non-cheap and
+# multiply-referenced. DuckDB CTEs get the same treatment for the
+# oracle's own runtime.
+_TOKENS = r"regexp_extract_all(text, '\\S+', 0)"
+_TOKENS_DUCK = r"regexp_extract_all(text, '\S+')"
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+_SHINGLES_FROM_TOKS_DUCK = (
+    "list_distinct(list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, shingles): staged token + 3-gram columns."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles")
+    )
+
+
+_SHINGLED_DUCK = f"""
+  SELECT doc_id, {_SHINGLES_FROM_TOKS_DUCK} AS shingles
+  FROM (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_token_count — whitespace tokenization (token counting north-star op)
+# ---------------------------------------------------------------------------
+
+def txt_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+_TXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_text,
+       CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({_TOKENS_DUCK})) AS BIGINT) AS n_distinct_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_quality_score — length/stopword/diversity heuristics
+# ---------------------------------------------------------------------------
+
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics a pretraining filter would compute: token
+    count, stopword ratio, type-token diversity; thresholded into a
+    keep/suspect label. Ratios are divisions of identical integers so
+    both engines produce bit-identical doubles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    n_tokens = F.size(toks).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens.cast("double")
+    diversity = n_distinct.cast("double") / n_tokens.cast("double")
+    label = (
+        F.when((n_tokens >= 20) & (stop_ratio <= 0.4) & (diversity >= 0.1), "keep")
+        .otherwise("suspect")
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stop_ratio"),
+        diversity.alias("diversity"),
+        label.alias("quality_label"),
+    )
+
+
+_TXT_QUALITY_SCORE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_TOKENS_DUCK}, x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stopwords,
+         CAST(len(list_distinct({_TOKENS_DUCK})) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS diversity,
+       CASE WHEN n_tokens >= 20
+             AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) <= 0.4
+             AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.1
+            THEN 'keep' ELSE 'suspect' END AS quality_label
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_langid — marker-token language heuristic
+# ---------------------------------------------------------------------------
+
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: count hits against per-language marker
+    sets and argmax (tie -> 'und'). The synthetic corpus is
+    English-vocabulary, so the en marker set dominates — the operator
+    shape (broadcast marker table, per-token membership, argmax) is
+    what a real n-gram LM would use at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKENS)
+    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of"))).cast("long")
+    guess = F.when(en_hits > 0, "en").otherwise("und")
+    return d.select(
+        "doc_id",
+        "lang",
+        en_hits.alias("en_hits"),
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("agrees_with_label"),
+    )
+
+
+_TXT_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter({_TOKENS_DUCK}, x -> x IN ('the','a','of'))) AS BIGINT) AS en_hits
+  FROM documents
+)
+SELECT doc_id, lang, en_hits,
+       CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS lang_guess,
+       (CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END) = lang AS agrees_with_label
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_fingerprint — canonical-text digest (document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.substring(F.md5(canon), 1, 8).alias("fp_prefix"),
+    )
+
+
+_TXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: digest map-side, groupBy digest, keep min doc_id
+    (deterministic survivor). At 100 TB the shuffle carries only
+    (digest, doc_id) — never the text."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_jaccard — shingle-join near-dup pairs
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 0.8 near-dup pairs via shingle
+    equi-join (sub-quadratic; no cross join). The driver corpus has
+    planted near-dups at j~0.99, so the result set is non-trivial.
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) from identical int64s ->
+    bit-identical doubles on both engines."""
+    sh = _shingled(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
+    jac = (
+        inter.join(sa, "doc1")
+        .join(sb, "doc2")
+        .withColumn(
+            "jaccard",
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= 0.8).select("doc1", "doc2", "jaccard")
+
+
+_DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), sh AS (
+  SELECT doc_id, unnest(shingles) AS s FROM shingled
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures + banded LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_K = 16  # minhash permutations (keyed md5)
+_BANDS = 4  # 4 bands x 4 rows
+
+# signature from the *staged* shingles attribute — never the building
+# expression (see PERFORMANCE RULE above).
+_SIG_FROM_SH = (
+    "transform(sequence(0, {k}-1), s -> "
+    "array_min(transform(shingles, x -> md5(concat(cast(s AS string), ':', x)))))"
+).format(k=_K)
+_SIG_FROM_SH_DUCK = (
+    "list_transform(range(0, {k}), s -> "
+    "list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x))))"
+).format(k=_K)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: per doc a k=16 signature of
+    keyed-md5 min-hashes over 3-gram shingles; signatures cut into 4
+    bands of 4; docs colliding on any (band, band_key) become a
+    candidate pair, scored by signature agreement (est. Jaccard =
+    matches/k). Join is on band keys only — the classic sub-quadratic
+    LSH shape that survives 100 TB (band tables are
+    (doc_id, 16-byte key) rows). Signatures ride along the band
+    explode so the pair score needs no second join back to sigs."""
+    sigs = _shingled(spark, sf_dir).select(
+        "doc_id", F.expr(_SIG_FROM_SH).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_BANDS}-1), b -> "
+                f"struct(b AS band, md5(concat_ws('|', slice(sig, b*4+1, 4))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            (
+                F.expr(
+                    "aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1L, 0L)),"
+                    " 0L, (acc, v) -> acc + v)"
+                ).cast("double")
+                / float(_K)
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+_DEDUP_MINHASH_LSH_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), sigs AS (
+  SELECT doc_id, {_SIG_FROM_SH_DUCK} AS sig FROM shingled
+), bands AS (
+  SELECT doc_id, b AS band,
+         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+  FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2,
+       CAST(list_sum(list_transform(range(1, {_K}+1),
+                     i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         / {float(_K)} AS est_jaccard
+FROM pairs
+JOIN sigs s1 ON doc1 = s1.doc_id
+JOIN sigs s2 ON doc2 = s2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash — 16-dim SimHash + Hamming-distance near-dups
+# ---------------------------------------------------------------------------
+
+# per-token md5 is hoisted to a staged `hs` column (one md5 per token),
+# so the 16-way bit vote only indexes into precomputed digests.
+_SIMHASH = """
+aggregate(
+  transform(sequence(1, 16), j -> IF(
+    aggregate(hs, 0L, (acc, h) ->
+      acc + IF(instr('0123456789abcdef', substring(h, j, 1)) > 8, 1L, -1L)) > 0,
+    shiftleft(1L, j - 1), 0L)),
+  0L, (acc, v) -> acc + v)
+"""
+
+_SIMHASH_DUCK = """
+CAST(list_sum(
+  list_transform(range(1, 17), j -> CASE WHEN
+    list_sum(list_transform(hs, h ->
+      CASE WHEN instr('0123456789abcdef', h[j]) > 8 THEN 1 ELSE -1 END)) > 0
+    THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit signature (sign of the per-bit
+    vote over distinct-token md5 digits), pairs with Hamming distance
+    <= 3. Pairwise XOR+popcount shown at test scale; at 100 TB the
+    same signature is LSH-blocked by bit-bands first (dedup_minhash_lsh
+    shows that join shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(array_distinct(toks), t -> md5(t))").alias("hs"),
+        )
+        .select("doc_id", F.expr(_SIMHASH).alias("sig"))
+    )
+    a = sigs.select(F.col("doc_id").alias("doc1"), F.col("sig").alias("sig1"))
+    b = sigs.select(F.col("doc_id").alias("doc2"), F.col("sig").alias("sig2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("doc1") < F.col("doc2"))
+        .withColumn("hamming", F.expr("bit_count(sig1 ^ sig2)").cast("long"))
+        .where(F.col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
+    )
+
+
+_DEDUP_SIMHASH_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_TOKENS_DUCK}), t -> md5(t)) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_SIMHASH_DUCK} AS sig FROM hashed
+)
+SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
+QUERIES = {
+    "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
+    "txt_quality_score": QuerySpec(
+        txt_quality_score, _TXT_QUALITY_SCORE_SQL, ("text",)
+    ),
+    "txt_langid": QuerySpec(txt_langid, _TXT_LANGID_SQL, ("text",)),
+    "txt_fingerprint": QuerySpec(txt_fingerprint, _TXT_FINGERPRINT_SQL, ("text",)),
+    "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
+    "dedup_ngram_jaccard": QuerySpec(
+        dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, ("dedup",)
+    ),
+    "dedup_minhash_lsh": QuerySpec(
+        dedup_minhash_lsh, _DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")
+    ),
+    "dedup_simhash": QuerySpec(dedup_simhash, _DEDUP_SIMHASH_SQL, ("dedup",)),
+}
