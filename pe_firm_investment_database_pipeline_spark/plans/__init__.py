@@ -6,8 +6,12 @@ from ..registry import QuerySpec, merge
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import enrichment, relational, similarity, textops
+    from . import enrichment, relational, seed_pipeline, similarity, textops
 
     return merge(
-        relational.QUERIES, enrichment.QUERIES, textops.QUERIES, similarity.QUERIES
+        relational.QUERIES,
+        enrichment.QUERIES,
+        textops.QUERIES,
+        similarity.QUERIES,
+        seed_pipeline.QUERIES,
     )
