@@ -6,7 +6,8 @@ from ..registry import QuerySpec, merge
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import enrichment, relational, seed_pipeline, similarity, textops
+    from ..streaming import windows as streaming_windows
+    from . import enrichment, matching, relational, seed_pipeline, similarity, textops
 
     return merge(
         relational.QUERIES,
@@ -14,4 +15,6 @@ def all_queries() -> dict[str, QuerySpec]:
         textops.QUERIES,
         similarity.QUERIES,
         seed_pipeline.QUERIES,
+        matching.QUERIES,
+        streaming_windows.QUERIES,
     )

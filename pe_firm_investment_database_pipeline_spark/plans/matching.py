@@ -1,0 +1,372 @@
+"""Scored matching + scalar-function surface (SURVEY.md §2.3/§2.5/§2.8
+P3): the reference's entity↔card scored join, fuzzy name matching, URL
+candidate construction, JSON key scanning and scalar/list
+normalization — re-expressed on the star schema with DuckDB oracles.
+
+Reference parity (file:line vs /root/reference/):
+- join_score_argmax    step3_attempt1.py:401-412 (nested loop) +
+                       :289-304 (weighted score) — here a broadcast
+                       theta-join + window argmax.
+- str_name_match       step3_attempt1.py:277-287 (_name_matches) +
+                       the *(ext)* levenshtein upgrade path.
+- url_join             step1_attempt1.py:41-53, step1_attempt2.py:44-53.
+- json_key_scan        founded_year.py:71-75 (any key containing
+                       'found', case-insensitive).
+- json_normalize_scalar founded_year.py:62-65, step3_attempt1.py:135-136
+                       (scalar-vs-list polymorphism → always-array).
+- win_first_success    step1_attempt3.py:79-91 (first accessible Google
+                       result wins, reliability rank = position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# join_score_argmax — scored theta-join, keep best card per entity
+# ---------------------------------------------------------------------------
+
+def join_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer (entity) × every supplier (card): weighted
+    feature score (reference weights 1.0/0.9/0.6/0.3,
+    step3_attempt1.py:289-304), keep the best-scoring supplier per
+    customer (argmax window, step3_attempt1.py:404-412).
+
+    Scale shape: the card side is small and explicitly broadcast, so
+    the fact side never shuffles for the join; the argmax is a
+    row_number window over (entity, score desc) — at 100 TB the
+    same plan holds because cards stay O(page), never O(corpus).
+    Score arithmetic is exact: integer-cent comparisons and literal
+    weights summed in a fixed order, rounded once at the end."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
+    )
+    z = F.lit(0.0)
+    score = F.round(
+        F.when(F.col("c_nationkey") == F.col("s_nationkey"), F.lit(1.0)).otherwise(z)
+        + F.when(cents("s_acctbal") > cents("c_acctbal"), F.lit(0.9)).otherwise(z)
+        + F.when((F.col("s_suppkey") + F.col("c_custkey")) % 7 == 0, F.lit(0.6)).otherwise(z)
+        + F.when(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), F.lit(0.3)).otherwise(z),
+        3,
+    )
+    scored = c.crossJoin(F.broadcast(s)).select(
+        "c_custkey", "s_suppkey", score.alias("score")
+    )
+    w = W.partitionBy("c_custkey").orderBy(F.desc("score"), F.asc("s_suppkey"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("best_suppkey"),
+            F.col("score").alias("best_score"),
+        )
+    )
+
+
+_JOIN_SCORE_ARGMAX_SQL = """
+WITH scored AS (
+  SELECT c_custkey, s_suppkey,
+         round(
+           CASE WHEN c_nationkey = s_nationkey THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN CAST(round(s_acctbal*100) AS BIGINT) > CAST(round(c_acctbal*100) AS BIGINT)
+                  THEN 0.9::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN (s_suppkey + c_custkey) % 7 = 0 THEN 0.6::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN c_mktsegment IN ('BUILDING','MACHINERY') THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END,
+         3) AS score
+  FROM customer CROSS JOIN supplier
+)
+SELECT c_custkey, s_suppkey AS best_suppkey, score AS best_score
+FROM (SELECT c_custkey, s_suppkey, score,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY score DESC, s_suppkey) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# str_name_match — fuzzy name equality + levenshtein upgrade
+# ---------------------------------------------------------------------------
+
+def str_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_name_matches semantics (step3_attempt1.py:277-287): normalize
+    (collapse whitespace, lower, trim); match iff equal OR one side is
+    a >=3-char substring of the other. Three deterministic candidate
+    shapes per customer exercise every branch; the levenshtein column
+    is the *(ext)* upgrade path (identical classic edit distance in
+    Spark and DuckDB)."""
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.lower(F.trim(F.regexp_replace(F.col("c_name"), r"\s+", " ")))
+    cand = (
+        F.when(F.col("c_custkey") % 3 == 0, F.upper(F.col("c_name")))
+        .when(F.col("c_custkey") % 3 == 1, F.substring(F.col("c_name"), 1, 10))
+        .otherwise(F.lit("Unrelated Pty Ltd"))
+    )
+    n2 = F.lower(F.trim(F.regexp_replace(cand, r"\s+", " ")))
+    matched = (n1 == n2) | (
+        (F.length(n1) >= 3)
+        & (F.length(n2) >= 3)
+        & (n1.contains(n2) | n2.contains(n1))
+    )
+    return c.select(
+        "c_custkey",
+        n1.alias("name_a"),
+        n2.alias("name_b"),
+        matched.alias("is_match"),
+        F.levenshtein(n1, n2).cast("long").alias("edit_distance"),
+    )
+
+
+_STR_NAME_MATCH_SQL = r"""
+WITH t AS (
+  SELECT c_custkey,
+         lower(trim(regexp_replace(c_name, '\s+', ' ', 'g'))) AS name_a,
+         lower(trim(regexp_replace(
+           CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+                WHEN c_custkey % 3 = 1 THEN substr(c_name, 1, 10)
+                ELSE 'Unrelated Pty Ltd' END, '\s+', ' ', 'g'))) AS name_b
+  FROM customer
+)
+SELECT c_custkey, name_a, name_b,
+       (name_a = name_b OR (length(name_a) >= 3 AND length(name_b) >= 3
+         AND (contains(name_a, name_b) OR contains(name_b, name_a)))) AS is_match,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# url_join — candidate URL construction (base+subpath, domain mutation)
+# ---------------------------------------------------------------------------
+
+def url_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate portfolio-URL construction (step1_attempt1.py:41-53:
+    base+subpath with trailing-slash handling; step1_attempt2.py:44-53:
+    domain mutation {name}{subpath}.{tld})."""
+    s = load_table(spark, sf_dir, "supplier")
+    slug = F.lower(F.regexp_replace("s_name", r"[^A-Za-z0-9]", ""))
+    # half the bases carry a trailing slash — rtrim must normalize both
+    base = F.concat(
+        F.lit("https://"),
+        slug,
+        F.lit(".com.au"),
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    joined = F.concat(F.regexp_replace(base, "/+$", ""), F.lit("/"), F.lit("portfolio"))
+    mutated = F.concat(F.lit("https://"), slug, F.lit("invest"), F.lit(".com.au"))
+    return s.select(
+        "s_suppkey",
+        base.alias("base_url"),
+        joined.alias("candidate_url"),
+        mutated.alias("mutated_domain_url"),
+    )
+
+
+_URL_JOIN_SQL = """
+WITH t AS (
+  SELECT s_suppkey,
+         lower(regexp_replace(s_name, '[^A-Za-z0-9]', '', 'g')) AS slug,
+         CASE WHEN s_suppkey % 2 = 0 THEN '/' ELSE '' END AS slash
+  FROM supplier
+)
+SELECT s_suppkey,
+       'https://' || slug || '.com.au' || slash AS base_url,
+       rtrim('https://' || slug || '.com.au' || slash, '/') || '/portfolio' AS candidate_url,
+       'https://' || slug || 'invest' || '.com.au' AS mutated_domain_url
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_key_scan — any key containing 'found' (case-insensitive)
+# ---------------------------------------------------------------------------
+
+def json_key_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """founded_year.py:71-75: scan a JSON object for any key whose
+    lowercase form contains 'found'; take that value. JSON documents
+    are synthesized with three key spellings + a no-match shape, then
+    scanned with map_filter over from_json(MapType) — JVM-side, no
+    Python. Null when no key matches."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("string")
+    doc = (
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit('{"founded":"'), y, F.lit('","name":"a"}')),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 1,
+            F.concat(F.lit('{"Found_Year":"'), y, F.lit('"}')),
+        )
+        .when(
+            F.col("o_orderkey") % 4 == 2,
+            F.concat(F.lit('{"companyFounded":"'), y, F.lit('","x":"1"}')),
+        )
+        .otherwise(F.lit('{"name":"b","established":"n/a"}'))
+    )
+    m = F.from_json(doc, "map<string,string>")
+    hits = F.map_filter(m, lambda k, v: F.lower(k).contains("found"))
+    found = F.when(F.size(F.map_keys(hits)) > 0, F.map_values(hits).getItem(0))
+    return o.select(
+        "o_orderkey",
+        doc.alias("doc"),
+        found.alias("found_value"),
+        F.size(F.map_keys(hits)).cast("long").alias("n_hits"),
+    )
+
+
+_JSON_KEY_SCAN_SQL = """
+WITH docs AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0
+                THEN '{"founded":"' || CAST(year(o_orderdate) AS VARCHAR) || '","name":"a"}'
+              WHEN o_orderkey % 4 = 1
+                THEN '{"Found_Year":"' || CAST(year(o_orderdate) AS VARCHAR) || '"}'
+              WHEN o_orderkey % 4 = 2
+                THEN '{"companyFounded":"' || CAST(year(o_orderdate) AS VARCHAR) || '","x":"1"}'
+              ELSE '{"name":"b","established":"n/a"}'
+         END AS doc
+  FROM orders
+), scanned AS (
+  SELECT o_orderkey, doc,
+         list_filter(json_keys(doc), k -> contains(lower(k), 'found')) AS keys_hit
+  FROM docs
+)
+SELECT o_orderkey, doc,
+       CASE WHEN len(keys_hit) > 0
+            THEN json_extract_string(doc, '$.' || keys_hit[1]) END AS found_value,
+       CAST(len(keys_hit) AS BIGINT) AS n_hits
+FROM scanned
+"""
+
+
+# ---------------------------------------------------------------------------
+# json_normalize_scalar — scalar-vs-list polymorphism → always-array
+# ---------------------------------------------------------------------------
+
+def json_normalize_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD fields arrive as scalar OR list (founded_year.py:62-65,
+    step3_attempt1.py:135-136,209-210). Normalize-to-array reader:
+    probe the first char; parse as array when '[', else wrap the
+    scalar. Emitted as sorted CSV so the value-hash is shape-stable."""
+    p = load_table(spark, sf_dir, "part")
+    val = (
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(F.lit('["'), F.col("p_brand"), F.lit('","Organization"]')),
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit('"'), F.col("p_brand"), F.lit('"')))
+        .otherwise(F.lit("null"))
+    )
+    # Spark's get_json_object('null','$') yields the string 'null'
+    # (DuckDB yields SQL NULL) — probe the literal explicitly.
+    as_arr = (
+        F.when(F.substring(val, 1, 1) == "[", F.from_json(val, "array<string>"))
+        .when(val == "null", F.array().cast("array<string>"))
+        .otherwise(
+            F.filter(F.array(F.get_json_object(val, "$")), lambda x: x.isNotNull())
+        )
+    )
+    return p.select(
+        "p_partkey",
+        val.alias("raw_json"),
+        F.array_join(F.array_sort(as_arr), ",").alias("types_csv"),
+        F.size(as_arr).cast("long").alias("n_types"),
+    )
+
+
+_JSON_NORMALIZE_SCALAR_SQL = """
+WITH docs AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN '["' || p_brand || '","Organization"]'
+              WHEN p_partkey % 3 = 1 THEN '"' || p_brand || '"'
+              ELSE 'null' END AS raw_json
+  FROM part
+), norm AS (
+  SELECT p_partkey, raw_json,
+         CASE WHEN substr(raw_json, 1, 1) = '['
+                THEN CAST(json_extract_string(raw_json, '$[*]') AS VARCHAR[])
+              WHEN json_extract_string(raw_json, '$') IS NOT NULL
+                THEN [json_extract_string(raw_json, '$')]
+              ELSE [] END AS arr
+  FROM docs
+)
+SELECT p_partkey, raw_json,
+       COALESCE(array_to_string(list_sort(arr), ','), '') AS types_csv,
+       CAST(len(arr) AS BIGINT) AS n_types
+FROM norm
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_first_success — first accessible result wins, rank = position
+# ---------------------------------------------------------------------------
+
+def win_first_success(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """step1_attempt3.py:79-91: results arrive ranked (position i+1);
+    the first *accessible* one wins. Per user: events ordered by
+    (ts_us, event_id) get a reliability rank; the first event with
+    value >= 10 is the winner. One window pass, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ranked = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(w).cast("long").alias("reliability_rank"),
+    ).where(F.col("value") >= 10.0)
+    w2 = W.partitionBy("user_id").orderBy("reliability_rank")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_success_id"),
+            "reliability_rank",
+        )
+    )
+
+
+_WIN_FIRST_SUCCESS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts::TIMESTAMP), event_id) AS BIGINT)
+           AS reliability_rank
+  FROM events
+)
+SELECT user_id, event_id AS first_success_id, reliability_rank
+FROM (SELECT user_id, event_id, reliability_rank,
+             row_number() OVER (PARTITION BY user_id ORDER BY reliability_rank) AS rn
+      FROM ranked WHERE value >= 10.0)
+WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "join_score_argmax": QuerySpec(
+        join_score_argmax, _JOIN_SCORE_ARGMAX_SQL, ("join", "score", "argmax")
+    ),
+    "str_name_match": QuerySpec(
+        str_name_match, _STR_NAME_MATCH_SQL, ("string", "fuzzy")
+    ),
+    "url_join": QuerySpec(url_join, _URL_JOIN_SQL, ("url",)),
+    "json_key_scan": QuerySpec(json_key_scan, _JSON_KEY_SCAN_SQL, ("json",)),
+    "json_normalize_scalar": QuerySpec(
+        json_normalize_scalar, _JSON_NORMALIZE_SCALAR_SQL, ("json",)
+    ),
+    "win_first_success": QuerySpec(
+        win_first_success, _WIN_FIRST_SUCCESS_SQL, ("window",)
+    ),
+}

@@ -1,0 +1,290 @@
+"""Structured Streaming operators (SURVEY.md §2.9) over the events
+table: tumbling / sliding / session windows, streaming dedup, and
+watermark late-data finalization.
+
+The reference's only streaming shape is the browser response callback
+(seed_aic.py:104-156): unbounded source → filter → enrich → append.
+The driver's events table is the extension surface. Each operator here
+runs a REAL streaming query — file source → transformations →
+``trigger(availableNow=True)`` → memory sink — then returns the
+finished result as a batch DataFrame, so the driver can hash-compare
+it against a DuckDB oracle:
+
+- complete-mode window aggregates equal their batch twins exactly;
+- append-mode with watermark emits only windows finalized by the
+  terminal watermark (max event time − delay) — with a single input
+  batch that cutoff depends only on the global max timestamp, so it
+  too has an exact SQL oracle (the trailing windows are excluded).
+
+All outputs are timezone-free (epoch-second longs, exact integer-cent
+sums): window boundaries are computed on the epoch timeline, so a
+non-UTC driver session hashes identically.
+
+Scale notes: windowed aggregation state is keyed by (window, group) —
+bounded by windows×groups, not rows; session windows shuffle once on
+user_id and merge per key. ``complete`` mode is used here because the
+input is finite; an unbounded production stream would use append +
+watermark (shown by stream_late_append) so state is evicted — the
+query shapes are identical.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+GAP_S = 1800  # session gap: 30 minutes
+DAY_S = 86400
+SLIDE_S = 43200
+LATE_DELAY = "1 day"
+
+_EVENT_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, "
+    "value_c BIGINT, ts TIMESTAMP"
+)
+
+
+def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
+    """Normalize events (ns→µs timestamps, exact value cents) into a
+    parquet dir the file stream source can read."""
+    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = os.path.join(tempfile.gettempdir(), f"pe_stream_input_{sf_name}")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+    )
+    ev.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(_EVENT_SCHEMA).parquet(path)
+
+
+def _run(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Execute to completion into a memory sink; return the result."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream_tumbling — fixed 1-day windows per event_type
+# ---------------------------------------------------------------------------
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+            (F.col("sum_value_c") / 100.0).alias("sum_value"),
+        )
+    )
+    return _run(agg, "complete")
+
+
+_STREAM_TUMBLING_SQL = f"""
+SELECT (epoch_us(ts::TIMESTAMP) // {DAY_S * 1000000}) * {DAY_S} AS win_start_s,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding — 1-day windows sliding every 12h
+# ---------------------------------------------------------------------------
+
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            F.col("window.end").cast("long").alias("win_end_s"),
+            "n_events",
+        )
+    )
+    return _run(agg, "complete")
+
+
+_STREAM_SLIDING_SQL = f"""
+WITH e AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 1000000 AS ts_s FROM events
+), expanded AS (
+  SELECT ts_s, unnest([
+           (ts_s // {SLIDE_S}) * {SLIDE_S},
+           (ts_s // {SLIDE_S}) * {SLIDE_S} - {SLIDE_S}
+         ]) AS win_start_s
+  FROM e
+)
+SELECT win_start_s, win_start_s + {DAY_S} AS win_end_s, COUNT(*) AS n_events
+FROM expanded
+WHERE ts_s >= win_start_s AND ts_s < win_start_s + {DAY_S}
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_session — 30-minute-gap session windows per user
+# ---------------------------------------------------------------------------
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("long").alias("session_start_s"),
+            F.col("session_window.end").cast("long").alias("session_end_s"),
+            "n_events",
+            (F.col("sum_value_c") / 100.0).alias("session_value"),
+        )
+    )
+    return _run(agg, "complete")
+
+
+# gaps-and-islands twin: a new session starts when the gap from the
+# previous event is >= GAP_S (Spark's session [start, last+gap) is
+# half-open); session end = last event + gap.
+_STREAM_SESSION_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+         CAST(round(value*100) AS BIGINT) AS value_c
+  FROM events
+), flagged AS (
+  SELECT user_id, us, value_c,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   >= {GAP_S}::BIGINT * 1000000
+              OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+), sessioned AS (
+  SELECT user_id, us, value_c,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(us) // 1000000 AS session_start_s,
+       (MAX(us) + {GAP_S}::BIGINT * 1000000) // 1000000 AS session_end_s,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_c) AS BIGINT) / 100.0 AS session_value
+FROM sessioned
+GROUP BY user_id, sid
+"""
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup — first-seen dedup on an unbounded stream
+# ---------------------------------------------------------------------------
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on the stream (the reference's seen-set dedup,
+    seed_aic.py:311,336-338, unbounded form). Only the key columns are
+    emitted — which physical row survives is arrival-order-dependent,
+    the key set is not. Production note: with event-time bounds use
+    dropDuplicatesWithinWatermark so state is evicted."""
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    deduped = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run(deduped, "append")
+
+
+_STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# stream_late_append — append mode + watermark finalization
+# ---------------------------------------------------------------------------
+
+def stream_late_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling aggregate with a 1-day watermark: only
+    windows whose end <= terminal watermark (max event time − 1 day)
+    are finalized and emitted; trailing windows stay in state. With a
+    single availableNow batch the cutoff depends only on the global
+    max timestamp — exactly reproducible in SQL. True mid-stream
+    late-row drops are exercised in tests/test_streaming.py with a
+    two-file source."""
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    agg = (
+        ev.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run(agg, "append")
+
+
+_STREAM_LATE_APPEND_SQL = f"""
+WITH cutoff AS (
+  SELECT (max(epoch_us(ts::TIMESTAMP)) - {DAY_S * 1000000}::BIGINT) // 1000000
+         AS wm_s
+  FROM events
+)
+SELECT (epoch_us(ts::TIMESTAMP) // {DAY_S * 1000000}) * {DAY_S} AS win_start_s,
+       event_type, COUNT(*) AS n_events
+FROM events, cutoff
+GROUP BY 1, 2, cutoff.wm_s
+HAVING win_start_s + {DAY_S} <= cutoff.wm_s
+"""
+
+
+QUERIES = {
+    "stream_tumbling": QuerySpec(
+        stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")
+    ),
+    "stream_sliding": QuerySpec(
+        stream_sliding, _STREAM_SLIDING_SQL, ("streaming", "window")
+    ),
+    "stream_session": QuerySpec(
+        stream_session, _STREAM_SESSION_SQL, ("streaming", "session")
+    ),
+    "stream_dedup": QuerySpec(
+        stream_dedup, _STREAM_DEDUP_SQL, ("streaming", "dedup")
+    ),
+    "stream_late_append": QuerySpec(
+        stream_late_append, _STREAM_LATE_APPEND_SQL, ("streaming", "watermark")
+    ),
+}

@@ -1,0 +1,78 @@
+"""Streaming semantics tests beyond the oracle gate: true late-data
+drops across micro-batches (SURVEY §2.9 stream_late_data).
+
+Spark's watermark drop is lazy: a late row is only guaranteed to be
+discarded once its window has already been evicted from state in an
+EARLIER batch (a late row arriving in the same batch as the eviction
+still merges). Hence three micro-batches: (1) seed + advance
+watermark past the window, (2) evict/emit the window, (3) deliver the
+late row — which must be dropped, leaving the emitted count at 1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+SCHEMA = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+
+
+def _t(h, m):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_late_row_dropped_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = (
+        # batch 0: window [00:00) gets one row; max 03:30 → wm 02:30
+        ("a", [(1, 1, _t(0, 30)), (2, 1, _t(3, 30))], 1000.0),
+        # batch 1: wm 02:30 evicts window [00:00) → emitted with n=1
+        ("b", [(5, 1, _t(3, 45))], 2000.0),
+        # batch 2: late row at 00:45 (< wm) must be DROPPED
+        ("c", [(3, 1, _t(0, 45)), (4, 1, _t(4, 0))], 3000.0),
+    )
+    for name, rows, mtime in files:
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.link(os.path.join(d, part), os.path.join(src, name + ".parquet"))
+        os.utime(os.path.join(src, name + ".parquet"), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").cast("long").alias("win_start_s"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped == 1  # the late 00:45 row
+
+    out = {r["win_start_s"]: r["n"] for r in spark.table("late_test").collect()}
+    win0 = int(_t(0, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    # window [00:00, 01:00) finalized with ONLY the on-time row
+    assert out.get(win0) == 1
+    # trailing windows (end > final watermark 03:00) never emitted
+    assert all(k <= win0 for k in out)
