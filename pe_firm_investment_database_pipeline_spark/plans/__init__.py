@@ -7,7 +7,16 @@ from ..registry import QuerySpec, merge
 
 def all_queries() -> dict[str, QuerySpec]:
     from ..streaming import windows as streaming_windows
-    from . import enrichment, matching, relational, seed_pipeline, similarity, textops
+    from . import (
+        enrichment,
+        io_ops,
+        matching,
+        multimodal,
+        relational,
+        seed_pipeline,
+        similarity,
+        textops,
+    )
 
     return merge(
         relational.QUERIES,
@@ -17,4 +26,6 @@ def all_queries() -> dict[str, QuerySpec]:
         seed_pipeline.QUERIES,
         matching.QUERIES,
         streaming_windows.QUERIES,
+        multimodal.QUERIES,
+        io_ops.QUERIES,
     )

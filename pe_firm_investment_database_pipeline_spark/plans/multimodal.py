@@ -1,0 +1,223 @@
+"""Multimodal column surface (repo:BASELINE.json:6 north star): opaque
+``binary`` payload columns with typed metadata, decoded / feature-
+extracted / frame-sampled through Arrow-batched ``mapInPandas`` stages.
+
+The image/audio codec libraries are not in this container, so the
+DECODE step is stubbed (``decode_image_real`` raises
+NotImplementedError) behind a deterministic fake, but the Spark-side
+plumbing — binary schema, Arrow batch transfer, UDF signatures, 1→N
+frame explosion, partition behavior — is real and oracle-checked:
+every fake feature is a pure function of the payload bytes that DuckDB
+can recompute (octet_length / md5 / first byte), so even the
+``mapInPandas`` operators keep exact SQL oracles.
+
+Scale notes: payloads stay opaque binary end-to-end; metadata columns
+travel beside them so filters (format, size) prune BEFORE any decode;
+``mapInPandas`` processes Arrow record batches (not rows), and the
+frame-sample stage emits rows per batch without materializing the
+whole partition. At 100 TB the decode stage is the only Python hop,
+and it is embarrassingly parallel per partition.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+FRAME_BYTES = 256
+MAX_FRAMES = 8
+
+
+def decode_image_real(payload: bytes):
+    """Real codec hook (PIL/ffmpeg would go here). Deliberately a
+    stub: the container ships no image/audio libraries."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this environment; "
+        "use the deterministic fake decode (fake_decode_meta)"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, str, int]:
+    """Deterministic stand-in for decode: (byte_len, md5_hex,
+    first_byte). Pure function of the bytes — DuckDB-recomputable."""
+    return (
+        len(payload),
+        hashlib.md5(payload).hexdigest(),
+        payload[0] if payload else -1,
+    )
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, payload binary, declared_len).
+    The binary column is the utf-8 encoding of the text (a stand-in
+    for image/audio bytes); media_type is derived metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return d.select(
+        "doc_id",
+        media.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("declared_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_binary_meta — typed metadata over opaque binary (no decode)
+# ---------------------------------------------------------------------------
+
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: size-class bucketing and per-media-type
+    stats computed WITHOUT touching payload content — the filter/prune
+    stage that precedes any decode at scale."""
+    p = _payloads(spark, sf_dir)
+    size_class = (
+        F.when(F.col("declared_len") < 200, "small")
+        .when(F.col("declared_len") < 1000, "medium")
+        .otherwise("large")
+    )
+    return (
+        p.select("media_type", size_class.alias("size_class"), "declared_len")
+        .groupBy("media_type", "size_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("declared_len").alias("total_bytes"),
+        )
+    )
+
+
+_MM_BINARY_META_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS declared_len
+  FROM documents
+)
+SELECT media_type,
+       CASE WHEN declared_len < 200 THEN 'small'
+            WHEN declared_len < 1000 THEN 'medium'
+            ELSE 'large' END AS size_class,
+       COUNT(*) AS n_payloads,
+       CAST(SUM(declared_len) AS BIGINT) AS total_bytes
+FROM p
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_feature_extract — Arrow-batched Pandas decode stage
+# ---------------------------------------------------------------------------
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode/feature-extract stage as ``mapInPandas``: Arrow
+    record batches of (doc_id, payload) → per-payload features from
+    the fake decoder. This is the real multimodal plumbing — binary in,
+    typed features out, executed batch-wise in Python workers."""
+    p = _payloads(spark, sf_dir).select("doc_id", "media_type", "payload")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_decode_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pd.Series(
+                        [f[0] for f in feats], dtype="int64"
+                    ),
+                    "content_md5": [f[1] for f in feats],
+                    "first_byte": pd.Series(
+                        [f[2] for f in feats], dtype="int64"
+                    ),
+                }
+            )
+
+    schema = (
+        "doc_id long, media_type string, byte_len long, "
+        "content_md5 string, first_byte long"
+    )
+    return p.mapInPandas(extract, schema=schema)
+
+
+_MM_FEATURE_EXTRACT_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample — 1→N frame explosion through mapInPandas
+# ---------------------------------------------------------------------------
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video → frames shape): each payload yields
+    min(MAX_FRAMES, 1 + len//FRAME_BYTES) frames with byte offsets —
+    a 1→N Pandas UDTF over Arrow batches, the same batch shape a real
+    ffmpeg frame sampler would use."""
+    p = _payloads(spark, sf_dir).where(F.col("media_type") == "video/mp4").select(
+        "doc_id", "payload"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_off = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(MAX_FRAMES, 1 + len(payload) // FRAME_BYTES)
+                for i in range(n):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_off.append(i * FRAME_BYTES)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "frame_off": pd.Series(out_off, dtype="int64"),
+                }
+            )
+
+    return p.mapInPandas(sample, schema="doc_id long, frame_idx long, frame_off long")
+
+
+_MM_FRAME_SAMPLE_SQL = f"""
+WITH v AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id, unnest(range(0, least({MAX_FRAMES}, 1 + blen // {FRAME_BYTES})))
+         AS frame_idx
+  FROM v
+)
+SELECT doc_id, frame_idx, frame_idx * {FRAME_BYTES} AS frame_off
+FROM frames
+"""
+
+
+QUERIES = {
+    "mm_binary_meta": QuerySpec(
+        mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
+    ),
+    "mm_feature_extract": QuerySpec(
+        mm_feature_extract, _MM_FEATURE_EXTRACT_SQL, ("multimodal", "pandas_udf")
+    ),
+    "mm_frame_sample": QuerySpec(
+        mm_frame_sample, _MM_FRAME_SAMPLE_SQL, ("multimodal", "udtf")
+    ),
+}
