@@ -60,8 +60,13 @@ def flagship_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # range predicate instead of year(): comparisons on the raw
+    # timestamp_ntz column push down into the parquet scan
+    # (PushedFilters), where year(l_shipdate) would not.
     return (
-        li.where(F.year("l_shipdate").between(1995, 1998))
+        li.where(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1999-01-01")
+        )
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -111,7 +116,9 @@ def flt_year_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-range predicate (founded_year.py:83,91: 1800 <= y <= now)."""
     o = _t(spark, sf_dir, "orders")
     return (
-        o.where(F.year("o_orderdate").between(1996, 1998))
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+        )
         .select(
             "o_orderkey",
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -133,7 +140,7 @@ def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_c = cents("l_extendedprice") * (100 - pct("l_discount"))
     charge_c = disc_c * (100 + pct("l_tax"))
     return (
-        li.where(F.year("l_shipdate") <= 2000)
+        li.where(F.col("l_shipdate") < "2001-01-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_int("l_quantity")).alias("sum_qty"),

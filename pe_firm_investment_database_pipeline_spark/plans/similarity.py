@@ -167,9 +167,69 @@ FROM eq GROUP BY label
 """
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (the dedup north-star op):
+    candidate pairs are generated ONLY within a label cell (equi-join
+    blocking — never a global cross join) and kept when cosine >=
+    0.9999. The natural corpus has no near-dups (max within-label
+    cosine ≈ 0.41), so each vector is planted a duplicate copy
+    (vec_id + 1_000_000, identical embedding) — every original must
+    rediscover exactly its copy, making the result a full functional
+    check of the pipeline. Keeper = lower vec_id (deterministic
+    survivor)."""
+    emb = _emb_q(spark, sf_dir)
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
+    )
+    allv = emb.unionByName(planted)
+    a = allv.select(
+        F.col("vec_id").alias("keeper_id"),
+        "label",
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = allv.select(
+        F.col("vec_id").alias("dup_id"),
+        "label",
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="qa", b="qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("keeper_id") < F.col("dup_id"))
+        .select("keeper_id", "dup_id", "label", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.9999)
+    )
+
+
+_DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), allv AS (
+  SELECT vec_id, label, q, nrm FROM eq
+  UNION ALL
+  SELECT vec_id + 1000000, label, q, nrm FROM eq
+), pairs AS (
+  SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id, a.label,
+         CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
+           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+  FROM allv a JOIN allv b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT keeper_id, dup_id, label, cosine FROM pairs WHERE cosine >= 0.9999
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
+    ),
+    "dedup_embedding_cosine": QuerySpec(
+        dedup_embedding_cosine, _DEDUP_EMBEDDING_COSINE_SQL, ("similarity", "dedup")
     ),
     "sim_knn_blocked": QuerySpec(
         sim_knn_blocked, _SIM_KNN_BLOCKED_SQL, ("similarity", "knn")

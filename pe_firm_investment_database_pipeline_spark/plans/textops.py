@@ -33,37 +33,71 @@ _STOP_SQL = "('" + "','".join(STOPWORDS) + "')"
 
 # token/shingle builders shared across operators (Spark SQL expr + DuckDB).
 #
-# PERFORMANCE RULE: on the Spark side, tokens and shingles are staged as
-# real projection columns (one `select` per stage) and every lambda
-# references the *attribute*, never the building expression. Inlining
-# regexp_extract_all into a higher-order-function lambda re-evaluates
-# the regexp once per element per reference (measured 100x slowdown at
-# sf0.1); a projection boundary evaluates it once per row, and
-# CollapseProject keeps the boundary because the alias is non-cheap and
-# multiply-referenced. DuckDB CTEs get the same treatment for the
-# oracle's own runtime.
+# PERFORMANCE RULES (both measured at sf0.1):
+# 1. Tokens are staged as a real projection column and every lambda
+#    references the *attribute* multiple times — CollapseProject keeps
+#    a projection boundary only for non-cheap aliases referenced more
+#    than once; a single-reference alias gets inlined into the
+#    consuming lambda and re-evaluated per element (16x for the
+#    minhash signature — that inlining cost 4s of an 8s query).
+# 2. Shingles are hashed to 48-bit ints AT CONSTRUCTION (md5-prefix,
+#    identical in both engines); dedup joins/aggregations shuffle and
+#    compare int64s, never ~25-char strings, and array_distinct runs
+#    on ints (string array_distinct was the top CPU item). Collision
+#    odds at 2^48 are ~1e-10 per doc — and both engines hash
+#    identically, so parity is unaffected regardless.
 _TOKENS = r"regexp_extract_all(text, '\\S+', 0)"
 _TOKENS_DUCK = r"regexp_extract_all(text, '\S+')"
-_SHINGLES_FROM_TOKS = (
-    "array_distinct(transform(sequence(0, size(toks) - 3),"
-    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+_SH_HASH = (
+    "array_distinct(transform(sequence(0, size(toks) - 3), i -> "
+    "CAST(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), "
+    "1, 12), 16, 10) AS BIGINT)))"
 )
-_SHINGLES_FROM_TOKS_DUCK = (
-    "list_distinct(list_transform(range(1, len(toks) - 1),"
-    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+_SH_HASH_DUCK = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), i -> "
+    "CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), "
+    "1, 12)) AS BIGINT)))"
 )
+
+
+# Session-scoped materialized shingle tables. Two reasons, both
+# measured at sf0.1: (a) exploding over the un-materialized lineage
+# re-evaluates the expensive shingle expression inside Generate
+# (0.45 s from a materialized source vs 14 s from lineage); (b) the
+# dedup operators each consume the shingle table 2-3 times (sizes,
+# pairs, signatures) and would otherwise recompute the regexp+md5
+# chain per consumer. On a cluster this intermediate is a cached or
+# bucketed table — the standard shape for multi-consumer pipelines.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, shingles): staged token + 3-gram columns."""
+    """documents -> (doc_id, sh): distinct 48-bit 3-gram shingle
+    hashes (guard: docs with < 3 tokens yield an empty set),
+    materialized once per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
-        "doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles")
+    df = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.when(F.size("toks") >= 3, F.expr(_SH_HASH))
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
+    _SHINGLE_CACHE[key] = df
+    return df
 
 
 _SHINGLED_DUCK = f"""
-  SELECT doc_id, {_SHINGLES_FROM_TOKS_DUCK} AS shingles
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN {_SH_HASH_DUCK}
+              ELSE [] END AS sh
   FROM (SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents)
 """
 
@@ -231,23 +265,44 @@ FROM documents GROUP BY 1
 # dedup_ngram_jaccard — shingle-join near-dup pairs
 # ---------------------------------------------------------------------------
 
+_DF_CAP = 20  # drop shingles appearing in more docs (stop-shingles)
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard >= 0.8 near-dup pairs via shingle
-    equi-join (sub-quadratic; no cross join). The driver corpus has
-    planted near-dups at j~0.99, so the result set is non-trivial.
+    equi-join (sub-quadratic; no cross join). Stop-shingles — those in
+    more than _DF_CAP documents — are excluded from PAIR GENERATION
+    (set sizes stay full): a shingle in d docs creates O(d^2) pairs,
+    so heavy hitters dominate cost while contributing nothing to
+    >=0.8 pairs (measured 4x at sf0.1; at 100 TB the cap is what
+    keeps the join linear). Planted near-dups share only rare
+    (df~2) shingles, so the >=0.8 result set is unaffected.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from identical int64s ->
     bit-identical doubles on both engines."""
     sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("s")
+        "doc_id", F.explode("sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    # pair generation WITHOUT a shingle self-join: group doc_ids per
+    # shingle (bounded by _DF_CAP after the filter, so the pair
+    # explosion is <= C(20,2) per shingle), then count pairs. One
+    # shuffle on the shingle, one on the pair — no join blowup.
+    pairs = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= _DF_CAP))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc1, y AS doc2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc1", "p.doc2")
     )
+    inter = pairs.groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("i"))
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
     jac = (
@@ -265,12 +320,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEDUP_NGRAM_JACCARD_SQL = f"""
 WITH shingled AS ({_SHINGLED_DUCK}
 ), sh AS (
-  SELECT doc_id, unnest(shingles) AS s FROM shingled
+  SELECT doc_id, unnest(sh) AS s FROM shingled
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}
+), sh_rare AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
 ), inter AS (
   SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM sh_rare a JOIN sh_rare b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc1, doc2,
@@ -286,32 +345,35 @@ WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
 # dedup_minhash_lsh — MinHash signatures + banded LSH candidate pairs
 # ---------------------------------------------------------------------------
 
-_K = 16  # minhash permutations (keyed md5)
+_K = 16  # minhash permutations
 _BANDS = 4  # 4 bands x 4 rows
-
-# signature from the *staged* shingles attribute — never the building
-# expression (see PERFORMANCE RULE above).
-_SIG_FROM_SH = (
-    "transform(sequence(0, {k}-1), s -> "
-    "array_min(transform(shingles, x -> md5(concat(cast(s AS string), ':', x)))))"
-).format(k=_K)
-_SIG_FROM_SH_DUCK = (
-    "list_transform(range(0, {k}), s -> "
-    "list_min(list_transform(shingles, x -> md5(CAST(s AS VARCHAR) || ':' || x))))"
-).format(k=_K)
+_MINHASH_P = 268435399  # prime < 2^28: (2s+1)*h_48bit stays inside int64
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: per doc a k=16 signature of
-    keyed-md5 min-hashes over 3-gram shingles; signatures cut into 4
+    affine min-hashes — (2s+1)*h + s*7919 + 13 mod P over the single
+    48-bit hash per 3-gram shingle — so signature cost is
+    O(n_shingles) md5 + O(k*n_shingles) int ops, not O(k*n_shingles)
+    md5. Computed as explode + 16 conditional MIN aggregates (one
+    shuffle on doc_id): aggregate form can't fall into the
+    CollapseProject lambda re-evaluation trap and is the shape that
+    scales (partial mins combine map-side). Signatures cut into 4
     bands of 4; docs colliding on any (band, band_key) become a
     candidate pair, scored by signature agreement (est. Jaccard =
-    matches/k). Join is on band keys only — the classic sub-quadratic
-    LSH shape that survives 100 TB (band tables are
-    (doc_id, 16-byte key) rows). Signatures ride along the band
-    explode so the pair score needs no second join back to sigs."""
-    sigs = _shingled(spark, sf_dir).select(
-        "doc_id", F.expr(_SIG_FROM_SH).alias("sig")
+    matches/k). The join is on band keys only — the classic
+    sub-quadratic LSH shape that survives 100 TB."""
+    hs = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("h"))
+    mins = [
+        F.min(
+            (F.lit(2 * s + 1) * F.col("h") + F.lit(s * 7919 + 13)) % _MINHASH_P
+        ).alias(f"m{s}")
+        for s in range(_K)
+    ]
+    sigs = (
+        hs.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{s}" for s in range(_K)]).alias("sig"))
     )
     bands = sigs.select(
         "doc_id",
@@ -319,7 +381,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 f"transform(sequence(0, {_BANDS}-1), b -> "
-                f"struct(b AS band, md5(concat_ws('|', slice(sig, b*4+1, 4))) AS bkey))"
+                f"struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
@@ -347,13 +409,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINS_DUCK = ", ".join(
+    f"MIN(({2 * s + 1} * h + {s * 7919 + 13}) % {_MINHASH_P}) AS m{s}"
+    for s in range(_K)
+)
+_SIG_ARRAY_DUCK = "[" + ", ".join(f"m{s}" for s in range(_K)) + "]"
+
 _DEDUP_MINHASH_LSH_SQL = f"""
 WITH shingled AS ({_SHINGLED_DUCK}
+), hs AS (
+  SELECT doc_id, unnest(sh) AS h FROM shingled
+), sigmins AS (
+  SELECT doc_id, {_MINS_DUCK} FROM hs GROUP BY doc_id
 ), sigs AS (
-  SELECT doc_id, {_SIG_FROM_SH_DUCK} AS sig FROM shingled
+  SELECT doc_id, {_SIG_ARRAY_DUCK} AS sig FROM sigmins
 ), bands AS (
   SELECT doc_id, b AS band,
-         md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS bkey
+         array_to_string(sig[b*4+1 : b*4+4], '|') AS bkey
   FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS b)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
@@ -435,8 +507,109 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_rolling_hash — polynomial char hash + winnowed n-gram fingerprint
+# ---------------------------------------------------------------------------
+
+_MOD = 1000000007
+_BASE = 31
+
+
+def txt_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling hashes: (1) a polynomial
+    char hash h = fold((acc*31 + ascii(c)) mod 1e9+7) — exact int64
+    arithmetic, order-sensitive, identical on both engines; (2) a
+    winnowing-style fingerprint = min over token-5-gram md5 window
+    hashes (the shape MOSS/winnowing uses; min-of-windows is
+    shift-robust where the char hash is not). Docs with < 5 tokens
+    fall back to the whole-text md5."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = "filter(split(text, ''), c -> c != '')"
+    poly = (
+        f"aggregate(transform({chars}, c -> CAST(ascii(c) AS BIGINT)), 0L, "
+        f"(acc, c) -> (acc * {_BASE} + c) % {_MOD})"
+    )
+    staged = d.select("doc_id", "text", F.expr(_TOKENS).alias("toks"))
+    w5 = (
+        "transform(sequence(0, size(toks) - 5), i -> "
+        "md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))"
+    )
+    winnow = F.when(
+        F.size(F.col("toks")) >= 5, F.expr(f"array_min({w5})")
+    ).otherwise(F.md5("text"))
+    return staged.select(
+        "doc_id",
+        F.expr(poly).alias("poly_hash"),
+        winnow.alias("winnow_fp"),
+    )
+
+
+_TXT_ROLLING_HASH_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, text, {_TOKENS_DUCK} AS toks FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(string_split(text, ''), c -> c != ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * {_BASE} + c) % {_MOD}) AS poly_hash,
+       CASE WHEN len(toks) >= 5 THEN
+         list_min(list_transform(range(1, len(toks) - 3),
+           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])))
+       ELSE md5(text) END AS winnow_fp
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
+# txt_bpe_tokens — BPE-ish regex tokenization (GPT-2-style pattern)
+# ---------------------------------------------------------------------------
+
+# simplified GPT-2 pretokenizer: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs. Only
+# constructs with identical Java-regex/RE2 semantics (no lookahead).
+_BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+| +"
+
+
+def txt_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex — the unit a
+    training-data pipeline budgets by. Emits total and distinct
+    counts plus the first 5 tokens (pipe-joined) as a spot check."""
+    d = load_table(spark, sf_dir, "documents")
+    # pattern passed as a Column literal: it contains a single quote
+    # (contraction branch), which would break SQL-string quoting.
+    staged = d.select(
+        "doc_id", F.regexp_extract_all("text", F.lit(_BPE_RE), 0).alias("bt")
+    )
+    return staged.select(
+        "doc_id",
+        F.size("bt").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bt")).cast("long").alias("n_distinct_bpe"),
+        F.array_join(F.slice("bt", 1, 5), "|").alias("head_tokens"),
+    )
+
+
+_TXT_BPE_TOKENS_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, regexp_extract_all(text, '{_BPE_RE.replace("'", "''")}') AS bt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bt) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(bt)) AS BIGINT) AS n_distinct_bpe,
+       array_to_string(bt[1:5], '|') AS head_tokens
+FROM staged
+"""
+
+
 QUERIES = {
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
+    "txt_rolling_hash": QuerySpec(
+        txt_rolling_hash, _TXT_ROLLING_HASH_SQL, ("text", "fingerprint")
+    ),
+    "txt_bpe_tokens": QuerySpec(txt_bpe_tokens, _TXT_BPE_TOKENS_SQL, ("text",)),
     "txt_quality_score": QuerySpec(
         txt_quality_score, _TXT_QUALITY_SCORE_SQL, ("text",)
     ),

@@ -1,0 +1,74 @@
+"""Sink roundtrips: every writer produces files a fresh scan reads
+back with the same content (SURVEY §2.1 snk_csv / snk_jsonl_append /
+snk_json_nested)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.sources.sinks import (
+    append_jsonl,
+    write_csv,
+    write_nested_json,
+)
+from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    df = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    write_csv(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.columns == ["n_nationkey", "n_name"]
+    assert back.count() == df.count()
+    assert {r["n_name"] for r in back.collect()} == {
+        r["n_name"] for r in df.collect()
+    }
+
+
+def test_jsonl_append_accumulates(spark, tmp_path):
+    """Two appends → both batches present; every line is valid JSON
+    wrapped with metadata (seed_aic.py:146-155 shape)."""
+    out = str(tmp_path / "log")
+    df = load_table(spark, SF, "region").select("r_regionkey", "r_name")
+    append_jsonl(df, out)
+    append_jsonl(df, out)
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            with open(os.path.join(out, f), encoding="utf-8") as fh:
+                lines += [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 2 * df.count()
+    rec = json.loads(lines[0])
+    assert set(rec) == {"datetime", "source", "JSON"}
+    assert set(rec["JSON"]) == {"r_regionkey", "r_name"}
+    # the appended log replays through the engine's own jsonl scan
+    back = spark.read.json(out)
+    assert back.count() == len(lines)
+
+
+def test_nested_json_sink(spark, tmp_path):
+    """Nested documents: one object per nation with customers
+    collected as an array of structs."""
+    out = str(tmp_path / "nested")
+    c = load_table(spark, SF, "customer")
+    n_input = c.count()
+    write_nested_json(
+        c,
+        group_cols=["c_nationkey"],
+        nest_cols=["c_custkey", "c_name"],
+        path=out,
+        nested_name="customers",
+    )
+    back = spark.read.json(out)
+    assert {"c_nationkey", "customers", "n_customers"} <= set(back.columns)
+    row = back.where(F.size("customers") > 0).first()
+    assert row["n_customers"] == len(row["customers"])
+    assert set(row["customers"][0].asDict()) == {"c_custkey", "c_name"}
+    total = back.agg(F.sum("n_customers")).first()[0]
+    assert total == n_input
