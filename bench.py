@@ -31,17 +31,25 @@ HEADLINE = [
     "join_equi_hash",
     "join_broadcast",
     "join_range_asof",
+    "join_score_argmax",
     "win_best_match",
     "win_ranking_fns",
     "agg_consensus",
     "agg_weighted_vote",
     "txt_quality_score",
+    "txt_bpe_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_knn_blocked",
+    "seed_extract_pe_firms",
+    "stream_tumbling",
+    "mm_feature_extract",
+    "io_http_fetch",
 ]
+
+RUNS = 2  # best-of-N: damps host-contention noise in shared CI
 
 
 def main() -> None:
@@ -60,9 +68,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for op_id in HEADLINE:
         fn = registry[op_id].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[op_id] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[op_id] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

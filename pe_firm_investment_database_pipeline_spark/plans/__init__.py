@@ -12,6 +12,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_ops,
         matching,
         multimodal,
+        reference_scalars,
         relational,
         seed_pipeline,
         similarity,
@@ -28,4 +29,5 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_windows.QUERIES,
         multimodal.QUERIES,
         io_ops.QUERIES,
+        reference_scalars.QUERIES,
     )
