@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.resolution import consensus_min, rank_label, rank_points
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -231,18 +232,12 @@ def agg_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set(F.when(F.col("m") == "medium", F.col("y"))).alias("medium"),
         F.collect_set(F.when(F.col("m") == "other", F.col("y"))).alias("other"),
     )
-    non_empty = F.filter(
-        F.array("urgent", "high", "medium", "other"), lambda a: F.size(a) > 0
-    )
-    inter = F.aggregate(
-        non_empty,
-        F.lit(None).cast("array<bigint>"),
-        lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x)),
-    )
+    methods = [F.col(c) for c in ("urgent", "high", "medium", "other")]
+    non_empty = F.filter(F.array(*methods), lambda a: F.size(a) > 0)
     return per_method.select(
         "custkey",
         F.size(non_empty).cast("long").alias("n_methods"),
-        F.array_min(inter).alias("consensus_year"),
+        consensus_min(methods).alias("consensus_year"),
     )
 
 
@@ -374,19 +369,8 @@ def math_score_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.col("l_quantity") > 25.0, F.lit(0.6)).otherwise(z)
         + F.when(F.col("l_tax") >= 0.04, F.lit(0.3)).otherwise(z)
     )
-    rank = (
-        F.when(score >= 1.8, "A")
-        .when(score >= 1.2, "B")
-        .when(score >= 0.6, "C")
-        .otherwise("D")
-    )
-    points = (
-        F.when(rank == "A", 6)
-        .when(rank == "B", 5)
-        .when(rank == "C", 4)
-        .otherwise(3)
-        .cast("long")
-    )
+    rank = rank_label(score)
+    points = rank_points(rank)
     return li.select(
         "l_orderkey",
         "l_linenumber",

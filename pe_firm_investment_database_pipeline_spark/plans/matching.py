@@ -25,6 +25,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents
+from ..functions.resolution import name_matches
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -114,11 +115,7 @@ def str_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("Unrelated Pty Ltd"))
     )
     n2 = F.lower(F.trim(F.regexp_replace(cand, r"\s+", " ")))
-    matched = (n1 == n2) | (
-        (F.length(n1) >= 3)
-        & (F.length(n2) >= 3)
-        & (n1.contains(n2) | n2.contains(n1))
-    )
+    matched = name_matches(F.col("c_name"), cand)
     return c.select(
         "c_custkey",
         n1.alias("name_a"),

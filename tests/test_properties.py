@@ -1,0 +1,77 @@
+"""Property tests (SURVEY §5): dedup idempotence, consensus ⊆ every
+non-empty source, rank monotonicity. Rows are generated in bulk per
+example so each hypothesis case costs one Spark action."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.functions.resolution import (
+    consensus_min,
+    rank_label,
+)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+years = st.lists(st.integers(min_value=1800, max_value=2024), max_size=5)
+
+
+@given(rows=st.lists(st.tuples(years, years, years, years), min_size=1, max_size=20))
+@settings(**_SETTINGS)
+def test_consensus_in_every_nonempty_source(spark, rows):
+    df = spark.createDataFrame(
+        rows,
+        schema="a array<bigint>, b array<bigint>, c array<bigint>, d array<bigint>",
+    )
+    got = df.select(
+        "a", "b", "c", "d",
+        consensus_min([F.col("a"), F.col("b"), F.col("c"), F.col("d")]).alias("y"),
+    ).collect()
+    for r in got:
+        if r["y"] is None:
+            continue
+        for src in ("a", "b", "c", "d"):
+            vals = r[src]
+            if vals:
+                assert r["y"] in vals, f"consensus {r['y']} not in {src}={vals}"
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.text(alphabet="abc", max_size=3)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, schema="k long, v string")
+    once = df.dropDuplicates(["k"])
+    twice = once.dropDuplicates(["k"])
+    a = sorted((r["k"]) for r in once.collect())
+    b = sorted((r["k"]) for r in twice.collect())
+    assert a == b
+    assert len(a) == len(set(a))
+    assert set(a) == {r[0] for r in rows}
+
+
+@given(
+    scores=st.lists(
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False), min_size=2, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_rank_monotone_in_score(spark, scores):
+    df = spark.createDataFrame([(s,) for s in scores], schema="s double")
+    got = df.select("s", rank_label(F.col("s")).alias("r")).collect()
+    order = {"A": 0, "B": 1, "C": 2, "D": 3}
+    ranked = sorted(((r["s"], order[r["r"]]) for r in got))
+    # as score increases, rank index must not get worse
+    for (s1, r1), (s2, r2) in zip(ranked, ranked[1:]):
+        assert r2 <= r1 or s1 == s2
