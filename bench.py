@@ -49,7 +49,7 @@ HEADLINE = [
     "io_http_fetch",
 ]
 
-RUNS = 2  # best-of-N: damps host-contention noise in shared CI
+RUNS = 3  # best-of-N: damps host-contention noise in shared CI
 
 
 def main() -> None:

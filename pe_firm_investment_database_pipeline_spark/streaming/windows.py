@@ -51,9 +51,17 @@ _EVENT_SCHEMA = (
 )
 
 
+_INPUT_CACHE: dict[tuple[int, str], str] = {}
+
+
 def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     """Normalize events (ns→µs timestamps, exact value cents) into a
-    parquet dir the file stream source can read."""
+    parquet dir the file stream source can read. Written once per
+    (session, sf_dir) — the five streaming operators share it."""
+    key = (id(spark), sf_dir)
+    cached = _INPUT_CACHE.get(key)
+    if cached is not None:
+        return cached
     sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
     path = os.path.join(tempfile.gettempdir(), f"pe_stream_input_{sf_name}")
     ev = load_table(spark, sf_dir, "events").select(
@@ -64,6 +72,7 @@ def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
     )
     ev.write.mode("overwrite").parquet(path)
+    _INPUT_CACHE[key] = path
     return path
 
 
