@@ -455,6 +455,65 @@ def limit_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic (§2.5 win_analytic_fns frame surface):
+    per-customer trailing-30-day order count/spend, the range frame
+    keyed on epoch day so both engines bound it identically."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("order_day"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        (F.sum(cents("o_totalprice")).over(w) / 100.0).alias("spend_30d"),
+    )
+
+
+_WIN_RANGE_FRAME_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS BIGINT) AS order_day,
+       COUNT(*) OVER w AS n_orders_30d,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY CAST(datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, priority) with grouping_id — all four
+    grouping-set combinations in one Expand pass (§2.4
+    agg_grouping_sets' full surface beyond ROLLUP)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_totalprice")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total_spend"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+_AGG_CUBE_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_spend,
+       CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / top-k
 # ---------------------------------------------------------------------------
@@ -781,6 +840,10 @@ QUERIES = {
         """,
         ("window",),
     ),
+    "win_range_frame": QuerySpec(
+        win_range_frame, _WIN_RANGE_FRAME_SQL, ("window", "frame")
+    ),
+    "agg_cube": QuerySpec(agg_cube, _AGG_CUBE_SQL, ("agg", "cube")),
     "win_best_match": QuerySpec(
         win_best_match,
         """

@@ -167,6 +167,92 @@ FROM eq GROUP BY label
 """
 
 
+# Spark [] is 0-based, DuckDB [] is 1-based: these index the SAME six
+# leading dimensions.
+_CELL = (
+    "CAST(IF(q[0] + q[1] > 0, 1, 0) + IF(q[2] + q[3] > 0, 2, 0) "
+    "+ IF(q[4] + q[5] > 0, 4, 0) AS BIGINT)"
+)
+_CELL_DUCK = (
+    "CAST(CASE WHEN q[1] + q[2] > 0 THEN 1 ELSE 0 END "
+    "+ CASE WHEN q[3] + q[4] > 0 THEN 2 ELSE 0 END "
+    "+ CASE WHEN q[5] + q[6] > 0 THEN 4 ELSE 0 END AS BIGINT)"
+)
+
+
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with multi-probe: a 3-bit sign quantizer over
+    fixed dimension pairs assigns every vector to one of 8 cells (the
+    coarse 'inverted file'); each query probes its OWN cell plus the 3
+    single-bit-flip neighbor cells (multi-probe recovers recall lost
+    at cell boundaries), then ranks candidates by exact cosine and
+    keeps top-3. Cost is |queries| x 4 cells x cell-size — never the
+    full database. At 100 TB the quantizer becomes k-means centroids
+    and cells become partition keys (partition pruning per probe);
+    the plan shape — explode probes, equi-join on cell, window top-k —
+    is identical. Queries restricted to vec_id < 20 for test-scale
+    output."""
+    emb = _emb_q(spark, sf_dir).withColumn("cell", F.expr(_CELL))
+    queries = (
+        emb.where(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("nrm").alias("qnrm"),
+            F.explode(
+                F.expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4)")
+            ).alias("probe_cell"),
+        )
+    )
+    db = emb.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+        F.col("cell").alias("cell"),
+    )
+    cos = F.expr(_DOT.format(a="qq", b="qb")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    cands = (
+        queries.join(db, queries.probe_cell == db.cell)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "nbr_label", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "nbr_id", "nbr_label", "cosine", "nn_rank")
+    )
+
+
+_SIM_IVF_MULTIPROBE_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), celled AS (
+  SELECT vec_id, label, q, nrm, {_CELL_DUCK} AS cell FROM eq
+), probes AS (
+  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm,
+         unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS probe_cell
+  FROM celled WHERE vec_id < 20
+), cands AS (
+  SELECT p.query_id, d.vec_id AS nbr_id, d.label AS nbr_label,
+         CAST({_DOT_DUCK.format(a="p.qq", b="d.q")} AS DOUBLE)
+           / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(d.nrm AS DOUBLE))) AS cosine
+  FROM probes p JOIN celled d ON p.probe_cell = d.cell
+  WHERE p.query_id != d.vec_id
+)
+SELECT query_id, nbr_id, nbr_label, cosine, nn_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS nn_rank
+  FROM cands)
+WHERE nn_rank <= 3
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup north-star op):
     candidate pairs are generated ONLY within a label cell (equi-join
@@ -233,6 +319,9 @@ QUERIES = {
     ),
     "sim_knn_blocked": QuerySpec(
         sim_knn_blocked, _SIM_KNN_BLOCKED_SQL, ("similarity", "knn")
+    ),
+    "sim_ivf_multiprobe": QuerySpec(
+        sim_ivf_multiprobe, _SIM_IVF_MULTIPROBE_SQL, ("similarity", "ann")
     ),
     "sim_embedding_stats": QuerySpec(
         sim_embedding_stats, _SIM_EMBEDDING_STATS_SQL, ("similarity", "agg")

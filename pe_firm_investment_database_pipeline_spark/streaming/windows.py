@@ -280,7 +280,59 @@ HAVING win_start_s + {DAY_S} <= cutoff.wm_s
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_ingest_jsonl — the reference's JSONL log as an unbounded table
+# ---------------------------------------------------------------------------
+
+def stream_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_ingest (§2.9): the engine's own JSONL appender feeds a
+    streaming json source (the reference's response-log shape,
+    seed_aic.py:146-155, replayed as an unbounded table), filtered and
+    aggregated per type. Ingest → filter → enrich → aggregate, all on
+    the stream."""
+    from ..sources.sinks import append_jsonl
+
+    key = (id(spark), sf_dir, "jsonl")
+    path = _INPUT_CACHE.get(key)
+    if path is None:
+        sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
+        path = os.path.join(tempfile.gettempdir(), f"pe_stream_jsonl_{sf_name}")
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts_us"
+        )
+        append_jsonl(ev, path, wrap_meta=False)
+        _INPUT_CACHE[key] = path
+    stream = spark.readStream.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, ts_us BIGINT"
+    ).json(path)
+    # distinct aggregates are unsupported on streams — use min/max
+    agg = (
+        stream.where(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+    )
+    return _run(agg, "complete")
+
+
+_STREAM_INGEST_JSONL_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id, MAX(event_id) AS last_event_id
+FROM events WHERE event_type != 'error'
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "stream_ingest_jsonl": QuerySpec(
+        stream_ingest_jsonl, _STREAM_INGEST_JSONL_SQL, ("streaming", "ingest")
+    ),
     "stream_tumbling": QuerySpec(
         stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")
     ),

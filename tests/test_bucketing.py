@@ -1,0 +1,75 @@
+"""Bucketed co-located join (SURVEY §4 / the 100 TB join strategy):
+two tables bucketed on the join key must join WITHOUT a shuffle —
+the bucketed scans already satisfy the join's required distribution.
+
+This is the plan shape that matters at scale: a fact-fact join on a
+shared bucket layout reads co-located buckets instead of reshuffling
+terabytes. Broadcast is disabled for the test so the sort-merge path
+(the at-scale path) is exercised.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.format("parquet").bucketBy(8, "o_custkey").sortBy(
+        "o_custkey"
+    ).mode("overwrite").saveAsTable("b_orders")
+    cust.write.format("parquet").bucketBy(8, "c_custkey").sortBy(
+        "c_custkey"
+    ).mode("overwrite").saveAsTable("b_customer")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        # the join itself consumes bucketed scans directly: no hash
+        # repartitioning between scan and join
+        assert "Exchange hashpartitioning(o_custkey" not in plan
+        assert "Exchange hashpartitioning(c_custkey" not in plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+        # and it computes the right thing
+        got = {r["c_mktsegment"]: r["n"] for r in joined.collect()}
+        want = {
+            r["c_mktsegment"]: r["n"]
+            for r in load_table(spark, SF, "orders")
+            .join(
+                load_table(spark, SF, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
