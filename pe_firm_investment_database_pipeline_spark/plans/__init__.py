@@ -6,8 +6,10 @@ from ..registry import QuerySpec, merge
 
 
 def all_queries() -> dict[str, QuerySpec]:
+    from ..streaming import stateful as streaming_stateful
     from ..streaming import windows as streaming_windows
     from . import (
+        advanced_aggs,
         enrichment,
         io_ops,
         matching,
@@ -20,6 +22,8 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     return merge(
+        advanced_aggs.QUERIES,
+        streaming_stateful.QUERIES,
         relational.QUERIES,
         enrichment.QUERIES,
         textops.QUERIES,

@@ -1,0 +1,155 @@
+"""Advanced aggregation surface (SURVEY §2.4/§2.10): grouped-map
+pandas UDAF, salted two-phase aggregation for skewed keys, and exact
+percentiles.
+
+- udaf_grouped_pandas: the ``applyInPandas`` fallback for aggregation
+  semantics built-ins can't express (§2.10 UDAF row). The median here
+  IS expressible (so it gets an oracle) — the point is the plumbing:
+  Arrow batches per group, pandas compute, typed rows out.
+- agg_salted_skew: the skew-mitigation pattern — pre-aggregate on
+  (key, salt) so one hot key spreads over N reducers, then combine
+  partials. Results are EXACTLY the plain groupBy (int sums are
+  associative), so the oracle is the unsalted SQL — proving the
+  rewrite is semantics-preserving. At 100 TB this (or AQE skew-join)
+  is what keeps one hot key from serializing a stage.
+- agg_percentiles: exact interpolated percentiles via built-in
+  ``percentile`` (Spark) vs ``quantile_cont`` (DuckDB) — identical
+  definition; the approx path (`approx_percentile`) is sketch-based
+  and engine-specific, covered rows-only by agg_distinct_approx's
+  pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents, qty_int
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# udaf_grouped_pandas — applyInPandas grouped aggregation
+# ---------------------------------------------------------------------------
+
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (returnflag, linestatus): exact median + IQR of quantity,
+    computed in pandas per group (Arrow exchange both ways).
+    Quantities are integers, so linear-interpolated quantiles are
+    exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", qty_int("l_quantity").alias("qty")
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["qty"]
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n_items": [len(q)],
+                "median_qty": [float(q.quantile(0.5))],
+                "iqr_qty": [float(q.quantile(0.75) - q.quantile(0.25))],
+            }
+        )
+
+    return li.groupBy("l_returnflag", "l_linestatus").applyInPandas(
+        stats,
+        schema=(
+            "l_returnflag string, l_linestatus string, n_items long, "
+            "median_qty double, iqr_qty double"
+        ),
+    )
+
+
+_UDAF_GROUPED_PANDAS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.5) AS median_qty,
+       quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.75)
+         - quantile_cont(CAST(round(l_quantity) AS BIGINT), 0.25) AS iqr_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_salted_skew — two-phase salted aggregation
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: phase 1 combines
+    per (key, salt) — a hot key's rows spread over _SALTS reducers —
+    phase 2 combines the partials per key. Integer sums are
+    associative, so this equals the direct groupBy exactly (the
+    oracle). The salt is deterministic (orderkey-derived), keeping
+    the plan reproducible."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") % _SALTS).alias("salt"),
+        cents("l_extendedprice").alias("price_c"),
+    )
+    phase1 = li.groupBy("l_returnflag", "salt").agg(
+        F.sum("price_c").alias("part_sum"),
+        F.count(F.lit(1)).alias("part_n"),
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        (F.sum("part_sum") / 100.0).alias("total_price"),
+        F.sum("part_n").alias("n_items"),
+    )
+
+
+_AGG_SALTED_SKEW_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles — exact interpolated percentiles
+# ---------------------------------------------------------------------------
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of order value per priority (integer cents →
+    interpolation arithmetic identical across engines, scaled back at
+    the end)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("price_c")
+    )
+    return o.groupBy("o_orderpriority").agg(
+        (F.expr("percentile(price_c, 0.5)") / 100.0).alias("p50"),
+        (F.expr("percentile(price_c, 0.9)") / 100.0).alias("p90"),
+        (F.expr("percentile(price_c, 0.99)") / 100.0).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_AGG_PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) / 100.0 AS p50,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) / 100.0 AS p90,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99) / 100.0 AS p99,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "udaf_grouped_pandas": QuerySpec(
+        udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
+    ),
+    "agg_salted_skew": QuerySpec(
+        agg_salted_skew, _AGG_SALTED_SKEW_SQL, ("agg", "skew")
+    ),
+    "agg_percentiles": QuerySpec(
+        agg_percentiles, _AGG_PERCENTILES_SQL, ("agg", "percentile")
+    ),
+}
