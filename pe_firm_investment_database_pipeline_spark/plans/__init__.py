@@ -10,6 +10,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from ..streaming import windows as streaming_windows
     from . import (
         advanced_aggs,
+        components,
         enrichment,
         io_ops,
         matching,
@@ -23,6 +24,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     return merge(
         advanced_aggs.QUERIES,
+        components.QUERIES,
         streaming_stateful.QUERIES,
         relational.QUERIES,
         enrichment.QUERIES,

@@ -142,10 +142,51 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_pivot — wide-format pivot
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts into one column per priority per segment.
+    The pivot values are DECLARED (not discovered), so the plan is a
+    single pass with no extra value-collection job — the form that
+    scales."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cols = {p: f"n_{p.split('-')[0]}" for p in _PRIORITIES}
+    piv = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(cols[p]) for p in _PRIORITIES],
+    )
+    return out
+
+
+_AGG_PIVOT_SQL = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_1,
+       CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_2,
+       CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_3,
+       CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_4,
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_5,
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
     ),
+    "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
     "agg_salted_skew": QuerySpec(
         agg_salted_skew, _AGG_SALTED_SKEW_SQL, ("agg", "skew")
     ),

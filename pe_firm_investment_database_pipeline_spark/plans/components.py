@@ -1,0 +1,94 @@
+"""Connected components over near-duplicate pairs — the survivor-
+selection step of large-scale dedup (a MinHash/SimHash pass emits
+PAIRS; picking one keeper per duplicate CLUSTER needs the transitive
+closure).
+
+This is the engine's genuinely-iterative operator class (SURVEY §2
+'non-SQL-expressible ops'): min-label propagation to a fixed point —
+each vertex repeatedly adopts the smallest label among itself and its
+neighbors. Iterations are O(diameter); each is one join + one
+aggregate, all DataFrame ops, with an explicit driver-side convergence
+check (the only driver involvement is comparing two counts).
+
+The driver records a rows-only check for this entry (no ANSI-SQL
+oracle for a fixed-point loop); exactness is covered by
+tests/test_components.py against hand-computed clusters.
+
+Scale notes: this is the standard Big-CC shape (alternating
+small-star/large-star is the production refinement); state per
+iteration is one (vertex, label) table shuffled by vertex. At 100 TB
+the edge table is the LSH candidate output — orders of magnitude
+smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from .textops import dedup_minhash_lsh
+
+MAX_ITERS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label propagation over an undirected edge list →
+    (vertex, component) where component = min vertex id reachable."""
+    spark = edges.sparkSession
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_ITERS):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.v)
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the MinHash-LSH candidate pairs (est_jaccard >= 0.5)
+    into duplicate groups; emit one row per vertex with its cluster
+    id (= min doc_id in the cluster) and a keeper flag."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    comps = connected_components(pairs, "doc1", "doc2")
+    return comps.select(
+        F.col("v").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("v") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+QUERIES = {
+    "dedup_connected_components": QuerySpec(
+        dedup_connected_components, None, ("dedup", "iterative")
+    ),
+}

@@ -1,0 +1,50 @@
+"""Exactness tests for the iterative connected-components operator
+(rows-only at the driver, so correctness is pinned here)."""
+
+from __future__ import annotations
+
+from pe_firm_investment_database_pipeline_spark.plans.components import (
+    connected_components,
+    dedup_connected_components,
+)
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, schema="s long, d long")
+    got = connected_components(df, "s", "d").collect()
+    return {r["v"]: r["comp"] for r in got}
+
+
+def test_two_chains_and_isolated_pair(spark):
+    # chain 1-2-3-4, pair 10-11, triangle 20-21-22
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    comp = _cc(spark, edges)
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_long_chain_converges(spark):
+    # a path of length 12 needs multiple propagation rounds
+    edges = [(i, i + 1) for i in range(12)]
+    comp = _cc(spark, edges)
+    assert set(comp.values()) == {0}
+    assert len(comp) == 13
+
+
+def test_bridge_merges_clusters(spark):
+    edges = [(1, 2), (3, 4), (2, 3)]
+    comp = _cc(spark, edges)
+    assert set(comp.values()) == {1}
+
+
+def test_dedup_clusters_planted_dups(spark):
+    """Each planted near-dup pair must land in one cluster with
+    exactly one keeper."""
+    out = dedup_connected_components(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
