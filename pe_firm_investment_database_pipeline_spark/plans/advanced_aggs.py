@@ -182,11 +182,91 @@ GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_funnel — per-user conversion funnel over the event stream
+# ---------------------------------------------------------------------------
+
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase: per user, the first
+    epoch-µs of each stage; a stage converts only if it happens AFTER
+    the previous stage's first occurrence. One aggregation pass
+    (conditional MINs), then pure column logic — no self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_signup").isNotNull()
+    # first view strictly after first signup, purchase after that view
+    v_after = F.when(s1 & (F.col("t_view") > F.col("t_signup")), F.col("t_view"))
+    s2 = v_after.isNotNull()
+    p_after = F.when(s2 & (F.col("t_purchase") > v_after), F.col("t_purchase"))
+    return firsts.select(
+        "user_id",
+        s1.alias("did_signup"),
+        s2.alias("did_view_after_signup"),
+        p_after.isNotNull().alias("did_purchase_after_view"),
+    )
+
+
+_EVT_FUNNEL_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts::TIMESTAMP) END) AS t_signup,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts::TIMESTAMP) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts::TIMESTAMP) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       t_signup IS NOT NULL AS did_signup,
+       (t_signup IS NOT NULL AND t_view > t_signup) AS did_view_after_signup,
+       (t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view)
+         AS did_purchase_after_view
+FROM firsts
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — fixed-width value histogram
+# ---------------------------------------------------------------------------
+
+_BUCKET_C = 500  # 5.00 per bucket, in cents
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (cent-exact bucket
+    edges): one hash aggregate on the bucket id."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.round(F.col("value") * 100).cast("long") / F.lit(_BUCKET_C)).cast(
+        "long"
+    )
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("bucket_lo", (F.col("bucket") * _BUCKET_C).cast("double") / 100.0)
+    )
+
+
+_AGG_HISTOGRAM_SQL = f"""
+SELECT CAST(round(value*100) AS BIGINT) // {_BUCKET_C} AS bucket,
+       COUNT(*) AS n_events,
+       CAST((CAST(round(value*100) AS BIGINT) // {_BUCKET_C}) * {_BUCKET_C} AS DOUBLE) / 100.0 AS bucket_lo
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
     ),
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
+    "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
+    "agg_histogram": QuerySpec(
+        agg_histogram, _AGG_HISTOGRAM_SQL, ("agg", "histogram")
+    ),
     "agg_salted_skew": QuerySpec(
         agg_salted_skew, _AGG_SALTED_SKEW_SQL, ("agg", "skew")
     ),

@@ -629,8 +629,51 @@ FROM staged
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_ngram_stats — corpus-level n-gram frequencies (top-k)
+# ---------------------------------------------------------------------------
+
+def txt_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table, top-25 by (count desc, bigram) —
+    the vocabulary/merge-table statistic a BPE trainer computes.
+    Explode bigrams → hash-aggregate → TakeOrderedAndProject; the
+    shuffle carries (bigram, partial count) thanks to map-side
+    combine."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(F.expr(_TOKENS).alias("toks")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> concat_ws(' ', toks[i], toks[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        staged.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+_TXT_NGRAM_STATS_SQL = f"""
+WITH toks AS (
+  SELECT {_TOKENS_DUCK} AS toks FROM documents
+), bigrams AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM toks WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n FROM bigrams
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+"""
+
+
 QUERIES = {
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
+    "txt_ngram_stats": QuerySpec(
+        txt_ngram_stats, _TXT_NGRAM_STATS_SQL, ("text", "topk")
+    ),
     "txt_rolling_hash": QuerySpec(
         txt_rolling_hash, _TXT_ROLLING_HASH_SQL, ("text", "fingerprint")
     ),
