@@ -45,8 +45,12 @@ HEADLINE = [
     "sim_knn_blocked",
     "seed_extract_pe_firms",
     "stream_tumbling",
+    "stream_custom_state",
     "mm_feature_extract",
     "io_http_fetch",
+    "udaf_grouped_pandas",
+    "agg_percentiles",
+    "sim_ivf_multiprobe",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

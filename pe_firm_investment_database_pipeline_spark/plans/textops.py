@@ -68,14 +68,17 @@ _SH_HASH_DUCK = (
 # pairs, signatures) and would otherwise recompute the regexp+md5
 # chain per consumer. On a cluster this intermediate is a cached or
 # bucketed table — the standard shape for multi-consumer pipelines.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, sh): distinct 48-bit 3-gram shingle
     hashes (guard: docs with < 3 tokens yield an empty set),
     materialized once per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
+    # keyed by applicationId, not id(spark): Python can reuse a freed
+    # object's id for a new session, which would resurrect checkpoints
+    # of a stopped SparkContext.
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -51,14 +51,15 @@ _EVENT_SCHEMA = (
 )
 
 
-_INPUT_CACHE: dict[tuple[int, str], str] = {}
+_INPUT_CACHE: dict[tuple, str] = {}
 
 
 def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     """Normalize events (ns→µs timestamps, exact value cents) into a
     parquet dir the file stream source can read. Written once per
-    (session, sf_dir) — the five streaming operators share it."""
-    key = (id(spark), sf_dir)
+    (session, sf_dir) — the streaming operators share it. Keyed by
+    applicationId (id() can be reused after gc)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _INPUT_CACHE.get(key)
     if cached is not None:
         return cached
@@ -292,7 +293,7 @@ def stream_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stream."""
     from ..sources.sinks import append_jsonl
 
-    key = (id(spark), sf_dir, "jsonl")
+    key = (spark.sparkContext.applicationId, sf_dir, "jsonl")
     path = _INPUT_CACHE.get(key)
     if path is None:
         sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
