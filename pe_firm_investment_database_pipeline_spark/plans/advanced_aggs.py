@@ -176,7 +176,7 @@ SELECT c_mktsegment,
        CAST(COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_2,
        CAST(COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_3,
        CAST(COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_4,
-       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_5,
+       CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_5
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
@@ -220,9 +220,10 @@ WITH firsts AS (
 )
 SELECT user_id,
        t_signup IS NOT NULL AS did_signup,
-       (t_signup IS NOT NULL AND t_view > t_signup) AS did_view_after_signup,
-       (t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view)
-         AS did_purchase_after_view
+       COALESCE(t_signup IS NOT NULL AND t_view > t_signup, FALSE)
+         AS did_view_after_signup,
+       COALESCE(t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view,
+                FALSE) AS did_purchase_after_view
 FROM firsts
 """
 
@@ -238,9 +239,11 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (cent-exact bucket
     edges): one hash aggregate on the bucket id."""
     e = load_table(spark, sf_dir, "events")
-    bucket = (F.round(F.col("value") * 100).cast("long") / F.lit(_BUCKET_C)).cast(
-        "long"
-    )
+    # floor division (not truncation): matches DuckDB's // for
+    # negative values too
+    bucket = F.floor(
+        F.round(F.col("value") * 100).cast("long") / F.lit(_BUCKET_C)
+    ).cast("long")
     return (
         e.select(bucket.alias("bucket"))
         .groupBy("bucket")

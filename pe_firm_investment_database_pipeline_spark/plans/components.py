@@ -70,8 +70,14 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    # loud failure beats silently-wrong clusters: an unconverged label
+    # table would mark several keepers inside one duplicate cluster.
+    raise RuntimeError(
+        f"connected_components did not converge within {MAX_ITERS} "
+        "iterations (component diameter too large); raise MAX_ITERS or "
+        "switch to the small-star/large-star variant"
+    )
 
 
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,7 +158,11 @@ SELECT doc_id,
             ELSE 'video/mp4' END AS media_type,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
-       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+       -- first UTF-8 BYTE (not codepoint), -1 for empty: mirrors
+       -- fake_decode_meta's payload[0] exactly
+       CASE WHEN octet_length(encode(text)) = 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(('0x' || substr(hex(encode(text)), 1, 2)) AS BIGINT)
+       END AS first_byte
 FROM documents
 """
 

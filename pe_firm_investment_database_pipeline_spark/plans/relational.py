@@ -555,7 +555,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "5-LOW")
     all_c = c.select(F.col("c_custkey").alias("custkey"))
     low = o.select(F.col("o_custkey").alias("custkey"))
-    return all_c.exceptAll(low.distinct()).distinct()
+    return all_c.subtract(low)
 
 
 def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:

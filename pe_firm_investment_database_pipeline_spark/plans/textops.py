@@ -286,14 +286,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("sh").alias("s")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # pair generation WITHOUT a shingle self-join: group doc_ids per
-    # shingle (bounded by _DF_CAP after the filter, so the pair
-    # explosion is <= C(20,2) per shingle), then count pairs. One
-    # shuffle on the shingle, one on the pair — no join blowup.
-    pairs = (
+    # pair generation WITHOUT a shingle self-join: drop heavy
+    # stop-shingles FIRST via a cheap count + semi-join (partial
+    # counts combine map-side; no aggregation buffer ever holds a hot
+    # shingle's doc list), THEN group the surviving doc_ids per
+    # shingle — each collect_list is bounded by _DF_CAP — and explode
+    # the <= C(20,2) pairs. Two shuffles on the shingle, one on the
+    # pair; no unbounded state anywhere.
+    rare = (
         sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where((F.col("df") >= 2) & (F.col("df") <= _DF_CAP))
+        .select("s")
+    )
+    pairs = (
+        sh.join(rare, "s", "left_semi")
+        .groupBy("s")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= _DF_CAP))
         .select(
             F.explode(
                 F.expr(
@@ -643,13 +652,17 @@ def txt_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries (bigram, partial count) thanks to map-side
     combine."""
     d = load_table(spark, sf_dir, "documents")
+    # guard size >= 2: Spark's sequence(0, -1) is DESCENDING, so an
+    # unguarded 1-token doc would index past the array (ANSI error)
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(0, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i], toks[i+1]))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     staged = d.select(F.expr(_TOKENS).alias("toks")).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks) - 2), "
-                "i -> concat_ws(' ', toks[i], toks[i+1]))"
-            )
-        ).alias("bigram")
+        F.explode(bigrams).alias("bigram")
     )
     return (
         staged.groupBy("bigram")

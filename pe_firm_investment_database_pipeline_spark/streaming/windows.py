@@ -54,6 +54,18 @@ _EVENT_SCHEMA = (
 _INPUT_CACHE: dict[tuple, str] = {}
 
 
+def _slot(spark: SparkSession, sf_dir: str) -> str:
+    """Staging-dir discriminator: hash of the FULL sf_dir (distinct
+    data dirs sharing a basename must not collide) + the application
+    id (two concurrent drivers must not overwrite each other's files
+    mid-stream)."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    return f"{h}_{app}"
+
+
 def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     """Normalize events (ns→µs timestamps, exact value cents) into a
     parquet dir the file stream source can read. Written once per
@@ -63,8 +75,7 @@ def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     cached = _INPUT_CACHE.get(key)
     if cached is not None:
         return cached
-    sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"pe_stream_input_{sf_name}")
+    path = os.path.join(tempfile.gettempdir(), f"pe_stream_input_{_slot(spark, sf_dir)}")
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
@@ -296,8 +307,9 @@ def stream_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "jsonl")
     path = _INPUT_CACHE.get(key)
     if path is None:
-        sf_name = os.path.basename(sf_dir.rstrip("/")) or "sf"
-        path = os.path.join(tempfile.gettempdir(), f"pe_stream_jsonl_{sf_name}")
+        path = os.path.join(
+            tempfile.gettempdir(), f"pe_stream_jsonl_{_slot(spark, sf_dir)}"
+        )
         import shutil
 
         shutil.rmtree(path, ignore_errors=True)
