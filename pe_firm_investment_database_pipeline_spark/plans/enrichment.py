@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.resolution import consensus_min, rank_label, rank_points
+from ..functions.resolution import (
+    consensus_min,
+    priority_coalesce,
+    rank_label,
+    rank_points,
+)
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -399,9 +404,103 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# enrich_year_cascade — the reference's full resolution cascade
+# (founded_year.py:268-277: consensus, else weighted vote, else
+# priority coalesce)
+# ---------------------------------------------------------------------------
+
+def enrich_year_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Finding_Founded_Year resolution in one plan: per
+    customer, (1) set-intersection consensus over the four per-method
+    year sets; if null (2) weighted vote with the 'other' class
+    playing google (weight 10, threshold 11); if null (3) priority
+    coalesce in reliability order. One shuffle builds every per-method
+    aggregate; the cascade itself is pure column logic — the
+    reference's three passes collapse into one job."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("long")
+    base = o.select(
+        F.col("o_custkey").alias("custkey"), _method_col().alias("m"), y.alias("y")
+    )
+    per_method = base.groupBy("custkey").agg(
+        F.collect_set(F.when(F.col("m") == "urgent", F.col("y"))).alias("urgent"),
+        F.collect_set(F.when(F.col("m") == "high", F.col("y"))).alias("high"),
+        F.collect_set(F.when(F.col("m") == "medium", F.col("y"))).alias("medium"),
+        F.collect_set(F.when(F.col("m") == "other", F.col("y"))).alias("other"),
+    )
+    methods = [F.col(c) for c in ("urgent", "high", "medium", "other")]
+    consensus = consensus_min(methods)
+    # weighted vote over the union of years: weight 10 when the year
+    # appears in 'other' (the google stand-in), +1 per other method
+    # containing it; candidates need >= 11
+    all_years = F.array_distinct(
+        F.flatten(F.array(*methods))
+    )
+    weight_of = lambda yy: (  # noqa: E731
+        F.when(F.array_contains(F.col("other"), yy), 10).otherwise(0)
+        + F.when(F.array_contains(F.col("urgent"), yy), 1).otherwise(0)
+        + F.when(F.array_contains(F.col("high"), yy), 1).otherwise(0)
+        + F.when(F.array_contains(F.col("medium"), yy), 1).otherwise(0)
+    )
+    qualified = F.filter(all_years, lambda yy: weight_of(yy) >= 11)
+    vote = F.array_min(qualified)
+    coalesced = priority_coalesce(methods)
+    resolved = F.coalesce(consensus, vote, coalesced)
+    source = (
+        F.when(consensus.isNotNull(), "consensus")
+        .when(vote.isNotNull(), "vote")
+        .when(coalesced.isNotNull(), "priority")
+    )
+    return per_method.select(
+        "custkey", resolved.alias("founded_year"), source.alias("resolution")
+    )
+
+
+_ENRICH_YEAR_CASCADE_SQL = f"""
+WITH yrs AS (
+  SELECT DISTINCT o_custkey AS custkey, {_PRIORITY_BUCKET_SQL} AS m,
+         CAST(year(o_orderdate) AS BIGINT) AS y
+  FROM orders
+), mc AS (
+  SELECT custkey, COUNT(DISTINCT m) AS n_methods FROM yrs GROUP BY custkey
+), consensus AS (
+  SELECT yc.custkey, MIN(CASE WHEN yc.cm = mc.n_methods THEN yc.y END) AS v
+  FROM (SELECT custkey, y, COUNT(DISTINCT m) AS cm FROM yrs GROUP BY custkey, y) yc
+  JOIN mc ON yc.custkey = mc.custkey
+  GROUP BY yc.custkey
+), vote AS (
+  SELECT custkey, MIN(y) AS v FROM (
+    SELECT custkey, y,
+           SUM(CASE WHEN m = 'other' THEN 10 ELSE 1 END) AS w
+    FROM yrs GROUP BY custkey, y
+  ) WHERE w >= 11 GROUP BY custkey
+), prio AS (
+  SELECT custkey,
+         COALESCE(MIN(CASE WHEN m = 'urgent' THEN y END),
+                  MIN(CASE WHEN m = 'high' THEN y END),
+                  MIN(CASE WHEN m = 'medium' THEN y END),
+                  MIN(CASE WHEN m = 'other' THEN y END)) AS v
+  FROM yrs GROUP BY custkey
+)
+SELECT mc.custkey,
+       COALESCE(consensus.v, vote.v, prio.v) AS founded_year,
+       CASE WHEN consensus.v IS NOT NULL THEN 'consensus'
+            WHEN vote.v IS NOT NULL THEN 'vote'
+            WHEN prio.v IS NOT NULL THEN 'priority' END AS resolution
+FROM mc
+LEFT JOIN consensus ON mc.custkey = consensus.custkey
+LEFT JOIN vote ON mc.custkey = vote.custkey
+LEFT JOIN prio ON mc.custkey = prio.custkey
+"""
+
+
 QUERIES = {
     "str_year_extract": QuerySpec(
         str_year_extract, _STR_YEAR_EXTRACT_SQL, ("string", "regex")
+    ),
+    "enrich_year_cascade": QuerySpec(
+        enrich_year_cascade, _ENRICH_YEAR_CASCADE_SQL, ("enrichment", "cascade")
     ),
     "flt_kw_suppress": QuerySpec(
         flt_kw_suppress, _FLT_KW_SUPPRESS_SQL, ("filter", "regex")
