@@ -12,9 +12,17 @@ a thin aggregation layer over the package registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# self-locating: the engine package resolves no matter which cwd the
+# driver imports this module from
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pe_firm_investment_database_pipeline_spark.plans import all_queries
 
