@@ -18,6 +18,7 @@ def all_queries() -> dict[str, QuerySpec]:
         reference_scalars,
         relational,
         seed_pipeline,
+        sessions,
         similarity,
         textops,
     )
@@ -36,4 +37,5 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal.QUERIES,
         io_ops.QUERIES,
         reference_scalars.QUERIES,
+        sessions.QUERIES,
     )
