@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents, qty_int
@@ -187,44 +188,64 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel signup → view → purchase: per user, the first
-    epoch-µs of each stage; a stage converts only if it happens AFTER
-    the previous stage's first occurrence. One aggregation pass
-    (conditional MINs), then pure column logic — no self-joins."""
-    e = load_table(spark, sf_dir, "events")
-    firsts = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).alias("t_signup"),
-        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias("t_purchase"),
+    """Ordered funnel signup → view → purchase: each stage's time is
+    the first occurrence AFTER the previous stage's time (a view that
+    happened before signup does not convert — and neither does it
+    block a later view from converting). Two window passes over one
+    shuffle on user_id: first-signup via a user-wide min window, then
+    stage-relative conditional mins. No self-joins."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
     )
-    s1 = F.col("t_signup").isNotNull()
-    # first view strictly after first signup, purchase after that view
-    v_after = F.when(s1 & (F.col("t_view") > F.col("t_signup")), F.col("t_view"))
-    s2 = v_after.isNotNull()
-    p_after = F.when(s2 & (F.col("t_purchase") > v_after), F.col("t_purchase"))
-    return firsts.select(
-        "user_id",
-        s1.alias("did_signup"),
-        s2.alias("did_view_after_signup"),
-        p_after.isNotNull().alias("did_purchase_after_view"),
+    w_user = W.partitionBy("user_id")
+    t_signup = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(w_user)
+    staged = e.withColumn("t_signup", t_signup)
+    t_view = F.min(
+        F.when(
+            (F.col("event_type") == "view") & (F.col("ts_us") > F.col("t_signup")),
+            F.col("ts_us"),
+        )
+    ).over(w_user)
+    staged = staged.withColumn("t_view", t_view)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t_view")),
+            F.col("ts_us"),
+        )
+    ).over(w_user)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    return staged.groupBy("user_id").agg(
+        F.max(F.col("t_signup").isNotNull()).alias("did_signup"),
+        F.max(F.col("t_view").isNotNull()).alias("did_view_after_signup"),
+        F.max(F.col("t_purchase").isNotNull()).alias("did_purchase_after_view"),
     )
 
 
 _EVT_FUNNEL_SQL = """
-WITH firsts AS (
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+), s1 AS (
   SELECT user_id,
-         MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts::TIMESTAMP) END) AS t_signup,
-         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts::TIMESTAMP) END) AS t_view,
-         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts::TIMESTAMP) END) AS t_purchase
-  FROM events GROUP BY user_id
+         MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS t_signup
+  FROM e GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t_signup,
+         MIN(CASE WHEN event_type = 'view' AND ts_us > t_signup THEN ts_us END) AS t_view
+  FROM e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t_signup
+), s3 AS (
+  SELECT e.user_id, s2.t_signup, s2.t_view,
+         MIN(CASE WHEN event_type = 'purchase' AND ts_us > t_view THEN ts_us END) AS t_purchase
+  FROM e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id, s2.t_signup, s2.t_view
 )
 SELECT user_id,
        t_signup IS NOT NULL AS did_signup,
-       COALESCE(t_signup IS NOT NULL AND t_view > t_signup, FALSE)
-         AS did_view_after_signup,
-       COALESCE(t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view,
-                FALSE) AS did_purchase_after_view
-FROM firsts
+       t_view IS NOT NULL AS did_view_after_signup,
+       t_purchase IS NOT NULL AS did_purchase_after_view
+FROM s3
 """
 
 
@@ -239,11 +260,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of event values (cent-exact bucket
     edges): one hash aggregate on the bucket id."""
     e = load_table(spark, sf_dir, "events")
-    # floor division (not truncation): matches DuckDB's // for
-    # negative values too
-    bucket = F.floor(
-        F.round(F.col("value") * 100).cast("long") / F.lit(_BUCKET_C)
-    ).cast("long")
+    # FLOOR buckets on both sides, explicitly: DuckDB's // truncates
+    # toward zero for negatives (verified: -1 // 500 = 0), so the
+    # oracle spells out floor() rather than using //
+    bucket = F.floor(cents("value") / F.lit(_BUCKET_C)).cast("long")
     return (
         e.select(bucket.alias("bucket"))
         .groupBy("bucket")
@@ -253,9 +273,10 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AGG_HISTOGRAM_SQL = f"""
-SELECT CAST(round(value*100) AS BIGINT) // {_BUCKET_C} AS bucket,
+SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / {_BUCKET_C}.0) AS BIGINT) AS bucket,
        COUNT(*) AS n_events,
-       CAST((CAST(round(value*100) AS BIGINT) // {_BUCKET_C}) * {_BUCKET_C} AS DOUBLE) / 100.0 AS bucket_lo
+       CAST(CAST(floor(CAST(round(value*100) AS BIGINT) / {_BUCKET_C}.0) AS BIGINT)
+            * {_BUCKET_C} AS DOUBLE) / 100.0 AS bucket_lo
 FROM events
 GROUP BY 1
 """

@@ -68,6 +68,7 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .where(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        labels.unpersist()  # only current + previous labels are live
         labels = new_labels
         if changed == 0:
             return labels

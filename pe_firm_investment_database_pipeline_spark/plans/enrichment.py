@@ -64,6 +64,23 @@ def _method_col():
     )
 
 
+def _per_method_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → per-customer year SET per priority class — the shared
+    'four per-source year lists' base of agg_consensus and
+    enrich_year_cascade (one shuffle builds all four)."""
+    o = load_table(spark, sf_dir, "orders")
+    y = F.year("o_orderdate").cast("long")
+    base = o.select(
+        F.col("o_custkey").alias("custkey"), _method_col().alias("m"), y.alias("y")
+    )
+    return base.groupBy("custkey").agg(
+        F.collect_set(F.when(F.col("m") == "urgent", F.col("y"))).alias("urgent"),
+        F.collect_set(F.when(F.col("m") == "high", F.col("y"))).alias("high"),
+        F.collect_set(F.when(F.col("m") == "medium", F.col("y"))).alias("medium"),
+        F.collect_set(F.when(F.col("m") == "other", F.col("y"))).alias("other"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # str_year_extract — YEAR_RE.findall + range filter (founded_year.py:16,83,91)
 # ---------------------------------------------------------------------------
@@ -226,17 +243,7 @@ def agg_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
     null if the intersection is empty. Implemented with array HOFs —
     collect_set + fold(array_intersect) — exactly the reference's set
     algebra, one shuffle."""
-    o = load_table(spark, sf_dir, "orders")
-    y = F.year("o_orderdate").cast("long")
-    base = o.select(
-        F.col("o_custkey").alias("custkey"), _method_col().alias("m"), y.alias("y")
-    )
-    per_method = base.groupBy("custkey").agg(
-        F.collect_set(F.when(F.col("m") == "urgent", F.col("y"))).alias("urgent"),
-        F.collect_set(F.when(F.col("m") == "high", F.col("y"))).alias("high"),
-        F.collect_set(F.when(F.col("m") == "medium", F.col("y"))).alias("medium"),
-        F.collect_set(F.when(F.col("m") == "other", F.col("y"))).alias("other"),
-    )
+    per_method = _per_method_sets(spark, sf_dir)
     methods = [F.col(c) for c in ("urgent", "high", "medium", "other")]
     non_empty = F.filter(F.array(*methods), lambda a: F.size(a) > 0)
     return per_method.select(
@@ -418,17 +425,7 @@ def enrich_year_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce in reliability order. One shuffle builds every per-method
     aggregate; the cascade itself is pure column logic — the
     reference's three passes collapse into one job."""
-    o = load_table(spark, sf_dir, "orders")
-    y = F.year("o_orderdate").cast("long")
-    base = o.select(
-        F.col("o_custkey").alias("custkey"), _method_col().alias("m"), y.alias("y")
-    )
-    per_method = base.groupBy("custkey").agg(
-        F.collect_set(F.when(F.col("m") == "urgent", F.col("y"))).alias("urgent"),
-        F.collect_set(F.when(F.col("m") == "high", F.col("y"))).alias("high"),
-        F.collect_set(F.when(F.col("m") == "medium", F.col("y"))).alias("medium"),
-        F.collect_set(F.when(F.col("m") == "other", F.col("y"))).alias("other"),
-    )
+    per_method = _per_method_sets(spark, sf_dir)
     methods = [F.col(c) for c in ("urgent", "high", "medium", "other")]
     consensus = consensus_min(methods)
     # weighted vote over the union of years: weight 10 when the year

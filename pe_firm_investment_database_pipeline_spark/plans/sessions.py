@@ -25,9 +25,7 @@ from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
-
-GAP_S = 1800
-DAY_S = 86400
+from ..streaming.windows import GAP_S  # single source of truth for the gap
 
 
 def win_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -77,7 +77,20 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run(profiles, "append")
+    out = _run(profiles, "append")
+    # batching-robust: if the source ever splits into multiple
+    # micro-batches (a global maxFilesPerTrigger, incremental staging),
+    # a key emits one cumulative row per batch — keep only the final
+    # (max n_events) emission per key, which is the full profile under
+    # any batching.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 _STREAM_CUSTOM_STATE_SQL = """
