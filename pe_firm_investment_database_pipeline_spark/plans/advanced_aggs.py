@@ -282,9 +282,62 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# profile_unpivot — column profiler via stack/unpivot
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: unpivot the numeric lineitem columns into
+    (column, value) rows with one ``stack`` pass, then one aggregate
+    computes per-column stats — the wide-to-long shape that profiles N
+    columns in one scan instead of N. Values are lifted to exact cents
+    so min/max/avg hash across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = ", ".join(
+        f"'{c}', CAST(round({c} * 100) AS BIGINT)" for c in _PROFILE_COLS
+    )
+    long = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_name, value_c)")
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("value_c").alias("n_distinct"),
+        (F.min("value_c") / 100.0).alias("min_value"),
+        (F.max("value_c") / 100.0).alias("max_value"),
+        (
+            F.sum("value_c").cast("double") / F.count(F.lit(1)).cast("double") / 100.0
+        ).alias("avg_value"),
+    )
+
+
+_PROFILE_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT 'l_quantity' AS col_name, CAST(round(l_quantity*100) AS BIGINT) AS value_c FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(round(l_extendedprice*100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(round(l_discount*100) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', CAST(round(l_tax*100) AS BIGINT) FROM lineitem
+)
+SELECT col_name, COUNT(*) AS n_rows, COUNT(DISTINCT value_c) AS n_distinct,
+       MIN(value_c) / 100.0 AS min_value,
+       MAX(value_c) / 100.0 AS max_value,
+       CAST(SUM(value_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_value
+FROM long
+GROUP BY col_name
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
+    ),
+    "profile_unpivot": QuerySpec(
+        profile_unpivot, _PROFILE_UNPIVOT_SQL, ("profile", "unpivot")
     ),
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
