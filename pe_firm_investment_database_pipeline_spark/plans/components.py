@@ -4,11 +4,13 @@ PAIRS; picking one keeper per duplicate CLUSTER needs the transitive
 closure).
 
 This is the engine's genuinely-iterative operator class (SURVEY §2
-'non-SQL-expressible ops'): min-label propagation to a fixed point —
-each vertex repeatedly adopts the smallest label among itself and its
-neighbors. Iterations are O(diameter); each is one join + one
-aggregate, all DataFrame ops, with an explicit driver-side convergence
-check (the only driver involvement is comparing two counts).
+'non-SQL-expressible ops'): min-label propagation with pointer
+jumping to a fixed point — each round every vertex adopts the
+smallest label among itself and its neighbors (hop), then shortcuts
+to its label's label (jump). Rounds are O(log diameter); each is two
+joins + one aggregate, all DataFrame ops, with an explicit
+driver-side convergence check (the only driver involvement is
+comparing two counts).
 
 The driver records a rows-only check for this entry (no ANSI-SQL
 oracle for a fixed-point loop); exactness is covered by
@@ -52,14 +54,23 @@ def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        hopped = labels.join(
+            neighbor_min, labels.v == neighbor_min.a, "left"
+        ).select(
+            "v",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jump: comp <- label[comp] (labels only ever shrink,
+        # so label[comp] <= comp). One hop + one jump per round makes
+        # convergence O(log diameter) instead of O(diameter) — a
+        # 200-vertex chain converges in ~8 rounds, not 200
+        # (tests/test_components.py::test_long_chain_converges).
         new_labels = (
-            labels.join(neighbor_min, labels.v == neighbor_min.a, "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
-            )
+            hopped.alias("x")
+            .join(labels.alias("y"), F.col("x.comp") == F.col("y.v"))
+            .select(F.col("x.v").alias("v"), F.col("y.comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
         changed = (

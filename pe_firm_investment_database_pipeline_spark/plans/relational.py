@@ -219,8 +219,9 @@ def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB-scale path for
     distincts. No SQL oracle (sketch values are engine-specific); the
-    driver records a rows-only check. Accuracy vs exact is asserted
-    in tests/test_relational_extras.py."""
+    driver records a rows-only check. Accuracy vs the exact counts is
+    asserted in tests/test_scale_blocking.py::test_approx_distinct_accuracy
+    (within the 2% target rsd, with slack for sketch variance)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),

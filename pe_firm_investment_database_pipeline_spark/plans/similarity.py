@@ -11,13 +11,19 @@ Scale notes:
 - brute-force top-k: one broadcast of the query vector, a single
   narrow projection per row, TakeOrderedAndProject for the top-k —
   the right baseline even at 10^9 vectors when k is small.
-- blocked kNN (IVF-style): `label` acts as the coarse quantizer cell;
-  pairs are generated only within a cell (equi-join on label) and
-  ranked per vector with a window — the partition-pruned ANN shape.
-  At 100 TB, replace label with k-means cell ids and add multi-probe.
+- blocked kNN / near-dup / IVF: candidate pairs are generated ONLY
+  inside a random-hyperplane LSH cell (equi-join on the cell id). The
+  cell id is the low `nbits` bits of a 16-bit sign signature, and
+  `nbits` is derived IN-PLAN from the corpus count (log2(N/target)),
+  so the number of cells GROWS with the data — per-cell population
+  stays ~constant and the pair count stays O(N), never O(N^2/k) with
+  a fixed k. At 100 TB the same plan shape holds: signature map-side,
+  one shuffle on cell, AQE skew-join splits hot cells.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
@@ -43,6 +49,100 @@ def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_DOT.format(a=_QUANT, b=_QUANT)).alias("nrm"),
     )
 
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH signature (the scale-bearing blocking key)
+# ---------------------------------------------------------------------------
+#
+# 16 fixed hyperplanes over the 64 dims, integer weights in
+# {-2,-1,1,2} from a seeded RNG, embedded as LITERAL arrays in both
+# the Spark expression and the DuckDB SQL — the sign pattern of the
+# 16 integer dot products is therefore bit-identical across engines
+# (all-int64 arithmetic, no float rounding). Identical vectors always
+# land in the same cell, so exact/near-exact duplicates are never
+# split by the blocking.
+#
+# The cell id keeps only the low `nbits` bits of the signature, and
+# `nbits` is computed IN-PLAN from COUNT(*) of the blocked set:
+#   nbits = clamp(lo, 16, floor(log2(N / target_cell_rows)))
+# so cell count scales ~N/target (pair blocking) or ~sqrt(N) (IVF) —
+# the property the 100 TB path needs. Cost: one tiny scalar aggregate
+# broadcast onto the scan (Spark) / a CROSS JOIN on a 1-row CTE
+# (DuckDB).
+
+_N_PLANES = 16
+
+
+def _make_planes() -> list[list[int]]:
+    out = []
+    for i in range(_N_PLANES):
+        rng = random.Random(715 + i)  # one RNG per plane, fresh draw per dim
+        out.append([rng.choice([-2, -1, 1, 2]) for _ in range(64)])
+    return out
+
+
+_PLANES = _make_planes()
+
+
+def _sig_spark() -> str:
+    terms = []
+    for i, ws in enumerate(_PLANES):
+        arr = ",".join(str(w) for w in ws)
+        dot = (
+            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), "
+            "0L, (acc, v) -> acc + v)"
+        )
+        terms.append(f"IF({dot} > 0, {1 << i}L, 0L)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _sig_duck() -> str:
+    terms = []
+    for i, ws in enumerate(_PLANES):
+        arr = ",".join(str(w) for w in ws)
+        dot = f"list_sum(list_transform(range(1, 65), i -> q[i] * ([{arr}])[i]))"
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+_SIG = _sig_spark()
+_SIG_DUCK = _sig_duck()
+
+# nbits formulas over the blocked-set count `n`; the GREATEST guards
+# tiny inputs, 16 is the signature width. Both engines evaluate
+# IEEE-double log2/sqrt + floor on the same integer count — identical
+# results. _NBITS_PAIR targets ~32 rows/cell (cells ~ N/32, pair cost
+# O(N)); _NBITS_IVF targets ~sqrt(N) cells (per-probe scan ~sqrt(N)).
+_NBITS_PAIR = (
+    "GREATEST(1, LEAST(16, CAST(floor(log2(CAST(n AS DOUBLE) / 32.0)) AS INT)))"
+)
+_NBITS_IVF = (
+    "GREATEST(3, LEAST(16, CAST(floor(log2(sqrt(CAST(n AS DOUBLE)))) AS INT)))"
+)
+
+
+def _celled(df: DataFrame, nbits_sql: str) -> DataFrame:
+    """Attach `cell` = low-nbits bits of the LSH signature, with nbits
+    derived from COUNT(*) of `df` via a broadcast 1-row scalar."""
+    sigs = df.withColumn("sig", F.expr(_SIG))
+    params = (
+        df.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr(nbits_sql).alias("nbits"))
+    )
+    return (
+        sigs.crossJoin(F.broadcast(params))
+        .withColumn("cell", F.expr("sig % shiftleft(1, nbits)"))
+    )
+
+
+def _celled_duck(src: str, nbits_sql: str) -> str:
+    """DuckDB twin of `_celled`: CTE text producing (src.*, cell)."""
+    return f"""
+  SELECT s.*, s.sig % (1 << p.nbits) AS cell
+  FROM (SELECT *, {_SIG_DUCK} AS sig FROM {src}) s
+  CROSS JOIN (SELECT {nbits_sql} AS nbits
+              FROM (SELECT COUNT(*) AS n FROM {src})) p
+"""
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 to the query vector (vec_id=0).
@@ -86,20 +186,24 @@ LIMIT 10
 
 
 def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style blocked kNN: top-3 cosine neighbors per vector within
-    its label cell. Pairs exist only inside a cell (equi-join on
-    label), ranked with a per-vector window — partition-pruned ANN.
+    """LSH-blocked kNN: top-3 cosine neighbors per vector within its
+    random-hyperplane cell. Pairs exist only inside a cell (equi-join
+    on the cell id), ranked with a per-vector window. The cell count
+    is derived in-plan from COUNT(*) (target ~32 rows/cell), so the
+    candidate set stays O(N), not O(N^2 / constant) — the property
+    the old 10-value `label` blocking lacked at 100 TB.
     Restricted to vec_id < 200 to keep the test-scale result compact."""
-    emb = _emb_q(spark, sf_dir).where(F.col("vec_id") < 200)
+    emb = _celled(_emb_q(spark, sf_dir).where(F.col("vec_id") < 200), _NBITS_PAIR)
     a = emb.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("label"),
+        F.col("cell").alias("cell"),
         F.col("q").alias("qa"),
         F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("label"),
+        F.col("cell").alias("cell"),
         F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
@@ -108,7 +212,7 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     pairs = (
-        a.join(b, "label")
+        a.join(b, "cell")
         .where(F.col("vec_id") != F.col("nbr_id"))
         .select("vec_id", "label", "nbr_id", cos.alias("cosine"))
     )
@@ -125,11 +229,12 @@ WITH eq AS (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings WHERE vec_id < 200
+), celled AS ({_celled_duck("eq", _NBITS_PAIR)}
 ), pairs AS (
   SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
          CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-  FROM eq a JOIN eq b ON a.label = b.label AND a.vec_id != b.vec_id
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id != b.vec_id
 )
 SELECT vec_id, label, nbr_id, cosine, nn_rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
@@ -167,32 +272,20 @@ FROM eq GROUP BY label
 """
 
 
-# Spark [] is 0-based, DuckDB [] is 1-based: these index the SAME six
-# leading dimensions.
-_CELL = (
-    "CAST(IF(q[0] + q[1] > 0, 1, 0) + IF(q[2] + q[3] > 0, 2, 0) "
-    "+ IF(q[4] + q[5] > 0, 4, 0) AS BIGINT)"
-)
-_CELL_DUCK = (
-    "CAST(CASE WHEN q[1] + q[2] > 0 THEN 1 ELSE 0 END "
-    "+ CASE WHEN q[3] + q[4] > 0 THEN 2 ELSE 0 END "
-    "+ CASE WHEN q[5] + q[6] > 0 THEN 4 ELSE 0 END AS BIGINT)"
-)
-
-
 def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with multi-probe: a 3-bit sign quantizer over
-    fixed dimension pairs assigns every vector to one of 8 cells (the
-    coarse 'inverted file'); each query probes its OWN cell plus the 3
-    single-bit-flip neighbor cells (multi-probe recovers recall lost
-    at cell boundaries), then ranks candidates by exact cosine and
-    keeps top-3. Cost is |queries| x 4 cells x cell-size — never the
-    full database. At 100 TB the quantizer becomes k-means centroids
-    and cells become partition keys (partition pruning per probe);
-    the plan shape — explode probes, equi-join on cell, window top-k —
-    is identical. Queries restricted to vec_id < 20 for test-scale
-    output."""
-    emb = _emb_q(spark, sf_dir).withColumn("cell", F.expr(_CELL))
+    """IVF-style ANN with multi-probe: the hyperplane sign quantizer
+    assigns every vector to one of ~sqrt(N) cells (nbits =
+    floor(log2(sqrt(N))), computed in-plan — the coarse 'inverted
+    file' GROWS with the corpus); each query probes its OWN cell plus
+    the 3 single-bit-flip neighbor cells (multi-probe recovers recall
+    lost at cell boundaries), then ranks candidates by exact cosine
+    and keeps top-3. Cost is |queries| x 4 x N/sqrt(N) = O(|queries| x
+    sqrt(N)) — never the full database. At 100 TB the same plan holds
+    with cells as partition keys (partition pruning per probe); swap
+    the quantizer for sampled k-means centroids without changing the
+    explode-probes -> equi-join-on-cell -> window-top-k shape. Queries
+    restricted to vec_id < 20 for test-scale output."""
+    emb = _celled(_emb_q(spark, sf_dir), _NBITS_IVF)
     queries = (
         emb.where(F.col("vec_id") < 20)
         .select(
@@ -232,8 +325,7 @@ WITH eq AS (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings
-), celled AS (
-  SELECT vec_id, label, q, nrm, {_CELL_DUCK} AS cell FROM eq
+), celled AS ({_celled_duck("eq", _NBITS_IVF)}
 ), probes AS (
   SELECT vec_id AS query_id, q AS qq, nrm AS qnrm,
          unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS probe_cell
@@ -255,28 +347,31 @@ WHERE nn_rank <= 3
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup north-star op):
-    candidate pairs are generated ONLY within a label cell (equi-join
-    blocking — never a global cross join) and kept when cosine >=
-    0.9999. The natural corpus has no near-dups (max within-label
-    cosine ≈ 0.41), so each vector is planted a duplicate copy
-    (vec_id + 1_000_000, identical embedding) — every original must
-    rediscover exactly its copy, making the result a full functional
-    check of the pipeline. Keeper = lower vec_id (deterministic
-    survivor)."""
+    candidate pairs are generated ONLY within a hyperplane-LSH cell
+    (equi-join blocking on a key whose cardinality grows with the
+    corpus — never a global cross join, never a fixed-k block) and
+    kept when cosine >= 0.9999. Identical embeddings always share a
+    cell, so planted exact duplicates are never missed. The natural
+    corpus has no near-dups (max within-label cosine ≈ 0.41), so each
+    vector is planted a duplicate copy (vec_id + 1_000_000, identical
+    embedding) — every original must rediscover exactly its copy,
+    making the result a full functional check of the pipeline. Keeper
+    = lower vec_id (deterministic survivor)."""
     emb = _emb_q(spark, sf_dir)
     planted = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
     )
-    allv = emb.unionByName(planted)
+    allv = _celled(emb.unionByName(planted), _NBITS_PAIR)
     a = allv.select(
         F.col("vec_id").alias("keeper_id"),
         "label",
+        F.col("cell").alias("cell"),
         F.col("q").alias("qa"),
         F.col("nrm").alias("na"),
     )
     b = allv.select(
         F.col("vec_id").alias("dup_id"),
-        "label",
+        F.col("cell").alias("cell"),
         F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
@@ -284,7 +379,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     return (
-        a.join(b, "label")
+        a.join(b, "cell")
         .where(F.col("keeper_id") < F.col("dup_id"))
         .select("keeper_id", "dup_id", "label", cos.alias("cosine"))
         .where(F.col("cosine") >= 0.9999)
@@ -300,11 +395,12 @@ WITH eq AS (
   SELECT vec_id, label, q, nrm FROM eq
   UNION ALL
   SELECT vec_id + 1000000, label, q, nrm FROM eq
+), celled AS ({_celled_duck("allv", _NBITS_PAIR)}
 ), pairs AS (
   SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id, a.label,
          CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-  FROM allv a JOIN allv b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT keeper_id, dup_id, label, cosine FROM pairs WHERE cosine >= 0.9999
 """

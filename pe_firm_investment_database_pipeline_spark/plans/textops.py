@@ -455,40 +455,80 @@ JOIN sigs s2 ON doc2 = s2.doc_id
 
 
 # ---------------------------------------------------------------------------
-# dedup_simhash — 16-dim SimHash + Hamming-distance near-dups
+# dedup_simhash — 64-bit SimHash + Hamming-distance near-dups
 # ---------------------------------------------------------------------------
 
-# per-token md5 is hoisted to a staged `hs` column (one md5 per token),
-# so the 16-way bit vote only indexes into precomputed digests.
-_SIMHASH = """
-aggregate(
-  transform(sequence(1, 16), j -> IF(
-    aggregate(hs, 0L, (acc, h) ->
-      acc + IF(instr('0123456789abcdef', substring(h, j, 1)) > 8, 1L, -1L)) > 0,
-    shiftleft(1L, j - 1), 0L)),
-  0L, (acc, v) -> acc + v)
+# 64-bit signature from per-token md5: bit p (0..63) votes +-1 on bit
+# (p % 4) of hex digit (p div 4 + 1) of each distinct token's digest.
+# Stored as a 4-element array of 16-bit band values — sidesteps int64
+# sign-bit pitfalls AND is directly the 4x16 banding the candidate
+# join needs. Per-band key space is 2^16 and the OCCUPIED key count
+# grows with the corpus (vs 16 possible keys of the old 4-bit bands,
+# which degenerated to O(N^2/16) pairs at scale).
+#
+# Spark computes the 64 vote counters in ONE pass over `hs`
+# (zip_with accumulate); the votes array is lambda-bound via
+# transform(array(...), votes -> ...)[0] — a projection alias would be
+# inlined by CollapseProject and re-evaluated 64x (measured trap,
+# see module header).
+_SIMHASH64 = """
+transform(
+  array(aggregate(hs,
+    transform(sequence(0, 63), p -> 0L),
+    (acc, h) -> zip_with(acc, transform(sequence(0, 63), p ->
+      IF(shiftright(instr('0123456789abcdef',
+                          substring(h, (p div 4) + 1, 1)) - 1, p % 4) % 2 = 1,
+         1L, -1L)),
+      (a, b) -> a + b))),
+  votes -> transform(sequence(0, 3), k ->
+    aggregate(sequence(0, 15), 0L, (acc, i) ->
+      acc + IF(element_at(votes, k * 16 + i + 1) > 0, shiftleft(1L, i), 0L))))[0]
 """
 
-_SIMHASH_DUCK = """
-CAST(list_sum(
-  list_transform(range(1, 17), j -> CASE WHEN
-    list_sum(list_transform(hs, h ->
-      CASE WHEN instr('0123456789abcdef', h[j]) > 8 THEN 1 ELSE -1 END)) > 0
-    THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END)) AS BIGINT)
-"""
+
+def _simhash64_duck() -> str:
+    """DuckDB twin: same 4x16-bit band array, one literal vote term
+    per bit (oracle clarity over speed — it runs at sf0.01)."""
+    bands = []
+    for k in range(4):
+        terms = []
+        for i in range(16):
+            p = k * 16 + i
+            vote = (
+                "list_sum(list_transform(hs, h -> CASE WHEN "
+                f"(((instr('0123456789abcdef', h[{p // 4 + 1}]) - 1) "
+                f">> {p % 4}) & 1) = 1 THEN 1 ELSE -1 END))"
+            )
+            terms.append(f"CASE WHEN {vote} > 0 THEN {1 << i} ELSE 0 END")
+        bands.append("CAST(" + " + ".join(terms) + " AS BIGINT)")
+    return "[" + ", ".join(bands) + "]"
+
+
+_SIMHASH64_DUCK = _simhash64_duck()
+
+_HAMMING4 = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), "
+    "0, (acc, v) -> acc + v) AS BIGINT)"
+)
+_HAMMING4_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 5), "
+    "k -> bit_count(xor({a}[k], {b}[k])))) AS BIGINT)"
+)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit signature (sign of the per-bit
-    vote over distinct-token md5 digits), pairs with Hamming distance
+    """SimHash near-dup pairs: 64-bit signature (sign of the per-bit
+    vote over distinct-token md5 bits), pairs with Hamming distance
     <= 3. Candidate generation is EXACT sub-quadratic banding: the
-    16-bit signature is cut into 4 bands of 4 bits; by pigeonhole any
-    pair with hamming <= 3 agrees on at least one whole band, so an
+    signature is cut into 4 bands of 16 bits; by pigeonhole any pair
+    with hamming <= 3 agrees on at least one whole band, so an
     equi-join per band finds every qualifying pair (then the exact
     hamming filter drops false candidates). Same result set as the
     full cross join — the oracle keeps the pairwise formulation — at
     join-not-quadratic cost. The band join key includes the band index
-    so collisions never cross bands."""
+    so collisions never cross bands; 16-bit band keys keep the
+    occupied-key count growing with the corpus (the 100 TB property —
+    the old 4-bit bands had 16 possible keys and went quadratic)."""
     d = load_table(spark, sf_dir, "documents")
     sigs = (
         d.select("doc_id", F.expr(_TOKENS).alias("toks"))
@@ -496,7 +536,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr("transform(array_distinct(toks), t -> md5(t))").alias("hs"),
         )
-        .select("doc_id", F.expr(_SIMHASH).alias("sig"))
+        .select("doc_id", F.expr(_SIMHASH64).alias("sig"))
     )
     bands = sigs.select(
         "doc_id",
@@ -504,7 +544,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), b -> "
-                "struct(b AS band, shiftright(sig, b * 4) & 15 AS bits))"
+                "struct(b AS band, element_at(sig, b + 1) AS bits))"
             )
         ).alias("bk"),
     ).select(
@@ -522,7 +562,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
-            F.expr("bit_count(a.sig ^ b.sig)").cast("long").alias("hamming"),
+            F.expr(_HAMMING4.format(a="a.sig", b="b.sig")).alias("hamming"),
         )
         .where(F.col("hamming") <= 3)
         .distinct()
@@ -535,12 +575,13 @@ WITH hashed AS (
          list_transform(list_distinct({_TOKENS_DUCK}), t -> md5(t)) AS hs
   FROM documents
 ), sigs AS (
-  SELECT doc_id, {_SIMHASH_DUCK} AS sig FROM hashed
+  SELECT doc_id, {_SIMHASH64_DUCK} AS sig FROM hashed
 )
-SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3
+SELECT doc1, doc2, hamming FROM (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         {_HAMMING4_DUCK.format(a="a.sig", b="b.sig")} AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+WHERE hamming <= 3
 """
 
 

@@ -252,6 +252,39 @@ _STREAM_DEDUP_SQL = "SELECT DISTINCT user_id, event_type FROM events"
 
 
 # ---------------------------------------------------------------------------
+# stream_dedup_watermarked — bounded-state dedup (the 100 TB form)
+# ---------------------------------------------------------------------------
+
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type): the
+    bounded-state form of the reference's seen-set dedup
+    (seed_aic.py:311,336-338) that SURVEY §2.9 maps stream_dedup to.
+    A key's dedup state is EVICTED once the event-time watermark
+    passes first-seen + delay, so state size is O(keys per watermark
+    horizon), not O(all keys ever) — the property that lets the
+    operator run forever on an unbounded stream. A key recurring
+    after eviction is re-emitted (exercised across micro-batches in
+    tests/test_streaming.py::test_watermarked_dedup_state_eviction).
+    Here the staged corpus replays as ONE availableNow micro-batch
+    (watermark starts at -inf, nothing evicts mid-batch), so the
+    emitted key set equals DISTINCT — giving this entry an exact SQL
+    oracle while the eviction path is pinned by the unit test."""
+    path = _prepare_input(spark, sf_dir)
+    ev = spark.readStream.schema(_EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 100000
+    ).parquet(path)
+    deduped = (
+        ev.withWatermark("ts", LATE_DELAY)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run(deduped, "append")
+
+
+_STREAM_DEDUP_WM_SQL = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
 # stream_late_append — append mode + watermark finalization
 # ---------------------------------------------------------------------------
 
@@ -357,6 +390,9 @@ QUERIES = {
     ),
     "stream_dedup": QuerySpec(
         stream_dedup, _STREAM_DEDUP_SQL, ("streaming", "dedup")
+    ),
+    "stream_dedup_watermarked": QuerySpec(
+        stream_dedup_watermarked, _STREAM_DEDUP_WM_SQL, ("streaming", "dedup")
     ),
     "stream_late_append": QuerySpec(
         stream_late_append, _STREAM_LATE_APPEND_SQL, ("streaming", "watermark")

@@ -23,11 +23,13 @@ def test_two_chains_and_isolated_pair(spark):
 
 
 def test_long_chain_converges(spark):
-    # a path of length 12 needs multiple propagation rounds
-    edges = [(i, i + 1) for i in range(12)]
+    # a 200-edge path has diameter 200 — plain O(diameter) propagation
+    # would blow the 20-round cap; pointer jumping must close it in
+    # O(log n) rounds.
+    edges = [(i, i + 1) for i in range(200)]
     comp = _cc(spark, edges)
     assert set(comp.values()) == {0}
-    assert len(comp) == 13
+    assert len(comp) == 201
 
 
 def test_bridge_merges_clusters(spark):

@@ -1,0 +1,150 @@
+"""Scale properties of the similarity/dedup blocking keys.
+
+The round-1 verdict flagged four ops whose candidate generation
+bucketed on constant-cardinality keys (label, 4-bit simhash bands,
+3-bit IVF cells) — correct at sf0.01, quadratic at 100 TB. These
+tests pin the fix: bucket counts must GROW with the input, the
+candidate joins must stay equi-joins, and blocking must not cost
+recall on planted duplicates.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.plans import (
+    all_queries,
+    similarity as S,
+    textops as T,
+)
+
+_Q = all_queries()
+
+
+def _plan(spark, op_id: str, sf_dir: str) -> str:
+    df = _Q[op_id].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _nbits(spark, formula: str, n: int) -> int:
+    return (
+        spark.range(1)
+        .select(F.lit(n).alias("n"))
+        .select(F.expr(formula).alias("nb"))
+        .first()[0]
+    )
+
+
+def test_nbits_grows_with_corpus(spark):
+    """Cell count = 2^nbits must scale with N: ~N/32 cells for pair
+    blocking, ~sqrt(N) cells for IVF — never a constant."""
+    pair = [_nbits(spark, S._NBITS_PAIR, n) for n in (64, 4096, 1 << 20, 1 << 30)]
+    assert pair == [1, 7, 15, 16]  # doubles per 2x input until the 16-bit cap
+    ivf = [_nbits(spark, S._NBITS_IVF, n) for n in (64, 4096, 1 << 20, 1 << 30)]
+    assert ivf == [3, 6, 10, 15]  # ~log2(sqrt(N))
+
+
+def test_occupied_cells_grow_with_input(spark, sf_dir):
+    """Not just the formula — OCCUPIED cells must multiply when the
+    corpus does (the hyperplane bits are data-spread, not degenerate)."""
+    emb = S._emb_q(spark, sf_dir)
+    small = S._celled(emb.where(F.col("vec_id") < 100), S._NBITS_PAIR)
+    full = S._celled(emb, S._NBITS_PAIR)
+    n_small = small.select("cell").distinct().count()
+    n_full = full.select("cell").distinct().count()
+    assert n_full > n_small
+    # every formula-provided cell is actually populated at this scale
+    nbits_full = full.select("nbits").first()[0]
+    assert n_full == (1 << nbits_full)
+
+
+def test_signature_not_degenerate(spark, sf_dir):
+    """Regression guard for the constant-plane bug: the 16-bit
+    signature must take many distinct values, not collapse to the
+    sign of sum(q)."""
+    emb = S._emb_q(spark, sf_dir).withColumn("sig", F.expr(S._SIG))
+    n = emb.count()
+    nsig = emb.select("sig").distinct().count()
+    assert nsig > n // 2
+
+
+def test_dedup_blocking_has_full_recall_on_planted_pairs(spark, sf_dir):
+    """Identical embeddings always share a cell, so LSH blocking finds
+    every planted duplicate: exactly one pair per original vector."""
+    n = S._emb_q(spark, sf_dir).count()
+    assert S.dedup_embedding_cosine(spark, sf_dir).count() == n
+
+
+def test_simhash_band_keys_scale(spark, sf_dir):
+    """4x16-bit bands: the occupied (band, bits) key count must exceed
+    the old 4x4-bit scheme's ENTIRE key space (64), proving the join
+    key cardinality now grows with the corpus."""
+    d = T.load_table(spark, sf_dir, "documents")
+    sigs = (
+        d.select("doc_id", F.expr(T._TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(array_distinct(toks), t -> md5(t))").alias("hs"),
+        )
+        .select("doc_id", F.expr(T._SIMHASH64).alias("sig"))
+    )
+    keys = sigs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, element_at(sig, b + 1) AS bits))"
+            )
+        ).alias("bk")
+    ).select("bk.band", "bk.bits")
+    assert keys.distinct().count() > 64
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    """agg_distinct_approx (rows-only at the driver gate) gets its
+    value-level check here: HLL++ at rsd=0.02 must land within 3x the
+    target rsd of the exact per-group distinct count (slack because
+    rsd is a standard deviation, not a hard bound)."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in _Q["agg_distinct_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(2, 0.06 * n), (flag, approx[flag], n)
+
+
+@pytest.mark.parametrize(
+    "op_id",
+    ["sim_knn_blocked", "sim_ivf_multiprobe", "dedup_embedding_cosine",
+     "dedup_simhash"],
+)
+def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
+    """The row-pairing join must be a hash/merge EQUI-join on the
+    blocking key. (The similarity ops also contain one
+    BroadcastNestedLoopJoin — the 1-row nbits scalar glued onto the
+    scan — which is fine; a CartesianProduct of data rows is not.)"""
+    plan = _plan(spark, op_id, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    if op_id == "dedup_simhash":  # no scalar broadcast here at all
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -76,3 +76,64 @@ def test_late_row_dropped_across_batches(spark, tmp_path):
     assert out.get(win0) == 1
     # trailing windows (end > final watermark 03:00) never emitted
     assert all(k <= win0 for k in out)
+
+
+def test_watermarked_dedup_state_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must (a) drop duplicates arriving
+    within the watermark horizon and (b) EVICT key state once the
+    watermark passes first-seen + delay, so the same key recurring
+    later is emitted AGAIN — the bounded-state behavior that
+    distinguishes it from plain dropDuplicates (which would emit the
+    key exactly once, forever)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = (
+        # batch 0: key (1) first seen 00:00; dup at 00:30 dropped
+        # (NB the dup also REFRESHES the state expiry to 00:30+1h).
+        # max ts 00:30 → wm 00:30-1h < 0 → state kept.
+        ("a", [(1, 1, _t(0, 0)), (2, 1, _t(0, 30))], 1000.0),
+        # batch 1: advance wm to 04:00-1:00 = 03:00 > expiry 01:30 →
+        # key (1)'s state becomes evictable.
+        ("b", [(4, 2, _t(4, 0))], 2000.0),
+        # batch 2: spacer — eviction is lazy, guarantee it lands in a
+        # batch BEFORE the key recurs (same discipline as the
+        # late-data test above).
+        ("c", [(9, 3, _t(4, 30))], 3000.0),
+        # batch 3: key (1) recurs AFTER eviction → emitted again.
+        ("d", [(5, 1, _t(5, 0))], 4000.0),
+    )
+    for name, rows, mtime in files:
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.link(os.path.join(d, part), os.path.join(src, name + ".parquet"))
+        os.utime(os.path.join(src, name + ".parquet"), (mtime, mtime))
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id", "event_id")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = sorted(
+        (r["user_id"], r["event_id"])
+        for r in spark.table("wm_dedup_test").collect()
+    )
+    # key 1: first-seen (event 1) + post-eviction recurrence (event
+    # 5); dup 2 suppressed. keys 2, 3: single emissions.
+    assert rows == [(1, 1), (1, 5), (2, 4), (3, 9)]
