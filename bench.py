@@ -80,18 +80,48 @@ def main() -> None:
         timings[op_id] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _load_prev_bench()
+    if prev:
+        out["prev_total"] = prev.get("value")
+        out["ratio_vs_prev"] = {
+            op: round(t / prev["queries"][op], 2)
+            for op, t in timings.items()
+            if prev.get("queries", {}).get(op)
+        }
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> dict | None:
+    """Last round's bench numbers, so per-query regressions are a
+    mechanical ratio check. Driver-recorded BENCH_r{N}.json wraps the
+    JSON line in a dict with a raw 'tail' string — handle both."""
+    import glob
+    import re
+
+    paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+    if not paths:
+        return None
+    try:
+        doc = json.load(open(paths[-1]))
+    except (OSError, json.JSONDecodeError):
+        return None
+    if "queries" in doc:
+        return doc
+    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+    if m:
+        try:
+            return json.loads(m.group(0))
+        except json.JSONDecodeError:
+            return None
+    return None
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (
         advanced_aggs,
         components,
+        datapipe,
         enrichment,
         io_ops,
         matching,
@@ -30,6 +31,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # gaining new ops this round — go first so every op gets an
     # official driver-recorded verdict across rounds.
     return merge(
+        datapipe.QUERIES,
         textops.QUERIES,
         similarity.QUERIES,
         seed_pipeline.QUERIES,

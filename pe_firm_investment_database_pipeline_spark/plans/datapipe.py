@@ -1,0 +1,199 @@
+"""Training-data curation operators over the documents table — the
+pipeline stages between raw corpus and training shards that the
+extension surface (repo:BASELINE.json:6, 100 TB design) calls for
+beyond dedup/similarity: deterministic stratified sampling, token-
+budget sharding, and benchmark-contamination detection.
+
+All three are pure DataFrame plans with exact DuckDB oracles.
+
+Scale notes:
+- samp_stratified_hash: map-side only — the sampling decision is a
+  hash of the row key against a per-stratum literal rate, so it
+  composes with scan pruning and never shuffles. Unlike rand()-based
+  sampleBy it is deterministic and reproducible across engines,
+  retries, and re-runs (the property training pipelines need for
+  exact resumability).
+- shard_by_token_budget: a global running sum is the textbook
+  single-partition-window bottleneck, so the cumsum is built the
+  distributed way: block-local sums (one narrow agg), a TINY window
+  over block totals for offsets (thousands of rows at 100 TB), then
+  block-local prefix + offset. Same result as the naive global
+  window, parallel everywhere.
+- contamination_ngram: benchmark sets are small (thousands of docs),
+  so their shingle table is broadcast; the corpus side stays
+  shuffle-free — the right shape for "scan 100 TB, flag anything
+  overlapping the eval set".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+from .textops import _SHINGLED_DUCK, _TOKENS, _TOKENS_DUCK, _shingled
+
+# Deterministic 48-bit md5-prefix hash of the doc key — identical in
+# both engines (same trick as the shingle hashes, textops.py).
+_KEYHASH = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+)
+_KEYHASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+# Per-stratum keep rates in permille: downsample the over-represented
+# majority language, keep the tail whole (the usual rebalancing move).
+_RATES = {"en": 400, "de": 1000, "es": 1000, "fr": 1000, "zh": 1000}
+
+
+def samp_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a document iff
+    hash(doc_id) mod 1000 < rate(lang). Reproducible (no RNG state),
+    engine-portable, and stable under re-partitioning — three things
+    `df.sampleBy` (seeded per-partition RNG) cannot promise. The rate
+    table is a plan literal (a broadcast map at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_KEYHASH) % 1000
+    rate = F.when(F.col("lang") == "en", _RATES["en"]).otherwise(1000)
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            bucket.cast("long").alias("bucket"),
+            rate.cast("long").alias("rate_permille"),
+        )
+        .where(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+_SAMP_STRATIFIED_HASH_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         {_KEYHASH_DUCK} % 1000 AS bucket,
+         CAST(CASE WHEN lang = 'en' THEN {_RATES['en']} ELSE 1000 END AS BIGINT)
+           AS rate_permille
+  FROM documents
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, rate_permille
+FROM t WHERE bucket < rate_permille
+"""
+
+
+_BUDGET = 20_000  # tokens per training shard
+_BLOCK = 100  # doc_ids per cumsum block
+
+
+def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into training shards of
+    ~_BUDGET tokens: shard = floor(running_token_sum_before_doc /
+    _BUDGET). The running sum is computed DISTRIBUTED: per-block
+    token totals (block = doc_id div _BLOCK), a window over the tiny
+    block-totals table for block offsets, then a block-local window
+    adds the offset — no single-partition global window anywhere.
+    A shard can overshoot the budget by at most one document (the
+    standard streaming-packing relaxation; exact bin packing is
+    sequential by nature)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(f"doc_id div {_BLOCK}").alias("block"),
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
+    )
+    block_totals = toks.groupBy("block").agg(F.sum("n_tokens").alias("block_sum"))
+    w_blocks = W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
+    offsets = block_totals.select(
+        "block",
+        F.coalesce(F.sum("block_sum").over(w_blocks), F.lit(0)).alias("offset"),
+    )
+    w_in_block = (
+        W.partitionBy("block").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "block")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("offset")
+                + F.coalesce(F.sum("n_tokens").over(w_in_block), F.lit(0))
+            ).alias("tokens_before"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_before",
+            (F.col("tokens_before") / _BUDGET).cast("long").alias("shard"),
+        )
+    )
+
+
+_SHARD_BY_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, n_tokens, tokens_before,
+       tokens_before // {_BUDGET} AS shard
+FROM c
+"""
+
+
+_CONTAM_MIN_SHARED = 3  # shared 3-gram shingles to flag
+
+
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training documents sharing
+    >= {K} 3-gram shingles with any benchmark document (benchmark
+    stand-in: doc_id % 97 == 0, excluded from the training side).
+    The benchmark shingle table is BROADCAST — eval sets are tiny
+    next to a 100 TB corpus — so the corpus side is a single
+    shuffle-free scan + broadcast hash join, then one aggregation on
+    the (train, bench) pairs actually sharing shingles."""
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
+    )
+
+
+contamination_ngram.__doc__ = contamination_ngram.__doc__.format(K=_CONTAM_MIN_SHARED)
+
+_CONTAMINATION_NGRAM_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), sh AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+)
+SELECT t.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared_shingles
+FROM sh t JOIN sh b ON t.s = b.s
+WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 != 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+"""
+
+
+QUERIES = {
+    "samp_stratified_hash": QuerySpec(
+        samp_stratified_hash, _SAMP_STRATIFIED_HASH_SQL, ("sampling",)
+    ),
+    "shard_by_token_budget": QuerySpec(
+        shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)
+    ),
+    "contamination_ngram": QuerySpec(
+        contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")
+    ),
+}

@@ -222,6 +222,175 @@ FROM u
 
 
 # ---------------------------------------------------------------------------
+# html_extract_names — step3_attempt2: <a> text → img alt → <figcaption>
+# ---------------------------------------------------------------------------
+
+_A_TEXT_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.S)
+_IMG_ALT_RE = re.compile(r'<img\b[^>]*\balt="([^"]*)"')
+_FIGCAP_RE = re.compile(r"<figcaption>(.*?)</figcaption>", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def _norm_text(s: str) -> str:
+    """step3_attempt1.py:36-41 _norm: collapse whitespace, trim."""
+    return _WS_RE.sub(" ", s or "").strip()
+
+
+def html_extract_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """step3_attempt2.py:34-46 name extraction: within the chosen
+    card class, take <a> inner texts as names; if none, <img> alt
+    texts; if none, <figcaption> texts. The extraction rank couples
+    the method to the step2 class rank — A/B/C for methods 1/2/3
+    within class ranks A-B, D/E/F within class ranks C-E — so this is
+    the operator that makes ranks E and F live (rank_points E→2, F→1,
+    .portCo_research.py:45-50). Card classes are ranked with the REAL
+    step2 expression (reference_scalars.html_class_rank), not a
+    synthesized rank; the UDTF (mapInPandas, 1 page → N names) only
+    extracts (method, name) and the rank coupling stays declarative
+    JVM-side. Names are _norm-collapsed (step3_attempt1.py:36-41)."""
+    from ..functions.resolution import rank_points
+    from .reference_scalars import _rank_expr
+
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    name = F.concat(F.lit("Co "), k.cast("string"))
+    cls = F.when(k % 2 == 0, "portfolio-grid cards").otherwise("logo-wall grid")
+    inner = (
+        # method 1: two anchors (inner text, with markup + messy
+        # whitespace the extractor must strip)
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit('<a href="/companies/x"><span>'),
+                name,
+                F.lit("  One</span></a><a href=\"/companies/y\">"),
+                name,
+                F.lit(" Two</a>"),
+            ),
+        )
+        # method 2: no anchors; img alt (plus a figcaption that must
+        # NOT be reached because img wins)
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit('<img src="/logos/x.png" alt="'),
+                name,
+                F.lit(' Logo"/><figcaption>shadowed</figcaption>'),
+            ),
+        )
+        # method 3: figcaption only
+        .otherwise(F.concat(F.lit("<span>x</span><figcaption>"), name, F.lit(" Cap</figcaption>")))
+    )
+    pages = s.select(
+        "s_suppkey",
+        cls.alias("card_class"),
+        F.concat(F.lit('<div class="'), cls, F.lit('">'), inner, F.lit("</div>")).alias(
+            "html"
+        ),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, classes, methods, names = [], [], [], []
+            for key, card_class, doc in zip(
+                pdf["s_suppkey"], pdf["card_class"], pdf["html"]
+            ):
+                found = [
+                    (1, _norm_text(_TAG_RE.sub(" ", t)))
+                    for t in _A_TEXT_RE.findall(doc)
+                ]
+                found = [(m, n) for m, n in found if n]
+                if not found:
+                    found = [
+                        (2, _norm_text(t)) for t in _IMG_ALT_RE.findall(doc)
+                    ]
+                    found = [(m, n) for m, n in found if n]
+                if not found:
+                    found = [
+                        (3, _norm_text(t)) for t in _FIGCAP_RE.findall(doc)
+                    ]
+                    found = [(m, n) for m, n in found if n]
+                for method, nm in found:
+                    keys.append(int(key))
+                    classes.append(card_class)
+                    methods.append(method)
+                    names.append(nm)
+            yield pd.DataFrame(
+                {
+                    "s_suppkey": pd.Series(keys, dtype="int64"),
+                    "card_class": classes,
+                    "method_used": pd.Series(methods, dtype="int64"),
+                    "name": names,
+                }
+            )
+
+    extracted = pages.mapInPandas(
+        extract,
+        schema="s_suppkey long, card_class string, method_used long, name string",
+    )
+    toks = F.transform(F.split("card_class", " "), F.lower)
+    ranked = extracted.withColumn("class_rank_used", _rank_expr(toks))
+    high = F.col("class_rank_used").isin("A", "B")
+    m = F.col("method_used")
+    extraction_rank = (
+        F.when(high & (m == 1), "A")
+        .when(high & (m == 2), "B")
+        .when(high & (m == 3), "C")
+        .when(m == 1, "D")
+        .when(m == 2, "E")
+        .otherwise("F")
+    )
+    return ranked.select(
+        "s_suppkey",
+        "name",
+        "method_used",
+        "class_rank_used",
+        extraction_rank.alias("extraction_rank"),
+        rank_points(extraction_rank).alias("points"),
+    )
+
+
+def _html_extract_names_sql() -> str:
+    from .reference_scalars import _rank_sql_duck
+
+    return f"""
+WITH u AS (
+  SELECT s_suppkey, 'Co ' || CAST(s_suppkey AS VARCHAR) AS nm,
+         CASE WHEN s_suppkey % 2 = 0 THEN 'portfolio-grid cards'
+              ELSE 'logo-wall grid' END AS card_class
+  FROM supplier
+), names AS (
+  SELECT s_suppkey, card_class, 1 AS method_used, nm || ' One' AS name
+  FROM u WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT s_suppkey, card_class, 1, nm || ' Two' FROM u WHERE s_suppkey % 3 = 0
+  UNION ALL
+  SELECT s_suppkey, card_class, 2, nm || ' Logo' FROM u WHERE s_suppkey % 3 = 1
+  UNION ALL
+  SELECT s_suppkey, card_class, 3, nm || ' Cap' FROM u WHERE s_suppkey % 3 = 2
+), ranked AS (
+  SELECT s_suppkey, name, CAST(method_used AS BIGINT) AS method_used,
+         {_rank_sql_duck()} AS class_rank_used
+  FROM (SELECT *, list_transform(string_split(card_class, ' '), t -> lower(t)) AS toks
+        FROM names)
+), coupled AS (
+  SELECT *, CASE WHEN class_rank_used IN ('A','B') THEN
+                   CASE method_used WHEN 1 THEN 'A' WHEN 2 THEN 'B' ELSE 'C' END
+                 ELSE
+                   CASE method_used WHEN 1 THEN 'D' WHEN 2 THEN 'E' ELSE 'F' END
+            END AS extraction_rank
+  FROM ranked
+)
+SELECT s_suppkey, name, method_used, class_rank_used, extraction_rank,
+       CAST(CASE extraction_rank WHEN 'A' THEN 6 WHEN 'B' THEN 5 WHEN 'C' THEN 4
+                                 WHEN 'D' THEN 3 WHEN 'E' THEN 2 ELSE 1
+            END AS BIGINT) AS points
+FROM coupled
+"""
+
+
+# ---------------------------------------------------------------------------
 # flt_accessible — HEAD/GET accessibility predicate
 # ---------------------------------------------------------------------------
 
@@ -282,12 +451,88 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# portco_pipeline_e2e — the composed main_portCo dataflow
+# ---------------------------------------------------------------------------
+
+def portco_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full portCo identification pipeline as ONE dataflow
+    (main_portCo.py:33-138): fetch the firm's portfolio page (drop
+    firms whose fetch fails — 'skip to next PE firm'), extract
+    candidate names via the step2-class + step3_attempt2 chain
+    (html_extract_names, which itself composes html_class_rank),
+    dedup per (firm, normalized name) keeping the best extraction
+    (points desc, method asc — step3_attempt1.py:497-504's
+    sort-then-keep-first), then collect the survivors into one nested
+    row per firm (main_portCo.py:115-122's results document; portcos
+    serialized sorted by rank-then-name so the value hash is
+    representation-stable, the agg_collect_nested convention).
+
+    Each stage is the REAL registry operator, not a re-implementation
+    — this entry exists to prove the operators compose."""
+    from pyspark.sql import Window as W
+
+    fetched = io_http_fetch(spark, sf_dir).where(F.col("ok"))
+    names = html_extract_names(spark, sf_dir)
+    candidates = fetched.select("s_suppkey", "url").join(names, "s_suppkey")
+    dedup_w = W.partitionBy("s_suppkey", F.lower("name")).orderBy(
+        F.desc("points"), F.asc("method_used")
+    )
+    best = (
+        candidates.withColumn("rn", F.row_number().over(dedup_w))
+        .where(F.col("rn") == 1)
+    )
+    portco = F.concat(
+        F.col("extraction_rank"), F.lit(":"), F.col("name")
+    )
+    return (
+        best.groupBy("s_suppkey", "url")
+        .agg(
+            F.count(F.lit(1)).alias("n_portcos"),
+            F.max("points").alias("best_points"),
+            F.array_join(F.array_sort(F.collect_list(portco)), "|").alias(
+                "portcos"
+            ),
+        )
+    )
+
+
+def _portco_pipeline_e2e_sql() -> str:
+    return f"""
+WITH fetched AS (
+  SELECT s_suppkey,
+         'https://' || lower(regexp_replace(s_name, '[^A-Za-z0-9]', '', 'g'))
+           || '.com.au/portfolio' AS url
+  FROM supplier WHERE s_suppkey % 7 != 0
+), names AS ({_html_extract_names_sql()}
+), best AS (
+  SELECT f.s_suppkey, f.url, n.name, n.extraction_rank, n.points
+  FROM fetched f JOIN (
+    SELECT *, row_number() OVER (PARTITION BY s_suppkey, lower(name)
+                                 ORDER BY points DESC, method_used) AS rn
+    FROM names) n
+    ON f.s_suppkey = n.s_suppkey
+  WHERE n.rn = 1
+)
+SELECT s_suppkey, url, COUNT(*) AS n_portcos, MAX(points) AS best_points,
+       array_to_string(list_sort(list(extraction_rank || ':' || name)), '|')
+         AS portcos
+FROM best GROUP BY s_suppkey, url
+"""
+
+
 QUERIES = {
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")
     ),
     "html_extract": QuerySpec(html_extract, _HTML_EXTRACT_SQL, ("io", "udtf")),
+    "html_extract_names": QuerySpec(
+        html_extract_names, _html_extract_names_sql(), ("io", "udtf", "step3")
+    ),
     "flt_accessible": QuerySpec(
         flt_accessible, _FLT_ACCESSIBLE_SQL, ("io", "filter")
+    ),
+    "portco_pipeline_e2e": QuerySpec(
+        portco_pipeline_e2e, _portco_pipeline_e2e_sql(), ("io", "composed")
     ),
 }

@@ -37,7 +37,27 @@ BLACKLIST = ("Person", "Article", "NewsArticle")
 _WL_SQL = "['" + "','".join(WHITELIST) + "']"
 _BL_SQL = "['" + "','".join(BLACKLIST) + "']"
 
-NOISE_RE = "(footer|header|nav|menu|cookie|banner|social)"
+# Full reference blacklist (step2_attempt1.py:55-58), verbatim.
+NOISE_RE = (
+    "(footer|header|nav|menu|cookie|subscribe|social|share|breadcrumb|"
+    "search|hero|banner|modal|popup)"
+)
+
+# Conjunctive rank sets (step2_attempt1.py:44-52): a class list ranks
+# A/B/C when, for EVERY word in some tuple, SOME token contains that
+# word as a substring; ranks are tried A -> B -> C; blacklisted class
+# lists rank None.
+RANK_SETS = {
+    "A": (
+        ("portfolio", "card"),
+        ("portfolio", "item"),
+        ("investment", "card"),
+        ("investment", "item"),
+        ("investment", "box"),
+    ),
+    "B": (("portfolio",), ("investment",), ("company",)),
+    "C": (("item",), ("box",), ("card",), ("logo",)),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -92,36 +112,53 @@ WHERE list_has_any(types, {_WL_SQL}) OR NOT list_has_any(types, {_BL_SQL})
 # flt_class_blacklist + html_class_rank + agg_bucket_stats
 # ---------------------------------------------------------------------------
 
+# One class string per residue, chosen to exercise every semantic
+# branch: conjunctive A (portfolio+card, investment+card,
+# portfolio+item), bare B (investment, company — company beats the C
+# 'card' token because ranks try A->B->C), C (logo), every new
+# blacklist token (breadcrumb, modal/popup, hero/search/subscribe),
+# and an unranked residue.
+_CLASS_CASES = (
+    "portfolio-grid cards wide",   # 0: A via (portfolio, card)
+    "investment-list row",         # 1: B (investment; no card/item/box token)
+    "site-footer dark",            # 2: None (footer)
+    "company-team cards",          # 3: B (company — checked before C's 'card')
+    "nav-menu top cookie-banner",  # 4: None
+    "content-main article",        # 5: None (no match, not blacklisted)
+    "investment-card col",         # 6: A via (investment, card)
+    "breadcrumb-list items",       # 7: None (breadcrumb beats 'item')
+    "modal popup-overlay",         # 8: None
+    "logo-wall grid",              # 9: C (logo)
+    "hero search-bar subscribe",   # 10: None
+    "portfolio-item box",          # 11: A via (portfolio, item)
+)
+
+
 def _classed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesized DOM class strings per customer — mix of portfolio
-    grids, investment lists, team cards, and noise elements."""
+    grids, investment cards, noise containers, and unranked content,
+    covering every step2 rank/blacklist branch."""
     c = load_table(spark, sf_dir, "customer")
-    cls = (
-        F.when(F.col("c_custkey") % 6 == 0, "portfolio-grid cards wide")
-        .when(F.col("c_custkey") % 6 == 1, "investment-list row")
-        .when(F.col("c_custkey") % 6 == 2, "site-footer dark")
-        .when(F.col("c_custkey") % 6 == 3, "company-team cards")
-        .when(F.col("c_custkey") % 6 == 4, "nav-menu top cookie-banner")
-        .otherwise("content-main article")
-    )
+    cls = F.when(F.col("c_custkey") % 12 == 0, _CLASS_CASES[0])
+    for i in range(1, 11):
+        cls = cls.when(F.col("c_custkey") % 12 == i, _CLASS_CASES[i])
+    cls = cls.otherwise(_CLASS_CASES[11])
     return c.select("c_custkey", cls.alias("class_string"))
 
 
-_CLASSED_SQL = """
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 6 = 0 THEN 'portfolio-grid cards wide'
-              WHEN c_custkey % 6 = 1 THEN 'investment-list row'
-              WHEN c_custkey % 6 = 2 THEN 'site-footer dark'
-              WHEN c_custkey % 6 = 3 THEN 'company-team cards'
-              WHEN c_custkey % 6 = 4 THEN 'nav-menu top cookie-banner'
-              ELSE 'content-main article' END AS class_string
-  FROM customer
-"""
+_CLASSED_SQL = (
+    "  SELECT c_custkey, CASE "
+    + " ".join(
+        f"WHEN c_custkey % 12 = {i} THEN '{s}'" for i, s in enumerate(_CLASS_CASES[:11])
+    )
+    + f" ELSE '{_CLASS_CASES[11]}' END AS class_string FROM customer"
+)
 
 
 def flt_class_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reject elements whose class tokens match the noise regex
-    (footer/header/nav/menu/cookie/banner/social)."""
+    """Reject elements ANY of whose class tokens matches the full
+    reference noise regex (step2_attempt1.py:55-58,66-67) — including
+    subscribe/share/breadcrumb/search/hero/modal/popup."""
     d = _classed(spark, sf_dir)
     toks = F.split("class_string", " ")
     noisy = F.exists(toks, lambda t: t.rlike(NOISE_RE))
@@ -136,43 +173,79 @@ WHERE len(list_filter(string_split(class_string, ' '),
 """
 
 
-def html_class_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conjunctive token-set containment → ordinal rank
-    (step2_attempt1.py:44-52): A needs a 'portfolio' token AND a
-    layout token; B an investment token; C a company/team token;
-    else D."""
-    d = _classed(spark, sf_dir)
-    s = F.col("class_string")
-    rank = (
-        F.when(
-            s.contains("portfolio")
-            & (s.contains("grid") | s.contains("list") | s.contains("cards")),
-            "A",
-        )
-        .when(s.contains("invest"), "B")
-        .when(s.contains("company") | s.contains("team"), "C")
-        .otherwise("D")
+def _has_word(toks, word: str):
+    """Reference has_all() atom: SOME token contains `word` as a
+    substring (step2_attempt1.py:69-71)."""
+    return F.exists(toks, lambda t: t.contains(word))
+
+
+def _rank_expr(toks):
+    blacklisted = F.exists(toks, lambda t: t.rlike(NOISE_RE))
+    has = {
+        w: _has_word(toks, w)
+        for w in ("portfolio", "investment", "company", "card", "item", "box", "logo")
+    }
+    rank_a = F.lit(False)
+    for w1, w2 in RANK_SETS["A"]:
+        rank_a = rank_a | (has[w1] & has[w2])
+    rank_b = has["portfolio"] | has["investment"] | has["company"]
+    rank_c = has["item"] | has["box"] | has["card"] | has["logo"]
+    return (
+        F.when(blacklisted, F.lit(None).cast("string"))
+        .when(rank_a, "A")
+        .when(rank_b, "B")
+        .when(rank_c, "C")
+        .otherwise(F.lit(None).cast("string"))
     )
-    return d.select("c_custkey", "class_string", rank.alias("rank"))
+
+
+def _has_word_duck(word: str) -> str:
+    return f"len(list_filter(toks, t -> contains(t, '{word}'))) > 0"
+
+
+def _rank_sql_duck() -> str:
+    bl = f"len(list_filter(toks, t -> regexp_matches(t, '{NOISE_RE}'))) > 0"
+    a = " OR ".join(
+        f"({_has_word_duck(w1)} AND {_has_word_duck(w2)})" for w1, w2 in RANK_SETS["A"]
+    )
+    b = " OR ".join(_has_word_duck(w) for w, in RANK_SETS["B"])
+    c = " OR ".join(_has_word_duck(w) for w, in RANK_SETS["C"])
+    return (
+        f"CASE WHEN {bl} THEN NULL WHEN {a} THEN 'A' "
+        f"WHEN {b} THEN 'B' WHEN {c} THEN 'C' ELSE NULL END"
+    )
+
+
+def html_class_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact step2_attempt1.py:40-77 semantics: lowercase tokens; a
+    blacklist hit on ANY token -> rank NULL; else the first rank
+    (A->B->C) one of whose word-tuples is fully covered, where a word
+    is covered when SOME token CONTAINS it (substring, not equality) —
+    so ('investment','card') ranks 'investment-card col' A. No match
+    -> NULL (the reference returns None and drops the element from
+    the buckets)."""
+    d = _classed(spark, sf_dir)
+    toks = F.transform(F.split("class_string", " "), F.lower)
+    return d.select(
+        "c_custkey", "class_string", _rank_expr(toks).alias("rank")
+    )
 
 
 _HTML_CLASS_RANK_SQL = f"""
-WITH d AS ({_CLASSED_SQL})
-SELECT c_custkey, class_string,
-       CASE WHEN contains(class_string, 'portfolio')
-                 AND (contains(class_string, 'grid') OR contains(class_string, 'list')
-                      OR contains(class_string, 'cards')) THEN 'A'
-            WHEN contains(class_string, 'invest') THEN 'B'
-            WHEN contains(class_string, 'company') OR contains(class_string, 'team') THEN 'C'
-            ELSE 'D' END AS rank
-FROM d
+WITH d AS ({_CLASSED_SQL}),
+t AS (SELECT c_custkey, class_string,
+             list_transform(string_split(class_string, ' '), t -> lower(t)) AS toks
+      FROM d)
+SELECT c_custkey, class_string, {_rank_sql_duck()} AS rank
+FROM t
 """
 
 
 def agg_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct class strings + element counts per rank bucket
-    (step2_attempt1.py:97-115's summary table)."""
-    ranked = html_class_rank(spark, sf_dir)
+    (step2_attempt1.py:97-115's summary table). Unranked elements
+    (rank NULL) are excluded, as in the reference's A/B/C buckets."""
+    ranked = html_class_rank(spark, sf_dir).where(F.col("rank").isNotNull())
     return ranked.groupBy("rank").agg(
         F.countDistinct("class_string").alias("n_distinct_classes"),
         F.count(F.lit(1)).alias("n_elements"),
@@ -183,7 +256,7 @@ _AGG_BUCKET_STATS_SQL = f"""
 WITH ranked AS ({_HTML_CLASS_RANK_SQL})
 SELECT rank, COUNT(DISTINCT class_string) AS n_distinct_classes,
        COUNT(*) AS n_elements
-FROM ranked GROUP BY rank
+FROM ranked WHERE rank IS NOT NULL GROUP BY rank
 """
 
 

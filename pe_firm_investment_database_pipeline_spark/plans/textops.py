@@ -23,6 +23,7 @@ DuckDB oracle. Scale notes per operator:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
@@ -185,36 +186,83 @@ FROM t
 # txt_langid — marker-token language heuristic
 # ---------------------------------------------------------------------------
 
+# Function-word profiles (public-knowledge closed-class words — the
+# standard cheap langid signal; a real system swaps these literals for
+# a broadcast character-n-gram LM table, same plan shape). zh is not
+# space-tokenized, so its signal is CJK codepoint count on the raw
+# text instead of token membership.
+_LANG_MARKERS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it"),
+    "es": ("el", "los", "las", "una", "por", "para", "como", "pero"),
+    "fr": ("le", "la", "les", "est", "dans", "pour", "avec", "sur"),
+}
+# Java regex (Spark) spells CJK \uXXXX; RE2 (DuckDB) needs \x{XXXX}.
+_CJK = "[\\u4e00-\\u9fff]"
+_CJK_DUCK = "[\\x{4e00}-\\x{9fff}]"
+
+
 def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: count hits against per-language marker
-    sets and argmax (tie -> 'und'). The synthetic corpus is
-    English-vocabulary, so the en marker set dominates — the operator
-    shape (broadcast marker table, per-token membership, argmax) is
-    what a real n-gram LM would use at scale."""
+    """Language-ID: count lowercase-token hits against per-language
+    function-word profiles (plus CJK codepoint count for zh), then
+    argmax with a fixed tie order (de<en<es<fr<zh alphabetical; all
+    zero -> 'und'). One projection, no shuffle, marker sets are plan
+    literals (broadcast table at scale). The synthetic corpus is
+    English-vocabulary under every label, so guesses skew 'en' —
+    `agrees_with_label` reports exactly that honestly."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.expr(_TOKENS)
-    en_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of"))).cast("long")
-    guess = F.when(en_hits > 0, "en").otherwise("und")
-    return d.select(
+    low = F.expr("transform(" + _TOKENS + ", t -> lower(t))")
+    def _membership(markers):
+        # closure, not a default arg: pyspark binds a Column to every
+        # lambda parameter, including defaulted ones
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(low, _membership(markers))).cast("long")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    hits["zh"] = F.size(F.expr(f"regexp_extract_all(text, '{_CJK}', 0)")).cast("long")
+    staged = d.select("doc_id", "lang", *[h.alias(f"h_{k}") for k, h in hits.items()])
+    cols = sorted(hits)  # de, en, es, fr, zh — the deterministic tie order
+    mx = F.greatest(*[F.col(f"h_{k}") for k in cols])
+    guess = F.when(mx == 0, "und")
+    for k in cols:
+        guess = guess.when(F.col(f"h_{k}") == mx, k)
+    guess = guess.otherwise("und")
+    return staged.select(
         "doc_id",
         "lang",
-        en_hits.alias("en_hits"),
+        *[F.col(f"h_{k}").alias(f"{k}_hits") for k in cols],
         guess.alias("lang_guess"),
         (guess == F.col("lang")).alias("agrees_with_label"),
     )
 
 
-_TXT_LANGID_SQL = f"""
+def _txt_langid_sql() -> str:
+    hit_exprs = ", ".join(
+        f"CAST(len(list_filter(list_transform({_TOKENS_DUCK}, t -> lower(t)), "
+        f"x -> x IN ({', '.join(repr(m) for m in marks)}))) AS BIGINT) AS h_{lang}"
+        for lang, marks in _LANG_MARKERS.items()
+    )
+    cols = sorted(list(_LANG_MARKERS) + ["zh"])
+    mx = "greatest(" + ", ".join(f"h_{k}" for k in cols) + ")"
+    guess = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{k} = {mx} THEN '{k}'" for k in cols
+    ) + " ELSE 'und' END"
+    sel = ", ".join(f"h_{k} AS {k}_hits" for k in cols)
+    return f"""
 WITH t AS (
-  SELECT doc_id, lang,
-         CAST(len(list_filter({_TOKENS_DUCK}, x -> x IN ('the','a','of'))) AS BIGINT) AS en_hits
+  SELECT doc_id, lang, {hit_exprs},
+         CAST(len(regexp_extract_all(text, '{_CJK_DUCK}')) AS BIGINT) AS h_zh
   FROM documents
 )
-SELECT doc_id, lang, en_hits,
-       CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS lang_guess,
-       (CASE WHEN en_hits > 0 THEN 'en' ELSE 'und' END) = lang AS agrees_with_label
+SELECT doc_id, lang, {sel}, {guess} AS lang_guess,
+       ({guess}) = lang AS agrees_with_label
 FROM t
 """
+
+
+_TXT_LANGID_SQL = _txt_langid_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -278,8 +326,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (set sizes stay full): a shingle in d docs creates O(d^2) pairs,
     so heavy hitters dominate cost while contributing nothing to
     >=0.8 pairs (measured 4x at sf0.1; at 100 TB the cap is what
-    keeps the join linear). Planted near-dups share only rare
-    (df~2) shingles, so the >=0.8 result set is unaffected.
+    keeps the join linear). RECALL BOUND: a pair whose ONLY shared
+    shingles are stop-shingles (each in > _DF_CAP docs) is silently
+    missed — impossible for planted near-dups here (they share df~2
+    shingles), and unlikely for real >=0.8 pairs (a 0.8-Jaccard pair
+    shares ~4/5 of its shingles; all of them being corpus-wide heavy
+    hitters means the docs are near-duplicates OF A TEMPLATE, which
+    exact dedup on the template hash catches first). When that bound
+    is not acceptable, use dedup_ngram_prefix below — prefix
+    filtering gives EXACT recall with no cap.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from identical int64s ->
     bit-identical doubles on both engines."""
     sh = _shingled(spark, sf_dir).select(
@@ -350,6 +405,93 @@ FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_prefix — exact-recall Jaccard join via prefix filtering
+# ---------------------------------------------------------------------------
+
+def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard >= 0.8 with EXACT recall and no DF cap —
+    the AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08): order every doc's shingles by a global canonical
+    order (df asc, shingle asc — rarest first), keep only the first
+    |A| - ceil(t*|A|) + 1 as the doc's PREFIX, and generate candidates
+    by equi-joining prefixes. Any pair with J >= t must share a
+    prefix element, so unlike the _DF_CAP variant nothing is missed;
+    heavy stop-shingles land at the END of the order and almost never
+    enter a prefix, so the join stays sub-quadratic without dropping
+    them. Exact Jaccard is then computed per candidate from the full
+    shingle arrays. ceil(t*n) is evaluated as (4n+4) div 5 — pure
+    int64, identical in both engines.
+
+    Scale: two shuffles (df count, per-doc window) + an equi-join on
+    prefix shingles whose per-key fanout is the shingle's PREFIX df,
+    a small fraction of its raw df. Exactness at test scale is pinned
+    against a brute-force pairwise join in
+    tests/test_scale_blocking.py::test_prefix_filter_recall_is_exact."""
+    sh_arr = _shingled(spark, sf_dir)  # (doc_id, sh array)
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        sh.join(df_counts, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "s")
+    a = prefix.select(F.col("doc_id").alias("doc1"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc2"), "s")
+    cands = (
+        a.join(b, "s")
+        .where(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    s1 = sh_arr.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    s2 = sh_arr.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    jac = inter.cast("double") / (
+        F.size("sh1") + F.size("sh2") - inter
+    ).cast("double")
+    return (
+        cands.join(s1, "doc1")
+        .join(s2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+_DEDUP_NGRAM_PREFIX_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), sh AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), dfs AS (
+  SELECT s, COUNT(*) AS df FROM sh GROUP BY s
+), ranked AS (
+  SELECT sh.doc_id, sh.s,
+         row_number() OVER (PARTITION BY sh.doc_id ORDER BY dfs.df, sh.s) AS rn,
+         COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+  FROM sh JOIN dfs USING (s)
+), prefix AS (
+  SELECT doc_id, s FROM ranked WHERE rn <= n - ((4*n + 4) // 5) + 1
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2,
+       CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+         AS jaccard
+FROM cands
+JOIN shingled s1 ON doc1 = s1.doc_id
+JOIN shingled s2 ON doc2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      / CAST(len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)
+      >= 0.8
 """
 
 
@@ -743,6 +885,9 @@ QUERIES = {
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, ("dedup",)
+    ),
+    "dedup_ngram_prefix": QuerySpec(
+        dedup_ngram_prefix, _DEDUP_NGRAM_PREFIX_SQL, ("dedup", "prefix-filter")
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")

@@ -106,6 +106,33 @@ def test_simhash_band_keys_scale(spark, sf_dir):
     assert keys.distinct().count() > 64
 
 
+def test_prefix_filter_recall_is_exact(spark):
+    """dedup_ngram_prefix must equal the BRUTE-FORCE pairwise Jaccard
+    join (no candidate pruning at all) — the prefix filter's exactness
+    guarantee, which the _DF_CAP variant deliberately trades away."""
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc1"], r["doc2"])
+        for r in _Q["dedup_ngram_prefix"].fn(spark, sf).collect()
+    }
+    sh = T._shingled(spark, sf)
+    a = sh.select(F.col("doc_id").alias("doc1"), F.col("sh").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("doc2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2")).cast("long")
+    jac = inter.cast("double") / (
+        F.size("sh1") + F.size("sh2") - inter
+    ).cast("double")
+    brute = {
+        (r["doc1"], r["doc2"])
+        for r in a.crossJoin(b)
+        .where(F.col("doc1") < F.col("doc2"))
+        .where(jac >= 0.8)
+        .collect()
+    }
+    assert got == brute
+    assert brute  # non-vacuous: the corpus has planted near-dups
+
+
 def test_approx_distinct_accuracy(spark, sf_dir):
     """agg_distinct_approx (rows-only at the driver gate) gets its
     value-level check here: HLL++ at rsd=0.02 must land within 3x the
