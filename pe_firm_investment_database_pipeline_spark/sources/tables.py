@@ -71,31 +71,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot read
-    natively — read it as raw int64 nanos
-    (spark.sql.legacy.parquet.nanosAsLong) and expose timezone-free
-    derived columns so every downstream result is independent of the
-    session timezone (the driver's session may not be UTC):
+    """Load events with a normalized, timezone-free time axis. The
+    fixture's ``ts`` physical type has varied across testdata
+    generations (parquet TIMESTAMP(NANOS) read as int64 via
+    spark.sql.legacy.parquet.nanosAsLong; currently TIMESTAMP(MICROS),
+    which Spark scans as TIMESTAMP_NTZ), so branch on the *scanned*
+    dtype instead of assuming one. Every derivation is independent of
+    the session timezone (the driver's session may not be UTC) and
+    matches DuckDB's ``epoch_us(ts::TIMESTAMP)`` on the oracle side:
 
-    - ``ts_ns``  int64 nanoseconds since epoch (raw)
-    - ``ts_us``  int64 microseconds (floor; matches DuckDB's
-                 ns→us cast truncation)
+    - ``ts_ns``  int64 nanoseconds since epoch (exact: µs * 1000 when
+                 the source is µs-precision)
+    - ``ts_us``  int64 microseconds since epoch
     - ``ts_date`` DateType (tz-free calendar day of the naive value)
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    df = _spread(spark, spark.read.parquet(path), path)
-    # integer division end-to-end: int64 nanos exceed double precision,
-    # so float division would corrupt the low bits.
+    try:
+        raw = spark.read.parquet(path)
+        ts_type = raw.schema["ts"].dataType
+    except AnalysisException:
+        # TIMESTAMP(NANOS) footer without the legacy conf: re-read nanos
+        # as raw int64 (Spark 4 has no native nanos timestamp type).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
+        ts_type = raw.schema["ts"].dataType
+
+    df = _spread(spark, raw, path)
+    if isinstance(ts_type, T.LongType):
+        # nanosAsLong path: ts is already int64 epoch nanos. Integer
+        # division end-to-end — int64 nanos exceed double precision, so
+        # float division would corrupt the low bits.
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn(
+                "ts_date",
+                F.date_from_unix_date(F.expr("ts_ns div 86400000000000").cast("int")),
+            )
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Naive timestamp: epoch micros of the naive value on a fixed
+        # UTC timeline. timestampdiff on two NTZ operands is pure
+        # calendar arithmetic — no session-timezone dependence.
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        )
+    elif isinstance(ts_type, T.TimestampType):
+        # Instant-semantics timestamp: unix_micros is tz-independent by
+        # definition (the stored value is already an instant).
+        ts_us = F.unix_micros(F.col("ts"))
+    else:  # pragma: no cover - future fixture drift fails loudly
+        raise TypeError(f"unsupported events.ts dtype: {ts_type}")
     return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        df.withColumn("ts_us", ts_us)
+        .withColumn("ts_ns", F.expr("ts_us * 1000"))
         .withColumn(
             "ts_date",
-            F.date_from_unix_date(F.expr("ts_ns div 86400000000000").cast("int")),
+            F.date_from_unix_date(F.expr("ts_us div 86400000000").cast("int")),
         )
+        .drop("ts")
     )
 
 
