@@ -106,7 +106,12 @@ def _load_prev_bench() -> dict | None:
     import glob
     import re
 
-    paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+    def round_no(p: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    # numeric sort: lexicographic would put r10 before r2
+    paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")), key=round_no)
     if not paths:
         return None
     try:

@@ -11,20 +11,27 @@ Scale notes:
 - brute-force top-k: one broadcast of the query vector, a single
   narrow projection per row, TakeOrderedAndProject for the top-k —
   the right baseline even at 10^9 vectors when k is small.
-- blocked kNN / near-dup / IVF: candidate pairs are generated ONLY
-  inside a random-hyperplane LSH cell (equi-join on the cell id). The
-  cell id is the low `nbits` bits of a 16-bit sign signature, and
-  `nbits` is derived IN-PLAN from the corpus count (log2(N/target)),
-  so the number of cells GROWS with the data — per-cell population
-  stays ~constant and the pair count stays O(N), never O(N^2/k) with
-  a fixed k. At 100 TB the same plan shape holds: signature map-side,
-  one shuffle on cell, AQE skew-join splits hot cells.
+- blocked kNN / near-dup: candidate pairs are generated ONLY inside
+  a random-hyperplane LSH cell (equi-join on the cell id). The cell
+  id is the low `nbits` bits of a 62-bit sign signature, and `nbits`
+  is derived IN-PLAN from the corpus count (log2(N/target)), so the
+  number of cells GROWS with the data — per-cell population stays
+  ~constant and the pair count stays O(N), never O(N^2/k) with a
+  fixed k, with no practical cap (2^62 cells). At 100 TB the same
+  plan shape holds: signature map-side, one shuffle on cell, AQE
+  skew-join splits hot cells.
+- IVF: a sampled-centroid coarse quantizer (~sqrt(N) centroids,
+  deterministic stride sample = k-means sampled init with zero
+  Lloyd iterations), argmin assignment, multi-probe over the 4
+  nearest cells, exact cosine re-rank.
 """
 
 from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -54,23 +61,26 @@ def _emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH signature (the scale-bearing blocking key)
 # ---------------------------------------------------------------------------
 #
-# 16 fixed hyperplanes over the 64 dims, integer weights in
+# 62 fixed hyperplanes over the 64 dims, integer weights in
 # {-2,-1,1,2} from a seeded RNG, embedded as LITERAL arrays in both
 # the Spark expression and the DuckDB SQL — the sign pattern of the
-# 16 integer dot products is therefore bit-identical across engines
+# 62 integer dot products is therefore bit-identical across engines
 # (all-int64 arithmetic, no float rounding). Identical vectors always
 # land in the same cell, so exact/near-exact duplicates are never
-# split by the blocking.
+# split by the blocking. 62 (not 64) planes: bits 62/63 would push the
+# int64 signature negative, and the two engines' `%` on negative
+# operands is a parity hazard; 2^62 cells already covers ~2^67 rows
+# at the 32-rows/cell target, far past any corpus.
 #
 # The cell id keeps only the low `nbits` bits of the signature, and
 # `nbits` is computed IN-PLAN from COUNT(*) of the blocked set:
-#   nbits = clamp(lo, 16, floor(log2(N / target_cell_rows)))
+#   nbits = clamp(lo, 62, floor(log2(N / target_cell_rows)))
 # so cell count scales ~N/target (pair blocking) or ~sqrt(N) (IVF) —
-# the property the 100 TB path needs. Cost: one tiny scalar aggregate
-# broadcast onto the scan (Spark) / a CROSS JOIN on a 1-row CTE
-# (DuckDB).
+# the property the 100 TB path needs, with no practical cap. Cost: one
+# tiny scalar aggregate broadcast onto the scan (Spark) / a CROSS JOIN
+# on a 1-row CTE (DuckDB).
 
-_N_PLANES = 16
+_N_PLANES = 62
 
 
 def _make_planes() -> list[list[int]]:
@@ -84,65 +94,119 @@ def _make_planes() -> list[list[int]]:
 _PLANES = _make_planes()
 
 
-def _sig_spark() -> str:
-    terms = []
-    for i, ws in enumerate(_PLANES):
-        arr = ",".join(str(w) for w in ws)
-        dot = (
-            f"aggregate(zip_with(q, array({arr}), (x, y) -> x * y), "
-            "0L, (acc, v) -> acc + v)"
-        )
-        terms.append(f"IF({dot} > 0, {1 << i}L, 0L)")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+# Spark-side signature: a vectorized Arrow-batched Pandas UDF doing
+# ONE numpy int64 matvec per batch (n x 64 @ 64 x 62). A pure-SQL
+# 62-term higher-order-function expression is semantically identical
+# but pathological: ~4k interpreted lambda evals per row plus a
+# 30 KB expression tree Catalyst must analyze per query. The UDF is
+# map-side only (no shuffle), exact int64 (|dot| <= 64*2*10^6, far
+# inside both int64 and numpy's exact range), and its sign pattern is
+# bit-identical to the oracle's relational formulation below. This is
+# the one place the engine uses a Pandas UDF in a hot path — the
+# matvec genuinely has no efficient built-in expression.
 
 
-def _sig_duck() -> str:
-    terms = []
-    for i, ws in enumerate(_PLANES):
-        arr = ",".join(str(w) for w in ws)
-        dot = f"list_sum(list_transform(range(1, 65), i -> q[i] * ([{arr}])[i]))"
-        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
-    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+def _sig_col(qcol):
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.asarray(_PLANES, dtype=np.int64).T  # 64 x 62
+    weights = np.int64(1) << np.arange(_N_PLANES, dtype=np.int64)
+
+    @pandas_udf("bigint")
+    def _sig_udf(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack(q.to_numpy()).astype(np.int64, copy=False)  # n x 64
+        dots = m @ planes_t  # n x 62, exact int64
+        return pd.Series(((dots > 0) * weights).sum(axis=1, dtype=np.int64))
+
+    return _sig_udf(qcol)
 
 
-_SIG = _sig_spark()
-_SIG_DUCK = _sig_duck()
+def _planes_duck_values() -> str:
+    """The plane weights as a DuckDB VALUES list: (plane, ws[64])."""
+    return ", ".join(
+        f"({i}, [{','.join(str(w) for w in ws)}])" for i, ws in enumerate(_PLANES)
+    )
 
 # nbits formulas over the blocked-set count `n`; the GREATEST guards
-# tiny inputs, 16 is the signature width. Both engines evaluate
-# IEEE-double log2/sqrt + floor on the same integer count — identical
-# results. _NBITS_PAIR targets ~32 rows/cell (cells ~ N/32, pair cost
-# O(N)); _NBITS_IVF targets ~sqrt(N) cells (per-probe scan ~sqrt(N)).
+# tiny inputs, 62 is the signature width. The inner GREATEST(…, 1.0)
+# keeps log2's argument positive for empty/tiny inputs (log2(0) is
+# -Inf, and ANSI mode turns its int cast into a hard error). Both
+# engines evaluate IEEE-double log2/sqrt + floor on the same integer
+# count — identical results. _NBITS_PAIR targets ~32 rows/cell (cells
+# ~ N/32, pair cost O(N)); _NBITS_IVF targets ~sqrt(N) cells
+# (per-probe scan ~sqrt(N)).
 _NBITS_PAIR = (
-    "GREATEST(1, LEAST(16, CAST(floor(log2(CAST(n AS DOUBLE) / 32.0)) AS INT)))"
+    "GREATEST(1, LEAST(62, CAST(floor("
+    "log2(GREATEST(CAST(n AS DOUBLE) / 32.0, 1.0))) AS INT)))"
 )
 _NBITS_IVF = (
-    "GREATEST(3, LEAST(16, CAST(floor(log2(sqrt(CAST(n AS DOUBLE)))) AS INT)))"
+    "GREATEST(3, LEAST(62, CAST(floor("
+    "log2(GREATEST(sqrt(CAST(n AS DOUBLE)), 1.0))) AS INT)))"
 )
 
 
 def _celled(df: DataFrame, nbits_sql: str) -> DataFrame:
     """Attach `cell` = low-nbits bits of the LSH signature, with nbits
-    derived from COUNT(*) of `df` via a broadcast 1-row scalar."""
-    sigs = df.withColumn("sig", F.expr(_SIG))
+    derived from COUNT(*) of `df` via a broadcast 1-row scalar.
+
+    The signature-bearing frame is persisted (memory-and-disk): every
+    consumer self-joins it, and without staging the signature would be
+    computed once per join side plus once for the count — the round-2
+    bench regression. On a cluster this is the standard 'stage the
+    index' step before a self-join; the count then reads the staged
+    columnar data instead of rescanning the source. The REBALANCE
+    hint lets AQE size the staged partitions by bytes — one task at
+    test scale instead of 32 near-empty ones, thousands of ~64 MB
+    tasks at 100 TB — so every downstream stage over the index runs
+    the right task count for the data, not for the source layout."""
+    sigs = (
+        df.hint("rebalance")
+        .withColumn("sig", _sig_col(F.col("q")))
+        .persist()
+    )
     params = (
-        df.agg(F.count(F.lit(1)).alias("n"))
+        sigs.select("sig")
+        .agg(F.count(F.lit(1)).alias("n"))
         .select(F.expr(nbits_sql).alias("nbits"))
     )
     return (
         sigs.crossJoin(F.broadcast(params))
-        .withColumn("cell", F.expr("sig % shiftleft(1, nbits)"))
+        .withColumn("cell", F.expr("sig % shiftleft(CAST(1 AS BIGINT), nbits)"))
     )
 
 
 def _celled_duck(src: str, nbits_sql: str) -> str:
-    """DuckDB twin of `_celled`: CTE text producing (src.*, cell)."""
-    return f"""
-  SELECT s.*, s.sig % (1 << p.nbits) AS cell
-  FROM (SELECT *, {_SIG_DUCK} AS sig FROM {src}) s
+    """DuckDB twin of `_celled`: a CTE-chain fragment ending in a
+    MATERIALIZED `celled` (src.*, sig, cell). The signature is
+    computed RELATIONALLY (unnest dims -> join literal plane weights
+    -> sum per (vec, plane) -> pack sign bits) instead of a 62-term
+    scalar expression — same exact int64 arithmetic, but vectorized
+    hash-join/agg work instead of ~4k interpreted lambda evals per
+    row, and MATERIALIZED stops DuckDB's CTE inlining from
+    recomputing it once per self-join side. Assumes `src` has a
+    unique vec_id (true for every consumer)."""
+    return f"""planes(plane, ws) AS (VALUES {_planes_duck_values()}),
+sig_dims AS (
+  SELECT vec_id, unnest(q) AS qv, unnest(range(1, 65)) AS dim FROM {src}
+), sig_planes AS (
+  SELECT plane, unnest(ws) AS w, unnest(range(1, 65)) AS dim FROM planes
+), sig_dots AS (
+  SELECT d.vec_id, p.plane, SUM(d.qv * p.w) AS dot
+  FROM sig_dims d JOIN sig_planes p USING (dim)
+  GROUP BY d.vec_id, p.plane
+), sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0
+                       THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS sig
+  FROM sig_dots GROUP BY vec_id
+), celled AS MATERIALIZED (
+  SELECT s.*, s.sig % (CAST(1 AS BIGINT) << p.nbits) AS cell
+  FROM (SELECT t.*, g.sig FROM {src} t JOIN sigs g USING (vec_id)) s
   CROSS JOIN (SELECT {nbits_sql} AS nbits
               FROM (SELECT COUNT(*) AS n FROM {src})) p
-"""
+)"""
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 to the query vector (vec_id=0).
@@ -225,12 +289,11 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIM_KNN_BLOCKED_SQL = f"""
-WITH eq AS (
+WITH eq AS MATERIALIZED (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings WHERE vec_id < 200
-), celled AS ({_celled_duck("eq", _NBITS_PAIR)}
-), pairs AS (
+), {_celled_duck("eq", _NBITS_PAIR)}, pairs AS (
   SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
          CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
@@ -272,43 +335,86 @@ FROM eq GROUP BY label
 """
 
 
-def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN with multi-probe: the hyperplane sign quantizer
-    assigns every vector to one of ~sqrt(N) cells (nbits =
-    floor(log2(sqrt(N))), computed in-plan — the coarse 'inverted
-    file' GROWS with the corpus); each query probes its OWN cell plus
-    the 3 single-bit-flip neighbor cells (multi-probe recovers recall
-    lost at cell boundaries), then ranks candidates by exact cosine
-    and keeps top-3. Cost is |queries| x 4 x N/sqrt(N) = O(|queries| x
-    sqrt(N)) — never the full database. At 100 TB the same plan holds
-    with cells as partition keys (partition pruning per probe); swap
-    the quantizer for sampled k-means centroids without changing the
-    explode-probes -> equi-join-on-cell -> window-top-k shape. Queries
-    restricted to vec_id < 20 for test-scale output."""
-    emb = _celled(_emb_q(spark, sf_dir), _NBITS_IVF)
-    queries = (
-        emb.where(F.col("vec_id") < 20)
+# IVF coarse-quantizer parameters, derived in-plan from COUNT(*):
+# k = ceil(sqrt(N)) centroids, taken as the deterministic stride
+# sample vec_id % stride == 0 (k-means with sampled init and zero
+# Lloyd iterations — data points ARE the centroids, so both engines
+# agree bit-for-bit with no training state). GREATEST guards n = 0.
+_IVF_STRIDE = (
+    "GREATEST(1, CAST(ceil(CAST(n AS DOUBLE) / "
+    "GREATEST(ceil(sqrt(CAST(n AS DOUBLE))), 1.0)) AS BIGINT))"
+)
+_IVF_PROBES = 4  # multi-probe width: query scans its 4 nearest cells
+
+
+def _ivf_topk(emb: DataFrame, query_pred) -> DataFrame:
+    """Shared IVF-ANN core: sampled-centroid coarse quantizer, argmin
+    cell assignment, top-`_IVF_PROBES` probe ranking per query, exact
+    cosine re-rank inside the probed cells, top-3 out.
+
+    Plan shape at scale: centroids are ~sqrt(N) rows and BROADCAST;
+    assignment is one broadcast nested-loop + per-vector window
+    (N x sqrt(N) distance evals — the standard IVF build cost, paid
+    once and cacheable as an index); the candidate join is an
+    EQUI-join on cell id, so each query touches ~P x N/sqrt(N) rows,
+    never the full database. ``query_pred`` is a boolean Column
+    selecting the query vectors.
+
+    The PERSISTED frame is the assignment itself (every vector's
+    top-`_IVF_PROBES` centroids) — that IS the IVF index: building it
+    once serves both the posting lists (crank = 1) and the query
+    probes (crank <= P), instead of paying the N x k distance pass
+    per consumer. REBALANCE: see `_celled`."""
+    emb = emb.hint("rebalance").persist()
+    params = (
+        emb.select("vec_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr(_IVF_STRIDE).alias("stride"))
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(params))
+        .where(F.expr("vec_id % stride = 0"))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("q").alias("cq"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    ccos = F.expr(_DOT.format(a="q", b="cq")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
+    )
+    wc = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", ccos)
+        .withColumn("crank", F.row_number().over(wc))
+        .where(F.col("crank") <= _IVF_PROBES)
+        .persist()
+    )
+    db = (
+        ranked.where(F.col("crank") == 1)
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    probes = (
+        ranked.where(query_pred & (F.col("crank") <= _IVF_PROBES))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("q").alias("qq"),
             F.col("nrm").alias("qnrm"),
-            F.explode(
-                F.expr("array(cell, cell ^ 1, cell ^ 2, cell ^ 4)")
-            ).alias("probe_cell"),
+            F.col("cent_id").alias("probe_cell"),
         )
-    )
-    db = emb.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("label").alias("nbr_label"),
-        F.col("q").alias("qb"),
-        F.col("nrm").alias("nb"),
-        F.col("cell").alias("cell"),
     )
     cos = F.expr(_DOT.format(a="qq", b="qb")).cast("double") / (
         F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     cands = (
-        queries.join(db, queries.probe_cell == db.cell)
+        probes.join(db, probes.probe_cell == db.cell)
         .where(F.col("query_id") != F.col("nbr_id"))
         .select("query_id", "nbr_id", "nbr_label", cos.alias("cosine"))
     )
@@ -320,22 +426,52 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN with multi-probe over a sampled-centroid coarse
+    quantizer: ~sqrt(N) centroids chosen as a deterministic stride
+    sample of the corpus (k-means sampled init, zero iterations — so
+    the 'trained' index is reproducible in-plan on both engines);
+    every vector is assigned to its nearest centroid (argmin cosine);
+    each query probes its 4 nearest cells (multi-probe recovers recall
+    lost at cell boundaries), then ranks candidates by exact cosine
+    and keeps top-3. Query cost is O(P x N/sqrt(N)) = O(sqrt(N)) per
+    query — never the full database; cells are partition keys at
+    100 TB (partition pruning per probe). Queries restricted to
+    vec_id < 20 for test-scale output."""
+    return _ivf_topk(_emb_q(spark, sf_dir), F.col("vec_id") < 20)
+
+
 _SIM_IVF_MULTIPROBE_SQL = f"""
 WITH eq AS (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings
-), celled AS ({_celled_duck("eq", _NBITS_IVF)}
+), prm AS (
+  SELECT {_IVF_STRIDE} AS stride FROM (SELECT COUNT(*) AS n FROM eq)
+), cents AS (
+  SELECT vec_id AS cent_id, q AS cq, nrm AS cnrm
+  FROM eq CROSS JOIN prm WHERE vec_id % stride = 0
+), ranked AS (
+  SELECT e.vec_id, e.label, e.q, e.nrm, c.cent_id,
+         CAST(row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY CAST({_DOT_DUCK.format(a="e.q", b="c.cq")} AS DOUBLE)
+                      / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+                    DESC, c.cent_id) AS INT) AS crank
+  FROM eq e CROSS JOIN cents c
+), db AS (
+  SELECT vec_id AS nbr_id, label AS nbr_label, q AS qb, nrm AS nb,
+         cent_id AS cell
+  FROM ranked WHERE crank = 1
 ), probes AS (
-  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm,
-         unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS probe_cell
-  FROM celled WHERE vec_id < 20
+  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm, cent_id AS probe_cell
+  FROM ranked WHERE vec_id < 20 AND crank <= {_IVF_PROBES}
 ), cands AS (
-  SELECT p.query_id, d.vec_id AS nbr_id, d.label AS nbr_label,
-         CAST({_DOT_DUCK.format(a="p.qq", b="d.q")} AS DOUBLE)
-           / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(d.nrm AS DOUBLE))) AS cosine
-  FROM probes p JOIN celled d ON p.probe_cell = d.cell
-  WHERE p.query_id != d.vec_id
+  SELECT p.query_id, d.nbr_id, d.nbr_label,
+         CAST({_DOT_DUCK.format(a="p.qq", b="d.qb")} AS DOUBLE)
+           / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(d.nb AS DOUBLE))) AS cosine
+  FROM probes p JOIN db d ON p.probe_cell = d.cell
+  WHERE p.query_id != d.nbr_id
 )
 SELECT query_id, nbr_id, nbr_label, cosine, nn_rank FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -387,16 +523,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_EMBEDDING_COSINE_SQL = f"""
-WITH eq AS (
+WITH eq AS MATERIALIZED (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings
-), allv AS (
+), allv AS MATERIALIZED (
   SELECT vec_id, label, q, nrm FROM eq
   UNION ALL
   SELECT vec_id + 1000000, label, q, nrm FROM eq
-), celled AS ({_celled_duck("allv", _NBITS_PAIR)}
-), pairs AS (
+), {_celled_duck("allv", _NBITS_PAIR)}, pairs AS (
   SELECT a.vec_id AS keeper_id, b.vec_id AS dup_id, a.label,
          CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
            / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine

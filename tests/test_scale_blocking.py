@@ -44,11 +44,19 @@ def _nbits(spark, formula: str, n: int) -> int:
 
 def test_nbits_grows_with_corpus(spark):
     """Cell count = 2^nbits must scale with N: ~N/32 cells for pair
-    blocking, ~sqrt(N) cells for IVF — never a constant."""
+    blocking, ~sqrt(N) cells for IVF — never a constant. The round-2
+    16-bit cap re-quadratized past ~2M rows; the signature is now 62
+    bits wide, so growth must continue well past 2^30 rows."""
     pair = [_nbits(spark, S._NBITS_PAIR, n) for n in (64, 4096, 1 << 20, 1 << 30)]
-    assert pair == [1, 7, 15, 16]  # doubles per 2x input until the 16-bit cap
+    assert pair == [1, 7, 15, 25]  # doubles per 2x input, NO 16-bit cap
+    assert _nbits(spark, S._NBITS_PAIR, 1 << 30) > 16
+    assert _nbits(spark, S._NBITS_PAIR, 1 << 50) == 45  # still growing
     ivf = [_nbits(spark, S._NBITS_IVF, n) for n in (64, 4096, 1 << 20, 1 << 30)]
     assert ivf == [3, 6, 10, 15]  # ~log2(sqrt(N))
+    assert _nbits(spark, S._NBITS_IVF, 1 << 40) == 20  # past the old cap
+    # empty/tiny inputs must not hit log2(0) (ANSI cast of -Inf errors)
+    assert _nbits(spark, S._NBITS_PAIR, 0) == 1
+    assert _nbits(spark, S._NBITS_IVF, 0) == 3
 
 
 def test_occupied_cells_grow_with_input(spark, sf_dir):
@@ -66,10 +74,10 @@ def test_occupied_cells_grow_with_input(spark, sf_dir):
 
 
 def test_signature_not_degenerate(spark, sf_dir):
-    """Regression guard for the constant-plane bug: the 16-bit
+    """Regression guard for the constant-plane bug: the 62-bit
     signature must take many distinct values, not collapse to the
     sign of sum(q)."""
-    emb = S._emb_q(spark, sf_dir).withColumn("sig", F.expr(S._SIG))
+    emb = S._emb_q(spark, sf_dir).withColumn("sig", S._sig_col(F.col("q")))
     n = emb.count()
     nsig = emb.select("sig").distinct().count()
     assert nsig > n // 2
@@ -80,6 +88,27 @@ def test_dedup_blocking_has_full_recall_on_planted_pairs(spark, sf_dir):
     every planted duplicate: exactly one pair per original vector."""
     n = S._emb_q(spark, sf_dir).count()
     assert S.dedup_embedding_cosine(spark, sf_dir).count() == n
+
+
+def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
+    """The sampled-centroid quantizer must not cost recall on true
+    neighbors: plant an identical copy of every vector (vec_id +
+    1_000_000); identical vectors always rank centroids identically,
+    so the copy lands in the query's own (always-probed) cell and must
+    come back as the rank-1 neighbor at cosine 1.0 for every query."""
+    emb = S._emb_q(spark, sf_dir)
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
+    )
+    res = S._ivf_topk(emb.unionByName(planted), F.col("vec_id") < 20)
+    top1 = {
+        r["query_id"]: (r["nbr_id"], r["cosine"])
+        for r in res.where(F.col("nn_rank") == 1).collect()
+    }
+    assert set(top1) == set(range(20))
+    for qid, (nbr, cos) in top1.items():
+        assert nbr == qid + 1000000, (qid, nbr)
+        assert abs(cos - 1.0) < 1e-12
 
 
 def test_simhash_band_keys_scale(spark, sf_dir):
