@@ -83,26 +83,46 @@ FROM t WHERE bucket < rate_permille
 
 
 _BUDGET = 20_000  # tokens per training shard
-_BLOCK = 100  # doc_ids per cumsum block
+
+# Cumsum block width, derived IN-PLAN from COUNT(*): ~sqrt(N) doc_ids
+# per block, so BOTH the block-totals table (the only sequentially
+# windowed thing) and each block-local window hold ~sqrt(N) rows —
+# ~30k at a billion documents, never O(N) through one partition. A
+# fixed width would put N/width rows through the offsets window at
+# scale (the round-2 defect: width 100 -> 10M single-partition rows
+# at 1e9 docs). GREATEST guards the empty corpus.
+_SHARD_BLOCK_WIDTH = (
+    "GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))"
+)
 
 
 def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents (in doc_id order) into training shards of
-    ~_BUDGET tokens: shard = floor(running_token_sum_before_doc /
-    _BUDGET). The running sum is computed DISTRIBUTED: per-block
-    token totals (block = doc_id div _BLOCK), a window over the tiny
-    block-totals table for block offsets, then a block-local window
-    adds the offset — no single-partition global window anywhere.
-    A shard can overshoot the budget by at most one document (the
-    standard streaming-packing relaxation; exact bin packing is
-    sequential by nature)."""
+    ~_BUDGET tokens: shard = running_token_sum_before_doc div
+    _BUDGET. The running sum is computed DISTRIBUTED: per-block token
+    totals (block = doc_id div width, width ~ sqrt(N) from COUNT(*)),
+    one window over the ~sqrt(N)-row block-totals table for block
+    offsets, then a block-local window adds the offset — the only
+    sequential step touches sqrt(N) rows, not N. Integer division
+    end-to-end (token totals at corpus scale exceed double
+    precision). A shard can overshoot the budget by at most one
+    document (the standard streaming-packing relaxation; exact bin
+    packing is sequential by nature)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        F.expr(f"doc_id div {_BLOCK}").alias("block"),
         F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
     )
-    block_totals = toks.groupBy("block").agg(F.sum("n_tokens").alias("block_sum"))
+    params = (
+        toks.select("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.expr(_SHARD_BLOCK_WIDTH).alias("block_width"))
+    )
+    blocked = (
+        toks.crossJoin(F.broadcast(params))
+        .withColumn("block", F.expr("doc_id div block_width"))
+    )
+    block_totals = blocked.groupBy("block").agg(F.sum("n_tokens").alias("block_sum"))
     w_blocks = W.orderBy("block").rowsBetween(W.unboundedPreceding, -1)
     offsets = block_totals.select(
         "block",
@@ -112,7 +132,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.partitionBy("block").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     )
     return (
-        toks.join(F.broadcast(offsets), "block")
+        blocked.join(F.broadcast(offsets), "block")
         .select(
             "doc_id",
             "n_tokens",
@@ -125,7 +145,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "tokens_before",
-            (F.col("tokens_before") / _BUDGET).cast("long").alias("shard"),
+            F.expr(f"tokens_before div {_BUDGET}").alias("shard"),
         )
     )
 

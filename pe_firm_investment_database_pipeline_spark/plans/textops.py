@@ -15,9 +15,12 @@ DuckDB oracle. Scale notes per operator:
 - MinHash+LSH: k=16 keyed-md5 min-hashes, 4 bands x 4 rows; candidate
   pairs via equi-join on (band, band_key). This is the sub-quadratic
   scale path: cost is O(docs x k) + join on collisions only.
-- SimHash: 16-dim signature from per-token md5 digits; Hamming <= 3
-  within blocking buckets. Pairwise compare is shown at test scale;
-  the blocking key (first band) is what survives 100 TB.
+- SimHash: 64-bit signature (majority vote over distinct-token md5
+  bits) stored as a 4 x 16-bit band array; candidate pairs via
+  equi-join on (band, band_value) — a doc pair within Hamming
+  distance 3 of 64 shares at least one full band (pigeonhole), so
+  banding loses no recall. Occupied band keys grow with the corpus,
+  so the join stays sub-quadratic at 100 TB.
 """
 
 from __future__ import annotations

@@ -90,6 +90,38 @@ def test_dedup_blocking_has_full_recall_on_planted_pairs(spark, sf_dir):
     assert S.dedup_embedding_cosine(spark, sf_dir).count() == n
 
 
+def test_shard_block_width_scales(spark, sf_dir):
+    """shard_by_token_budget's only sequential step is the window over
+    block totals; block width ~ sqrt(N) keeps that table ~sqrt(N) rows.
+    A fixed width would put N/width rows through one partition."""
+    from pe_firm_investment_database_pipeline_spark.plans import datapipe as D
+
+    def width(n):
+        return (
+            spark.range(1)
+            .select(F.lit(n).alias("n"))
+            .select(F.expr(D._SHARD_BLOCK_WIDTH).alias("w"))
+            .first()[0]
+        )
+
+    assert width(0) == 1  # empty corpus must not divide by zero
+    assert width(10**6) == 1000
+    assert width(10**12) == 10**6  # 1e12 docs -> 1e6-row offsets window
+
+    # and the distributed cumsum must equal the naive sequential one
+    rows = (
+        D.shard_by_token_budget(spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert rows
+    running = 0
+    for r in rows:
+        assert r["tokens_before"] == running, r
+        assert r["shard"] == running // D._BUDGET, r
+        running += r["n_tokens"]
+
+
 def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
     """The sampled-centroid quantizer must not cost recall on true
     neighbors: plant an identical copy of every vector (vec_id +
