@@ -106,21 +106,30 @@ _PLANES = _make_planes()
 # matvec genuinely has no efficient built-in expression.
 
 
+_PLANES_T = np.asarray(_PLANES, dtype=np.int64).T  # 64 x 62
+_BIT_WEIGHTS = np.int64(1) << np.arange(_N_PLANES, dtype=np.int64)
+
+
+def _sig_pandas(q: pd.Series) -> pd.Series:
+    if len(q) == 0:
+        return pd.Series([], dtype="int64")
+    m = np.stack(q.to_numpy()).astype(np.int64, copy=False)  # n x 64
+    dots = m @ _PLANES_T  # n x 62, exact int64
+    return pd.Series(((dots > 0) * _BIT_WEIGHTS).sum(axis=1, dtype=np.int64))
+
+
+# Created ONCE and memoized (pandas_udf needs an active session, so
+# not at import): every query reuses the same serialized UDF, so the
+# persisted signature frame's plan is identical across invocations
+# and Spark's CacheManager can recognize and reuse it.
+_SIG_UDF = None
+
+
 def _sig_col(qcol):
-    from pyspark.sql.functions import pandas_udf
-
-    planes_t = np.asarray(_PLANES, dtype=np.int64).T  # 64 x 62
-    weights = np.int64(1) << np.arange(_N_PLANES, dtype=np.int64)
-
-    @pandas_udf("bigint")
-    def _sig_udf(q: pd.Series) -> pd.Series:
-        if len(q) == 0:
-            return pd.Series([], dtype="int64")
-        m = np.stack(q.to_numpy()).astype(np.int64, copy=False)  # n x 64
-        dots = m @ planes_t  # n x 62, exact int64
-        return pd.Series(((dots > 0) * weights).sum(axis=1, dtype=np.int64))
-
-    return _sig_udf(qcol)
+    global _SIG_UDF
+    if _SIG_UDF is None:
+        _SIG_UDF = F.pandas_udf(_sig_pandas, "bigint")
+    return _SIG_UDF(qcol)
 
 
 def _planes_duck_values() -> str:
@@ -271,8 +280,7 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
-    dot = F.expr(_DOT.format(a="qa", b="qb"))
-    cos = dot.cast("double") / (
+    cos = F.expr(_DOT.format(a="qa", b="qb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
     pairs = (
