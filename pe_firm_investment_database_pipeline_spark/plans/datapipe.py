@@ -170,28 +170,38 @@ FROM c
 _CONTAM_MIN_SHARED = 3  # shared 3-gram shingles to flag
 
 
-def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark-contamination check: flag training documents sharing
-    >= {K} 3-gram shingles with any benchmark document (benchmark
-    stand-in: doc_id % 97 == 0, excluded from the training side).
-    The benchmark shingle table is BROADCAST — eval sets are tiny
-    next to a 100 TB corpus — so the corpus side is a single
-    shuffle-free scan + broadcast hash join, then one aggregation on
-    the (train, bench) pairs actually sharing shingles."""
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    bench = sh.where(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("bench_id"), "s"
-    )
-    train = sh.where(F.col("doc_id") % 97 != 0)
+def contamination_check(
+    train_shingles: DataFrame, bench_shingles: DataFrame
+) -> DataFrame:
+    """Core contamination join: flag training documents sharing >=
+    _CONTAM_MIN_SHARED shingles with any benchmark document. The
+    benchmark shingle table is BROADCAST — eval sets are tiny next to
+    a 100 TB corpus — so the corpus side is a single shuffle-free
+    scan + broadcast hash join, then one aggregation on the (train,
+    bench) pairs actually sharing shingles. In production the bench
+    side is its own small table; the registry entry below derives a
+    stand-in from the corpus because the fixture ships no separate
+    benchmark set (that derivation scans the corpus once more, a cost
+    the real separate-table layout does not pay)."""
     return (
-        train.join(F.broadcast(bench), "s")
+        train_shingles.join(F.broadcast(bench_shingles), "s")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .where(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
     )
 
 
-contamination_ngram.__doc__ = contamination_ngram.__doc__.format(K=_CONTAM_MIN_SHARED)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check over the documents table, with
+    doc_id % 97 == 0 as the benchmark stand-in (excluded from the
+    training side). See `contamination_check` for the scale shape."""
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    return contamination_check(train, bench)
+
 
 _CONTAMINATION_NGRAM_SQL = f"""
 WITH shingled AS ({_SHINGLED_DUCK}
