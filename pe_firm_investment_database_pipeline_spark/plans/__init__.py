@@ -49,6 +49,8 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
+        # new in round 4
+        "chunk_token_windows",
         # never driver-recorded in r01-r03
         "math_backoff",
         "win_sessionize_batch",

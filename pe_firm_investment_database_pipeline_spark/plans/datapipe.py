@@ -167,6 +167,76 @@ FROM c
 """
 
 
+# Window width is deliberately SMALL relative to the fixture's ~100-token
+# documents so the multi-chunk explode path is actually exercised by the
+# correctness gate (512 would leave every doc single-chunk and the
+# operator vacuously green).
+_CHUNK = 32  # tokens per training context window
+
+
+def chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into <= _CHUNK-token context windows: one output
+    row per (doc, chunk) with its token range. Empty documents keep a
+    single empty chunk (training pipelines drop them downstream, but
+    silently losing rows here would hide corpus bugs).
+
+    Scale shape: a pure NARROW transformation — per-row token count,
+    in-row sequence, explode. No shuffle, no window, no aggregate
+    anywhere; at 100 TB this runs at scan speed and composes with
+    partition pruning. Integer arithmetic end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
+    )
+    return (
+        toks.withColumn(
+            "n_chunks",
+            F.expr(f"GREATEST(CAST(1 AS BIGINT), (n_tokens + {_CHUNK - 1}) div {_CHUNK})"),
+        )
+        # n_chunks >= 1, so sequence() never sees a negative span
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.explode(
+                F.expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "chunk_id",
+            (F.col("chunk_id") * _CHUNK).alias("tok_start"),
+            F.least(
+                F.lit(_CHUNK).cast("long"),
+                F.col("n_tokens") - F.col("chunk_id") * _CHUNK,
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+_CHUNK_TOKEN_WINDOWS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         GREATEST(CAST(1 AS BIGINT), (n_tokens + {_CHUNK - 1}) // {_CHUNK})
+           AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, n_tokens,
+         CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_id
+  FROM c
+)
+SELECT doc_id, n_tokens, chunk_id,
+       chunk_id * {_CHUNK} AS tok_start,
+       LEAST(CAST({_CHUNK} AS BIGINT), n_tokens - chunk_id * {_CHUNK})
+         AS chunk_tokens
+FROM e
+"""
+
+
 _CONTAM_MIN_SHARED = 3  # shared 3-gram shingles to flag
 
 
@@ -222,6 +292,9 @@ QUERIES = {
     ),
     "shard_by_token_budget": QuerySpec(
         shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)
+    ),
+    "chunk_token_windows": QuerySpec(
+        chunk_token_windows, _CHUNK_TOKEN_WINDOWS_SQL, ("sharding", "chunking")
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")
