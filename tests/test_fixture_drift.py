@@ -27,6 +27,67 @@ def test_every_table_loads(spark, sf_dir, name):
     assert df.limit(1).count() >= 0
 
 
+def _write_events_parquet(path, ts_type):
+    """Synthetic events.parquet with a known time axis in the given
+    physical type, so every `_load_events` dtype branch stays covered
+    even when the driver's fixture only ships one of them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 2024-01-01T00:00:00Z + {0s, 1.5s, 86400s}; epoch micros below
+    base_us = 1_704_067_200_000_000
+    offsets_us = [0, 1_500_000, 86_400_000_000]
+    table = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [base_us + o for o in offsets_us], pa.timestamp("us")
+            ).cast(ts_type),
+            "user_id": pa.array([10, 11, 12], pa.int64()),
+            "event_type": pa.array(["a", "b", "c"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+            "props": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    pq.write_table(table, path)
+    return base_us, offsets_us
+
+
+@pytest.mark.parametrize(
+    "ts_type_name", ["timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]"]
+)
+def test_events_loader_handles_every_physical_type(spark, tmp_path, ts_type_name):
+    """The fixture's ts physical type has already flipped once between
+    rounds (nanos -> micros). All three branches — nanosAsLong int64,
+    TIMESTAMP_NTZ, and instant TIMESTAMP — must yield the same
+    tz-independent ts_us/ts_ns/ts_date."""
+    import pyarrow as pa
+
+    ts_type = {
+        "timestamp[ns]": pa.timestamp("ns"),
+        "timestamp[us]": pa.timestamp("us"),
+        "timestamp[us, tz=UTC]": pa.timestamp("us", tz="UTC"),
+    }[ts_type_name]
+    sf_dir = str(tmp_path)
+    base_us, offsets_us = _write_events_parquet(
+        f"{sf_dir}/events.parquet", ts_type
+    )
+    ev = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_id"]: r
+        for r in ev.select("event_id", "ts_us", "ts_ns", "ts_date").collect()
+    }
+    assert len(got) == 3
+    for i, off in enumerate(offsets_us):
+        want_us = base_us + off
+        assert got[i]["ts_us"] == want_us, ts_type_name
+        assert got[i]["ts_ns"] == want_us * 1000, ts_type_name
+        assert (
+            got[i]["ts_date"].toordinal() - 719163  # days since 1970-01-01
+            == want_us // 86_400_000_000
+        ), ts_type_name
+
+
 def test_events_time_axis_matches_duckdb(spark, sf_dir):
     """ts_us/ts_ns/ts_date must be session-timezone-independent and agree
     with the DuckDB oracle's epoch_us(ts::TIMESTAMP) derivation."""
