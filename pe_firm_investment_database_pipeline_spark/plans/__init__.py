@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     priority = [
         # new in round 4
         "chunk_token_windows",
+        "mm_resize",
         # never driver-recorded in r01-r03
         "math_backoff",
         "win_sessionize_batch",

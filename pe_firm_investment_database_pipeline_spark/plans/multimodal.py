@@ -214,9 +214,97 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_resize — payload downsampling stage (bytes in, smaller bytes out)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 64  # output payload budget in bytes
+
+
+def fake_resize(payload: bytes) -> bytes:
+    """Deterministic stand-in for an image resize: stride-subsample the
+    payload down to <= RESIZE_TARGET bytes (stride = len div target,
+    then truncate). Bytes in -> smaller bytes out, which is exactly
+    the batch shape a PIL/ffmpeg scaler has; pure function of the
+    input so DuckDB can recompute it from the hex encoding."""
+    if not payload:
+        return b""
+    k = max(1, len(payload) // RESIZE_TARGET)
+    return payload[::k][:RESIZE_TARGET]
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over image payloads as ``mapInPandas``: Arrow
+    batches of (doc_id, payload) -> (doc_id, orig_len, resized_len,
+    resized_md5). Runs only on the image-typed rows — the metadata
+    filter prunes BEFORE the Python hop, the discipline that matters
+    when 100 TB of video shares the table with the images."""
+    p = _payloads(spark, sf_dir).where(F.col("media_type") == "image/png").select(
+        "doc_id", "payload"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [fake_resize(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_len": pd.Series(
+                        [len(b) for b in pdf["payload"]], dtype="int64"
+                    ),
+                    "resized_len": pd.Series(
+                        [len(r) for r in resized], dtype="int64"
+                    ),
+                    # md5 over the lowercase HEX of the bytes (DuckDB's
+                    # md5 is VARCHAR-only, so the blob itself can't hash)
+                    "resized_md5": [
+                        hashlib.md5(r.hex().encode()).hexdigest() for r in resized
+                    ],
+                }
+            )
+
+    return p.mapInPandas(
+        resize,
+        schema="doc_id long, orig_len long, resized_len long, resized_md5 string",
+    )
+
+
+# DuckDB twin: rebuild the strided byte subsequence from the hex
+# encoding (2 hex chars per byte), unhex it back to a BLOB, md5 that.
+_MM_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id, encode(text) AS payload,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 0
+), params AS (
+  SELECT doc_id, payload, blen,
+         GREATEST(1, blen // {RESIZE_TARGET}) AS k
+  FROM img
+), resized AS (
+  SELECT doc_id, blen,
+         CASE WHEN blen = 0 THEN ''
+              ELSE array_to_string(
+                list_transform(
+                  range(0, LEAST({RESIZE_TARGET},
+                                 (blen + k - 1) // k)),
+                  i -> substr(hex(payload), CAST(i * k * 2 + 1 AS BIGINT), 2)),
+                '')
+         END AS rhex
+  FROM params
+)
+SELECT doc_id, blen AS orig_len,
+       CAST(length(rhex) // 2 AS BIGINT) AS resized_len,
+       md5(lower(rhex)) AS resized_md5
+FROM resized
+"""
+
+
 QUERIES = {
     "mm_binary_meta": QuerySpec(
         mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
+    ),
+    "mm_resize": QuerySpec(
+        mm_resize, _MM_RESIZE_SQL, ("multimodal", "pandas_udf")
     ),
     "mm_feature_extract": QuerySpec(
         mm_feature_extract, _MM_FEATURE_EXTRACT_SQL, ("multimodal", "pandas_udf")
