@@ -115,10 +115,18 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if isinstance(ts_type, T.TimestampNTZType):
         # Naive timestamp: epoch micros of the naive value on a fixed
-        # UTC timeline. timestampdiff on two NTZ operands is pure
-        # calendar arithmetic — no session-timezone dependence.
+        # UTC timeline, built from CALENDAR COMPONENTS (date, hour,
+        # minute, second-with-fraction). Component extraction on NTZ
+        # is pure calendar arithmetic; crucially, timestampdiff is
+        # NOT — Spark coerces NTZ operands to session-zone instants,
+        # and the epoch literal cancels the event's zone offset only
+        # when both share the same UTC offset (breaks across DST, or
+        # in any zone whose standard offset changed since 1970).
         ts_us = F.expr(
-            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+            "CAST(unix_date(CAST(ts AS DATE)) AS BIGINT) * 86400000000"
+            " + CAST(extract(HOUR FROM ts) AS BIGINT) * 3600000000"
+            " + CAST(extract(MINUTE FROM ts) AS BIGINT) * 60000000"
+            " + CAST(extract(SECOND FROM ts) * 1000000 AS BIGINT)"
         )
     elif isinstance(ts_type, T.TimestampType):
         # Instant-semantics timestamp: unix_micros is tz-independent by

@@ -34,33 +34,43 @@ def _write_events_parquet(path, ts_type):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # 2024-01-01T00:00:00Z + {0s, 1.5s, 86400s}; epoch micros below
+    # 2024-01-01T00:00:00Z + {0s, 1.5s, 1 day, ~6 months}: the July
+    # point sits on the other side of a DST transition in most
+    # northern-hemisphere zones, which is exactly what a session-tz-
+    # dependent derivation gets wrong.
     base_us = 1_704_067_200_000_000
-    offsets_us = [0, 1_500_000, 86_400_000_000]
+    offsets_us = [0, 1_500_000, 86_400_000_000, 182 * 86_400_000_000]
+    n = len(offsets_us)
     table = pa.table(
         {
-            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "event_id": pa.array(list(range(n)), pa.int64()),
             "ts": pa.array(
                 [base_us + o for o in offsets_us], pa.timestamp("us")
             ).cast(ts_type),
-            "user_id": pa.array([10, 11, 12], pa.int64()),
-            "event_type": pa.array(["a", "b", "c"]),
-            "value": pa.array([1.0, 2.0, 3.0]),
-            "props": pa.array(["{}", "{}", "{}"]),
+            "user_id": pa.array([10 + i for i in range(n)], pa.int64()),
+            "event_type": pa.array([chr(97 + i) for i in range(n)]),
+            "value": pa.array([float(i) for i in range(n)]),
+            "props": pa.array(["{}"] * n),
         }
     )
     pq.write_table(table, path)
     return base_us, offsets_us
 
 
+@pytest.mark.parametrize("session_tz", ["UTC", "America/New_York"])
 @pytest.mark.parametrize(
     "ts_type_name", ["timestamp[ns]", "timestamp[us]", "timestamp[us, tz=UTC]"]
 )
-def test_events_loader_handles_every_physical_type(spark, tmp_path, ts_type_name):
+def test_events_loader_handles_every_physical_type(
+    spark, tmp_path, ts_type_name, session_tz
+):
     """The fixture's ts physical type has already flipped once between
     rounds (nanos -> micros). All three branches — nanosAsLong int64,
     TIMESTAMP_NTZ, and instant TIMESTAMP — must yield the same
-    tz-independent ts_us/ts_ns/ts_date."""
+    ts_us/ts_ns/ts_date, in ANY session timezone and on BOTH sides of
+    a DST transition (the synthetic axis includes a July point; a
+    session-zone-coerced derivation is exactly one hour off there
+    under America/New_York)."""
     import pyarrow as pa
 
     ts_type = {
@@ -72,20 +82,26 @@ def test_events_loader_handles_every_physical_type(spark, tmp_path, ts_type_name
     base_us, offsets_us = _write_events_parquet(
         f"{sf_dir}/events.parquet", ts_type
     )
-    ev = load_table(spark, sf_dir, "events")
-    got = {
-        r["event_id"]: r
-        for r in ev.select("event_id", "ts_us", "ts_ns", "ts_date").collect()
-    }
-    assert len(got) == 3
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", session_tz)
+        ev = load_table(spark, sf_dir, "events")
+        got = {
+            r["event_id"]: r
+            for r in ev.select("event_id", "ts_us", "ts_ns", "ts_date").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    assert len(got) == len(offsets_us)
     for i, off in enumerate(offsets_us):
         want_us = base_us + off
-        assert got[i]["ts_us"] == want_us, ts_type_name
-        assert got[i]["ts_ns"] == want_us * 1000, ts_type_name
+        ctx = (ts_type_name, session_tz, i)
+        assert got[i]["ts_us"] == want_us, ctx
+        assert got[i]["ts_ns"] == want_us * 1000, ctx
         assert (
             got[i]["ts_date"].toordinal() - 719163  # days since 1970-01-01
             == want_us // 86_400_000_000
-        ), ts_type_name
+        ), ctx
 
 
 def test_events_time_axis_matches_duckdb(spark, sf_dir):
