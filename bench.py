@@ -110,22 +110,23 @@ def _load_prev_bench() -> dict | None:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
-    # numeric sort: lexicographic would put r10 before r2
+    # numeric sort: lexicographic would put r10 before r2; walk back
+    # from the newest round until one actually parsed (a crashed bench
+    # round records no numbers — r03 — and must not mask r02's).
     paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")), key=round_no)
-    if not paths:
-        return None
-    try:
-        doc = json.load(open(paths[-1]))
-    except (OSError, json.JSONDecodeError):
-        return None
-    if "queries" in doc:
-        return doc
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if m:
+    for path in reversed(paths):
         try:
-            return json.loads(m.group(0))
-        except json.JSONDecodeError:
-            return None
+            doc = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "queries" in doc:
+            return doc
+        m = re.search(r'\{"metric".*\}', doc.get("tail", "") or "")
+        if m:
+            try:
+                return json.loads(m.group(0))
+            except json.JSONDecodeError:
+                continue
     return None
 
 
