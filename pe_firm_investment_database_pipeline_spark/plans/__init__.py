@@ -52,6 +52,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # new in round 4
         "chunk_token_windows",
         "mm_resize",
+        # upgraded rows-only -> full oracle in round 4
+        "dedup_connected_components",
         # never driver-recorded in r01-r03
         "math_backoff",
         "win_sessionize_batch",

@@ -12,9 +12,11 @@ joins + one aggregate, all DataFrame ops, with an explicit
 driver-side convergence check (the only driver involvement is
 comparing two counts).
 
-The driver records a rows-only check for this entry (no ANSI-SQL
-oracle for a fixed-point loop); exactness is covered by
-tests/test_components.py against hand-computed clusters.
+Although the Spark side is iterative, the FIXPOINT itself is unique
+and SQL-expressible, so the entry carries a full DuckDB oracle (a
+recursive transitive-closure CTE + MIN) and gets the driver's exact
+value-hash check; tests/test_components.py additionally pins
+hand-computed clusters and convergence behavior.
 
 Scale notes: this is the standard Big-CC shape (alternating
 small-star/large-star is the production refinement); state per
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
-from .textops import dedup_minhash_lsh
+from .textops import _DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
 
 MAX_ITERS = 20
 
@@ -105,8 +107,34 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The min-label fixpoint is UNIQUE (component id = min reachable
+# vertex), so even though the Spark side is iterative, the result is
+# exactly SQL-expressible: DuckDB's recursive CTE builds the
+# transitive closure (fine at oracle scale; the closure is
+# O(sum comp_size^2), and test-corpus clusters are tiny) and takes
+# MIN over reachable vertices. This upgrades the entry from the
+# driver's weaker rows-only check to a full value-hash match.
+_DEDUP_CONNECTED_COMPONENTS_SQL = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+)
+SELECT v AS doc_id, MIN(r) AS cluster_id, v = MIN(r) AS is_keeper
+FROM reach GROUP BY v
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
-        dedup_connected_components, None, ("dedup", "iterative")
+        dedup_connected_components,
+        _DEDUP_CONNECTED_COMPONENTS_SQL,
+        ("dedup", "iterative"),
     ),
 }
