@@ -63,11 +63,16 @@ def main() -> None:
     registry = all_queries()
 
     # JVM/codegen warmup on the smallest sf so headline timings measure
-    # the query, not first-call initialization.
+    # the query, not first-call initialization. The second warmup query
+    # starts the Python/Arrow worker pool (pandas-UDF queries otherwise
+    # pay ~2 s x 32 workers inside their first timed run).
     warm_dir = "/root/testdata/sf0.001"
     registry["flagship_revenue_by_nation"].fn(spark, warm_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+    registry["sim_knn_blocked"].fn(spark, warm_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for op_id in HEADLINE:

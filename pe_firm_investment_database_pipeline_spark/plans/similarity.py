@@ -156,25 +156,29 @@ _NBITS_IVF = (
 )
 
 
-def _celled(df: DataFrame, nbits_sql: str) -> DataFrame:
+def _celled(df: DataFrame, nbits_sql: str, stage: bool = True) -> DataFrame:
     """Attach `cell` = low-nbits bits of the LSH signature, with nbits
     derived from COUNT(*) of `df` via a broadcast 1-row scalar.
 
-    The signature-bearing frame is persisted (memory-and-disk): every
-    consumer self-joins it, and without staging the signature would be
-    computed once per join side plus once for the count — the round-2
-    bench regression. On a cluster this is the standard 'stage the
-    index' step before a self-join; the count then reads the staged
-    columnar data instead of rescanning the source. The REBALANCE
-    hint lets AQE size the staged partitions by bytes — one task at
-    test scale instead of 32 near-empty ones, thousands of ~64 MB
-    tasks at 100 TB — so every downstream stage over the index runs
-    the right task count for the data, not for the source layout."""
-    sigs = (
-        df.hint("rebalance")
-        .withColumn("sig", _sig_col(F.col("q")))
-        .persist()
-    )
+    With ``stage=True`` the signature-bearing frame is persisted
+    (memory-and-disk): a corpus-scale consumer self-joins it, and
+    without staging the signature would be computed once per join side
+    plus once for the count — the round-2 bench regression. On a
+    cluster this is the standard 'stage the index' step before a
+    self-join; the count then reads the staged columnar data instead
+    of rescanning the source. The REBALANCE hint lets AQE size the
+    staged partitions by bytes — one task at test scale instead of 32
+    near-empty ones, thousands of ~64 MB tasks at 100 TB — so every
+    downstream stage over the index runs the right task count for the
+    data, not for the source layout.
+
+    Pass ``stage=False`` when the blocked set is small BY
+    CONSTRUCTION (e.g. a literal key-range filter): recomputing the
+    cheap map-side signature per join side costs less than the
+    persist/cache bookkeeping jobs."""
+    sigs = df.hint("rebalance").withColumn("sig", _sig_col(F.col("q")))
+    if stage:
+        sigs = sigs.persist()
     params = (
         sigs.select("sig")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -266,7 +270,11 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set stays O(N), not O(N^2 / constant) — the property
     the old 10-value `label` blocking lacked at 100 TB.
     Restricted to vec_id < 200 to keep the test-scale result compact."""
-    emb = _celled(_emb_q(spark, sf_dir).where(F.col("vec_id") < 200), _NBITS_PAIR)
+    emb = _celled(
+        _emb_q(spark, sf_dir).where(F.col("vec_id") < 200),
+        _NBITS_PAIR,
+        stage=False,  # 200-row set by construction; staging costs more
+    )
     a = emb.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("label"),
