@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # new in round 4
         "chunk_token_windows",
         "mm_resize",
+        "stream_join_interval",
         # upgraded rows-only -> full oracle in round 4
         "dedup_connected_components",
         # never driver-recorded in r01-r03

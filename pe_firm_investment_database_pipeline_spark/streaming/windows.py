@@ -93,17 +93,33 @@ def _read_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _run(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Execute to completion into a memory sink; return the result."""
-    name = f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    """Execute to completion into a memory sink; return the result.
+
+    Shuffle partitions are scoped down for the query's lifetime (and
+    restored after): every stateful streaming operator creates one
+    state store PER shuffle partition at query start, and a default
+    200-partition session spends its wall time instantiating hundreds
+    of near-empty stores for this finite input (a stream-stream join
+    holds four stores per partition — 22 s at 200 partitions vs ~3 s
+    at 32, same result). A production long-running stream sizes this
+    to its state volume deliberately; 32 matches the test scale and
+    the local core count."""
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    scoped = str(min(int(prev), 32)) if str(prev).isdigit() else "32"
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    spark.conf.set("spark.sql.shuffle.partitions", scoped)
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -375,9 +391,78 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_join_interval — watermarked stream-stream interval join
+# ---------------------------------------------------------------------------
+
+def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    each view event joins the same user's purchase events landing in
+    (view_ts, view_ts + 1 hour]. Both sides carry watermarks, which —
+    together with the time-range predicate — lets Spark bound the join
+    state: a buffered view can be evicted once the purchase-side
+    watermark passes view_ts + 1 hour (the production property that
+    makes stream-stream joins runnable forever). The driver input is
+    finite and arrives as one availableNow batch, so state eviction
+    never drops a match here and the result equals the batch interval
+    join exactly — hash-checked against the DuckDB oracle."""
+    path = _prepare_input(spark, sf_dir)
+    views = (
+        _read_stream(spark, path)
+        .where("event_type = 'view'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        _read_stream(spark, path)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND buy_ts > view_ts "
+            "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        "buy_id",
+        F.col("view_ts").cast("long").alias("view_ts_s"),
+        F.col("buy_ts").cast("long").alias("buy_ts_s"),
+    )
+    return _run(joined, "append")
+
+
+_STREAM_JOIN_INTERVAL_SQL = """
+SELECT v.user_id, v.event_id AS view_id, b.event_id AS buy_id,
+       epoch_us(v.ts::TIMESTAMP) // 1000000 AS view_ts_s,
+       epoch_us(b.ts::TIMESTAMP) // 1000000 AS buy_ts_s
+FROM events v
+JOIN events b
+  ON v.user_id = b.user_id
+ AND b.ts::TIMESTAMP > v.ts::TIMESTAMP
+ AND b.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND b.event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "stream_ingest_jsonl": QuerySpec(
         stream_ingest_jsonl, _STREAM_INGEST_JSONL_SQL, ("streaming", "ingest")
+    ),
+    "stream_join_interval": QuerySpec(
+        stream_join_interval, _STREAM_JOIN_INTERVAL_SQL, ("streaming", "join")
     ),
     "stream_tumbling": QuerySpec(
         stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")
