@@ -89,3 +89,83 @@ def test_lsh_join_is_equi_not_cross(spark):
     plan = _plan(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_windows_is_narrow_only(spark):
+    """chunk_token_windows claims scan-speed at 100 TB: no shuffle may
+    come from the operator itself — token count, in-row sequence,
+    explode, all narrow. The only allowed exchange is `_spread`'s
+    round-robin parallelism floor for the under-split test files
+    (REPARTITION_BY_NUM; a no-op on real 128 MB-split inputs) — never
+    a hash/range exchange demanded by the operator."""
+    plan = _plan(spark, "chunk_token_windows")
+    # formatted plans print each node twice (tree + detail); every
+    # Exchange present must be the round-robin spread, nothing else
+    assert plan.count("Exchange") == 2 * plan.count("REPARTITION_BY_NUM")
+    assert "ENSURE_REQUIREMENTS" not in plan  # no operator-required shuffle
+    assert "Generate" in plan  # the explode actually happens
+
+
+def test_mm_resize_filters_before_python(spark):
+    """The image-type filter must run in the JVM scan stage, before
+    the Arrow/Python hop — at 100 TB the video rows never reach a
+    Python worker."""
+    plan = _plan(spark, "mm_resize")
+    assert "MapInPandas" in plan
+    # the filter node appears below (later in formatted order than)
+    # the scan and before the Python stage: formatted plans list
+    # operators bottom-up by id, so Filter's id must be smaller than
+    # MapInPandas' id
+    import re
+
+    def first_id(name):
+        m = re.search(rf"\((\d+)\) {name}", plan)
+        assert m, f"{name} not in plan"
+        return int(m.group(1))
+
+    assert first_id("Filter") < first_id("MapInPandas")
+
+
+def test_stream_join_uses_symmetric_hash_join(spark):
+    """The stream-stream interval join must run as Spark's state-
+    bounded StreamingSymmetricHashJoin, not fall back to a batch
+    join shape (which would buffer a side unboundedly)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.streaming import windows as SW
+    from pyspark.sql import functions as F
+
+    path = SW._prepare_input(spark, SF)
+    views = (
+        SW._read_stream(spark, path)
+        .where("event_type = 'view'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        SW._read_stream(spark, path)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "user_id = buy_user AND buy_ts > view_ts "
+            "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain()
+    assert "StreamingSymmetricHashJoin" in buf.getvalue()
