@@ -10,6 +10,7 @@ epoch_us(ts::TIMESTAMP) on the same file regardless of physical type.
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pytest
 
 from pe_firm_investment_database_pipeline_spark.sources.tables import (
@@ -102,6 +103,46 @@ def test_events_loader_handles_every_physical_type(
             got[i]["ts_date"].toordinal() - 719163  # days since 1970-01-01
             == want_us // 86_400_000_000
         ), ctx
+
+
+@pytest.mark.parametrize("elem_type_name", ["float32", "float64"])
+def test_embeddings_quantization_survives_element_type_drift(
+    spark, tmp_path, elem_type_name
+):
+    """The similarity operators quantize embeddings via an explicit
+    CAST(x AS DOUBLE), so a fixture regeneration that flips the array
+    element type between float and double must not change any
+    quantized value (float32 values are exactly representable as
+    doubles, so widening is lossless)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import _emb_q
+
+    vals = [[0.1, -0.25, 0.5, 1.0 / 3.0] * 16, [0.0] * 64]
+    f32 = [[float(np.float32(x)) for x in row] for row in vals]
+    elem = pa.float32() if elem_type_name == "float32" else pa.float64()
+    table = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "label": pa.array(["a", "b"]),
+            # identical float32-representable values in both widths
+            "embedding": pa.array(f32, pa.list_(elem)),
+        }
+    )
+    pq.write_table(table, f"{tmp_path}/embeddings.parquet")
+    rows = {
+        r["vec_id"]: (r["q"], r["nrm"])
+        for r in _emb_q(spark, str(tmp_path)).collect()
+    }
+    want_q = [
+        [int(np.floor(np.float64(np.float32(x)) * 1_000_000)) for x in row]
+        for row in vals
+    ]
+    for vid, wq in enumerate(want_q):
+        q, nrm = rows[vid]
+        assert q == wq, (elem_type_name, vid)
+        assert nrm == sum(v * v for v in wq)
 
 
 def test_events_time_axis_matches_duckdb(spark, sf_dir):
