@@ -144,6 +144,36 @@ GROUP BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# agg_percentile_approx — Greenwald-Khanna sketch percentiles
+# ---------------------------------------------------------------------------
+
+_APPROX_PCT_ACCURACY = 1000  # GK bound: rank error <= n / accuracy
+
+
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 via ``approx_percentile`` (Spark's
+    Greenwald-Khanna sketch) — the sketch path a 100 TB profiler
+    actually runs: per-partition sketches of O(accuracy) size combine
+    map-side and merge in one shuffle, vs the exact twin
+    (``agg_percentiles``) whose per-group value collection grows with
+    the data. Like ``agg_distinct_approx`` there is no SQL oracle
+    (sketch contents are engine-specific — the driver records a
+    rows-only check); the GK rank-error bound vs the exact twin is
+    asserted in tests/test_scale_blocking.py::
+    test_approx_percentile_error_bound."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("price_c")
+    )
+    acc = _APPROX_PCT_ACCURACY
+    return o.groupBy("o_orderpriority").agg(
+        (F.expr(f"approx_percentile(price_c, 0.5, {acc})") / 100.0).alias("ap50"),
+        (F.expr(f"approx_percentile(price_c, 0.9, {acc})") / 100.0).alias("ap90"),
+        (F.expr(f"approx_percentile(price_c, 0.99, {acc})") / 100.0).alias("ap99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — wide-format pivot
 # ---------------------------------------------------------------------------
 
@@ -343,6 +373,9 @@ QUERIES = {
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "agg_histogram": QuerySpec(
         agg_histogram, _AGG_HISTOGRAM_SQL, ("agg", "histogram")
+    ),
+    "agg_percentile_approx": QuerySpec(
+        agg_percentile_approx, None, ("agg", "percentile", "approx")
     ),
     "agg_salted_skew": QuerySpec(
         agg_salted_skew, _AGG_SALTED_SKEW_SQL, ("agg", "skew")

@@ -217,6 +217,46 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert abs(approx[flag] - n) <= max(2, 0.06 * n), (flag, approx[flag], n)
 
 
+def test_approx_percentile_error_bound(spark, sf_dir):
+    """agg_percentile_approx (rows-only at the driver gate) gets its
+    value-level check here: Greenwald-Khanna with accuracy=A guarantees
+    the returned element's RANK is within n/A of the target rank.
+    Verify that bound per group against the exact value distribution
+    (small absolute slack for boundary/duplicate effects)."""
+    import bisect
+
+    from pe_firm_investment_database_pipeline_spark.plans import advanced_aggs as A
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    approx = {
+        r["o_orderpriority"]: {"0.5": r["ap50"], "0.9": r["ap90"], "0.99": r["ap99"]}
+        for r in _Q["agg_percentile_approx"].fn(spark, sf_dir).collect()
+    }
+    exact_vals: dict[str, list[float]] = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    ):
+        exact_vals.setdefault(r["o_orderpriority"], []).append(
+            round(r["o_totalprice"] * 100) / 100.0
+        )
+    assert set(approx) == set(exact_vals)
+    eps = 1.0 / A._APPROX_PCT_ACCURACY
+    for prio, vals in exact_vals.items():
+        vals.sort()
+        n = len(vals)
+        for p_str, v in approx[prio].items():
+            p = float(p_str)
+            # rank window of the returned value among the exact values
+            lo = bisect.bisect_left(vals, v - 1e-9)
+            hi = bisect.bisect_right(vals, v + 1e-9)
+            target = p * n
+            assert lo - 2 <= target + eps * n and hi + 2 >= target - eps * n, (
+                prio, p, v, lo, hi, n
+            )
+
+
 @pytest.mark.parametrize(
     "op_id",
     ["sim_knn_blocked", "sim_ivf_multiprobe", "dedup_embedding_cosine",
