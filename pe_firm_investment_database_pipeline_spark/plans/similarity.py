@@ -156,7 +156,27 @@ _NBITS_IVF = (
 )
 
 
-def _celled(df: DataFrame, nbits_sql: str, stage: bool = True) -> DataFrame:
+# Staged (persisted) index frames, memoized per (applicationId,
+# sf_dir-ish key): a 100+-entry registry sweep re-invokes the same
+# builders many times, and a fresh ``persist()`` per invocation
+# accumulates MEMORY_AND_DISK blocks for the session lifetime even
+# when CacheManager dedups the plans. Returning the SAME Python
+# DataFrame bounds live storage at one block set per (session, data
+# dir, index kind).
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _staged(spark: SparkSession, key: tuple, build) -> DataFrame:
+    full_key = (spark.sparkContext.applicationId, *key)
+    cached = _STAGE_CACHE.get(full_key)
+    if cached is None:
+        cached = _STAGE_CACHE[full_key] = build().persist()
+    return cached
+
+
+def _celled(
+    df: DataFrame, nbits_sql: str, stage: bool = True, stage_key: tuple | None = None
+) -> DataFrame:
     """Attach `cell` = low-nbits bits of the LSH signature, with nbits
     derived from COUNT(*) of `df` via a broadcast 1-row scalar.
 
@@ -170,15 +190,24 @@ def _celled(df: DataFrame, nbits_sql: str, stage: bool = True) -> DataFrame:
     staged partitions by bytes — one task at test scale instead of 32
     near-empty ones, thousands of ~64 MB tasks at 100 TB — so every
     downstream stage over the index runs the right task count for the
-    data, not for the source layout.
+    data, not for the source layout. ``stage_key`` additionally
+    memoizes the persisted frame across invocations (see _staged).
 
     Pass ``stage=False`` when the blocked set is small BY
     CONSTRUCTION (e.g. a literal key-range filter): recomputing the
     cheap map-side signature per join side costs less than the
     persist/cache bookkeeping jobs."""
-    sigs = df.hint("rebalance").withColumn("sig", _sig_col(F.col("q")))
-    if stage:
-        sigs = sigs.persist()
+    spark = df.sparkSession
+
+    def build() -> DataFrame:
+        return df.hint("rebalance").withColumn("sig", _sig_col(F.col("q")))
+
+    if stage and stage_key is not None:
+        sigs = _staged(spark, stage_key, build)
+    elif stage:
+        sigs = build().persist()
+    else:
+        sigs = build()
     params = (
         sigs.select("sig")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -186,6 +215,23 @@ def _celled(df: DataFrame, nbits_sql: str, stage: bool = True) -> DataFrame:
     )
     return (
         sigs.crossJoin(F.broadcast(params))
+        .withColumn("cell", F.expr("sig % shiftleft(CAST(1 AS BIGINT), nbits)"))
+    )
+
+
+def _celled_small(df: DataFrame, nbits_sql: str) -> DataFrame:
+    """`_celled` for sets that are tiny BY CONSTRUCTION (a literal
+    key-range filter): the same in-plan nbits = f(COUNT(*)) value, but
+    computed with a single global window over one coalesced partition
+    instead of the aggregate + broadcast-cross-join scalar — removing
+    two exchanges and a BroadcastNestedLoopJoin whose fixed cost
+    dominates a few-hundred-row input. A global window serializes on
+    one partition, so this shape is ONLY for literal-bounded sets; the
+    aggregate/broadcast form in `_celled` is the scale path."""
+    sigs = df.coalesce(1).withColumn("sig", _sig_col(F.col("q")))
+    return (
+        sigs.withColumn("n", F.count(F.lit(1)).over(W.partitionBy(F.lit(1))))
+        .withColumn("nbits", F.expr(nbits_sql))
         .withColumn("cell", F.expr("sig % shiftleft(CAST(1 AS BIGINT), nbits)"))
     )
 
@@ -269,12 +315,22 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     is derived in-plan from COUNT(*) (target ~32 rows/cell), so the
     candidate set stays O(N), not O(N^2 / constant) — the property
     the old 10-value `label` blocking lacked at 100 TB.
-    Restricted to vec_id < 200 to keep the test-scale result compact."""
-    emb = _celled(
-        _emb_q(spark, sf_dir).where(F.col("vec_id") < 200),
-        _NBITS_PAIR,
-        stage=False,  # 200-row set by construction; staging costs more
+    Restricted to vec_id < 200 to keep the test-scale result compact
+    (the O(N) blocking claim at volume is `sim_knn_blocked_full`);
+    the tiny literal-bounded set uses the window-count `_celled_small`
+    shape and broadcasts the build side of the pair join — the whole
+    query is one scan task plus one broadcast."""
+    emb = _celled_small(
+        _emb_q(spark, sf_dir).where(F.col("vec_id") < 200), _NBITS_PAIR
     )
+    return _knn_pairs_topk(emb, broadcast_build=True)
+
+
+def _knn_pairs_topk(emb: DataFrame, broadcast_build: bool = False) -> DataFrame:
+    """Shared kNN tail: within-cell pair join → exact cosine → top-3
+    per vector. ``broadcast_build=True`` broadcasts the build side
+    (only for literal-bounded inputs; the full-corpus path shuffles
+    both sides on cell, which AQE sizes and skew-splits)."""
     a = emb.select(
         F.col("vec_id").alias("vec_id"),
         F.col("label").alias("label"),
@@ -288,6 +344,8 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q").alias("qb"),
         F.col("nrm").alias("nb"),
     )
+    if broadcast_build:
+        b = F.broadcast(b)
     cos = F.expr(_DOT.format(a="qa", b="qb")).cast("double") / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )
@@ -304,11 +362,47 @@ def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_knn_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus LSH-blocked kNN: top-3 cosine neighbors for EVERY
+    vector — the volume demonstration of the O(N) cell blocking (the
+    restricted entry above shows the plan shape cheaply). The staged
+    signature index is persisted and memoized, both join sides read
+    it, and the pair count stays ~32·N because the cell count grows
+    with COUNT(*) in-plan. At 100 TB this is the same plan with more
+    cells: signature map-side, one shuffle on cell (AQE skew-split),
+    one window shuffle on vec_id."""
+    emb = _celled(
+        _emb_q(spark, sf_dir),
+        _NBITS_PAIR,
+        stage_key=(sf_dir, "knn_full_sigs"),
+    )
+    return _knn_pairs_topk(emb)
+
+
 _SIM_KNN_BLOCKED_SQL = f"""
 WITH eq AS MATERIALIZED (
   SELECT vec_id, label, {_QUANT_DUCK} AS q,
          {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
   FROM embeddings WHERE vec_id < 200
+), {_celled_duck("eq", _NBITS_PAIR)}, pairs AS (
+  SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
+         CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
+           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+  FROM celled a JOIN celled b ON a.cell = b.cell AND a.vec_id != b.vec_id
+)
+SELECT vec_id, label, nbr_id, cosine, nn_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS nn_rank
+  FROM pairs)
+WHERE nn_rank <= 3
+"""
+
+
+_SIM_KNN_BLOCKED_FULL_SQL = f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
 ), {_celled_duck("eq", _NBITS_PAIR)}, pairs AS (
   SELECT a.vec_id, a.label, b.vec_id AS nbr_id,
          CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
@@ -363,7 +457,7 @@ _IVF_STRIDE = (
 _IVF_PROBES = 4  # multi-probe width: query scans its 4 nearest cells
 
 
-def _ivf_topk(emb: DataFrame, query_pred) -> DataFrame:
+def _ivf_topk(emb: DataFrame, query_pred, stage_key: tuple | None = None) -> DataFrame:
     """Shared IVF-ANN core: sampled-centroid coarse quantizer, argmin
     cell assignment, top-`_IVF_PROBES` probe ranking per query, exact
     cosine re-rank inside the probed cells, top-3 out.
@@ -380,8 +474,19 @@ def _ivf_topk(emb: DataFrame, query_pred) -> DataFrame:
     top-`_IVF_PROBES` centroids) — that IS the IVF index: building it
     once serves both the posting lists (crank = 1) and the query
     probes (crank <= P), instead of paying the N x k distance pass
-    per consumer. REBALANCE: see `_celled`."""
-    emb = emb.hint("rebalance").persist()
+    per consumer. REBALANCE: see `_celled`. ``stage_key`` memoizes
+    both persisted frames across invocations (see _staged); direct
+    test callers pass none and persist per call."""
+    spark = emb.sparkSession
+    src = emb
+
+    def build_emb() -> DataFrame:
+        return src.hint("rebalance")
+
+    if stage_key is not None:
+        emb = _staged(spark, (*stage_key, "ivf_emb"), build_emb)
+    else:
+        emb = build_emb().persist()
     params = (
         emb.select("vec_id")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -400,13 +505,19 @@ def _ivf_topk(emb: DataFrame, query_pred) -> DataFrame:
         F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
     )
     wc = W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
-    ranked = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("ccos", ccos)
-        .withColumn("crank", F.row_number().over(wc))
-        .where(F.col("crank") <= _IVF_PROBES)
-        .persist()
-    )
+
+    def build_ranked() -> DataFrame:
+        return (
+            emb.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", ccos)
+            .withColumn("crank", F.row_number().over(wc))
+            .where(F.col("crank") <= _IVF_PROBES)
+        )
+
+    if stage_key is not None:
+        ranked = _staged(spark, (*stage_key, "ivf_ranked"), build_ranked)
+    else:
+        ranked = build_ranked().persist()
     db = (
         ranked.where(F.col("crank") == 1)
         .select(
@@ -454,7 +565,9 @@ def sim_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     query — never the full database; cells are partition keys at
     100 TB (partition pruning per probe). Queries restricted to
     vec_id < 20 for test-scale output."""
-    return _ivf_topk(_emb_q(spark, sf_dir), F.col("vec_id") < 20)
+    return _ivf_topk(
+        _emb_q(spark, sf_dir), F.col("vec_id") < 20, stage_key=(sf_dir, "ivf")
+    )
 
 
 _SIM_IVF_MULTIPROBE_SQL = f"""
@@ -513,7 +626,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
     )
-    allv = _celled(emb.unionByName(planted), _NBITS_PAIR)
+    allv = _celled(
+        emb.unionByName(planted), _NBITS_PAIR, stage_key=(sf_dir, "dedup_cos_sigs")
+    )
     a = allv.select(
         F.col("vec_id").alias("keeper_id"),
         "label",
@@ -566,6 +681,9 @@ QUERIES = {
     ),
     "sim_knn_blocked": QuerySpec(
         sim_knn_blocked, _SIM_KNN_BLOCKED_SQL, ("similarity", "knn")
+    ),
+    "sim_knn_blocked_full": QuerySpec(
+        sim_knn_blocked_full, _SIM_KNN_BLOCKED_FULL_SQL, ("similarity", "knn")
     ),
     "sim_ivf_multiprobe": QuerySpec(
         sim_ivf_multiprobe, _SIM_IVF_MULTIPROBE_SQL, ("similarity", "ann")

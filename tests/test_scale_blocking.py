@@ -259,8 +259,8 @@ def test_approx_percentile_error_bound(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "op_id",
-    ["sim_knn_blocked", "sim_ivf_multiprobe", "dedup_embedding_cosine",
-     "dedup_simhash"],
+    ["sim_knn_blocked", "sim_knn_blocked_full", "sim_ivf_multiprobe",
+     "dedup_embedding_cosine", "dedup_simhash"],
 )
 def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
     """The row-pairing join must be a hash/merge EQUI-join on the
