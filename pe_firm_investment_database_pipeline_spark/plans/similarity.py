@@ -457,26 +457,16 @@ _IVF_STRIDE = (
 _IVF_PROBES = 4  # multi-probe width: query scans its 4 nearest cells
 
 
-def _ivf_topk(emb: DataFrame, query_pred, stage_key: tuple | None = None) -> DataFrame:
-    """Shared IVF-ANN core: sampled-centroid coarse quantizer, argmin
-    cell assignment, top-`_IVF_PROBES` probe ranking per query, exact
-    cosine re-rank inside the probed cells, top-3 out.
-
-    Plan shape at scale: centroids are ~sqrt(N) rows and BROADCAST;
-    assignment is one broadcast nested-loop + per-vector window
-    (N x sqrt(N) distance evals — the standard IVF build cost, paid
-    once and cacheable as an index); the candidate join is an
-    EQUI-join on cell id, so each query touches ~P x N/sqrt(N) rows,
-    never the full database. ``query_pred`` is a boolean Column
-    selecting the query vectors.
-
-    The PERSISTED frame is the assignment itself (every vector's
-    top-`_IVF_PROBES` centroids) — that IS the IVF index: building it
-    once serves both the posting lists (crank = 1) and the query
-    probes (crank <= P), instead of paying the N x k distance pass
-    per consumer. REBALANCE: see `_celled`. ``stage_key`` memoizes
-    both persisted frames across invocations (see _staged); direct
-    test callers pass none and persist per call."""
+def _ivf_index(
+    emb: DataFrame, stage_key: tuple | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the IVF index over a corpus: (staged corpus, broadcastable
+    centroids, staged cell assignment). The assignment frame `ranked`
+    holds every corpus vector's top-`_IVF_PROBES` centroids — crank=1
+    rows are the posting lists, crank<=P rows serve corpus-member
+    query probes. Shared by the self-ANN (`_ivf_topk`) and the
+    two-relation retrieval join (`sim_ann_join`); with the same
+    ``stage_key`` both consumers reuse ONE staged index."""
     spark = emb.sparkSession
     src = emb
 
@@ -518,6 +508,30 @@ def _ivf_topk(emb: DataFrame, query_pred, stage_key: tuple | None = None) -> Dat
         ranked = _staged(spark, (*stage_key, "ivf_ranked"), build_ranked)
     else:
         ranked = build_ranked().persist()
+    return emb, cents, ranked
+
+
+def _ivf_topk(emb: DataFrame, query_pred, stage_key: tuple | None = None) -> DataFrame:
+    """Shared IVF-ANN core: sampled-centroid coarse quantizer, argmin
+    cell assignment, top-`_IVF_PROBES` probe ranking per query, exact
+    cosine re-rank inside the probed cells, top-3 out.
+
+    Plan shape at scale: centroids are ~sqrt(N) rows and BROADCAST;
+    assignment is one broadcast nested-loop + per-vector window
+    (N x sqrt(N) distance evals — the standard IVF build cost, paid
+    once and cacheable as an index); the candidate join is an
+    EQUI-join on cell id, so each query touches ~P x N/sqrt(N) rows,
+    never the full database. ``query_pred`` is a boolean Column
+    selecting the query vectors.
+
+    The PERSISTED frame is the assignment itself (every vector's
+    top-`_IVF_PROBES` centroids) — that IS the IVF index: building it
+    once serves both the posting lists (crank = 1) and the query
+    probes (crank <= P), instead of paying the N x k distance pass
+    per consumer. REBALANCE: see `_celled`. ``stage_key`` memoizes
+    both persisted frames across invocations (see _staged); direct
+    test callers pass none and persist per call."""
+    emb, cents, ranked = _ivf_index(emb, stage_key)
     db = (
         ranked.where(F.col("crank") == 1)
         .select(
@@ -610,6 +624,128 @@ WHERE nn_rank <= 3
 """
 
 
+_ANN_JOIN_K = 5
+
+
+def _ann_join(
+    corpus: DataFrame, queries: DataFrame, stage_key: tuple | None = None
+) -> DataFrame:
+    """Retrieval-shaped ANN JOIN between two relations: every row of
+    ``queries`` (query_id, qq, qnrm) gets its top-`_ANN_JOIN_K`
+    nearest corpus neighbors. Unlike the self-join ANN ops, the query
+    side is an independent relation: each query is assigned to its
+    `_IVF_PROBES` nearest cells by a crossJoin with the BROADCAST
+    centroids (~sqrt(N) rows) + per-query window — Q x sqrt(N) work,
+    valid for external queries that are not corpus members — then
+    equi-joined with the corpus posting lists on the cell id. Per
+    query only ~P x N/sqrt(N) corpus rows are touched, never the full
+    database; at 100 TB the posting lists are cell-partitioned and
+    each probe is a pruned partition read."""
+    emb, cents, ranked = _ivf_index(corpus, stage_key)
+    qcos = F.expr(_DOT.format(a="qq", b="cq")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", qcos)
+        .withColumn("qrank", F.row_number().over(wq))
+        .where(F.col("qrank") <= _IVF_PROBES)
+        .select("query_id", "qq", "qnrm", F.col("cent_id").alias("probe_cell"))
+    )
+    db = (
+        ranked.where(F.col("crank") == 1)
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="qq", b="qb")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    cands = (
+        probes.join(db, probes.probe_cell == db.cell)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "nbr_label", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nn_rank") <= _ANN_JOIN_K)
+        .select("query_id", "nbr_id", "nbr_label", "cosine", "nn_rank")
+    )
+
+
+def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN join (Q queries x corpus top-k): the query relation (every
+    100th vector) retrieves its top-5 corpus neighbors through the
+    IVF index — the retrieval shape (RAG lookup, eval-set probing)
+    that the self-join ANN entries don't cover. Shares the staged IVF
+    index with `sim_ivf_multiprobe` via the same stage key, so running
+    both builds the index once. Recall >= 0.9 on planted neighbors is
+    pinned by tests/test_scale_blocking.py::test_ann_join_recall."""
+    corpus = _emb_q(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    return _ann_join(corpus, queries, stage_key=(sf_dir, "ivf"))
+
+
+_SIM_ANN_JOIN_SQL = f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), prm AS (
+  SELECT {_IVF_STRIDE} AS stride FROM (SELECT COUNT(*) AS n FROM eq)
+), cents AS (
+  SELECT vec_id AS cent_id, q AS cq, nrm AS cnrm
+  FROM eq CROSS JOIN prm WHERE vec_id % stride = 0
+), ranked AS (
+  SELECT e.vec_id, e.label, e.q, e.nrm, c.cent_id,
+         CAST(row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY CAST({_DOT_DUCK.format(a="e.q", b="c.cq")} AS DOUBLE)
+                      / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+                    DESC, c.cent_id) AS INT) AS crank
+  FROM eq e CROSS JOIN cents c
+), db AS (
+  SELECT vec_id AS nbr_id, label AS nbr_label, q AS qb, nrm AS nb,
+         cent_id AS cell
+  FROM ranked WHERE crank = 1
+), queries AS (
+  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm
+  FROM eq WHERE vec_id % 100 = 0
+), probes AS (
+  SELECT query_id, qq, qnrm, probe_cell FROM (
+    SELECT s.query_id, s.qq, s.qnrm, c.cent_id AS probe_cell,
+           CAST(row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY CAST({_DOT_DUCK.format(a="s.qq", b="c.cq")} AS DOUBLE)
+                        / (sqrt(CAST(s.qnrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+                      DESC, c.cent_id) AS INT) AS qrank
+    FROM queries s CROSS JOIN cents c)
+  WHERE qrank <= {_IVF_PROBES}
+), cands AS (
+  SELECT p.query_id, d.nbr_id, d.nbr_label,
+         CAST({_DOT_DUCK.format(a="p.qq", b="d.qb")} AS DOUBLE)
+           / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(d.nb AS DOUBLE))) AS cosine
+  FROM probes p JOIN db d ON p.probe_cell = d.cell
+  WHERE p.query_id != d.nbr_id
+)
+SELECT query_id, nbr_id, nbr_label, cosine, nn_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS nn_rank
+  FROM cands)
+WHERE nn_rank <= {_ANN_JOIN_K}
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup north-star op):
     candidate pairs are generated ONLY within a hyperplane-LSH cell
@@ -687,6 +823,9 @@ QUERIES = {
     ),
     "sim_ivf_multiprobe": QuerySpec(
         sim_ivf_multiprobe, _SIM_IVF_MULTIPROBE_SQL, ("similarity", "ann")
+    ),
+    "sim_ann_join": QuerySpec(
+        sim_ann_join, _SIM_ANN_JOIN_SQL, ("similarity", "ann", "join")
     ),
     "sim_embedding_stats": QuerySpec(
         sim_embedding_stats, _SIM_EMBEDDING_STATS_SQL, ("similarity", "agg")

@@ -143,6 +143,38 @@ def test_ivf_recall_on_planted_neighbors(spark, sf_dir):
         assert abs(cos - 1.0) < 1e-12
 
 
+def test_ann_join_recall(spark, sf_dir):
+    """Two-relation ANN join: plant an identical copy of every corpus
+    vector and query with a sample of the ORIGINALS as an independent
+    query relation. An identical vector ranks centroids identically,
+    so the copy lives in the query's first-probed cell — the planted
+    neighbor must come back at rank 1, cosine 1.0, for >= 0.9 of the
+    queries (it is exact here, but the contract is recall >= 0.9)."""
+    emb = S._emb_q(spark, sf_dir)
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
+    )
+    corpus = emb.unionByName(planted)
+    queries = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    n_queries = queries.count()
+    res = S._ann_join(corpus, queries)
+    top1 = {
+        r["query_id"]: (r["nbr_id"], r["cosine"])
+        for r in res.where(F.col("nn_rank") == 1).collect()
+    }
+    assert len(top1) == n_queries
+    hits = sum(
+        1
+        for qid, (nbr, cos) in top1.items()
+        if nbr == qid + 1000000 and abs(cos - 1.0) < 1e-12
+    )
+    assert hits >= 0.9 * n_queries, (hits, n_queries)
+
+
 def test_simhash_band_keys_scale(spark, sf_dir):
     """4x16-bit bands: the occupied (band, bits) key count must exceed
     the old 4x4-bit scheme's ENTIRE key space (64), proving the join
@@ -260,7 +292,7 @@ def test_approx_percentile_error_bound(spark, sf_dir):
 @pytest.mark.parametrize(
     "op_id",
     ["sim_knn_blocked", "sim_knn_blocked_full", "sim_ivf_multiprobe",
-     "dedup_embedding_cosine", "dedup_simhash"],
+     "sim_ann_join", "dedup_embedding_cosine", "dedup_simhash"],
 )
 def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
     """The row-pairing join must be a hash/merge EQUI-join on the
