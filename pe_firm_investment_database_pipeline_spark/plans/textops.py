@@ -507,19 +507,12 @@ _BANDS = 4  # 4 bands x 4 rows
 _MINHASH_P = 268435399  # prime < 2^28: (2s+1)*h_48bit stays inside int64
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: per doc a k=16 signature of
-    affine min-hashes — (2s+1)*h + s*7919 + 13 mod P over the single
-    48-bit hash per 3-gram shingle — so signature cost is
-    O(n_shingles) md5 + O(k*n_shingles) int ops, not O(k*n_shingles)
-    md5. Computed as explode + 16 conditional MIN aggregates (one
-    shuffle on doc_id): aggregate form can't fall into the
-    CollapseProject lambda re-evaluation trap and is the shape that
-    scales (partial mins combine map-side). Signatures cut into 4
-    bands of 4; docs colliding on any (band, band_key) become a
-    candidate pair, scored by signature agreement (est. Jaccard =
-    matches/k). The join is on band keys only — the classic
-    sub-quadratic LSH shape that survives 100 TB."""
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig): the k=16 MinHash signature — affine min-hashes
+    (2s+1)*h + s*7919 + 13 mod P over the single 48-bit hash per
+    3-gram shingle, computed as explode + 16 conditional MIN
+    aggregates (one shuffle on doc_id; partial mins combine
+    map-side)."""
     hs = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("h"))
     mins = [
         F.min(
@@ -527,12 +520,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"m{s}")
         for s in range(_K)
     ]
-    sigs = (
+    return (
         hs.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"m{s}" for s in range(_K)]).alias("sig"))
     )
-    bands = sigs.select(
+
+
+def _minhash_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band, bkey): one row per signature band — the LSH
+    bucketing key a doc collides on."""
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -541,7 +539,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"struct(b AS band, concat_ws('|', slice(sig, b*4+1, 4)) AS bkey))"
             )
         ).alias("bk"),
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ).select(
+        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: per doc a k=16 signature of
+    affine min-hashes — (2s+1)*h + s*7919 + 13 mod P over the single
+    48-bit hash per 3-gram shingle — so signature cost is
+    O(n_shingles) md5 + O(k*n_shingles) int ops, not O(k*n_shingles)
+    md5. The aggregate form can't fall into the CollapseProject
+    lambda re-evaluation trap and is the shape that scales.
+    Signatures cut into 4 bands of 4; docs colliding on any (band,
+    band_key) become a candidate pair, scored by signature agreement
+    (est. Jaccard = matches/k). The join is on band keys only — the
+    classic sub-quadratic LSH shape that survives 100 TB."""
+    bands = _minhash_bands(_minhash_sigs(spark, sf_dir))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -596,6 +610,126 @@ SELECT doc1, doc2,
 FROM pairs
 JOIN sigs s1 ON doc1 = s1.doc_id
 JOIN sigs s2 ON doc2 = s2.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental_lsh — new batch vs a PERSISTED bucketed band index
+# ---------------------------------------------------------------------------
+#
+# The 100 TB production shape: a pipeline does not re-deduplicate the
+# whole corpus per run — it dedups each NEW BATCH against a persisted
+# index. The index here is the MinHash band table of the standing
+# corpus (doc_id % 10 != 0), written ONCE as a parquet table BUCKETED
+# on the band key: the incremental join then consumes the bucketed
+# scan directly (no shuffle and no signature recomputation on the
+# index side — plan-asserted in tests/test_bucketing.py), and only
+# the small new batch (doc_id % 10 = 0) pays signature computation.
+# The band index carries `ikey` = band:bandkey as a single join
+# column so bucketing on one column covers the whole collision key.
+
+_LSH_INDEX_BUCKETS = 8
+_LSH_INDEX_CACHE: dict[tuple, str] = {}
+
+
+def _lsh_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) the persisted bucketed MinHash
+    band index of the standing corpus; returns the table name. Data
+    lands under tmp via an explicit path (never the process cwd);
+    the catalog entry is session-scoped, so a fresh session rebuilds
+    from the current fixture (no stale-index hazard across testdata
+    regenerations)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slot = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    name = f"lsh_band_index_{slot}"
+    path = os.path.join(tempfile.gettempdir(), f"pe_lsh_index_{slot}_{app}")
+    corpus = _minhash_sigs(spark, sf_dir).where(F.col("doc_id") % 10 != 0)
+    bands = _minhash_bands(corpus).select(
+        "doc_id",
+        "sig",
+        F.concat_ws(":", F.col("band"), F.col("bkey")).alias("ikey"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        bands.write.format("parquet")
+        .bucketBy(_LSH_INDEX_BUCKETS, "ikey")
+        .sortBy("ikey")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    _LSH_INDEX_CACHE[key] = name
+    return name
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run dedup: the new batch (doc_id % 10 = 0)
+    is deduplicated AGAINST the persisted bucketed band index of the
+    standing corpus — no full-corpus signature recomputation; the
+    index side is a bucketed scan that feeds the join shuffle-free
+    (tests/test_bucketing.py::test_lsh_index_join_no_index_shuffle).
+    Output: candidate near-dup pairs (new doc, index doc) with the
+    signature-agreement Jaccard estimate — the same score the
+    whole-corpus `dedup_minhash_lsh` assigns."""
+    idx = spark.table(_lsh_index_table(spark, sf_dir))
+    batch = _minhash_bands(
+        _minhash_sigs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    ).select(
+        "doc_id",
+        "sig",
+        F.concat_ws(":", F.col("band"), F.col("bkey")).alias("ikey"),
+    )
+    a = batch.alias("a")
+    b = idx.alias("b")
+    return (
+        a.join(b, F.col("a.ikey") == F.col("b.ikey"))
+        .select(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_idx"),
+            (
+                F.expr(
+                    "aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1L, 0L)),"
+                    " 0L, (acc, v) -> acc + v)"
+                ).cast("double")
+                / float(_K)
+            ).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+_DEDUP_INCREMENTAL_LSH_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), hs AS (
+  SELECT doc_id, unnest(sh) AS h FROM shingled
+), sigmins AS (
+  SELECT doc_id, {_MINS_DUCK} FROM hs GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {_SIG_ARRAY_DUCK} AS sig FROM sigmins
+), bands AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b*4+1 : b*4+4], '|') AS bkey
+  FROM sigs, (SELECT unnest(range(0, {_BANDS})) AS b)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_idx
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+)
+SELECT doc_new, doc_idx,
+       CAST(list_sum(list_transform(range(1, {_K}+1),
+                     i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         / {float(_K)} AS est_jaccard
+FROM pairs
+JOIN sigs s1 ON doc_new = s1.doc_id
+JOIN sigs s2 ON doc_idx = s2.doc_id
 """
 
 
@@ -894,6 +1028,9 @@ QUERIES = {
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")
+    ),
+    "dedup_incremental_lsh": QuerySpec(
+        dedup_incremental_lsh, _DEDUP_INCREMENTAL_LSH_SQL, ("dedup", "lsh", "incremental")
     ),
     "dedup_simhash": QuerySpec(dedup_simhash, _DEDUP_SIMHASH_SQL, ("dedup",)),
 }

@@ -27,6 +27,45 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def test_lsh_index_join_no_index_shuffle(spark):
+    """dedup_incremental_lsh's scale contract: the persisted bucketed
+    band index feeds the batch-vs-index join WITHOUT being shuffled
+    (and without recomputing corpus signatures). With broadcast
+    disabled the sort-merge plan must contain exactly ONE hash
+    exchange — the small new-batch side — while the index side is the
+    bucketed scan itself. A literal band-key filter must also prune
+    buckets (the point of bucketing the key)."""
+    from pe_firm_investment_database_pipeline_spark.plans import textops as T
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(T.dedup_incremental_lsh(spark, SF))
+        assert "SortMergeJoin" in plan
+        # formatted explain prints exchange args on their own line;
+        # exactly one hash exchange on the join key = batch side only
+        assert plan.count("hashpartitioning(ikey") == 1
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+        # bucket pruning on a literal key: only 1 of the 8 buckets read.
+        # (the planner auto-disables bucketed scans for plain filters,
+        # so pin it on for the probe — a join/agg consumer keeps it on
+        # by itself, as the plan above shows)
+        idx = spark.table(T._lsh_index_table(spark, SF))
+        some_key = idx.select("ikey").first()["ikey"]
+        auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        try:
+            pruned = _plan(idx.where(F.col("ikey") == some_key))
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto
+            )
+        assert f"SelectedBucketsCount: 1 out of {T._LSH_INDEX_BUCKETS}" in pruned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
