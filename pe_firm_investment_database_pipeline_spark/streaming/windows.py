@@ -407,34 +407,8 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     never drops a match here and the result equals the batch interval
     join exactly — hash-checked against the DuckDB oracle."""
     path = _prepare_input(spark, sf_dir)
-    views = (
-        _read_stream(spark, path)
-        .where("event_type = 'view'")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    buys = (
-        _read_stream(spark, path)
-        .where("event_type = 'purchase'")
-        .select(
-            F.col("user_id").alias("buy_user"),
-            F.col("event_id").alias("buy_id"),
-            F.col("ts").alias("buy_ts"),
-        )
-        .withWatermark("buy_ts", "1 hour")
-    )
-    joined = views.join(
-        buys,
-        F.expr(
-            "user_id = buy_user AND buy_ts > view_ts "
-            "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
-        ),
-        "inner",
-    ).select(
+    views, buys = _interval_join_sides(spark, path)
+    joined = views.join(buys, F.expr(_INTERVAL_COND), "inner").select(
         "user_id",
         "view_id",
         "buy_id",
@@ -457,12 +431,112 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_join_interval_outer — LEFT OUTER with watermark-driven nulls
+# ---------------------------------------------------------------------------
+
+def _interval_join_sides(spark: SparkSession, path: str):
+    views = (
+        _read_stream(spark, path)
+        .where("event_type = 'view'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        _read_stream(spark, path)
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    return views, buys
+
+
+_INTERVAL_COND = (
+    "user_id = buy_user AND buy_ts > view_ts "
+    "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
+)
+
+
+def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner join cannot express: a view with NO purchase within the
+    hour is emitted with nulls, but only once the watermark passes
+    view_ts + 1 hour (before that a matching purchase could still
+    arrive, so the row must stay buffered — the reference's fallback
+    'no result' paths, main_portCo.py:86-111, as an unbounded
+    stream). State stays bounded exactly as in the inner variant.
+
+    Determinism of the driver gate: the input replays as one
+    availableNow batch, then Spark's no-data final micro-batch
+    advances the watermark to its terminal value
+    wm = least(max view_ts, max buy_ts) − 1 h and flushes the expired
+    unmatched views. The emitted null set is therefore exactly the
+    batch-computable 'unmatched AND view_ts + 1 h < wm' — the SQL
+    oracle below (validated row-identical at sf0.001/sf0.01); the
+    across-batch emission *timing* is pinned by
+    tests/test_streaming.py::test_outer_interval_join_nulls_after_watermark."""
+    path = _prepare_input(spark, sf_dir)
+    views, buys = _interval_join_sides(spark, path)
+    joined = views.join(buys, F.expr(_INTERVAL_COND), "leftOuter").select(
+        "user_id",
+        "view_id",
+        "buy_id",
+        F.col("view_ts").cast("long").alias("view_ts_s"),
+        F.col("buy_ts").cast("long").alias("buy_ts_s"),
+    )
+    return _run(joined, "append")
+
+
+_STREAM_JOIN_INTERVAL_OUTER_SQL = """
+WITH v AS (
+  SELECT user_id, event_id AS view_id, epoch_us(ts::TIMESTAMP) AS view_us
+  FROM events WHERE event_type = 'view'
+), b AS (
+  SELECT user_id AS buy_user, event_id AS buy_id, epoch_us(ts::TIMESTAMP) AS buy_us
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT least((SELECT max(view_us) FROM v) // 1000000,
+               (SELECT max(buy_us) FROM b) // 1000000) - 3600 AS wm_s
+)
+SELECT v.user_id, v.view_id, b.buy_id,
+       v.view_us // 1000000 AS view_ts_s,
+       b.buy_us // 1000000 AS buy_ts_s
+FROM v JOIN b
+  ON v.user_id = b.buy_user
+ AND b.buy_us > v.view_us
+ AND b.buy_us <= v.view_us + 3600000000
+UNION ALL
+SELECT v.user_id, v.view_id, NULL AS buy_id,
+       v.view_us // 1000000 AS view_ts_s, NULL AS buy_ts_s
+FROM v, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM b
+        WHERE v.user_id = b.buy_user
+          AND b.buy_us > v.view_us
+          AND b.buy_us <= v.view_us + 3600000000)
+  AND v.view_us // 1000000 + 3600 < wm.wm_s
+"""
+
+
 QUERIES = {
     "stream_ingest_jsonl": QuerySpec(
         stream_ingest_jsonl, _STREAM_INGEST_JSONL_SQL, ("streaming", "ingest")
     ),
     "stream_join_interval": QuerySpec(
         stream_join_interval, _STREAM_JOIN_INTERVAL_SQL, ("streaming", "join")
+    ),
+    "stream_join_interval_outer": QuerySpec(
+        stream_join_interval_outer,
+        _STREAM_JOIN_INTERVAL_OUTER_SQL,
+        ("streaming", "join", "outer"),
     ),
     "stream_tumbling": QuerySpec(
         stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")

@@ -137,3 +137,90 @@ def test_watermarked_dedup_state_eviction(spark, tmp_path):
     # key 1: first-seen (event 1) + post-eviction recurrence (event
     # 5); dup 2 suppressed. keys 2, 3: single emissions.
     assert rows == [(1, 1), (1, 5), (2, 4), (3, 9)]
+
+
+def test_outer_interval_join_nulls_after_watermark(spark, tmp_path):
+    """stream_join_interval_outer's across-batch contract: a view with
+    no purchase within the hour is emitted WITH NULLS only after the
+    global watermark passes view_ts + 1h — never in the batch that
+    buffered it (a match could still arrive). Three micro-batches:
+    (0) unmatched view V1 at 00:00 + a matched pair (wm stays < 0, no
+    emission for V1), (1) both sides jump to ~03:00 → wm 02:00 > V1's
+    01:00 expiry, (2) spacer so the lazy eviction lands. The null row
+    must appear in batch >= 2."""
+    from pe_firm_investment_database_pipeline_spark.streaming.windows import (
+        _INTERVAL_COND,
+    )
+
+    ev_schema = "event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    files = (
+        ("a", [(1, 1, "view", _t(0, 0)),
+               (2, 2, "view", _t(0, 30)), (3, 2, "purchase", _t(0, 45))], 1000.0),
+        ("b", [(4, 3, "view", _t(3, 0)), (5, 3, "purchase", _t(3, 10))], 2000.0),
+        ("c", [(6, 4, "view", _t(4, 0)), (7, 4, "purchase", _t(4, 5))], 3000.0),
+    )
+    for name, rows, mtime in files:
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema=ev_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.link(os.path.join(d, part), os.path.join(src, name + ".parquet"))
+        os.utime(os.path.join(src, name + ".parquet"), (mtime, mtime))
+
+    def side():
+        return (
+            spark.readStream.schema(ev_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    views = (
+        side()
+        .where("event_type = 'view'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        side()
+        .where("event_type = 'purchase'")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = views.join(buys, F.expr(_INTERVAL_COND), "leftOuter").select(
+        "user_id", "view_id", "buy_id"
+    )
+
+    batches: list[tuple[int, list]] = []
+
+    def sink(df, bid):
+        batches.append((bid, df.collect()))
+
+    q = (
+        joined.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = {
+        (r["view_id"], r["buy_id"]): bid for bid, rows in batches for r in rows
+    }
+    # the matched pair flows through as a normal inner result
+    assert emitted.get((2, 3)) is not None
+    # exactly one null row: V1 — and only after the watermark passed
+    nulls = {k: bid for k, bid in emitted.items() if k[1] is None}
+    assert set(nulls) == {(1, None)}
+    assert nulls[(1, None)] >= 2, nulls
+    # V1 was NOT emitted in its arrival batch
+    assert emitted[(1, None)] != 0
