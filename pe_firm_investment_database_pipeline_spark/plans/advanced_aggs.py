@@ -94,14 +94,25 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % _SALTS).alias("salt"),
         cents("l_extendedprice").alias("price_c"),
     )
-    phase1 = li.groupBy("l_returnflag", "salt").agg(
+    phase1, final = _salted_phases(li)
+    return final
+
+
+def _salted_phases(rows: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two salted phases over (l_returnflag, salt, price_c) —
+    returned separately so the skew-robustness test
+    (tests/test_scale_blocking.py::test_salted_agg_bounds_hot_key)
+    can plant a power-law key and assert phase 1 spreads the hot
+    key's rows across _SALTS partials."""
+    phase1 = rows.groupBy("l_returnflag", "salt").agg(
         F.sum("price_c").alias("part_sum"),
         F.count(F.lit(1)).alias("part_n"),
     )
-    return phase1.groupBy("l_returnflag").agg(
+    final = phase1.groupBy("l_returnflag").agg(
         (F.sum("part_sum") / 100.0).alias("total_price"),
         F.sum("part_n").alias("n_items"),
     )
+    return phase1, final
 
 
 _AGG_SALTED_SKEW_SQL = """

@@ -343,6 +343,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("s")
     )
+    return _jaccard_pairs_from_shingles(sh)
+
+
+def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
+    """Core of dedup_ngram_jaccard over an exploded (doc_id, s)
+    shingle frame — injectable so the skew-robustness test
+    (tests/test_scale_blocking.py::test_ngram_jaccard_df_cap_bounds_hot_shingle)
+    can plant a power-law shingle and assert the DF-cap keeps
+    per-key state and candidate counts bounded."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # pair generation WITHOUT a shingle self-join: drop heavy
     # stop-shingles FIRST via a cheap count + semi-join (partial

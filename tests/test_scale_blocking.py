@@ -249,6 +249,82 @@ def test_approx_distinct_accuracy(spark, sf_dir):
         assert abs(approx[flag] - n) <= max(2, 0.06 * n), (flag, approx[flag], n)
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """Skew robustness of the shingle join: plant a power-law shingle
+    (one 'stop' shingle shared by ALL docs — the 100x-scale failure
+    the uniform bench data never exercises). Naively that one key
+    creates C(N,2) pairs through a single reducer; the DF-cap must
+    (a) keep every per-shingle doc list at <= _DF_CAP entries (the
+    bounded-state guarantee — no task ever materializes the hot
+    key's pair explosion) and (b) still find the planted near-dup
+    pairs, which share only rare shingles."""
+    from pe_firm_investment_database_pipeline_spark.plans import textops as T
+
+    n_docs = 300
+    rows = []
+    for d in range(n_docs):
+        rows.append((d, 0))  # the hot shingle: in EVERY doc
+        # 20 further shingles; planted near-dup: docs 2k/2k+1 (k<10)
+        # share all 20 (the operator's jaccard counts only RARE
+        # shared shingles — 20/(21+21-20) = 0.909 >= 0.8 — while the
+        # hot shingle is excluded from pair generation entirely)
+        base = (d // 2) * 100 if d < 20 else d * 100
+        rows.extend((d, 1000 + base + j) for j in range(20))
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, s BIGINT")
+
+    # (a) bounded per-key state: every surviving shingle groups at
+    # most _DF_CAP doc_ids; the hot shingle (df = 300) is excluded
+    dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    surviving_max = (
+        dfs.where((F.col("df") >= 2) & (F.col("df") <= T._DF_CAP))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    assert surviving_max <= T._DF_CAP
+    assert dfs.agg(F.max("df")).first()[0] == n_docs  # the hot key exists
+
+    # (b) pairs: exactly the 10 planted near-dups, never the
+    # C(300,2) hot-key explosion
+    got = T._jaccard_pairs_from_shingles(sh).collect()
+    assert {(r["doc1"], r["doc2"]) for r in got} == {
+        (2 * k, 2 * k + 1) for k in range(10)
+    }
+    for r in got:
+        assert abs(r["jaccard"] - 20.0 / 22.0) < 1e-12
+
+
+def test_salted_agg_bounds_hot_key(spark):
+    """Skew robustness of the two-phase salted aggregation: plant a
+    key holding ~96% of all rows. Phase 1 must spread it across all
+    _SALTS partials with no partial exceeding ~1/_SALTS of the hot
+    rows (the max-reducer-input bound a direct groupBy lacks), and
+    the final result must equal the direct aggregation exactly."""
+    from pe_firm_investment_database_pipeline_spark.plans import advanced_aggs as A
+
+    n_hot, n_cold = 8000, 300
+    rows = [("HOT", i % A._SALTS, 100 + (i % 7)) for i in range(n_hot)]
+    rows += [(f"C{i % 3}", i % A._SALTS, 50 + i % 11) for i in range(n_cold)]
+    df = spark.createDataFrame(
+        rows, "l_returnflag STRING, salt INT, price_c BIGINT"
+    )
+    phase1, final = A._salted_phases(df)
+    parts = {
+        (r["l_returnflag"], r["salt"]): r["part_n"] for r in phase1.collect()
+    }
+    hot_parts = [n for (k, _), n in parts.items() if k == "HOT"]
+    assert len(hot_parts) == A._SALTS  # spread over every salt
+    assert max(hot_parts) <= (n_hot // A._SALTS) + 1  # bounded partials
+
+    got = {r["l_returnflag"]: (r["total_price"], r["n_items"]) for r in final.collect()}
+    want = {
+        r["l_returnflag"]: (r["tp"], r["n"])
+        for r in df.groupBy("l_returnflag")
+        .agg((F.sum("price_c") / 100.0).alias("tp"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_approx_percentile_error_bound(spark, sf_dir):
     """agg_percentile_approx (rows-only at the driver gate) gets its
     value-level check here: Greenwald-Khanna with accuracy=A guarantees
