@@ -41,15 +41,23 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_incremental_lsh",
     "sim_cosine_topk",
     "sim_knn_blocked",
+    "sim_knn_blocked_full",
+    "sim_ann_join",
     "seed_extract_pe_firms",
     "stream_tumbling",
     "stream_custom_state",
+    "stream_join_interval",
+    "stream_join_interval_outer",
     "mm_feature_extract",
+    "mm_resize",
+    "chunk_token_windows",
     "io_http_fetch",
     "udaf_grouped_pandas",
     "agg_percentiles",
+    "agg_percentile_approx",
     "sim_ivf_multiprobe",
 ]
 
@@ -100,6 +108,14 @@ def main() -> None:
             for op, t in timings.items()
             if prev.get("queries", {}).get(op)
         }
+        # HEADLINE grows as operators are added; the apples-to-apples
+        # round-over-round number is the total over queries present in
+        # BOTH rounds.
+        shared = [op for op in timings if prev.get("queries", {}).get(op)]
+        out["total_prev_scope"] = round(sum(timings[op] for op in shared), 3)
+        out["prev_total_prev_scope"] = round(
+            sum(prev["queries"][op] for op in shared), 3
+        )
     print(json.dumps(out))
     spark.stop()
 

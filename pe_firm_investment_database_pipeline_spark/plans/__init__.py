@@ -26,11 +26,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # Order matters operationally: the external driver records
     # correctness entries in registry order and caps each round at the
-    # first ~50 (observed r01-r03). Entries that most need an official
-    # driver verdict THIS round go first: ops never recorded in any
-    # CORRECTNESS file, then ops repaired since the last recording
-    # (round 4: the 18 events-fixture casualties). Everything else
-    # keeps module order.
+    # first ~50 (observed r01-r04). Entries that most need an official
+    # driver verdict THIS round go first: round-5's new ops, then the
+    # 40 entries whose newest driver record is still r01 — predating
+    # two testdata regenerations (round-4 verdict §missing #4 asked
+    # for exactly this oldest-first rotation). Everything else keeps
+    # module order.
     merged = merge(
         datapipe.QUERIES,
         textops.QUERIES,
@@ -49,33 +50,56 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # new in round 4
-        "chunk_token_windows",
-        "mm_resize",
-        "stream_join_interval",
-        # upgraded rows-only -> full oracle in round 4
-        "dedup_connected_components",
-        # never driver-recorded in r01-r03
-        "math_backoff",
-        "win_sessionize_batch",
-        "join_interval_bin",
-        "map_entry_ops",
-        # repaired events consumers (broken r03, fixed r04)
-        "join_range_asof",
-        "win_first_success",
-        "set_member_types",
-        "json_get",
-        "agg_weighted_vote",
-        "agg_histogram",
-        "evt_funnel",
-        "stream_custom_state",
-        "stream_ingest_jsonl",
-        "stream_tumbling",
-        "stream_sliding",
-        "stream_session",
-        "stream_dedup",
-        "stream_dedup_watermarked",
-        "stream_late_append",
+        # new in round 5
+        "sim_knn_blocked_full",
+        "sim_ann_join",
+        "dedup_incremental_lsh",
+        "stream_join_interval_outer",
+        "agg_percentile_approx",
+        # plan reworked in round 5 (window-count small path)
+        "sim_knn_blocked",
+        # stalest driver records: last recorded r01, before two
+        # testdata regenerations
+        "flagship_revenue_by_nation",
+        "agg_hash_groupby",
+        "agg_distinct_exact",
+        "agg_distinct_approx",
+        "agg_collect_nested",
+        "agg_consensus",
+        "agg_cube",
+        "agg_dedup_best",
+        "agg_dedup_first",
+        "agg_grouping_sets",
+        "agg_percentiles",
+        "agg_pivot",
+        "agg_priority_coalesce",
+        "agg_salted_skew",
+        "date_trunc_agg",
+        "enrich_year_cascade",
+        "flt_kw_suppress",
+        "flt_member_pe_au",
+        "flt_year_range",
+        "join_broadcast",
+        "join_equi_hash",
+        "join_left_anti",
+        "join_left_semi",
+        "join_nested_loop",
+        "limit_per_group",
+        "math_score_rank",
+        "profile_unpivot",
+        "proj_select",
+        "set_except",
+        "set_intersect",
+        "set_union",
+        "sort_topk",
+        "str_norm",
+        "str_year_extract",
+        "udaf_grouped_pandas",
+        "url_domain",
+        "win_analytic_fns",
+        "win_best_match",
+        "win_range_frame",
+        "win_ranking_fns",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

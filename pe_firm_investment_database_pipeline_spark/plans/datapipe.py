@@ -84,15 +84,20 @@ FROM t WHERE bucket < rate_permille
 
 _BUDGET = 20_000  # tokens per training shard
 
-# Cumsum block width, derived IN-PLAN from COUNT(*): ~sqrt(N) doc_ids
-# per block, so BOTH the block-totals table (the only sequentially
-# windowed thing) and each block-local window hold ~sqrt(N) rows —
-# ~30k at a billion documents, never O(N) through one partition. A
-# fixed width would put N/width rows through the offsets window at
-# scale (the round-2 defect: width 100 -> 10M single-partition rows
-# at 1e9 docs). GREATEST guards the empty corpus.
+# Cumsum block width, derived IN-PLAN from COUNT(*) and MAX(doc_id):
+# the id RANGE is cut into ~ceil(sqrt(N)) equal spans, so the
+# block-totals table (the only sequentially windowed thing) holds at
+# most ~sqrt(N) rows — ~30k at a billion documents, never O(N)
+# through one partition — even when doc_ids are SPARSE (a width
+# derived from COUNT(*) alone would yield max_id/sqrt(N) blocks
+# through the offsets window when max_id >> N). For dense ids the
+# two derivations coincide (~sqrt(N) ids per block). A fixed width
+# was the round-2 defect: 100 -> 10M single-partition rows at 1e9
+# docs. GREATEST/COALESCE guard the empty corpus; the result is
+# width-independent (the oracle is a plain sequential cumsum).
 _SHARD_BLOCK_WIDTH = (
-    "GREATEST(1, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT))"
+    "GREATEST(1, CAST(ceil((CAST(COALESCE(mx, 0) AS DOUBLE) + 1.0) / "
+    "GREATEST(ceil(sqrt(CAST(n AS DOUBLE))), 1.0)) AS BIGINT))"
 )
 
 
@@ -100,7 +105,8 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents (in doc_id order) into training shards of
     ~_BUDGET tokens: shard = running_token_sum_before_doc div
     _BUDGET. The running sum is computed DISTRIBUTED: per-block token
-    totals (block = doc_id div width, width ~ sqrt(N) from COUNT(*)),
+    totals (block = doc_id div width, the id range cut into ~sqrt(N)
+    spans — sparse-id-safe, see _SHARD_BLOCK_WIDTH),
     one window over the ~sqrt(N)-row block-totals table for block
     offsets, then a block-local window adds the offset — the only
     sequential step touches sqrt(N) rows, not N. Integer division
@@ -115,7 +121,7 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     params = (
         toks.select("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx"))
         .select(F.expr(_SHARD_BLOCK_WIDTH).alias("block_width"))
     )
     blocked = (

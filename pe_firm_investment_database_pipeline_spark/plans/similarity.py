@@ -113,7 +113,21 @@ _BIT_WEIGHTS = np.int64(1) << np.arange(_N_PLANES, dtype=np.int64)
 def _sig_pandas(q: pd.Series) -> pd.Series:
     if len(q) == 0:
         return pd.Series([], dtype="int64")
-    m = np.stack(q.to_numpy()).astype(np.int64, copy=False)  # n x 64
+    vals = q.to_numpy()
+    # fail LOUDLY on fixture drift (null / mis-sized embedding): the
+    # DuckDB twin would silently drop such a row through its unnest
+    # join while np.stack would die with an opaque shape error —
+    # surface the divergence as a clear message instead. The fixture
+    # contract itself is pinned in tests/test_fixture_drift.py.
+    bad = next(
+        (i for i, v in enumerate(vals) if v is None or len(v) != 64), None
+    )
+    if bad is not None:
+        raise ValueError(
+            "embeddings drift: expected non-null 64-dim embedding, got "
+            f"{vals[bad]!r} at batch offset {bad}"
+        )
+    m = np.stack(vals).astype(np.int64, copy=False)  # n x 64
     dots = m @ _PLANES_T  # n x 62, exact int64
     return pd.Series(((dots > 0) * _BIT_WEIGHTS).sum(axis=1, dtype=np.int64))
 

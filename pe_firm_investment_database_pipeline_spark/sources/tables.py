@@ -70,6 +70,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _spread(spark, df, path)
 
 
+def _read_events_raw(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet, handling a TIMESTAMP(NANOS) footer (Spark 4
+    has no native nanos type; the legacy conf scans it as int64). The
+    footer type is inspected DIRECTLY (pyarrow) instead of inferring
+    from an exception class, and the legacy conf is SCOPED to this
+    read — save/set/restore — so it never leaks into how other nanos
+    parquet columns in the session are scanned. (The conf is consulted
+    at schema-resolution time only; later actions on the returned
+    frame execute correctly after the restore.)"""
+    from pyspark.sql.utils import AnalysisException
+
+    nanos = False
+    try:
+        import pyarrow.parquet as papq
+
+        nanos = str(papq.read_schema(path).field("ts").type) == "timestamp[ns]"
+    except Exception:  # missing field / unreadable footer: let Spark decide
+        nanos = False
+    if not nanos:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException:
+            # footer shape pyarrow didn't flag but Spark rejects —
+            # last resort: try the legacy nanos path below
+            pass
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "true")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events with a normalized, timezone-free time axis. The
     fixture's ``ts`` physical type has varied across testdata
@@ -87,18 +124,10 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
-    from pyspark.sql.utils import AnalysisException
 
     path = f"{sf_dir}/events.parquet"
-    try:
-        raw = spark.read.parquet(path)
-        ts_type = raw.schema["ts"].dataType
-    except AnalysisException:
-        # TIMESTAMP(NANOS) footer without the legacy conf: re-read nanos
-        # as raw int64 (Spark 4 has no native nanos timestamp type).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(path)
-        ts_type = raw.schema["ts"].dataType
+    raw = _read_events_raw(spark, path)
+    ts_type = raw.schema["ts"].dataType
 
     df = _spread(spark, raw, path)
     if isinstance(ts_type, T.LongType):

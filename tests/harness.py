@@ -20,6 +20,12 @@ from pe_firm_investment_database_pipeline_spark.sources.tables import TABLES
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Pin the oracle's zone: if a fixture regeneration ships a
+    # tz-annotated timestamp column, DuckDB's ts::TIMESTAMP converts
+    # through its LOCAL TimeZone setting while Spark's unix_micros
+    # does not — on a non-UTC host the oracle would silently shift by
+    # the zone offset. (The engine side is tz-free by design.)
+    con.execute("SET TimeZone='UTC'")
     for name in TABLES:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"

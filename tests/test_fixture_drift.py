@@ -103,6 +103,25 @@ def test_events_loader_handles_every_physical_type(
             got[i]["ts_date"].toordinal() - 719163  # days since 1970-01-01
             == want_us // 86_400_000_000
         ), ctx
+    # ENGINE PARITY for the tz-annotated branch: DuckDB reads a
+    # tz-annotated column as TIMESTAMPTZ and ts::TIMESTAMP converts
+    # through its TimeZone setting — with the oracle zone pinned to
+    # UTC (as tests/harness.duckdb_conn does) both engines must yield
+    # identical epoch micros. An unpinned non-UTC host would shift
+    # this branch by the zone offset.
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    want_duck = dict(
+        con.sql(
+            "SELECT event_id, epoch_us(ts::TIMESTAMP) "
+            f"FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+    )
+    con.close()
+    assert {k: v["ts_us"] for k, v in got.items()} == want_duck, (
+        ts_type_name,
+        session_tz,
+    )
 
 
 @pytest.mark.parametrize("elem_type_name", ["float32", "float64"])
@@ -143,6 +162,22 @@ def test_embeddings_quantization_survives_element_type_drift(
         q, nrm = rows[vid]
         assert q == wq, (elem_type_name, vid)
         assert nrm == sum(v * v for v in wq)
+
+
+def test_embeddings_are_nonnull_64dim(spark, sf_dir):
+    """The similarity operators' contract with the fixture: every
+    embedding is a non-null 64-element array. A regeneration that
+    ships nulls or another width would make the Spark signature UDF
+    raise (with a clear message — similarity._sig_pandas) while the
+    DuckDB twin silently drops the row through its unnest join; this
+    pins the contract so drift fails HERE first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    bad = emb.where(
+        F.col("embedding").isNull() | (F.size("embedding") != 64)
+    ).count()
+    assert bad == 0
 
 
 def test_events_time_axis_matches_duckdb(spark, sf_dir):

@@ -96,10 +96,12 @@ def test_shard_block_width_scales(spark, sf_dir):
     A fixed width would put N/width rows through one partition."""
     from pe_firm_investment_database_pipeline_spark.plans import datapipe as D
 
-    def width(n):
+    def width(n, mx=None):
+        if mx is None:
+            mx = n - 1 if n else None  # dense 0..n-1 ids
         return (
             spark.range(1)
-            .select(F.lit(n).alias("n"))
+            .select(F.lit(n).alias("n"), F.lit(mx).cast("long").alias("mx"))
             .select(F.expr(D._SHARD_BLOCK_WIDTH).alias("w"))
             .first()[0]
         )
@@ -107,6 +109,10 @@ def test_shard_block_width_scales(spark, sf_dir):
     assert width(0) == 1  # empty corpus must not divide by zero
     assert width(10**6) == 1000
     assert width(10**12) == 10**6  # 1e12 docs -> 1e6-row offsets window
+    # SPARSE ids: max_id >> N must not inflate the block count — the
+    # id range is cut into ~sqrt(N) spans regardless of density
+    w = width(10**6, 10**12)
+    assert (10**12 + 1) / w <= 1001  # <= ~sqrt(N) blocks, not 1e9
 
     # and the distributed cumsum must equal the naive sequential one
     rows = (
