@@ -92,7 +92,7 @@ def _read_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(_EVENT_SCHEMA).parquet(path)
 
 
-def _run(stream_df: DataFrame, mode: str) -> DataFrame:
+def _run(stream_df: DataFrame, mode: str, max_partitions: int = 32) -> DataFrame:
     """Execute to completion into a memory sink; return the result.
 
     Shuffle partitions are scoped down for the query's lifetime (and
@@ -103,10 +103,17 @@ def _run(stream_df: DataFrame, mode: str) -> DataFrame:
     holds four stores per partition — 22 s at 200 partitions vs ~3 s
     at 32, same result). A production long-running stream sizes this
     to its state volume deliberately; 32 matches the test scale and
-    the local core count."""
+    the local core count. Stream-stream joins pass a smaller
+    ``max_partitions``: at 4 stores per partition, 32 partitions is
+    128 store instantiations for kilobytes of state (measured 5.8 s
+    vs 2.2 s at 8 partitions, identical result)."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    scoped = str(min(int(prev), 32)) if str(prev).isdigit() else "32"
+    scoped = (
+        str(min(int(prev), max_partitions))
+        if str(prev).isdigit()
+        else str(max_partitions)
+    )
     name = f"stream_out_{uuid.uuid4().hex[:12]}"
     spark.conf.set("spark.sql.shuffle.partitions", scoped)
     try:
@@ -415,7 +422,7 @@ def stream_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("long").alias("view_ts_s"),
         F.col("buy_ts").cast("long").alias("buy_ts_s"),
     )
-    return _run(joined, "append")
+    return _run(joined, "append", max_partitions=8)
 
 
 _STREAM_JOIN_INTERVAL_SQL = """
@@ -492,7 +499,7 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("view_ts").cast("long").alias("view_ts_s"),
         F.col("buy_ts").cast("long").alias("buy_ts_s"),
     )
-    return _run(joined, "append")
+    return _run(joined, "append", max_partitions=8)
 
 
 _STREAM_JOIN_INTERVAL_OUTER_SQL = """
