@@ -126,10 +126,12 @@ def test_mm_resize_filters_before_python(spark):
     assert first_id("Filter") < first_id("MapInPandas")
 
 
-def test_stream_join_uses_symmetric_hash_join(spark):
-    """The stream-stream interval join must run as Spark's state-
-    bounded StreamingSymmetricHashJoin, not fall back to a batch
-    join shape (which would buffer a side unboundedly)."""
+@pytest.mark.parametrize("join_type", ["inner", "leftOuter"])
+def test_stream_join_uses_symmetric_hash_join(spark, join_type):
+    """Both stream-stream interval joins (inner and the left-outer
+    null-emitting variant) must run as Spark's state-bounded
+    StreamingSymmetricHashJoin, not fall back to a batch join shape
+    (which would buffer a side unboundedly)."""
     import io
     from contextlib import redirect_stdout
 
@@ -137,35 +139,39 @@ def test_stream_join_uses_symmetric_hash_join(spark):
     from pyspark.sql import functions as F
 
     path = SW._prepare_input(spark, SF)
-    views = (
-        SW._read_stream(spark, path)
-        .where("event_type = 'view'")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    buys = (
-        SW._read_stream(spark, path)
-        .where("event_type = 'purchase'")
-        .select(
-            F.col("user_id").alias("buy_user"),
-            F.col("event_id").alias("buy_id"),
-            F.col("ts").alias("buy_ts"),
-        )
-        .withWatermark("buy_ts", "1 hour")
-    )
-    joined = views.join(
-        buys,
-        F.expr(
-            "user_id = buy_user AND buy_ts > view_ts "
-            "AND buy_ts <= view_ts + INTERVAL 1 HOUR"
-        ),
-        "inner",
-    )
+    views, buys = SW._interval_join_sides(spark, path)
+    joined = views.join(buys, F.expr(SW._INTERVAL_COND), join_type)
     buf = io.StringIO()
     with redirect_stdout(buf):
         joined.explain()
     assert "StreamingSymmetricHashJoin" in buf.getvalue()
+
+
+def test_restricted_knn_lost_its_scalar_bnlj(spark):
+    """sim_knn_blocked's round-5 rework: the in-plan nbits scalar is a
+    global window over the coalesced tiny set, so the plan must carry
+    NO BroadcastNestedLoopJoin (the old agg+cross-join scalar glue)
+    and pair via a BroadcastHashJoin on the cell."""
+    plan = _plan(spark, "sim_knn_blocked")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_full_consumes_staged_index(spark):
+    """sim_knn_blocked_full must read the persisted signature index
+    (InMemoryTableScan) on BOTH pair-join sides instead of recomputing
+    the scan+UDF chain per side — the 'stage the index' shape that
+    amortizes at 100 TB."""
+    plan = _plan(spark, "sim_knn_blocked_full")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_ann_join_broadcasts_centroids(spark):
+    """sim_ann_join's query-probe assignment must broadcast the
+    ~sqrt(N) centroid relation (never shuffle the corpus for it), and
+    candidate pairing must stay equi-join (no CartesianProduct of
+    data rows)."""
+    plan = _plan(spark, "sim_ann_join")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
