@@ -55,6 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sim_ann_join",
         "dedup_incremental_lsh",
         "stream_join_interval_outer",
+        "stream_static_join",
+        "samp_weighted_quality",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

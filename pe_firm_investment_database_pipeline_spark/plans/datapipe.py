@@ -82,6 +82,59 @@ FROM t WHERE bucket < rate_permille
 """
 
 
+def samp_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling: each document's keep
+    probability is its type-token diversity, expressed in integer
+    permille (n_distinct * 1000 div n_tokens) so the threshold
+    comparison is pure int64 on both engines — no float weight ever
+    crosses an engine boundary. Same hash-vs-threshold decision as
+    samp_stratified_hash (reproducible across retries, partitions,
+    engines), but the rate is a per-ROW computed weight rather than a
+    per-stratum literal — the shape a curation pipeline uses to
+    downsample low-quality text smoothly instead of with a hard
+    filter. Composing weights (quality x language rate) is a permille
+    multiply. Map-side only: the decision composes with scan pruning
+    and never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    weight = F.expr(
+        "CASE WHEN n_tokens > 0 THEN n_distinct * 1000 div n_tokens ELSE 0 END"
+    )
+    bucket = (F.expr(_KEYHASH) % 1000).cast("long")
+    return (
+        t.select(
+            "doc_id",
+            "lang",
+            weight.alias("weight_permille"),
+            bucket.alias("bucket"),
+        )
+        .where(F.col("bucket") < F.col("weight_permille"))
+    )
+
+
+_SAMP_WEIGHTED_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         {_KEYHASH_DUCK} % 1000 AS bucket
+  FROM (SELECT doc_id, lang, {_TOKENS_DUCK} AS toks FROM documents)
+)
+SELECT doc_id, lang,
+       CASE WHEN n_tokens > 0 THEN n_distinct * 1000 // n_tokens ELSE 0 END
+         AS weight_permille,
+       CAST(bucket AS BIGINT) AS bucket
+FROM t
+WHERE bucket < CASE WHEN n_tokens > 0 THEN n_distinct * 1000 // n_tokens
+                    ELSE 0 END
+"""
+
+
 _BUDGET = 20_000  # tokens per training shard
 
 # Cumsum block width, derived IN-PLAN from COUNT(*) and MAX(doc_id):
@@ -295,6 +348,9 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 QUERIES = {
     "samp_stratified_hash": QuerySpec(
         samp_stratified_hash, _SAMP_STRATIFIED_HASH_SQL, ("sampling",)
+    ),
+    "samp_weighted_quality": QuerySpec(
+        samp_weighted_quality, _SAMP_WEIGHTED_QUALITY_SQL, ("sampling", "weighted")
     ),
     "shard_by_token_budget": QuerySpec(
         shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)

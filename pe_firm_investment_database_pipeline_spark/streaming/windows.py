@@ -439,6 +439,49 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# stream_static_join — dimension enrichment of an unbounded stream
+# ---------------------------------------------------------------------------
+
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: every purchase event is enriched with the
+    broadcast customer dimension, then aggregated per market segment —
+    the most common production streaming shape (fact stream x slowly-
+    changing dim). Unlike a stream-stream join this is STATELESS: no
+    watermark, no join state store; the static side is re-resolvable
+    per micro-batch (on a cluster, a broadcast that refreshes per
+    batch — how dimension updates propagate). The per-segment windowed
+    aggregate keys state by segment, bounded by dim cardinality."""
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path).where("event_type = 'purchase'")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_purchases",
+            (F.col("sum_value_c") / 100.0).alias("total_value"),
+        )
+    )
+    return _run(agg, "complete")
+
+
+_STREAM_STATIC_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream_join_interval_outer — LEFT OUTER with watermark-driven nulls
 # ---------------------------------------------------------------------------
 
@@ -544,6 +587,9 @@ QUERIES = {
         stream_join_interval_outer,
         _STREAM_JOIN_INTERVAL_OUTER_SQL,
         ("streaming", "join", "outer"),
+    ),
+    "stream_static_join": QuerySpec(
+        stream_static_join, _STREAM_STATIC_JOIN_SQL, ("streaming", "join", "static")
     ),
     "stream_tumbling": QuerySpec(
         stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")
