@@ -33,7 +33,14 @@ from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
 from ..sources.tables import load_table
-from .textops import _SHINGLED_DUCK, _TOKENS, _TOKENS_DUCK, _shingled
+from .textops import (
+    _SHINGLED_DUCK,
+    _STOP_SQL,
+    _TOKENS,
+    _TOKENS_DUCK,
+    _shingled,
+)
+from .textops import STOPWORDS as _STOPWORDS
 
 # Deterministic 48-bit md5-prefix hash of the doc key — identical in
 # both engines (same trick as the shingle hashes, textops.py).
@@ -172,6 +179,14 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.expr(_TOKENS)).cast("long").alias("n_tokens"),
     )
+    return _pack_shards(toks)
+
+
+def _pack_shards(toks: DataFrame) -> DataFrame:
+    """The distributed cumsum + budget packing over a (doc_id,
+    n_tokens) frame — shared by the standalone shard entry and the
+    composed curation pipeline (any extra columns on `toks` ride
+    along)."""
     params = (
         toks.select("doc_id")
         .agg(F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx"))
@@ -192,20 +207,13 @@ def shard_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         blocked.join(F.broadcast(offsets), "block")
-        .select(
-            "doc_id",
-            "n_tokens",
-            (
-                F.col("offset")
-                + F.coalesce(F.sum("n_tokens").over(w_in_block), F.lit(0))
-            ).alias("tokens_before"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
+        .withColumn(
             "tokens_before",
-            F.expr(f"tokens_before div {_BUDGET}").alias("shard"),
+            F.col("offset")
+            + F.coalesce(F.sum("n_tokens").over(w_in_block), F.lit(0)),
         )
+        .withColumn("shard", F.expr(f"tokens_before div {_BUDGET}"))
+        .drop("block", "block_width", "offset")
     )
 
 
@@ -345,6 +353,84 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_pipeline_e2e — the composed training-data pipeline
+# ---------------------------------------------------------------------------
+
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation stages COMPOSED, raw corpus -> training shards in
+    one plan: quality gate (token count + type-token diversity, the
+    txt_quality_score 'keep' rule) -> exact dedup (min doc_id per
+    content digest) -> stratified downsampling (deterministic hash vs
+    per-language rate) -> token-budget shard packing over the
+    survivors. Every stage is the same declarative shape as its
+    standalone entry, so Catalyst fuses the gate + digest + sample
+    into the scan projection and the only shuffles are the dedup
+    groupBy and the shard cumsum's two tiny window exchanges — the
+    whole pipeline is 3 shuffles end-to-end at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", F.md5("text").alias("h"), F.expr(_TOKENS).alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "h",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.size(F.filter("toks", lambda x: x.isin(*_STOPWORDS))).cast("long").alias(
+            "n_stop"
+        ),
+    )
+    kept = t.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stop") * 10 <= F.col("n_tokens") * 4)
+        & (F.col("n_distinct") * 10 >= F.col("n_tokens"))
+    )
+    w_dup = W.partitionBy("h").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w_dup))
+        .where(F.col("rn") == 1)
+        .drop("rn", "h")
+    )
+    rate = F.when(F.col("lang") == "en", _RATES["en"]).otherwise(1000)
+    sampled = deduped.where(F.expr(_KEYHASH) % 1000 < rate)
+    return _pack_shards(sampled.select("doc_id", "lang", "n_tokens")).select(
+        "doc_id", "lang", "n_tokens", "tokens_before", "shard"
+    )
+
+
+_CURATION_PIPELINE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS BIGINT) AS n_stop
+  FROM (SELECT doc_id, lang, text, {_TOKENS_DUCK} AS toks FROM documents)
+), kept AS (
+  SELECT * FROM t
+  WHERE n_tokens >= 20 AND n_stop * 10 <= n_tokens * 4
+    AND n_distinct * 10 >= n_tokens
+), deduped AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM kept)
+  WHERE rn = 1
+), sampled AS (
+  SELECT doc_id, lang, n_tokens FROM deduped
+  WHERE {_KEYHASH_DUCK} % 1000
+        < CASE WHEN lang = 'en' THEN {_RATES['en']} ELSE 1000 END
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM sampled
+)
+SELECT doc_id, lang, n_tokens, tokens_before,
+       tokens_before // {_BUDGET} AS shard
+FROM c
+"""
+
+
 QUERIES = {
     "samp_stratified_hash": QuerySpec(
         samp_stratified_hash, _SAMP_STRATIFIED_HASH_SQL, ("sampling",)
@@ -360,5 +446,8 @@ QUERIES = {
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")
+    ),
+    "curation_pipeline_e2e": QuerySpec(
+        curation_pipeline_e2e, _CURATION_PIPELINE_SQL, ("pipeline", "curation")
     ),
 }
