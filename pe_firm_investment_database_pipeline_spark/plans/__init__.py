@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_static_join",
         "samp_weighted_quality",
         "curation_pipeline_e2e",
+        "dedup_containment",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

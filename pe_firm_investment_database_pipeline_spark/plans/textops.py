@@ -352,6 +352,18 @@ def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
     (tests/test_scale_blocking.py::test_ngram_jaccard_df_cap_bounds_hot_shingle)
     can plant a power-law shingle and assert the DF-cap keeps
     per-key state and candidate counts bounded."""
+    jac = _shared_shingle_counts(sh).withColumn(
+        "jaccard",
+        F.col("i").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
+    )
+    return jac.where(F.col("jaccard") >= 0.8).select("doc1", "doc2", "jaccard")
+
+
+def _shared_shingle_counts(sh: DataFrame) -> DataFrame:
+    """(doc1, doc2, i, na, nb): candidate doc pairs with their shared
+    RARE-shingle count and full set sizes — the common front half of
+    the Jaccard and containment joins."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # pair generation WITHOUT a shingle self-join: drop heavy
     # stop-shingles FIRST via a cheap count + semi-join (partial
@@ -384,16 +396,7 @@ def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
     inter = pairs.groupBy("doc1", "doc2").agg(F.count(F.lit(1)).alias("i"))
     sa = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("nb"))
-    jac = (
-        inter.join(sa, "doc1")
-        .join(sb, "doc2")
-        .withColumn(
-            "jaccard",
-            F.col("i").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-        )
-    )
-    return jac.where(F.col("jaccard") >= 0.8).select("doc1", "doc2", "jaccard")
+    return inter.join(sa, "doc1").join(sb, "doc2")
 
 
 _DEDUP_NGRAM_JACCARD_SQL = f"""
@@ -417,6 +420,75 @@ FROM inter
 JOIN sizes sa ON doc1 = sa.doc_id
 JOIN sizes sb ON doc2 = sb.doc_id
 WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric overlap (excerpt/quote detection)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_T = 0.9
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|) >=
+    0.9 — the asymmetric overlap measure that catches a short
+    document embedded in a long one (quotes, excerpts, boilerplate
+    wrappers), which symmetric Jaccard structurally misses: a
+    100-shingle doc fully contained in a 1000-shingle doc has
+    J = 0.1 but containment 1.0. Same sub-quadratic candidate front
+    as the Jaccard join (DF-capped shingle equi-join — identical
+    recall bound and scale shape); output orients each pair as
+    (doc_small, doc_big) by set size, doc id as the tie-break."""
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    c = _shared_shingle_counts(sh).withColumn(
+        "containment",
+        F.col("i").cast("double") / F.least("na", "nb").cast("double"),
+    )
+    small_first = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc1") < F.col("doc2"))
+    )
+    return (
+        c.where(F.col("containment") >= _CONTAINMENT_T)
+        .select(
+            F.when(small_first, F.col("doc1")).otherwise(F.col("doc2")).alias(
+                "doc_small"
+            ),
+            F.when(small_first, F.col("doc2")).otherwise(F.col("doc1")).alias(
+                "doc_big"
+            ),
+            "containment",
+        )
+    )
+
+
+_DEDUP_CONTAINMENT_SQL = f"""
+WITH shingled AS ({_SHINGLED_DUCK}
+), sh AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {_DF_CAP}
+), sh_rare AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+), inter AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+  FROM sh_rare a JOIN sh_rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT doc1, doc2, sa.n AS na, sb.n AS nb,
+         CAST(i AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+  FROM inter
+  JOIN sizes sa ON doc1 = sa.doc_id
+  JOIN sizes sb ON doc2 = sb.doc_id
+)
+SELECT CASE WHEN na < nb OR (na = nb AND doc1 < doc2) THEN doc1 ELSE doc2 END
+         AS doc_small,
+       CASE WHEN na < nb OR (na = nb AND doc1 < doc2) THEN doc2 ELSE doc1 END
+         AS doc_big,
+       containment
+FROM scored WHERE containment >= {_CONTAINMENT_T}
 """
 
 
@@ -1034,6 +1106,9 @@ QUERIES = {
     ),
     "dedup_ngram_prefix": QuerySpec(
         dedup_ngram_prefix, _DEDUP_NGRAM_PREFIX_SQL, ("dedup", "prefix-filter")
+    ),
+    "dedup_containment": QuerySpec(
+        dedup_containment, _DEDUP_CONTAINMENT_SQL, ("dedup", "containment")
     ),
     "dedup_minhash_lsh": QuerySpec(
         dedup_minhash_lsh, _DEDUP_MINHASH_LSH_SQL, ("dedup", "lsh")

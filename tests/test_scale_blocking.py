@@ -299,6 +299,24 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
         assert abs(r["jaccard"] - 20.0 / 22.0) < 1e-12
 
 
+def test_containment_catches_excerpts_jaccard_misses(spark):
+    """The asymmetric-overlap rationale: a 10-shingle excerpt fully
+    contained in a 100-shingle document has Jaccard 0.1 (below any
+    useful threshold) but containment 1.0. The Jaccard join must NOT
+    pair them; the shared-counts front half must yield exactly the
+    numbers the containment op thresholds on."""
+    from pe_firm_investment_database_pipeline_spark.plans import textops as T
+
+    rows = [(1, s) for s in range(10)] + [(2, s) for s in range(100)]
+    sh = spark.createDataFrame(rows, "doc_id BIGINT, s BIGINT")
+    counts = T._shared_shingle_counts(sh).collect()
+    assert len(counts) == 1
+    r = counts[0]
+    assert (r["doc1"], r["doc2"], r["i"], r["na"], r["nb"]) == (1, 2, 10, 10, 100)
+    assert r["i"] / min(r["na"], r["nb"]) == 1.0  # containment: certain pair
+    assert T._jaccard_pairs_from_shingles(sh).count() == 0  # jaccard: blind
+
+
 def test_salted_agg_bounds_hot_key(spark):
     """Skew robustness of the two-phase salted aggregation: plant a
     key holding ~96% of all rows. Phase 1 must spread it across all
