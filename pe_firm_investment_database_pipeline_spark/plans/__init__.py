@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_weighted_quality",
         "curation_pipeline_e2e",
         "dedup_containment",
+        "snk_stream_parquet",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

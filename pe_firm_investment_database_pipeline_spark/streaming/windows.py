@@ -439,6 +439,68 @@ WHERE v.event_type = 'view' AND b.event_type = 'purchase'
 
 
 # ---------------------------------------------------------------------------
+# snk_stream_parquet — exactly-once partitioned parquet file sink
+# ---------------------------------------------------------------------------
+
+def snk_stream_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FILE sink: purchases are projected and written to a
+    date-partitioned parquet directory through a checkpointed
+    writeStream — the exactly-once sink production pipelines land on
+    (the checkpoint's file manifest makes re-runs idempotent: a second
+    availableNow start with the same checkpoint processes nothing and
+    the committed file set is unchanged). The finished directory is
+    read back and aggregated per day so the entry has a compact exact
+    oracle; the date partition column is also what a downstream batch
+    reader prunes on."""
+    in_path = _prepare_input(spark, sf_dir)
+    slot = _slot(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"pe_stream_sink_{slot}")
+    ck = os.path.join(tempfile.gettempdir(), f"pe_stream_sink_ck_{slot}")
+    ev = (
+        _read_stream(spark, in_path)
+        .where("event_type = 'purchase'")
+        .select(
+            "event_id",
+            "user_id",
+            "value_c",
+            # epoch-day via unix_micros: tz-independent (a CAST(ts AS
+            # DATE) would go through the session zone and shift the
+            # partition boundary on a non-UTC driver)
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+    )
+    q = (
+        ev.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .partitionBy("day")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum("value_c") / 100.0).alias("total_value"),
+        )
+        .select(F.col("day").cast("long").alias("day"), "n_purchases", "total_value")
+    )
+
+
+_SNK_STREAM_PARQUET_SQL = """
+SELECT CAST(epoch_us(ts::TIMESTAMP) // 86400000000 AS BIGINT) AS day,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream_static_join — dimension enrichment of an unbounded stream
 # ---------------------------------------------------------------------------
 
@@ -590,6 +652,9 @@ QUERIES = {
     ),
     "stream_static_join": QuerySpec(
         stream_static_join, _STREAM_STATIC_JOIN_SQL, ("streaming", "join", "static")
+    ),
+    "snk_stream_parquet": QuerySpec(
+        snk_stream_parquet, _SNK_STREAM_PARQUET_SQL, ("streaming", "sink")
     ),
     "stream_tumbling": QuerySpec(
         stream_tumbling, _STREAM_TUMBLING_SQL, ("streaming", "window")

@@ -224,3 +224,28 @@ def test_outer_interval_join_nulls_after_watermark(spark, tmp_path):
     assert nulls[(1, None)] >= 2, nulls
     # V1 was NOT emitted in its arrival batch
     assert emitted[(1, None)] != 0
+
+
+def test_stream_parquet_sink_exactly_once(spark):
+    """The checkpointed file sink must be idempotent: a second
+    availableNow run over the same input and checkpoint commits no new
+    files, so the read-back aggregate is identical — and the output
+    directory is physically partitioned by the epoch-day column."""
+    import tempfile
+
+    from pe_firm_investment_database_pipeline_spark.streaming import windows as SW
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {
+        r["day"]: (r["n_purchases"], r["total_value"])
+        for r in SW.snk_stream_parquet(spark, sf).collect()
+    }
+    r2 = {
+        r["day"]: (r["n_purchases"], r["total_value"])
+        for r in SW.snk_stream_parquet(spark, sf).collect()
+    }
+    assert r1 and r1 == r2
+    out = os.path.join(
+        tempfile.gettempdir(), f"pe_stream_sink_{SW._slot(spark, sf)}"
+    )
+    assert any(d.startswith("day=") for d in os.listdir(out))
