@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "curation_pipeline_e2e",
         "dedup_containment",
         "snk_stream_parquet",
+        "sim_ann_join_indexed",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

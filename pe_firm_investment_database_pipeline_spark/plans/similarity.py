@@ -760,6 +760,107 @@ WHERE nn_rank <= {_ANN_JOIN_K}
 """
 
 
+# Persisted IVF index tables (cross-RUN ANN, the similarity twin of
+# dedup_incremental_lsh's persisted band index): centroids + posting
+# lists land as parquet tables under tmp, posting lists BUCKETED on
+# the cell id so a later session's retrieval join consumes them with
+# no index-side shuffle and no assignment recomputation. The catalog
+# entry is session-scoped (in-memory catalog), so a fresh session
+# rebuilds from the current fixture — no stale-index hazard.
+_ANN_INDEX_BUCKETS = 8
+_ANN_INDEX_CACHE: dict[tuple, tuple[str, str]] = {}
+
+
+def _ivf_index_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (once per session+sf_dir) the persisted IVF index:
+    returns (centroids_table, postings_table)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ANN_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slot = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    cents_name = f"ivf_cents_{slot}"
+    post_name = f"ivf_postings_{slot}"
+    emb, cents, ranked = _ivf_index(_emb_q(spark, sf_dir), stage_key=(sf_dir, "ivf"))
+    spark.sql(f"DROP TABLE IF EXISTS {cents_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {post_name}")
+    (
+        cents.write.format("parquet")
+        .option("path", os.path.join(tempfile.gettempdir(), f"pe_ivf_cents_{slot}_{app}"))
+        .mode("overwrite")
+        .saveAsTable(cents_name)
+    )
+    (
+        ranked.where(F.col("crank") == 1)
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+            F.col("cent_id").alias("cell"),
+        )
+        .write.format("parquet")
+        .bucketBy(_ANN_INDEX_BUCKETS, "cell")
+        .sortBy("cell")
+        .option("path", os.path.join(tempfile.gettempdir(), f"pe_ivf_post_{slot}_{app}"))
+        .mode("overwrite")
+        .saveAsTable(post_name)
+    )
+    _ANN_INDEX_CACHE[key] = (cents_name, post_name)
+    return cents_name, post_name
+
+
+def sim_ann_join_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN join served from the PERSISTED IVF index: centroids and
+    bucketed posting lists are read back as tables — no corpus scan,
+    no assignment recomputation, and the candidate join consumes the
+    bucketed postings without shuffling them (plan-asserted in
+    tests/test_bucketing.py::test_ivf_postings_join_no_index_shuffle).
+    Results are identical to `sim_ann_join` (same quantizer, same
+    probes), so it shares that entry's oracle — what changes is WHERE
+    the index lives: across runs instead of across consumers in one
+    session. At 100 TB this is the difference between an index
+    build per query session and one standing index table."""
+    cents_t, post_t = _ivf_index_tables(spark, sf_dir)
+    cents = spark.table(cents_t)
+    db = spark.table(post_t)
+    queries = _emb_q(spark, sf_dir).where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qcos = F.expr(_DOT.format(a="qq", b="cq")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", qcos)
+        .withColumn("qrank", F.row_number().over(wq))
+        .where(F.col("qrank") <= _IVF_PROBES)
+        .select("query_id", "qq", "qnrm", F.col("cent_id").alias("probe_cell"))
+    )
+    cos = F.expr(_DOT.format(a="qq", b="qb")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    cands = (
+        probes.join(db, probes.probe_cell == db.cell)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "nbr_label", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nn_rank") <= _ANN_JOIN_K)
+        .select("query_id", "nbr_id", "nbr_label", "cosine", "nn_rank")
+    )
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (the dedup north-star op):
     candidate pairs are generated ONLY within a hyperplane-LSH cell
@@ -840,6 +941,9 @@ QUERIES = {
     ),
     "sim_ann_join": QuerySpec(
         sim_ann_join, _SIM_ANN_JOIN_SQL, ("similarity", "ann", "join")
+    ),
+    "sim_ann_join_indexed": QuerySpec(
+        sim_ann_join_indexed, _SIM_ANN_JOIN_SQL, ("similarity", "ann", "index")
     ),
     "sim_embedding_stats": QuerySpec(
         sim_embedding_stats, _SIM_EMBEDDING_STATS_SQL, ("similarity", "agg")

@@ -66,6 +66,26 @@ def test_lsh_index_join_no_index_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_ivf_postings_join_no_index_shuffle(spark):
+    """sim_ann_join_indexed's scale contract: the persisted bucketed
+    posting lists feed the probe join WITHOUT being shuffled. With
+    broadcast disabled the SMJ plan must contain no hash exchange on
+    the postings' `cell` column (the probe side exchanges on its own
+    `probe_cell`), and the postings scan must be bucketed."""
+    from pe_firm_investment_database_pipeline_spark.plans import similarity as S
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(S.sim_ann_join_indexed(spark, SF))
+        assert "SortMergeJoin" in plan
+        assert "hashpartitioning(cell" not in plan  # index side unshuffled
+        assert "hashpartitioning(probe_cell" in plan  # probe side pays it
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     orders = load_table(spark, SF, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
