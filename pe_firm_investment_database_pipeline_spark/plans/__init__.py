@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_containment",
         "snk_stream_parquet",
         "sim_ann_join_indexed",
+        "evt_retention",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

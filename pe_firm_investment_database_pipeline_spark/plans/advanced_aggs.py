@@ -291,6 +291,45 @@ FROM s3
 
 
 # ---------------------------------------------------------------------------
+# evt_retention — cohort retention matrix over the event stream
+# ---------------------------------------------------------------------------
+
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity epoch day
+    (their cohort), counted on each later active day by age. No
+    self-join of the raw events: one distinct over (user, day), a
+    per-user min window for the cohort day, then a single groupBy —
+    three bounded shuffles regardless of event volume (days are
+    epoch-derived longs, tz-free)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_us div 86400000000").alias("day")
+    )
+    active = e.distinct()
+    w_user = W.partitionBy("user_id")
+    aged = active.withColumn("cohort_day", F.min("day").over(w_user)).select(
+        "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age_days")
+    )
+    return aged.groupBy("cohort_day", "age_days").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_EVT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+  FROM events
+), aged AS (
+  SELECT user_id,
+         MIN(day) OVER (PARTITION BY user_id) AS cohort_day,
+         day - MIN(day) OVER (PARTITION BY user_id) AS age_days
+  FROM active
+)
+SELECT cohort_day, age_days, COUNT(*) AS n_users
+FROM aged GROUP BY cohort_day, age_days
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_histogram — fixed-width value histogram
 # ---------------------------------------------------------------------------
 
@@ -382,6 +421,9 @@ QUERIES = {
     ),
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
+    "evt_retention": QuerySpec(
+        evt_retention, _EVT_RETENTION_SQL, ("events", "retention")
+    ),
     "agg_histogram": QuerySpec(
         agg_histogram, _AGG_HISTOGRAM_SQL, ("agg", "histogram")
     ),
