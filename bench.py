@@ -59,6 +59,8 @@ HEADLINE = [
     "agg_percentiles",
     "agg_percentile_approx",
     "sim_ivf_multiprobe",
+    "dedup_containment",
+    "curation_pipeline_e2e",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI
