@@ -42,3 +42,24 @@ def test_dedup_ops_survive_short_docs(spark, tmp_path):
     assert all(r["jaccard"] == 1.0 for r in jac)
     exact = textops.dedup_exact(spark, sf)
     assert exact.where("n_copies = 2").count() == 1
+
+
+def test_round5_ops_survive_short_docs(spark, tmp_path):
+    """Round-5 text/dedup/curation entries on the degenerate corpus:
+    containment pairs the planted exact dup, the incremental index
+    join runs with a near-empty batch, the weighted sampler never
+    keeps an empty doc (weight 0), and the composed curation pipeline
+    must survive its quality gate rejecting EVERY document (empty
+    cumsum input — the COALESCE/GREATEST guards)."""
+    sf = _tiny_docs(spark, tmp_path)
+    cont = textops.dedup_containment(spark, sf).collect()
+    assert {(r["doc_small"], r["doc_big"]) for r in cont} == {(4, 5)}
+    assert all(r["containment"] == 1.0 for r in cont)
+    # batch = doc_id % 10 == 0 -> only doc 0 (empty text, no shingles)
+    assert textops.dedup_incremental_lsh(spark, sf).count() == 0
+    from pe_firm_investment_database_pipeline_spark.plans import datapipe
+
+    sampled = datapipe.samp_weighted_quality(spark, sf).collect()
+    assert all(r["doc_id"] != 0 for r in sampled)  # empty doc: weight 0
+    # every tiny doc is under the 20-token quality gate -> empty plan out
+    assert datapipe.curation_pipeline_e2e(spark, sf).count() == 0

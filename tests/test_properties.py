@@ -75,3 +75,35 @@ def test_rank_monotone_in_score(spark, scores):
     # as score increases, rank index must not get worse
     for (s1, r1), (s2, r2) in zip(ranked, ranked[1:]):
         assert r2 <= r1 or s1 == s2
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**12),  # sparse doc ids
+            st.integers(min_value=0, max_value=5000),  # token counts
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_shards_equals_sequential_cumsum(spark, rows):
+    """The distributed blocked cumsum must equal the naive sequential
+    running sum for ANY doc-id distribution — including the sparse
+    id spaces (max_id >> N) the round-5 width fix targets."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _BUDGET,
+        _pack_shards,
+    )
+
+    df = spark.createDataFrame(rows, schema="doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["tokens_before"], r["shard"])
+        for r in _pack_shards(df).collect()
+    }
+    running = 0
+    for doc_id, n in sorted(rows):
+        assert got[doc_id] == (running, running // _BUDGET), (doc_id, rows)
+        running += n
