@@ -45,7 +45,6 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_knn_blocked",
     "sim_knn_blocked_full",
-    "sim_ann_join",
     "seed_extract_pe_firms",
     "stream_tumbling",
     "stream_custom_state",
@@ -59,6 +58,12 @@ HEADLINE = [
     "agg_percentiles",
     "agg_percentile_approx",
     "sim_ivf_multiprobe",
+    # NEW entries that share a staged index with a prev-scope entry
+    # run AFTER it, so the prev-scope entry's timing keeps its
+    # round-over-round cold/warm position (sim_ann_join reuses
+    # sim_ivf_multiprobe's staged IVF index; containment reuses the
+    # jaccard join's staged candidate counts).
+    "sim_ann_join",
     "dedup_containment",
     "curation_pipeline_e2e",
 ]

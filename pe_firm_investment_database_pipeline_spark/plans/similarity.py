@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.session_cache import evict_stale_apps
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -116,18 +117,23 @@ def _sig_pandas(q: pd.Series) -> pd.Series:
     vals = q.to_numpy()
     # fail LOUDLY on fixture drift (null / mis-sized embedding): the
     # DuckDB twin would silently drop such a row through its unnest
-    # join while np.stack would die with an opaque shape error —
-    # surface the divergence as a clear message instead. The fixture
-    # contract itself is pinned in tests/test_fixture_drift.py.
-    bad = next(
-        (i for i, v in enumerate(vals) if v is None or len(v) != 64), None
-    )
-    if bad is not None:
+    # join while np.stack would die with an opaque shape error. The
+    # happy path pays NOTHING — only when the vectorized stack fails
+    # (or yields a ragged shape) does the per-row scan run to name
+    # the offending row. Contract pinned in tests/test_fixture_drift.py.
+    try:
+        m = np.stack(vals)
+        if m.ndim != 2 or m.shape[1] != 64:
+            raise ValueError(f"ragged batch shape {m.shape}")
+    except Exception:
+        bad = next(
+            (i for i, v in enumerate(vals) if v is None or len(v) != 64), None
+        )
         raise ValueError(
             "embeddings drift: expected non-null 64-dim embedding, got "
-            f"{vals[bad]!r} at batch offset {bad}"
-        )
-    m = np.stack(vals).astype(np.int64, copy=False)  # n x 64
+            f"{None if bad is None else vals[bad]!r} at batch offset {bad}"
+        ) from None
+    m = m.astype(np.int64, copy=False)  # n x 64
     dots = m @ _PLANES_T  # n x 62, exact int64
     return pd.Series(((dots > 0) * _BIT_WEIGHTS).sum(axis=1, dtype=np.int64))
 
@@ -180,10 +186,18 @@ _NBITS_IVF = (
 _STAGE_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _staged(spark: SparkSession, key: tuple, build) -> DataFrame:
-    full_key = (spark.sparkContext.applicationId, *key)
+def _staged(spark: SparkSession, key: tuple, build, src: DataFrame) -> DataFrame:
+    """Memoized persist. The cache key includes ``src``'s semantic
+    plan hash, not just the caller-chosen name: two callers that pass
+    the same stage key but DIFFERENT input frames (e.g. a test
+    planting duplicate vectors into the multiprobe corpus) must never
+    silently share a staged index — same name + same logical plan is
+    the only thing that hits."""
+    app = spark.sparkContext.applicationId
+    full_key = (app, *key, src.semanticHash())
     cached = _STAGE_CACHE.get(full_key)
     if cached is None:
+        evict_stale_apps(_STAGE_CACHE, app)
         cached = _STAGE_CACHE[full_key] = build().persist()
     return cached
 
@@ -217,7 +231,7 @@ def _celled(
         return df.hint("rebalance").withColumn("sig", _sig_col(F.col("q")))
 
     if stage and stage_key is not None:
-        sigs = _staged(spark, stage_key, build)
+        sigs = _staged(spark, stage_key, build, df)
     elif stage:
         sigs = build().persist()
     else:
@@ -488,7 +502,7 @@ def _ivf_index(
         return src.hint("rebalance")
 
     if stage_key is not None:
-        emb = _staged(spark, (*stage_key, "ivf_emb"), build_emb)
+        emb = _staged(spark, (*stage_key, "ivf_emb"), build_emb, src)
     else:
         emb = build_emb().persist()
     params = (
@@ -519,7 +533,7 @@ def _ivf_index(
         )
 
     if stage_key is not None:
-        ranked = _staged(spark, (*stage_key, "ivf_ranked"), build_ranked)
+        ranked = _staged(spark, (*stage_key, "ivf_ranked"), build_ranked, src)
     else:
         ranked = build_ranked().persist()
     return emb, cents, ranked

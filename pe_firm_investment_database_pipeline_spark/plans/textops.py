@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.session_cache import evict_stale_apps
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -86,6 +87,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_CACHE.get(key)
     if cached is not None:
         return cached
+    evict_stale_apps(_SHINGLE_CACHE, key[0])
     d = load_table(spark, sf_dir, "documents")
     df = (
         d.select("doc_id", F.expr(_TOKENS).alias("toks"))
@@ -340,12 +342,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering gives EXACT recall with no cap.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) from identical int64s ->
     bit-identical doubles on both engines."""
-    jac = _shared_counts_cached(spark, sf_dir).withColumn(
-        "jaccard",
-        F.col("i").cast("double")
-        / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),
-    )
-    return jac.where(F.col("jaccard") >= 0.8).select("doc1", "doc2", "jaccard")
+    return _jaccard_from_counts(_shared_counts_cached(spark, sf_dir))
 
 
 # The shared-counts front half is the bulk of BOTH overlap joins
@@ -360,6 +357,7 @@ def _shared_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SHARED_COUNTS_CACHE.get(key)
     if cached is None:
+        evict_stale_apps(_SHARED_COUNTS_CACHE, key[0])
         sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
         cached = _SHARED_COUNTS_CACHE[key] = _shared_shingle_counts(sh).persist()
     return cached
@@ -370,8 +368,14 @@ def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
     shingle frame — injectable so the skew-robustness test
     (tests/test_scale_blocking.py::test_ngram_jaccard_df_cap_bounds_hot_shingle)
     can plant a power-law shingle and assert the DF-cap keeps
-    per-key state and candidate counts bounded."""
-    jac = _shared_shingle_counts(sh).withColumn(
+    per-key state and candidate counts bounded. Shares the EXACT
+    scoring tail with the registry entry (single definition — the
+    tested path cannot diverge from the shipped path)."""
+    return _jaccard_from_counts(_shared_shingle_counts(sh))
+
+
+def _jaccard_from_counts(counts: DataFrame) -> DataFrame:
+    jac = counts.withColumn(
         "jaccard",
         F.col("i").cast("double")
         / (F.col("na") + F.col("nb") - F.col("i")).cast("double"),

@@ -592,8 +592,13 @@ def stream_join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = least(max view_ts, max buy_ts) − 1 h and flushes the expired
     unmatched views. The emitted null set is therefore exactly the
     batch-computable 'unmatched AND view_ts + 1 h < wm' — the SQL
-    oracle below (validated row-identical at sf0.001/sf0.01); the
-    across-batch emission *timing* is pinned by
+    oracle below. Boundary semantics pinned EMPIRICALLY with aligned
+    timestamps: Spark floors the watermark to whole MILLISECONDS and
+    evicts strictly (a view whose expiry equals wm is NOT emitted),
+    so the oracle compares in microseconds against the ms-floored
+    cutoff — a seconds-granularity comparison would misclassify any
+    unmatched view landing in the sub-second gap. Row-identical at
+    sf0.001/sf0.01; across-batch emission *timing* is pinned by
     tests/test_streaming.py::test_outer_interval_join_nulls_after_watermark."""
     path = _prepare_input(spark, sf_dir)
     views, buys = _interval_join_sides(spark, path)
@@ -615,8 +620,9 @@ WITH v AS (
   SELECT user_id AS buy_user, event_id AS buy_id, epoch_us(ts::TIMESTAMP) AS buy_us
   FROM events WHERE event_type = 'purchase'
 ), wm AS (
-  SELECT least((SELECT max(view_us) FROM v) // 1000000,
-               (SELECT max(buy_us) FROM b) // 1000000) - 3600 AS wm_s
+  -- Spark's event-time watermark is ms-floored: wm_us is exact
+  SELECT (least((SELECT max(view_us) FROM v),
+                (SELECT max(buy_us) FROM b)) // 1000 - 3600000) * 1000 AS wm_us
 )
 SELECT v.user_id, v.view_id, b.buy_id,
        v.view_us // 1000000 AS view_ts_s,
@@ -634,7 +640,7 @@ WHERE NOT EXISTS (
         WHERE v.user_id = b.buy_user
           AND b.buy_us > v.view_us
           AND b.buy_us <= v.view_us + 3600000000)
-  AND v.view_us // 1000000 + 3600 < wm.wm_s
+  AND v.view_us + 3600000000 < wm.wm_us
 """
 
 

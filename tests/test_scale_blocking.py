@@ -278,16 +278,15 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
         rows.extend((d, 1000 + base + j) for j in range(20))
     sh = spark.createDataFrame(rows, "doc_id BIGINT, s BIGINT")
 
-    # (a) bounded per-key state: every surviving shingle groups at
-    # most _DF_CAP doc_ids; the hot shingle (df = 300) is excluded
+    # the hot key really is planted (sanity for assertion b)
     dfs = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    surviving_max = (
-        dfs.where((F.col("df") >= 2) & (F.col("df") <= T._DF_CAP))
-        .agg(F.max("df"))
-        .first()[0]
-    )
-    assert surviving_max <= T._DF_CAP
-    assert dfs.agg(F.max("df")).first()[0] == n_docs  # the hot key exists
+    assert dfs.agg(F.max("df")).first()[0] == n_docs
+
+    # (a) bounded candidate generation, asserted on the OPERATOR's
+    # own pair stage: the hot shingle must contribute zero candidate
+    # pairs — 10 planted pairs, not 10 + C(300,2). (With the cap
+    # removed this is ~44k rows, so the assertion fails loudly.)
+    assert T._shared_shingle_counts(sh).count() == 10
 
     # (b) pairs: exactly the 10 planted near-dups, never the
     # C(300,2) hot-key explosion
