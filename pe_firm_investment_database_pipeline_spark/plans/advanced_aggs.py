@@ -94,7 +94,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % _SALTS).alias("salt"),
         cents("l_extendedprice").alias("price_c"),
     )
-    phase1, final = _salted_phases(li)
+    _, final = _salted_phases(li)
     return final
 
 

@@ -42,10 +42,14 @@ def join_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the card side is small and explicitly broadcast, so
     the fact side never shuffles for the join; the argmax is a
-    row_number window over (entity, score desc) — at 100 TB the
-    same plan holds because cards stay O(page), never O(corpus).
-    Score arithmetic is exact: integer-cent comparisons and literal
-    weights summed in a fixed order, rounded once at the end."""
+    max(struct(score, -suppkey)) AGGREGATE, not a window — partial
+    maxes combine map-side, so the shuffle carries one pre-reduced
+    row per entity (E rows) instead of every scored pair (E x C rows
+    for a ranking window). Tie-break (lowest suppkey) rides inside
+    the struct ordering, so the survivor is still deterministic. At
+    100 TB the same plan holds because cards stay O(page), never
+    O(corpus). Score arithmetic is exact: integer-cent comparisons
+    and literal weights summed in a fixed order, rounded once."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
@@ -63,15 +67,13 @@ def join_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.crossJoin(F.broadcast(s)).select(
         "c_custkey", "s_suppkey", score.alias("score")
     )
-    w = W.partitionBy("c_custkey").orderBy(F.desc("score"), F.asc("s_suppkey"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "c_custkey",
-            F.col("s_suppkey").alias("best_suppkey"),
-            F.col("score").alias("best_score"),
-        )
+    best = scored.groupBy("c_custkey").agg(
+        F.max(F.struct(F.col("score"), (-F.col("s_suppkey")).alias("neg"))).alias("b")
+    )
+    return best.select(
+        "c_custkey",
+        (-F.col("b.neg")).alias("best_suppkey"),
+        F.col("b.score").alias("best_score"),
     )
 
 

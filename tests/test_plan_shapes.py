@@ -72,6 +72,19 @@ def test_partial_aggregation(spark):
     assert "partial_sum" in plan or "partial_count" in plan
 
 
+def test_score_argmax_is_partial_aggregated(spark):
+    """join_score_argmax's argmax is a max(struct) aggregate, not a
+    ranking window: partial maxes must combine map-side so the
+    shuffle carries one pre-reduced row per entity, not every scored
+    pair (E x C rows at 100 TB)."""
+    plan = _plan(spark, "join_score_argmax")
+    # struct-max buffers aren't hash-aggregable: Spark plans a
+    # SortAggregate pair — what matters is the partial (map-side) half
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan
+    assert "Window" not in plan
+
+
 def test_topk_is_take_ordered(spark):
     """Global top-k never materializes a full sort."""
     plan = _plan(spark, "sort_topk")
