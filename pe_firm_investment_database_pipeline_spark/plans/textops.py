@@ -781,7 +781,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_bucketing.py::test_lsh_index_join_no_index_shuffle).
     Output: candidate near-dup pairs (new doc, index doc) with the
     signature-agreement Jaccard estimate — the same score the
-    whole-corpus `dedup_minhash_lsh` assigns."""
+    whole-corpus `dedup_minhash_lsh` assigns. Within-batch (new-new)
+    duplicates compose: run the standard banded self-join over the
+    batch alone (it is small) and union; the index join here is the
+    piece whose cost would otherwise scale with the standing corpus."""
     idx = spark.table(_lsh_index_table(spark, sf_dir))
     batch = _minhash_bands(
         _minhash_sigs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
