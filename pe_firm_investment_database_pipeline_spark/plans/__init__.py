@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "snk_stream_parquet",
         "sim_ann_join_indexed",
         "evt_retention",
+        "agg_mode",
         "agg_percentile_approx",
         # plan reworked in round 5 (window-count small path)
         "sim_knn_blocked",

@@ -291,6 +291,46 @@ FROM s3
 
 
 # ---------------------------------------------------------------------------
+# agg_mode — deterministic per-group mode (most frequent value)
+# ---------------------------------------------------------------------------
+
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent market segment per nation — the mode aggregate,
+    built as two partial-aggregable passes: count per (group, value),
+    then argmin of (-count, value) structs, so ties break on the
+    LEXICALLY SMALLEST value deterministically and both shuffles
+    carry pre-combined rows (never a ranking window over the counted
+    pairs). Engine-portable unlike mode()/any_value-based forms,
+    whose tie choice is implementation-defined."""
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("c_nationkey").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("c_mktsegment"))).alias("b")
+    )
+    return best.select(
+        "c_nationkey",
+        F.col("b.c_mktsegment").alias("mode_segment"),
+        (-F.col("b.neg")).alias("mode_count"),
+    )
+
+
+_AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey, c_mktsegment AS mode_segment, cnt AS mode_count
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY cnt DESC, c_mktsegment) AS rn
+  FROM counts)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_retention — cohort retention matrix over the event stream
 # ---------------------------------------------------------------------------
 
@@ -424,6 +464,7 @@ QUERIES = {
     "evt_retention": QuerySpec(
         evt_retention, _EVT_RETENTION_SQL, ("events", "retention")
     ),
+    "agg_mode": QuerySpec(agg_mode, _AGG_MODE_SQL, ("agg", "mode")),
     "agg_histogram": QuerySpec(
         agg_histogram, _AGG_HISTOGRAM_SQL, ("agg", "histogram")
     ),
