@@ -51,6 +51,10 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     priority = [
         # new in round 5
+        "merge_scd2",
+        "samp_domain_mixture",
+        "txt_pii_redact",
+        "agg_corr_stats",
         "sim_knn_blocked_full",
         "sim_ann_join",
         "dedup_incremental_lsh",

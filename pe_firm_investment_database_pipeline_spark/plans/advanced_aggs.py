@@ -185,6 +185,86 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_corr_stats — exact correlation / covariance / regression slope
+# ---------------------------------------------------------------------------
+
+def agg_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, population covariance, and regression
+    slope of (customer balance, order value) per market segment —
+    computed from INTEGER sufficient statistics instead of the
+    engines' native corr()/covar_pop() (whose float accumulation
+    order differs per partitioning, so their low bits are not
+    reproducible). Values are quantized to cents; the five sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as DECIMAL(38,0) on Spark and
+    HUGEINT on DuckDB — both exact integer arithmetic — and only the
+    final three-term formulas touch doubles, from identical integers,
+    so the outputs are bit-identical. Partial aggregation applies
+    (decimal sums combine map-side); one shuffle on the group key.
+    Integer envelope: n·Σxy stays under 10^38 up to ~10^10 rows/group
+    at cent precision — rescale the quantization beyond that."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", cents("c_acctbal").alias("x")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", cents("o_totalprice").alias("y")
+    )
+    j = o.join(c, o.o_custkey == c.c_custkey).select("o_orderpriority", "x", "y")
+    sums = j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+    )
+    num = "CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+    denx = "CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+    deny = "CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+    return sums.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.expr(
+            f"CASE WHEN {denx} > 0 AND {deny} > 0"
+            f" THEN {num} / (sqrt({denx}) * sqrt({deny})) END"
+        ).alias("corr_bal_price"),
+        F.expr(
+            f"{num} / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0"
+        ).alias("covar_pop_usd2"),
+        F.expr(f"CASE WHEN {denx} > 0 THEN {num} / {denx} END").alias("beta"),
+    )
+
+
+_AGG_CORR_STATS_SQL = """
+WITH j AS (
+  SELECT o_orderpriority,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), sums AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n AS n_orders,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END
+         AS corr_bal_price,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 10000.0 AS covar_pop_usd2,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) END AS beta
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — wide-format pivot
 # ---------------------------------------------------------------------------
 
@@ -460,6 +540,9 @@ QUERIES = {
         profile_unpivot, _PROFILE_UNPIVOT_SQL, ("profile", "unpivot")
     ),
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
+    "agg_corr_stats": QuerySpec(
+        agg_corr_stats, _AGG_CORR_STATS_SQL, ("agg", "stats")
+    ),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "evt_retention": QuerySpec(
         evt_retention, _EVT_RETENTION_SQL, ("events", "retention")

@@ -142,6 +142,75 @@ WHERE bucket < CASE WHEN n_tokens > 0 THEN n_distinct * 1000 // n_tokens
 """
 
 
+def samp_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based DOMAIN MIXTURE sampling — the rebalancing
+    move multilingual pretraining sets use: per-language keep rates
+    are derived FROM THE DATA as count^0.5 temperature weights (the
+    alpha<1 exponent flattens the head so low-resource languages keep
+    a larger share), scaled to a 40% global token budget. Completes
+    the sampling family: literal per-stratum rates
+    (samp_stratified_hash) → per-row weights (samp_weighted_quality)
+    → data-derived per-stratum rates (this op).
+
+    Engine parity is INTEGER-ONLY end to end: the temperature weight
+    is isqrt(n_i) (floor(sqrt()) of an int64-valued double — IEEE
+    sqrt is correctly rounded, so both engines floor the same value),
+    the share and rate are int64 divisions, and the keep decision is
+    the same hash-vs-threshold compare as the rest of the family. No
+    cross-engine float sum ever happens (a 5-term double sum would
+    already be order-sensitive).
+
+    Scale: the rate table is one tiny aggregate over the corpus
+    (#languages rows), broadcast back onto the scan; the keep
+    decision is then map-side. The 3-row window over the counts
+    frame is tiny BY CONSTRUCTION (one row per language). Integer
+    envelope: share_permille·T fits int64 up to T ≈ 9e15 tokens —
+    past any corpus; the div-before-multiply ordering keeps it there."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_i"))
+    wt = counts.withColumn(
+        "w_i", F.expr("CAST(floor(sqrt(CAST(n_i AS DOUBLE))) AS BIGINT)")
+    )
+    wall = W.partitionBy(F.lit(1))
+    rates = (
+        wt.withColumn("w_all", F.sum("w_i").over(wall))
+        .withColumn("n_tot", F.sum("n_i").over(wall))
+        .select(
+            "lang",
+            "n_i",
+            F.expr(
+                "LEAST(CAST(1000 AS BIGINT),"
+                " ((1000 * w_i div w_all) * ((2 * n_tot) div 5)) div n_i)"
+            ).alias("rate_permille"),
+        )
+    )
+    bucket = (F.expr(_KEYHASH) % 1000).cast("long")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("doc_id", "lang", bucket.alias("bucket"), "rate_permille")
+        .where(F.col("bucket") < F.col("rate_permille"))
+    )
+
+
+_SAMP_DOMAIN_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_i,
+         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w_i
+  FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_i,
+         LEAST(CAST(1000 AS BIGINT),
+               ((1000 * w_i // SUM(w_i) OVER ())
+                * ((2 * SUM(n_i) OVER ()) // 5)) // n_i) AS rate_permille
+  FROM counts
+)
+SELECT doc_id, d.lang, CAST({_KEYHASH_DUCK} % 1000 AS BIGINT) AS bucket,
+       rate_permille
+FROM documents d JOIN rates USING (lang)
+WHERE {_KEYHASH_DUCK} % 1000 < rate_permille
+"""
+
+
 _BUDGET = 20_000  # tokens per training shard
 
 # Cumsum block width, derived IN-PLAN from COUNT(*) and MAX(doc_id):
@@ -437,6 +506,9 @@ QUERIES = {
     ),
     "samp_weighted_quality": QuerySpec(
         samp_weighted_quality, _SAMP_WEIGHTED_QUALITY_SQL, ("sampling", "weighted")
+    ),
+    "samp_domain_mixture": QuerySpec(
+        samp_domain_mixture, _SAMP_DOMAIN_MIXTURE_SQL, ("sampling", "mixture")
     ),
     "shard_by_token_budget": QuerySpec(
         shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)

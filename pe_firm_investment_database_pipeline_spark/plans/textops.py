@@ -293,6 +293,91 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# txt_pii_redact — PII scrubbing (emails / phones / IPv4)
+# ---------------------------------------------------------------------------
+#
+# The regexes use ONLY the Java-regex ∩ RE2 common subset (character
+# classes, bounded repetition, \b word boundary) so Spark's
+# regexp_replace/regexp_count and DuckDB's regexp_* compile them to
+# identical languages. The fixture corpus is synthetic word soup with
+# no PII, so each doc is AUGMENTED in-plan with deterministic
+# doc_id-derived PII (an email, a phone, an IP) before redaction —
+# the same expression on both engines — making the entry a full
+# functional check (every row must redact exactly 3 spans), not a
+# no-op pass-through.
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def txt_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance stage of a training-data
+    pipeline: scrub emails, then IPv4 addresses, then 7-digit phone
+    fragments (order matters: the email's host part must be gone
+    before the looser dotted/dashed-digit patterns run), and report
+    per-category match counts for audit. Map-side only (regex per
+    row, no shuffle, composes with scan pruning); at 100 TB this
+    runs at scan speed as the first narrow stage after ingest."""
+    d = load_table(spark, sf_dir, "documents")
+    pii = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(pii, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(pii, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+        ).cast("long").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+_TXT_PII_REDACT_SQL = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 10 AS VARCHAR)
+              || '.example.com or 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS pii
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(pii, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         regexp_replace(pii, '{_PII_EMAIL}', '<EMAIL>', 'g') AS after_email
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(after_email, '{_PII_IP}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(after_email, '{_PII_IP}', '<IP>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM e
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_exact — hash-groupBy exact dedup
 # ---------------------------------------------------------------------------
 
@@ -1125,6 +1210,9 @@ QUERIES = {
     ),
     "txt_langid": QuerySpec(txt_langid, _TXT_LANGID_SQL, ("text",)),
     "txt_fingerprint": QuerySpec(txt_fingerprint, _TXT_FINGERPRINT_SQL, ("text",)),
+    "txt_pii_redact": QuerySpec(
+        txt_pii_redact, _TXT_PII_REDACT_SQL, ("text", "compliance")
+    ),
     "dedup_exact": QuerySpec(dedup_exact, _DEDUP_EXACT_SQL, ("dedup",)),
     "dedup_ngram_jaccard": QuerySpec(
         dedup_ngram_jaccard, _DEDUP_NGRAM_JACCARD_SQL, ("dedup",)

@@ -63,3 +63,25 @@ def test_round5_ops_survive_short_docs(spark, tmp_path):
     assert all(r["doc_id"] != 0 for r in sampled)  # empty doc: weight 0
     # every tiny doc is under the 20-token quality gate -> empty plan out
     assert datapipe.curation_pipeline_e2e(spark, sf).count() == 0
+
+
+def test_round5b_ops_survive_short_docs(spark, tmp_path):
+    """Late round-5 entries on the degenerate corpus: the mixture
+    sampler's integer rate math must survive a single-language corpus
+    (w_i = w_all -> share = 1000 permille) and the PII redactor must
+    scrub its injected spans even when the document text is empty."""
+    sf = _tiny_docs(spark, tmp_path)
+    from pe_firm_investment_database_pipeline_spark.plans import datapipe
+
+    mix = datapipe.samp_domain_mixture(spark, sf).collect()
+    # one lang: rate = min(1000, (1000 * (2*6 div 5)) div 6) = 333
+    assert all(r["rate_permille"] == 333 for r in mix)
+    red = textops.txt_pii_redact(spark, sf).collect()
+    assert all(r["n_emails"] == 1 and r["n_ips"] == 1 for r in red)
+    assert all(
+        "<EMAIL>" in r["redacted"]
+        and "<IP>" in r["redacted"]
+        and "<PHONE>" in r["redacted"]
+        and "@" not in r["redacted"]
+        for r in red
+    )

@@ -188,3 +188,42 @@ def test_ann_join_broadcasts_centroids(spark):
     plan = _plan(spark, "sim_ann_join")
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """merge_scd2's two windows and the change filter all key on
+    user_id, so Catalyst must plan exactly ONE operator-required
+    exchange (both sorts/windows reuse the same partitioning); the
+    only other exchange allowed is _spread's round-robin floor."""
+    plan = _plan(spark, "merge_scd2")
+    # ENSURE_REQUIREMENTS prints once per exchange node (detail only)
+    ensure = plan.count("ENSURE_REQUIREMENTS")
+    assert ensure == 1, f"expected one required exchange, plan has {ensure}"
+
+
+def test_domain_mixture_rate_table_is_broadcast(spark):
+    """samp_domain_mixture joins the per-language rate table back to
+    the corpus: the rate side (#languages rows) must be BROADCAST so
+    the keep decision never shuffles the 100 TB scan side."""
+    plan = _plan(spark, "samp_domain_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_map_side(spark):
+    """txt_pii_redact runs at scan speed: regex project only — no
+    exchange beyond _spread's parallelism floor, no join, no agg."""
+    plan = _plan(spark, "txt_pii_redact")
+    assert plan.count("Exchange") == 2 * plan.count("REPARTITION_BY_NUM")
+    assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_corr_stats_partial_aggregation(spark):
+    """agg_corr_stats' decimal sufficient statistics must combine
+    map-side (HashAggregate below the exchange) — the property that
+    makes the 5-sum pass one bounded shuffle at 100 TB."""
+    plan = _plan(spark, "agg_corr_stats")
+    import re
+
+    aggs = re.findall(r"\(\d+\) HashAggregate", plan)
+    assert len(aggs) >= 2, "expected partial+final HashAggregate pair"
