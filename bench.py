@@ -66,6 +66,10 @@ HEADLINE = [
     "sim_ann_join",
     "dedup_containment",
     "curation_pipeline_e2e",
+    "merge_scd2",
+    "samp_domain_mixture",
+    "txt_pii_redact",
+    "agg_corr_stats",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

@@ -51,6 +51,8 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     priority = [
         # new in round 5
+        "stream_dedup_lsh",
+        "profile_drift",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

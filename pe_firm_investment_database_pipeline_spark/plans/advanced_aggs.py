@@ -265,6 +265,81 @@ FROM sums
 
 
 # ---------------------------------------------------------------------------
+# profile_drift — distribution shift between two snapshots
+# ---------------------------------------------------------------------------
+
+def profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-drift profile — the data-quality gate a pipeline runs
+    when a new dump lands: per order priority, compare the early
+    epoch (order year <= 1997) against the late epoch on volume share
+    and mean value, and flag classes whose share moved more than 2
+    percentage points. ONE scan with conditional aggregates (both
+    epochs partial-aggregate map-side; no second pass, no join of two
+    profile runs); the share normalization is a window over the
+    #priorities-row aggregate — tiny by construction. Engine parity:
+    counts and cent-sums are int64, shares are integer
+    parts-per-million (div), means are double divisions of identical
+    integers. At 100 TB the same plan holds: the scan dominates and
+    the profile table stays O(#classes)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("year(o_orderdate)").alias("y"),
+        cents("o_totalprice").alias("pc"),
+    )
+    early = F.col("y") <= 1997
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.when(early, 1)).alias("n_early"),
+        F.count(F.when(~early, 1)).alias("n_late"),
+        F.sum(F.when(early, F.col("pc")).otherwise(F.lit(0))).alias("s_early"),
+        F.sum(F.when(~early, F.col("pc")).otherwise(F.lit(0))).alias("s_late"),
+    )
+    wall = W.partitionBy(F.lit(1))
+    t = (
+        g.withColumn("tot_early", F.sum("n_early").over(wall))
+        .withColumn("tot_late", F.sum("n_late").over(wall))
+    )
+    share_e = F.expr("n_early * 1000000 div tot_early")
+    share_l = F.expr("n_late * 1000000 div tot_late")
+    return t.select(
+        "o_orderpriority",
+        "n_early",
+        "n_late",
+        share_e.alias("share_early_ppm"),
+        share_l.alias("share_late_ppm"),
+        F.expr("CAST(s_early AS DOUBLE) / n_early / 100.0").alias("mean_early_usd"),
+        F.expr("CAST(s_late AS DOUBLE) / n_late / 100.0").alias("mean_late_usd"),
+        (F.abs(share_e - share_l) > 20000).alias("share_drifted"),
+    )
+
+
+_PROFILE_DRIFT_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, year(o_orderdate::TIMESTAMP) AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+  FROM orders
+), g AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (y <= 1997) AS n_early,
+         COUNT(*) FILTER (y > 1997) AS n_late,
+         COALESCE(SUM(pc) FILTER (y <= 1997), 0) AS s_early,
+         COALESCE(SUM(pc) FILTER (y > 1997), 0) AS s_late
+  FROM o GROUP BY o_orderpriority
+), t AS (
+  SELECT *, SUM(n_early) OVER () AS tot_early, SUM(n_late) OVER () AS tot_late
+  FROM g
+)
+SELECT o_orderpriority, n_early, n_late,
+       n_early * 1000000 // tot_early AS share_early_ppm,
+       n_late * 1000000 // tot_late AS share_late_ppm,
+       CAST(s_early AS DOUBLE) / n_early / 100.0 AS mean_early_usd,
+       CAST(s_late AS DOUBLE) / n_late / 100.0 AS mean_late_usd,
+       abs(n_early * 1000000 // tot_early - n_late * 1000000 // tot_late)
+         > 20000 AS share_drifted
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — wide-format pivot
 # ---------------------------------------------------------------------------
 
@@ -542,6 +617,9 @@ QUERIES = {
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
     "agg_corr_stats": QuerySpec(
         agg_corr_stats, _AGG_CORR_STATS_SQL, ("agg", "stats")
+    ),
+    "profile_drift": QuerySpec(
+        profile_drift, _PROFILE_DRIFT_SQL, ("profile", "drift")
     ),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "evt_retention": QuerySpec(

@@ -695,13 +695,11 @@ _BANDS = 4  # 4 bands x 4 rows
 _MINHASH_P = 268435399  # prime < 2^28: (2s+1)*h_48bit stays inside int64
 
 
-def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig): the k=16 MinHash signature — affine min-hashes
-    (2s+1)*h + s*7919 + 13 mod P over the single 48-bit hash per
-    3-gram shingle, computed as explode + 16 conditional MIN
+def _sigs_from_shingled(sh_df: DataFrame) -> DataFrame:
+    """(doc_id, sh) -> (doc_id, sig): explode + 16 conditional MIN
     aggregates (one shuffle on doc_id; partial mins combine
     map-side)."""
-    hs = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("h"))
+    hs = sh_df.select("doc_id", F.explode("sh").alias("h"))
     mins = [
         F.min(
             (F.lit(2 * s + 1) * F.col("h") + F.lit(s * 7919 + 13)) % _MINHASH_P
@@ -713,6 +711,28 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*mins)
         .select("doc_id", F.array(*[f"m{s}" for s in range(_K)]).alias("sig"))
     )
+
+
+def _sigs_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sig) MinHash signatures for an
+    ARBITRARY document frame — the uncached core of `_minhash_sigs`,
+    reused by the streaming micro-batch dedup path
+    (streaming/windows.py:stream_dedup_lsh), where the input is a
+    foreachBatch slice rather than the at-rest table."""
+    sh = docs.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id",
+        F.when(F.size("toks") >= 3, F.expr(_SH_HASH))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sh"),
+    )
+    return _sigs_from_shingled(sh)
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig): the k=16 MinHash signature — affine min-hashes
+    (2s+1)*h + s*7919 + 13 mod P over the single 48-bit hash per
+    3-gram shingle, over the session-cached shingle frame."""
+    return _sigs_from_shingled(_shingled(spark, sf_dir))
 
 
 def _minhash_bands(sigs: DataFrame) -> DataFrame:

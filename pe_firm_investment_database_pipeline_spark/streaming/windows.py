@@ -644,6 +644,127 @@ WHERE NOT EXISTS (
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_dedup_lsh — streaming near-dup check against the persisted index
+# ---------------------------------------------------------------------------
+
+_DOCS_INPUT_CACHE: dict[tuple, str] = {}
+
+
+def _prepare_docs_input(spark: SparkSession, sf_dir: str) -> str:
+    """The 'new batch' documents (doc_id % 10 = 0 — the same slice
+    `dedup_incremental_lsh` uses) staged as a multi-file parquet dir
+    for the file stream source. Written once per (session, sf_dir);
+    4 files so availableNow + maxFilesPerTrigger genuinely exercises
+    multiple micro-batches."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOCS_INPUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    path = os.path.join(
+        tempfile.gettempdir(), f"pe_stream_docs_{_slot(spark, sf_dir)}"
+    )
+    (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", "text")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _DOCS_INPUT_CACHE[key] = path
+    return path
+
+
+def stream_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-dup admission control — the production composition
+    of the streaming and incremental-dedup surfaces: new documents
+    arrive as an unbounded stream, and each micro-batch is
+    near-dup-checked against the PERSISTED bucketed MinHash band index
+    of the standing corpus (the `dedup_incremental_lsh` index —
+    shared; building it once serves both entries). foreachBatch is
+    the right tool because the per-batch plan is a JOIN AGAINST A
+    TABLE that Structured Streaming's stateful operators can't
+    express (the index is not a stream and must not be buffered as
+    join state): signatures are computed on the batch only
+    (O(batch), never O(corpus)), the index side feeds the join from
+    its buckets shuffle-free, and matched pairs land in a
+    checkpointed exactly-once parquet sink. At 100 TB this is the
+    ingest gate that decides per arriving shard what is already in
+    the corpus; state lives in the bucketed table, not in stream
+    memory — restart-safe by construction. Result equals the batch
+    twin (same slice, same index), so it shares that entry's exact
+    oracle."""
+    from ..plans.textops import (
+        _K,
+        _lsh_index_table,
+        _minhash_bands,
+        _sigs_from_docs,
+    )
+
+    idx_name = _lsh_index_table(spark, sf_dir)
+    in_path = _prepare_docs_input(spark, sf_dir)
+    slot = _slot(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), f"pe_stream_lshdedup_{slot}")
+    ck = os.path.join(tempfile.gettempdir(), f"pe_stream_lshdedup_ck_{slot}")
+
+    def _match_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        bands = _minhash_bands(_sigs_from_docs(batch)).select(
+            "doc_id",
+            "sig",
+            F.concat_ws(":", F.col("band"), F.col("bkey")).alias("ikey"),
+        )
+        a = bands.alias("a")
+        b = sess.table(idx_name).alias("b")
+        pairs = (
+            a.join(b, F.col("a.ikey") == F.col("b.ikey"))
+            .select(
+                F.col("a.doc_id").alias("doc_new"),
+                F.col("b.doc_id").alias("doc_idx"),
+                (
+                    F.expr(
+                        "aggregate(zip_with(a.sig, b.sig,"
+                        " (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"
+                    ).cast("double")
+                    / float(_K)
+                ).alias("est_jaccard"),
+            )
+            .distinct()  # in-batch: a pair can collide in several bands
+        )
+        # doc_new values are disjoint across micro-batches (each file
+        # is read exactly once), so per-batch distinct is global.
+        pairs.write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_path)
+        .writeStream.foreachBatch(_match_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(out):  # all batches empty: sink never created
+        return spark.createDataFrame(
+            [], "doc_new BIGINT, doc_idx BIGINT, est_jaccard DOUBLE"
+        )
+    return spark.read.parquet(out)
+
+
+def _stream_dedup_lsh_sql() -> str:
+    """Shares the batch twin's exact oracle: streaming the new-batch
+    slice through the index in micro-batches yields exactly the
+    candidate-pair set the one-shot incremental join yields."""
+    from ..plans.textops import _DEDUP_INCREMENTAL_LSH_SQL
+
+    return _DEDUP_INCREMENTAL_LSH_SQL
+
+
+_STREAM_DEDUP_LSH_SQL = _stream_dedup_lsh_sql()
+
+
 QUERIES = {
     "stream_ingest_jsonl": QuerySpec(
         stream_ingest_jsonl, _STREAM_INGEST_JSONL_SQL, ("streaming", "ingest")
@@ -676,6 +797,9 @@ QUERIES = {
     ),
     "stream_dedup_watermarked": QuerySpec(
         stream_dedup_watermarked, _STREAM_DEDUP_WM_SQL, ("streaming", "dedup")
+    ),
+    "stream_dedup_lsh": QuerySpec(
+        stream_dedup_lsh, _STREAM_DEDUP_LSH_SQL, ("streaming", "dedup", "lsh")
     ),
     "stream_late_append": QuerySpec(
         stream_late_append, _STREAM_LATE_APPEND_SQL, ("streaming", "watermark")

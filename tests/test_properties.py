@@ -107,3 +107,30 @@ def test_pack_shards_equals_sequential_cumsum(spark, rows):
     for doc_id, n in sorted(rows):
         assert got[doc_id] == (running, running // _BUDGET), (doc_id, rows)
         running += n
+
+
+def test_scd2_interval_invariants(spark):
+    """merge_scd2's output must be a WELL-FORMED type-2 dimension for
+    every user: dense versions 1..k, contiguous validity intervals
+    (valid_to of v == valid_from of v+1), exactly one open current
+    row (the max version), and a real state change at every version
+    boundary — the invariants that make point-in-time reconstruction
+    (AS OF joins) correct."""
+    from collections import defaultdict
+
+    from pe_firm_investment_database_pipeline_spark.plans.sessions import merge_scd2
+
+    rows = merge_scd2(spark, "/root/testdata/sf0.01").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        currents = [r for r in rs if r["is_current"]]
+        assert len(currents) == 1 and currents[0]["version"] == len(rs)
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], uid
+            assert a["state"] != b["state"], uid
+        assert rs[-1]["valid_to_us"] is None

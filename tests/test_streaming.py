@@ -249,3 +249,39 @@ def test_stream_parquet_sink_exactly_once(spark):
         tempfile.gettempdir(), f"pe_stream_sink_{SW._slot(spark, sf)}"
     )
     assert any(d.startswith("day=") for d in os.listdir(out))
+
+
+def test_stream_dedup_lsh_multibatch_and_idempotent(spark):
+    """The streaming LSH dedup must (a) actually process the staged
+    input in MULTIPLE micro-batches (maxFilesPerTrigger=2 over a
+    4-file input — otherwise it degenerates to the batch op with
+    extra steps), (b) equal its batch twin dedup_incremental_lsh
+    exactly, and (c) be idempotent under re-run with the same
+    checkpoint (exactly-once sink: no duplicated pairs)."""
+    import tempfile
+
+    from pe_firm_investment_database_pipeline_spark.plans import textops
+    from pe_firm_investment_database_pipeline_spark.streaming import windows as SW
+
+    sf = "/root/testdata/sf0.01"
+    streamed = {
+        (r["doc_new"], r["doc_idx"], r["est_jaccard"])
+        for r in SW.stream_dedup_lsh(spark, sf).collect()
+    }
+    batch = {
+        (r["doc_new"], r["doc_idx"], r["est_jaccard"])
+        for r in textops.dedup_incremental_lsh(spark, sf).collect()
+    }
+    assert streamed == batch and streamed
+    # multiple micro-batches: the checkpoint's offset log has >1 entry
+    ck = os.path.join(
+        tempfile.gettempdir(), f"pe_stream_lshdedup_ck_{SW._slot(spark, sf)}"
+    )
+    offsets = [f for f in os.listdir(os.path.join(ck, "offsets")) if f.isdigit()]
+    assert len(offsets) > 1, f"expected >1 micro-batch, got {sorted(offsets)}"
+    # idempotent re-run: same checkpoint, nothing new processed
+    rerun = {
+        (r["doc_new"], r["doc_idx"], r["est_jaccard"])
+        for r in SW.stream_dedup_lsh(spark, sf).collect()
+    }
+    assert rerun == streamed
