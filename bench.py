@@ -70,6 +70,11 @@ HEADLINE = [
     "samp_domain_mixture",
     "txt_pii_redact",
     "agg_corr_stats",
+    "profile_drift",
+    "join_scd2_asof",
+    # runs after dedup_incremental_lsh so the persisted band index is
+    # warm and the entry times the streaming join, not the index build
+    "stream_dedup_lsh",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # new in round 5
         "stream_dedup_lsh",
         "profile_drift",
+        "join_scd2_asof",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

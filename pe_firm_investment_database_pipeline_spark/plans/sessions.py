@@ -174,6 +174,30 @@ FROM nation
 """
 
 
+def _scd2_changes(e: DataFrame) -> DataFrame:
+    """(user_id, ts_us, event_id, state) -> the type-2 version rows:
+    change-suppressed, versioned, with validity interval columns.
+    Shared by the dimension-build entry (merge_scd2, over all events)
+    and the point-in-time consumer (join_scd2_asof, over the
+    dimension-event subset)."""
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changed = (
+        F.lag("state").over(w).isNull() | (F.col("state") != F.lag("state").over(w))
+    )
+    kept = e.withColumn("chg", changed).where(F.col("chg"))
+    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        kept.withColumn("version", F.row_number().over(w2).cast("long"))
+        .withColumn("valid_from_us", F.col("ts_us"))
+        .withColumn("valid_to_us", F.lead("ts_us").over(w2))
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .select(
+            "user_id", "version", "state", "valid_from_us", "valid_to_us",
+            "is_current",
+        )
+    )
+
+
 def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 slowly-changing dimension from a change stream: each
     user's event_type is treated as their tracked state; consecutive
@@ -193,23 +217,9 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: event ties are broken by event_id (fixture ts_us may
     collide); versions are then a total order both engines agree on.
     """
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts_us", "event_id", F.col("event_type").alias("state")
-    )
-    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    changed = (
-        F.lag("state").over(w).isNull() | (F.col("state") != F.lag("state").over(w))
-    )
-    kept = e.withColumn("chg", changed).where(F.col("chg"))
-    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-    return (
-        kept.withColumn("version", F.row_number().over(w2).cast("long"))
-        .withColumn("valid_from_us", F.col("ts_us"))
-        .withColumn("valid_to_us", F.lead("ts_us").over(w2))
-        .withColumn("is_current", F.col("valid_to_us").isNull())
-        .select(
-            "user_id", "version", "state", "valid_from_us", "valid_to_us",
-            "is_current",
+    return _scd2_changes(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "ts_us", "event_id", F.col("event_type").alias("state")
         )
     )
 
@@ -238,6 +248,118 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """
 
 
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against a type-2 dimension — the
+    query shape `merge_scd2` exists to serve, in its realistic
+    two-stream form: the DIMENSION is the user's activity state built
+    from non-purchase events (the update stream), and each purchase
+    (the fact stream) is joined to the dimension version valid AT ITS
+    INSTANT (valid_from <= ts, greatest such valid_from). Expressed
+    with the same union-trick as join_range_asof: dimension changes
+    (kind 0) and probes (kind 1) interleave on one user_id window and
+    a carry-forward last(ignorenulls) resolves each probe — one
+    shuffle on the dimension key, no range-join blowup, the shape
+    that scales to a 100 TB fact stream against a versioned
+    dimension. A change at exactly the probe's timestamp sorts FIRST
+    (kind 0 < 1) — inclusive validity, matching the SCD2 interval
+    semantics. A purchase before the user's first dimension event
+    resolves to NULL (no version existed yet) — identically on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = _scd2_changes(
+        ev.where(F.col("event_type") != "purchase").select(
+            "user_id", "ts_us", "event_id", F.col("event_type").alias("state")
+        )
+    ).select(
+        "user_id",
+        F.col("valid_from_us").alias("ts"),
+        "state",
+        "version",
+    )
+    probes = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts_us").alias("ts"), "event_id")
+    )
+    u = dim.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        "state",
+        "version",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        probes.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("state"),
+            F.lit(None).cast("long").alias("version"),
+            "event_id",
+        )
+    )
+    # total order both engines agree on: version tie-breaks changes,
+    # event_id tie-breaks probes (each null on the other kind)
+    u = u.withColumn("ord2", F.coalesce("version", "event_id"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind", "ord2")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn("state_asof", F.last("state", ignorenulls=True).over(w))
+        .withColumn("version_asof", F.last("version", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("ts_us"),
+            "state_asof",
+            "version_asof",
+        )
+    )
+
+
+# The oracle replays the same interleave-and-carry formulation (not
+# DuckDB's native ASOF JOIN) so tie semantics are identical by
+# construction on both engines.
+_JOIN_SCD2_ASOF_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+         event_type AS state
+  FROM events WHERE event_type != 'purchase'
+), flagged AS (
+  SELECT *,
+         (lag(state) OVER w IS NULL OR state != lag(state) OVER w) AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), dim AS (
+  SELECT user_id, ts_us AS ts, state,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id) AS BIGINT) AS version
+  FROM flagged WHERE chg
+), u AS (
+  SELECT user_id, ts, 0 AS kind, state, version,
+         CAST(NULL AS BIGINT) AS event_id
+  FROM dim
+  UNION ALL
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts, 1 AS kind,
+         CAST(NULL AS VARCHAR) AS state, CAST(NULL AS BIGINT) AS version,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+), carried AS (
+  SELECT *,
+         last_value(state IGNORE NULLS) OVER w2 AS state_asof,
+         last_value(version IGNORE NULLS) OVER w2 AS version_asof
+  FROM u
+  WINDOW w2 AS (PARTITION BY user_id
+                ORDER BY ts, kind, COALESCE(version, event_id)
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, ts AS ts_us, state_asof, version_asof
+FROM carried WHERE kind = 1
+"""
+
+
 QUERIES = {
     "win_sessionize_batch": QuerySpec(
         win_sessionize_batch, _WIN_SESSIONIZE_BATCH_SQL, ("window", "session")
@@ -247,4 +369,7 @@ QUERIES = {
     ),
     "map_entry_ops": QuerySpec(map_entry_ops, _MAP_ENTRY_OPS_SQL, ("map",)),
     "merge_scd2": QuerySpec(merge_scd2, _MERGE_SCD2_SQL, ("cdc", "window")),
+    "join_scd2_asof": QuerySpec(
+        join_scd2_asof, _JOIN_SCD2_ASOF_SQL, ("cdc", "join", "asof")
+    ),
 }

@@ -227,3 +227,15 @@ def test_corr_stats_partial_aggregation(spark):
 
     aggs = re.findall(r"\(\d+\) HashAggregate", plan)
     assert len(aggs) >= 2, "expected partial+final HashAggregate pair"
+
+
+def test_scd2_asof_no_range_join(spark):
+    """join_scd2_asof must resolve point-in-time lookups via the
+    interleave/carry-forward window, never a range join: no
+    BroadcastNestedLoopJoin or CartesianProduct anywhere, and every
+    required exchange hashes on the dimension key."""
+    plan = _plan(spark, "join_scd2_asof")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Union") >= 1
