@@ -72,6 +72,8 @@ HEADLINE = [
     "agg_corr_stats",
     "profile_drift",
     "join_scd2_asof",
+    "agg_hll_rollup",
+    "mm_audio_resample",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

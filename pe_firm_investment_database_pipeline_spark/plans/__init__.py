@@ -54,6 +54,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",
+        "agg_hll_rollup",
+        "mm_audio_resample",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

@@ -265,6 +265,55 @@ FROM sums
 
 
 # ---------------------------------------------------------------------------
+# agg_hll_rollup — two-level sketch pre-aggregate + merge
+# ---------------------------------------------------------------------------
+
+_HLL_LGK = 14  # DataSketches lgConfigK: 2^14 buckets, ~0.8% rsd
+
+
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HyperLogLog rollup — THE 100 TB profiling idiom:
+    distinct-customer sketches are PRE-AGGREGATED per nation
+    (hll_sketch_agg, one pass over the fact table) and then MERGED to
+    region level (hll_union_agg) without touching the raw data again.
+    This is what makes sketch columns composable in a lakehouse: a
+    daily job materializes per-partition sketches; any coarser
+    rollup (region, week, global) is a cheap union over sketch blobs.
+    Spark's DataSketches HLL is deterministic for identical input
+    sets, and the merged estimate is asserted EQUAL to the
+    direct region-level sketch in tests/test_scale_blocking.py::
+    test_hll_rollup_merge_equals_direct (merge loses nothing). Like
+    the other sketch entries there is no SQL oracle (sketch binaries
+    are engine-specific) — rows-only driver check + in-test accuracy
+    bound vs exact countDistinct."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    fact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    nation_sketches = fact.groupBy("r_name", "n_name").agg(
+        F.expr(f"hll_sketch_agg(o_custkey, {_HLL_LGK})").alias("sk"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        nation_sketches.groupBy("r_name")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "est_distinct_customers"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # profile_drift — distribution shift between two snapshots
 # ---------------------------------------------------------------------------
 
@@ -621,6 +670,7 @@ QUERIES = {
     "profile_drift": QuerySpec(
         profile_drift, _PROFILE_DRIFT_SQL, ("profile", "drift")
     ),
+    "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "evt_retention": QuerySpec(
         evt_retention, _EVT_RETENTION_SQL, ("events", "retention")

@@ -299,9 +299,107 @@ FROM resized
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_audio_resample — audio stage (windowed decimation + energy)
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 4  # samples per output frame
+
+
+def fake_audio_resample(payload: bytes) -> list[int]:
+    """Deterministic stand-in for an audio resampler: treat each byte
+    as one PCM sample and emit the integer mean of non-overlapping
+    windows of AUDIO_WINDOW samples (the last window may be partial).
+    Pure function of the bytes — DuckDB can recompute it from the hex
+    encoding, so the entry keeps an exact oracle like the other
+    multimodal stages."""
+    w = AUDIO_WINDOW
+    return [
+        sum(payload[j : j + w]) // len(payload[j : j + w])
+        for j in range(0, len(payload), w)
+    ]
+
+
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample stage over AUDIO payloads as ``mapInPandas`` —
+    completes the media-type matrix (image: resize/feature-extract,
+    video: frame-sample, audio: this): Arrow batches of
+    (doc_id, payload) -> (doc_id, n_samples, n_frames, energy,
+    frames_md5), where energy is the exact int64 sum of squared frame
+    means (the loudness statistic a silence/clipping filter
+    thresholds on). Runs only on audio-typed rows — metadata pruning
+    happens BEFORE the Python hop, same discipline as mm_resize."""
+    p = _payloads(spark, sf_dir).where(
+        F.col("media_type") == "audio/wav"
+    ).select("doc_id", "payload")
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [fake_audio_resample(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": pd.Series(
+                        [len(b) for b in pdf["payload"]], dtype="int64"
+                    ),
+                    "n_frames": pd.Series(
+                        [len(fr) for fr in frames], dtype="int64"
+                    ),
+                    "energy": pd.Series(
+                        [sum(m * m for m in fr) for fr in frames], dtype="int64"
+                    ),
+                    "frames_md5": [
+                        hashlib.md5(
+                            ",".join(str(m) for m in fr).encode()
+                        ).hexdigest()
+                        for fr in frames
+                    ],
+                }
+            )
+
+    return p.mapInPandas(
+        resample,
+        schema=(
+            "doc_id long, n_samples long, n_frames long, energy long,"
+            " frames_md5 string"
+        ),
+    )
+
+
+_MM_AUDIO_RESAMPLE_SQL = f"""
+WITH au AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 1
+), frames AS (
+  SELECT doc_id, blen,
+         list_transform(
+           range(0, (blen + {AUDIO_WINDOW} - 1) // {AUDIO_WINDOW}),
+           j -> list_sum(list_transform(
+                  range(j * {AUDIO_WINDOW},
+                        LEAST(j * {AUDIO_WINDOW} + {AUDIO_WINDOW}, blen)),
+                  i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS BIGINT), 2))
+                            AS BIGINT)))
+                // (LEAST(j * {AUDIO_WINDOW} + {AUDIO_WINDOW}, blen)
+                    - j * {AUDIO_WINDOW})
+         ) AS means
+  FROM au
+)
+SELECT doc_id, blen AS n_samples,
+       CAST(len(means) AS BIGINT) AS n_frames,
+       CAST(COALESCE(list_sum(list_transform(means, m -> m * m)), 0)
+            AS BIGINT) AS energy,
+       md5(array_to_string(means, ',')) AS frames_md5
+FROM frames
+"""
+
+
 QUERIES = {
     "mm_binary_meta": QuerySpec(
         mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
+    ),
+    "mm_audio_resample": QuerySpec(
+        mm_audio_resample, _MM_AUDIO_RESAMPLE_SQL, ("multimodal", "pandas_udf")
     ),
     "mm_resize": QuerySpec(
         mm_resize, _MM_RESIZE_SQL, ("multimodal", "pandas_udf")

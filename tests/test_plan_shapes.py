@@ -239,3 +239,78 @@ def test_scd2_asof_no_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Union") >= 1
+
+
+def test_audio_resample_filters_before_python(spark):
+    """mm_audio_resample prunes to audio-typed rows in the JVM before
+    the Arrow/Python hop — same discipline as mm_resize."""
+    import re
+
+    plan = _plan(spark, "mm_audio_resample")
+    assert "MapInPandas" in plan
+
+    def first_id(name):
+        m = re.search(rf"\((\d+)\) {name}", plan)
+        assert m, f"{name} not in plan"
+        return int(m.group(1))
+
+    assert first_id("Filter") < first_id("MapInPandas")
+
+
+def test_hll_rollup_partial_aggregation(spark):
+    """agg_hll_rollup's nation-level sketch aggregate must combine
+    map-side (partial hll_sketch_agg below the exchange) — the
+    pre-aggregate half of the sketch-merge idiom."""
+    plan = _plan(spark, "agg_hll_rollup")
+    assert "partial_hll_sketch_agg" in plan or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """At 100 TB a selective dimension predicate must prune fact rows
+    BEFORE the join shuffle via Spark's runtime bloom filter. The
+    engine's session keeps the optimizer flag on, and the injection
+    works on the at-scale scan path — which has NO parallelism-floor
+    repartition (_spread is a no-op once file count exceeds core
+    count), so the test scans raw parquet exactly as a cluster would.
+    Thresholds are lowered because sf0.01 inputs are far below the
+    production 10 GB application-side default."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = (
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .where("o_orderpriority = '1-URGENT'")
+            .where("o_totalprice > 400000")
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_thr,
+        )
+    assert "might_contain" in plan  # fact side pre-filtered by the bloom
+    assert "bloom_filter_agg" in plan  # built from the filtered dim side

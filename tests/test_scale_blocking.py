@@ -407,3 +407,54 @@ def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
     )
     if op_id == "dedup_simhash":  # no scalar broadcast here at all
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_rollup_merge_equals_direct(spark, sf_dir):
+    """agg_hll_rollup (rows-only at the driver gate) gets its
+    value-level check here. Two properties: (1) MERGE LOSES NOTHING —
+    unioning the per-nation sketches to region level must estimate
+    exactly what a direct region-level sketch over the raw rows
+    estimates (DataSketches HLL union is lossless for sketches of the
+    same lgK); (2) the estimate lands within the configured sketch
+    accuracy (~0.8% rsd at lgK=14, 3x slack) of the exact distinct
+    customer count per region."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _HLL_LGK,
+        agg_hll_rollup,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    rolled = {
+        r["r_name"]: r["est_distinct_customers"]
+        for r in agg_hll_rollup(spark, sf_dir).collect()
+    }
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    fact = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    direct = {
+        row["r_name"]: row["est"]
+        for row in fact.groupBy("r_name")
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg(o_custkey, {_HLL_LGK}))"
+            ).alias("est")
+        )
+        .collect()
+    }
+    exact = {
+        row["r_name"]: row["n"]
+        for row in fact.groupBy("r_name")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(rolled) == set(direct) == set(exact)
+    for name in rolled:
+        assert rolled[name] == direct[name], (name, rolled[name], direct[name])
+        assert abs(rolled[name] - exact[name]) <= max(2, 0.025 * exact[name])
