@@ -74,6 +74,8 @@ HEADLINE = [
     "join_scd2_asof",
     "agg_hll_rollup",
     "mm_audio_resample",
+    "sim_pq_topk",
+    "samp_topk_hash",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

@@ -56,6 +56,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "join_scd2_asof",
         "agg_hll_rollup",
         "mm_audio_resample",
+        "sim_pq_topk",
+        "samp_topk_hash",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

@@ -211,6 +211,43 @@ WHERE {_KEYHASH_DUCK} % 1000 < rate_permille
 """
 
 
+_TOPK_PER_STRATUM = 20
+
+
+def samp_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k deterministic sampling: the k documents with the
+    smallest key-hash per language — 'give me exactly k docs per
+    stratum, reproducibly'. Rate-based sampling (the rest of the
+    family) yields a BINOMIAL count per stratum; eval-set and
+    human-review pipelines need an exact count, and ordering by a
+    uniform hash makes the choice unbiased yet stable across re-runs,
+    repartitioning, and engines. One window pass per stratum; at
+    100 TB this is a top-k-per-group (partial per partition via the
+    rank filter), never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.expr(_KEYHASH).asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr(_KEYHASH).alias("keyhash"),
+        )
+        .withColumn("pick_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("pick_rank") <= _TOPK_PER_STRATUM)
+    )
+
+
+_SAMP_TOPK_HASH_SQL = f"""
+SELECT doc_id, lang, keyhash, pick_rank FROM (
+  SELECT doc_id, lang, {_KEYHASH_DUCK} AS keyhash,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY {_KEYHASH_DUCK}, doc_id) AS BIGINT)
+           AS pick_rank
+  FROM documents)
+WHERE pick_rank <= {_TOPK_PER_STRATUM}
+"""
+
+
 _BUDGET = 20_000  # tokens per training shard
 
 # Cumsum block width, derived IN-PLAN from COUNT(*) and MAX(doc_id):
@@ -509,6 +546,9 @@ QUERIES = {
     ),
     "samp_domain_mixture": QuerySpec(
         samp_domain_mixture, _SAMP_DOMAIN_MIXTURE_SQL, ("sampling", "mixture")
+    ),
+    "samp_topk_hash": QuerySpec(
+        samp_topk_hash, _SAMP_TOPK_HASH_SQL, ("sampling", "exact_k")
     ),
     "shard_by_token_budget": QuerySpec(
         shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)

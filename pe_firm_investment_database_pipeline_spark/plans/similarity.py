@@ -774,6 +774,155 @@ WHERE nn_rank <= {_ANN_JOIN_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim vector -> 8 one-byte codes
+# ---------------------------------------------------------------------------
+#
+# The storage-bound ANN answer at 100 TB: embeddings compress 16x
+# (64 floats -> 8 codes into a sub-centroid codebook), and scoring is
+# asymmetric-distance (ADC) — the query precomputes its distance to
+# every sub-centroid (a tiny table, broadcast), and each database row
+# is scored by 8 lookups + adds, never touching the original floats.
+# Codebooks here are deterministic stride samples of the corpus
+# subvectors (k-means sampled init, zero iterations — same discipline
+# as the IVF quantizer, so both engines derive identical codebooks
+# in-plan with no training state). All arithmetic is exact int64 on
+# the micro-quantized values, so codes, distances, and the final
+# ranking are bit-identical across engines.
+
+_PQ_SUBSPACES = 8  # 8 subvectors x 8 dims
+_PQ_SUBDIM = 8
+_PQ_K = 16  # centroids per subspace (codes fit 4 bits; byte-aligned here)
+
+
+def _pq_parts(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, svec): explode each quantized vector into its
+    _PQ_SUBSPACES subvectors — a narrow transform."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_SUBSPACES - 1}), s -> "
+                f"struct(s AS sub, slice(q, s * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})"
+                " AS svec))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.sub").alias("sub"), F.col("p.svec").alias("svec"))
+
+
+_PQ_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+_PQ_SQDIST_DUCK = (
+    "CAST(list_sum(list_transform(range(1, {n}), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed top-10 nearest neighbors to the query vector
+    (vec_id=0) by asymmetric distance. Plan shape at scale: the
+    codebook (stride-sampled, 16 centroids x 8 subspaces) and the
+    query's 128-row distance table are BROADCAST; encoding is
+    explode + per-(vec, sub) argmin window; scoring is an equi-join
+    on (sub, code) + one sum per vector. The database side never
+    rematerializes the floats — at 100 TB the codes table is the
+    16x-smaller standing index and this query runs at ITS scan speed.
+    Exact-parity: codes and distances are all int64 on micro-units;
+    argmin/top-k ties break on centroid id / vec_id."""
+    emb = _emb_q(spark, sf_dir).select("vec_id", "q")
+    parts = _pq_parts(emb)
+    # deterministic codebook: subvectors of every stride-th vector,
+    # stride derived in-plan so ~_PQ_K centroids exist per subspace
+    params = (
+        emb.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.expr(
+                f"GREATEST(1, CAST(n AS BIGINT) div {_PQ_K}) AS stride"
+            )
+        )
+    )
+    cents = (
+        parts.crossJoin(F.broadcast(params))
+        .where(F.expr("vec_id % stride = 0"))
+        .withColumn(
+            "cid",
+            F.expr("CAST(vec_id div stride AS INT)"),
+        )
+        .where(F.col("cid") < _PQ_K)
+        .select("sub", "cid", F.col("svec").alias("cvec"))
+    )
+    # encode: per (vec, sub) the nearest centroid
+    dist = F.expr(_PQ_SQDIST.format(a="svec", b="cvec"))
+    wenc = W.partitionBy("vec_id", "sub").orderBy("d", "cid")
+    codes = (
+        parts.join(F.broadcast(cents), "sub")
+        .withColumn("d", dist)
+        .withColumn("rn", F.row_number().over(wenc))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid")
+    )
+    # query ADC table: distance from the query's subvectors to every
+    # centroid of the matching subspace (tiny: subspaces x K rows)
+    qparts = _pq_parts(emb.where(F.col("vec_id") == 0)).select(
+        "sub", F.col("svec").alias("qvec")
+    )
+    adc = (
+        qparts.join(cents, "sub")
+        .select(
+            "sub",
+            "cid",
+            F.expr(_PQ_SQDIST.format(a="qvec", b="cvec")).alias("qd"),
+        )
+    )
+    return (
+        codes.where(F.col("vec_id") != 0)
+        .join(F.broadcast(adc), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_SIM_PQ_TOPK_SQL = f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, {_QUANT_DUCK} AS q FROM embeddings
+), parts AS MATERIALIZED (
+  SELECT vec_id, s.sub,
+         q[s.sub * {_PQ_SUBDIM} + 1 : s.sub * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS svec
+  FROM eq, (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS sub) s
+), prm AS (
+  SELECT GREATEST(1, COUNT(*) // {_PQ_K}) AS stride FROM eq
+), cents AS MATERIALIZED (
+  SELECT sub, CAST(vec_id // stride AS INT) AS cid, svec AS cvec
+  FROM parts CROSS JOIN prm
+  WHERE vec_id % stride = 0 AND vec_id // stride < {_PQ_K}
+), codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT p.vec_id, p.sub, c.cid,
+           row_number() OVER (
+             PARTITION BY p.vec_id, p.sub
+             ORDER BY {_PQ_SQDIST_DUCK.format(a="p.svec", b="c.cvec", n=f"{_PQ_SUBDIM + 1}")}, c.cid
+           ) AS rn
+    FROM parts p JOIN cents c USING (sub))
+  WHERE rn = 1
+), adc AS (
+  SELECT c.sub, c.cid,
+         {_PQ_SQDIST_DUCK.format(a="qp.svec", b="c.cvec", n=f"{_PQ_SUBDIM + 1}")} AS qd
+  FROM (SELECT sub, svec FROM parts WHERE vec_id = 0) qp
+  JOIN cents c USING (sub)
+)
+SELECT vec_id, CAST(SUM(qd) AS BIGINT) AS adc_dist
+FROM codes JOIN adc USING (sub, cid)
+WHERE vec_id != 0
+GROUP BY vec_id
+ORDER BY adc_dist, vec_id
+LIMIT 10
+"""
+
+
 # Persisted IVF index tables (cross-RUN ANN, the similarity twin of
 # dedup_incremental_lsh's persisted band index): centroids + posting
 # lists land as parquet tables under tmp, posting lists BUCKETED on
@@ -961,5 +1110,8 @@ QUERIES = {
     ),
     "sim_embedding_stats": QuerySpec(
         sim_embedding_stats, _SIM_EMBEDDING_STATS_SQL, ("similarity", "agg")
+    ),
+    "sim_pq_topk": QuerySpec(
+        sim_pq_topk, _SIM_PQ_TOPK_SQL, ("similarity", "pq", "compression")
     ),
 }

@@ -458,3 +458,42 @@ def test_hll_rollup_merge_equals_direct(spark, sf_dir):
     for name in rolled:
         assert rolled[name] == direct[name], (name, rolled[name], direct[name])
         assert abs(rolled[name] - exact[name]) <= max(2, 0.025 * exact[name])
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """sim_pq_topk's 16x-compressed ADC ranking must still surface a
+    meaningful share of the TRUE nearest neighbors: at 16 centroids
+    per subspace on this corpus the ADC top-10 overlaps the exact
+    integer-L2 top-10 in >= 2 positions (measured 3; threshold leaves
+    sampling slack). Guards against a codebook/encoding bug that
+    would still hash-match its own oracle (both engines would compute
+    the same WRONG ranking) but destroy retrieval quality."""
+    import duckdb
+
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        sim_pq_topk,
+    )
+
+    pq_top = [r["vec_id"] for r in sim_pq_topk(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    exact = [
+        r[0]
+        for r in con.execute(
+            """
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+  FROM embeddings
+), qv AS (SELECT q AS qq FROM eq WHERE vec_id = 0)
+SELECT vec_id
+FROM eq, qv WHERE vec_id != 0
+ORDER BY CAST(list_sum(list_transform(range(1, 65),
+              i -> (q[i]-qq[i])*(q[i]-qq[i]))) AS BIGINT), vec_id
+LIMIT 10
+"""
+        ).fetchall()
+    ]
+    assert len(set(pq_top) & set(exact)) >= 2, (pq_top, exact)

@@ -285,3 +285,59 @@ def test_stream_dedup_lsh_multibatch_and_idempotent(spark):
         for r in SW.stream_dedup_lsh(spark, sf).collect()
     }
     assert rerun == streamed
+
+
+def test_stateful_agg_recovers_from_checkpoint(spark, tmp_path):
+    """Checkpoint restart recovers windowed-aggregation STATE, not
+    just source offsets: run 1 processes an in-progress window and
+    stops; new data for the SAME window arrives; run 2 (same
+    checkpoint) must merge it into the recovered state and emit one
+    combined row — the durability contract a production stream relies
+    on across deploys. A fresh-checkpoint run over only the second
+    file would emit n=1; recovery makes it n=3."""
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+
+    def land(name, rows, mtime):
+        d = str(tmp_path / name)
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        os.link(os.path.join(d, part), os.path.join(src, name + ".parquet"))
+        os.utime(os.path.join(src, name + ".parquet"), (mtime, mtime))
+
+    def run(qname):
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").cast("long").alias("win_start_s"), "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["win_start_s"]: r["n"] for r in spark.table(qname).collect()
+        }
+
+    # run 1: two rows land in window [00:00); state checkpointed
+    land("a", [(1, 1, _t(0, 10)), (2, 1, _t(0, 20))], 1000.0)
+    first = run("ck_recovery_1")
+    win0 = int(_t(0, 0).replace(tzinfo=dt.timezone.utc).timestamp())
+    assert first.get(win0) == 2
+
+    # run 2: one MORE row for the same window, restarted from ck
+    land("b", [(3, 1, _t(0, 40))], 2000.0)
+    second = run("ck_recovery_2")
+    assert second.get(win0) == 3  # 2 recovered from state + 1 new
