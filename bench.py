@@ -76,6 +76,8 @@ HEADLINE = [
     "mm_audio_resample",
     "sim_pq_topk",
     "samp_topk_hash",
+    "evt_attribution",
+    "agg_equidepth_hist",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

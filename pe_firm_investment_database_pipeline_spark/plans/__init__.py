@@ -58,6 +58,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "mm_audio_resample",
         "sim_pq_topk",
         "samp_topk_hash",
+        "evt_attribution",
+        "agg_equidepth_hist",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

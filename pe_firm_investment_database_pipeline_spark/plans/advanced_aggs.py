@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import cents, qty_int
 from ..registry import QuerySpec
 from ..sources.tables import load_table
+from ..streaming.windows import GAP_S  # single source of truth for the gap
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +469,82 @@ def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH session attribution — the analytics shape behind
+    every 'which channel drove this purchase' report: each purchase
+    is credited to the most recent view/click in the SAME
+    30-minute-gap session ('direct' when the purchase opens its
+    session). One shuffle on user_id serves all three window passes
+    (gap flags -> running session id -> carry-forward last touch),
+    the same sessionization core as win_sessionize_batch; no
+    self-join of events to events, which is the O(N^2) trap this
+    shape invites at 100 TB."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_s = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w)) >= GAP_S * 1_000_000, 1
+    ).otherwise(0)
+    sess = e.withColumn(
+        "sid", F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    ws = (
+        W.partitionBy("user_id", "sid")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    touch_type = F.last(
+        F.when(is_touch, F.col("event_type")), ignorenulls=True
+    ).over(ws)
+    touch_id = F.last(
+        F.when(is_touch, F.col("event_id")), ignorenulls=True
+    ).over(ws)
+    return (
+        sess.withColumn("touch_type", touch_type)
+        .withColumn("touch_id", touch_id)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("sid").cast("long").alias("sid"),
+            F.coalesce("touch_type", F.lit("direct")).alias("touch_type"),
+            "touch_id",
+        )
+    )
+
+
+_EVT_ATTRIBUTION_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events
+), flagged AS (
+  SELECT *,
+         CASE WHEN ts_us - lag(ts_us) OVER w >= {GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), touched AS (
+  SELECT *,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_type END IGNORE NULLS) OVER ws AS touch_type,
+         last_value(CASE WHEN event_type IN ('view', 'click')
+                         THEN event_id END IGNORE NULLS) OVER ws AS touch_id
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, CAST(sid AS BIGINT) AS sid,
+       COALESCE(touch_type, 'direct') AS touch_type, touch_id
+FROM touched WHERE event_type = 'purchase'
+"""
+
+
 _EVT_FUNNEL_SQL = """
 WITH e AS (
   SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
@@ -606,6 +683,67 @@ GROUP BY 1
 """
 
 
+_EQUIDEPTH_BINS = 8
+
+
+def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order values — the quantile binning a
+    profiler uses where fixed-width buckets (agg_histogram) would put
+    99% of rows in one bar — built the DISTRIBUTED way: the 7 bin
+    boundaries come from one exact-percentile aggregate over the
+    integer cents (interpolated from identical ints on both engines),
+    broadcast back onto the scan, and each row's bin is a map-side
+    count of boundaries strictly below it. No ntile, therefore no
+    single-partition global sort — the shape that survives 100 TB.
+    Ties share a bin (boundary-based semantics), so populations are
+    approximately N/8 rather than ntile's exact split; counts, exact
+    min/max per bin, and boundaries all hash-match the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("price_c")
+    )
+    qs = ", ".join(
+        str(i / _EQUIDEPTH_BINS) for i in range(1, _EQUIDEPTH_BINS)
+    )
+    bounds = o.agg(
+        F.expr(f"percentile(price_c, array({qs}))").alias("bs")
+    )
+    bin_col = F.expr(
+        "1 + aggregate(bs, 0L, (acc, b) ->"
+        " acc + IF(CAST(price_c AS DOUBLE) > b, 1L, 0L))"
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bin_col.alias("bin"), "price_c")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("price_c") / 100.0).alias("lo_usd"),
+            (F.max("price_c") / 100.0).alias("hi_usd"),
+        )
+    )
+
+
+_AGG_EQUIDEPTH_HIST_SQL = f"""
+WITH t AS (
+  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS price_c FROM orders
+), bounds AS (
+  SELECT [{", ".join(f"quantile_cont(price_c, {i}/{_EQUIDEPTH_BINS}.0)" for i in range(1, _EQUIDEPTH_BINS))}] AS bs
+  FROM t
+), binned AS (
+  SELECT price_c,
+         1 + CAST(list_sum(list_transform(bs,
+               b -> CASE WHEN CAST(price_c AS DOUBLE) > b
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+  FROM t CROSS JOIN bounds
+)
+SELECT bin, COUNT(*) AS n_orders,
+       MIN(price_c) / 100.0 AS lo_usd,
+       MAX(price_c) / 100.0 AS hi_usd
+FROM binned
+GROUP BY bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # profile_unpivot — column profiler via stack/unpivot
 # ---------------------------------------------------------------------------
@@ -672,6 +810,12 @@ QUERIES = {
     ),
     "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
+    "evt_attribution": QuerySpec(
+        evt_attribution, _EVT_ATTRIBUTION_SQL, ("events", "attribution")
+    ),
+    "agg_equidepth_hist": QuerySpec(
+        agg_equidepth_hist, _AGG_EQUIDEPTH_HIST_SQL, ("agg", "histogram")
+    ),
     "evt_retention": QuerySpec(
         evt_retention, _EVT_RETENTION_SQL, ("events", "retention")
     ),

@@ -314,3 +314,23 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
         )
     assert "might_contain" in plan  # fact side pre-filtered by the bloom
     assert "bloom_filter_agg" in plan  # built from the filtered dim side
+
+
+def test_equidepth_hist_no_global_sort(spark):
+    """agg_equidepth_hist must derive quantile bins WITHOUT a
+    single-partition global sort (the ntile trap): no Window in the
+    plan, boundaries broadcast, bin assignment map-side."""
+    plan = _plan(spark, "agg_equidepth_hist")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_attribution_single_user_shuffle(spark):
+    """evt_attribution's three window passes all key on user_id (or
+    its refinement (user_id, sid)), so the plan needs exactly one
+    operator-required exchange — sessionize and carry-forward run
+    co-partitioned; no events-to-events self join."""
+    plan = _plan(spark, "evt_attribution")
+    ensure = plan.count("ENSURE_REQUIREMENTS")
+    assert ensure == 1, f"expected one required exchange, got {ensure}"
+    assert "Join" not in plan
