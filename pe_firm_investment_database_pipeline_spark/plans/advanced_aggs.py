@@ -697,7 +697,13 @@ def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition global sort — the shape that survives 100 TB.
     Ties share a bin (boundary-based semantics), so populations are
     approximately N/8 rather than ntile's exact split; counts, exact
-    min/max per bin, and boundaries all hash-match the oracle."""
+    min/max per bin, and boundaries all hash-match the oracle.
+    The boundary aggregate here is Spark's exact percentile (buffers
+    the column once, single group) to keep the oracle exact; at
+    100 TB the same plan takes its boundaries from approx_percentile
+    (the GK sketch shown in agg_percentile_approx) — only that one
+    aggregate changes, the broadcast + map-side binning is the
+    scale-bearing part either way."""
     o = load_table(spark, sf_dir, "orders").select(
         cents("o_totalprice").alias("price_c")
     )
