@@ -78,6 +78,8 @@ HEADLINE = [
     "samp_topk_hash",
     "evt_attribution",
     "agg_equidepth_hist",
+    "json_variant_ops",
+    "snk_partition_overwrite",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

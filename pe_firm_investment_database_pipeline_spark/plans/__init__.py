@@ -60,6 +60,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_topk_hash",
         "evt_attribution",
         "agg_equidepth_hist",
+        "json_variant_ops",
+        "snk_partition_overwrite",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

@@ -521,9 +521,74 @@ FROM best GROUP BY s_suppkey, url
 """
 
 
+# ---------------------------------------------------------------------------
+# snk_partition_overwrite — dynamic single-partition backfill
+# ---------------------------------------------------------------------------
+
+_BACKFILL_DAY = 19723  # 2024-01-01: the fixture's first event day at every sf
+
+
+def snk_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse backfill primitive:
+    land the full day-partitioned events table, then re-land ONE day
+    (a 'correction' keeping only that day's purchases) with
+    partitionOverwriteMode=dynamic, which replaces exactly the
+    partitions present in the incoming frame and leaves every other
+    day's files untouched. The static default would wipe the whole
+    table — the difference between an O(day) and an O(table) backfill
+    at 100 TB. The conf is scoped save/restore; the read-back
+    aggregate gives the entry a compact exact oracle and also proves
+    the untouched days survived."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    # staging dir keyed by (sf_dir hash, applicationId): distinct data
+    # dirs and concurrent drivers never collide (same discipline as
+    # streaming/windows._slot)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_dynpart_{h}_{app}")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    corrected = ev.where(
+        (F.col("day") == _BACKFILL_DAY) & (F.col("event_type") == "purchase")
+    )
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set(conf, prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("day").cast("long").alias("day"), "n_events")
+    )
+
+
+_SNK_PARTITION_OVERWRITE_SQL = f"""
+SELECT day, COUNT(*) AS n_events FROM (
+  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day, event_type
+  FROM events
+)
+WHERE day != {_BACKFILL_DAY} OR event_type = 'purchase'
+GROUP BY day
+"""
+
+
 QUERIES = {
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")
+    ),
+    "snk_partition_overwrite": QuerySpec(
+        snk_partition_overwrite, _SNK_PARTITION_OVERWRITE_SQL, ("io", "sink")
     ),
     "html_extract": QuerySpec(html_extract, _HTML_EXTRACT_SQL, ("io", "udtf")),
     "html_extract_names": QuerySpec(

@@ -622,6 +622,45 @@ def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding (parse_json), then
+    fields come out via typed variant_get / try_variant_get paths —
+    the schema-flexible column pattern that replaces per-query string
+    re-parsing at 100 TB (parse once at ingest, store variant, every
+    downstream read is a cheap typed access; get_json_object in
+    `json_get` re-tokenizes the string per call). try_variant_get on
+    a missing path yields NULL instead of failing — the tolerance
+    knob. Output aggregates per event_type so the oracle is compact;
+    missing-path counts prove the try_ semantics."""
+    e = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    missing = F.expr("try_variant_get(parse_json(props), '$.absent', 'long')")
+    return (
+        e.select("event_type", v.alias("v"), k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("m").alias("n_absent_hits"),
+        )
+    )
+
+
+_JSON_VARIANT_OPS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(CAST(json_extract(props, '$.absent') AS BIGINT)) AS n_absent_hits
+FROM events
+GROUP BY event_type
+"""
+
+
 def url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL domain normalization (_domain, step3_attempt1.py:43-57:
     netloc, lowercase, strip www.) over synthesized supplier URLs."""
@@ -931,6 +970,9 @@ QUERIES = {
         FROM orders GROUP BY 1, 2
         """,
         ("date", "agg"),
+    ),
+    "json_variant_ops": QuerySpec(
+        json_variant_ops, _JSON_VARIANT_OPS_SQL, ("json", "variant")
     ),
     "json_get": QuerySpec(
         json_get,

@@ -25,6 +25,8 @@ SCALE_SENSITIVE = [
     "sim_ivf_multiprobe",  # centroid stride = f(COUNT(*))
     "shard_by_token_budget",  # cumsum block width = f(MAX(doc_id))
     "samp_domain_mixture",  # keep rates = f(per-stratum counts)
+    "sim_pq_topk",  # codebook stride = f(COUNT(*))
+    "agg_equidepth_hist",  # bin boundaries = percentiles of N values
 ]
 
 

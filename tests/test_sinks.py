@@ -72,3 +72,44 @@ def test_nested_json_sink(spark, tmp_path):
     assert set(row["customers"][0].asDict()) == {"c_custkey", "c_name"}
     total = back.agg(F.sum("n_customers")).first()[0]
     assert total == n_input
+
+
+def test_dynamic_partition_overwrite_touches_one_day(spark, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame: after backfilling day 0, day 1's
+    parquet files are the SAME paths with the same bytes (never
+    rewritten), while day 0's content changed — the O(day) vs
+    O(table) backfill distinction snk_partition_overwrite relies on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dynpart")
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "a"), (4, 1, "b")],
+        schema="id long, day long, kind string",
+    )
+    df.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    def files(day):
+        d = os.path.join(out, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    day1_before = files(1)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.where((F.col("day") == 0) & (F.col("kind") == "a")).write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    assert files(1) == day1_before  # same files, same mtimes: untouched
+    back = spark.read.parquet(out)
+    assert back.where("day = 0").count() == 1
+    assert back.where("day = 1").count() == 2
