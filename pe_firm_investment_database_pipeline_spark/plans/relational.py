@@ -634,11 +634,10 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob. Output aggregates per event_type so the oracle is compact;
     missing-path counts prove the try_ semantics."""
     e = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
     k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
     missing = F.expr("try_variant_get(parse_json(props), '$.absent', 'long')")
     return (
-        e.select("event_type", v.alias("v"), k.alias("k"), missing.alias("m"))
+        e.select("event_type", k.alias("k"), missing.alias("m"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
