@@ -497,3 +497,53 @@ LIMIT 10
         ).fetchall()
     ]
     assert len(set(pq_top) & set(exact)) >= 2, (pq_top, exact)
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """The engine's scale story leans on AQE splitting hot partitions
+    at runtime (similarity/dedup docstrings: 'AQE skew-join splits
+    hot cells'); pin that the machinery actually fires. A planted
+    99.9%-hot key through a shuffle join must come out of execution
+    as SortMergeJoin(skew=true) with a skewed AQEShuffleRead — the
+    runtime split of the hot partition into multiple tasks. The
+    thresholds are lowered only because the planted input is tiny by
+    CI necessity; production defaults (256 MB advisory) behave
+    identically at real partition sizes. The final adaptive plan is
+    only observable on the executed DataFrame instance, hence the
+    collect on the exact frame."""
+    import io
+    from contextlib import redirect_stdout
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 500_000).select(
+            F.when(F.col("id") % 1000 == 0, F.col("id") % 100)
+            .otherwise(0)
+            .alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("name")
+        )
+        j = left.join(right, "k").select("k", "name", "payload")
+        assert j.count() == 500_000  # materialize THIS frame
+        j.collect()
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+    assert "skewed" in plan  # the AQEShuffleRead actually split it
