@@ -80,6 +80,9 @@ HEADLINE = [
     "agg_equidepth_hist",
     "json_variant_ops",
     "snk_partition_overwrite",
+    "win_distribution_fns",
+    "join_null_safe",
+    "sim_ann_index_append",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

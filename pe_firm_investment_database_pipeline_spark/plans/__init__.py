@@ -62,6 +62,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "agg_equidepth_hist",
         "json_variant_ops",
         "snk_partition_overwrite",
+        "win_distribution_fns",
+        "sim_ann_index_append",
+        "snk_compact_files",
+        "join_null_safe",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

@@ -583,12 +583,69 @@ GROUP BY day
 """
 
 
+# ---------------------------------------------------------------------------
+# snk_compact_files — small-file compaction (lake maintenance)
+# ---------------------------------------------------------------------------
+
+def snk_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the nightly maintenance op of every
+    streaming-fed lake: a fragmented day-partitioned events dir (64
+    writer tasks × N days of files, the shape micro-batch sinks
+    produce) is rewritten with one shuffle on the partition key so
+    each day lands as a single right-sized file. Readers go from
+    opening hundreds of footers per day to one; at 100 TB the same
+    plan adds spark.sql.files.maxRecordsPerFile to split oversized
+    days. The read-back per-day aggregate doubles as the exact oracle
+    (compaction must never change content) and
+    tests/test_sinks.py::test_compaction_reduces_file_count pins the
+    physical file counts before/after."""
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    frag = os.path.join(tempfile.gettempdir(), f"pe_frag_{h}_{app}")
+    compacted = os.path.join(tempfile.gettempdir(), f"pe_compact_{h}_{app}")
+    # stage the fragmented layout a 64-task writer produces
+    ev.repartition(64).write.mode("overwrite").partitionBy("day").parquet(frag)
+    # the compaction job: one shuffle on day -> one file per day
+    (
+        spark.read.parquet(frag)
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(compacted)
+    )
+    back = spark.read.parquet(compacted)
+    return (
+        back.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("day").cast("long").alias("day"), "n_events")
+    )
+
+
+_SNK_COMPACT_FILES_SQL = """
+SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day, COUNT(*) AS n_events
+FROM events
+GROUP BY day
+"""
+
+
 QUERIES = {
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")
     ),
     "snk_partition_overwrite": QuerySpec(
         snk_partition_overwrite, _SNK_PARTITION_OVERWRITE_SQL, ("io", "sink")
+    ),
+    "snk_compact_files": QuerySpec(
+        snk_compact_files, _SNK_COMPACT_FILES_SQL, ("io", "sink", "maintenance")
     ),
     "html_extract": QuerySpec(html_extract, _HTML_EXTRACT_SQL, ("io", "udtf")),
     "html_extract_names": QuerySpec(

@@ -304,6 +304,43 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (<=>): documents whose langid guess may be
+    NULL (CJK/short docs fall outside the n-gram vote) joined to a
+    derived per-lang profile INCLUDING the NULL group — `=` would
+    silently drop every unclassified document, `eqNullSafe` keeps
+    them as a first-class group. Still hash-joinable (NULL hashes as
+    one key), so the plan is the same single shuffle as a plain
+    equi-join — important because the 'unknown' bucket is often the
+    LARGEST at ingest time."""
+    d = load_table(spark, sf_dir, "documents")
+    guessed = d.select(
+        "doc_id",
+        F.when(F.col("lang") != "zh", F.col("lang")).alias("lang_guess"),
+    )
+    profile = (
+        guessed.groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_in_lang"))
+        .select(F.col("lang_guess").alias("p_lang"), "n_in_lang")
+    )
+    return (
+        guessed.join(profile, F.col("lang_guess").eqNullSafe(F.col("p_lang")))
+        .select("doc_id", "lang_guess", "n_in_lang")
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+WITH guessed AS (
+  SELECT doc_id, CASE WHEN lang != 'zh' THEN lang END AS lang_guess
+  FROM documents
+), profile AS (
+  SELECT lang_guess, COUNT(*) AS n_in_lang FROM guessed GROUP BY lang_guess
+)
+SELECT g.doc_id, g.lang_guess, p.n_in_lang
+FROM guessed g JOIN profile p ON g.lang_guess IS NOT DISTINCT FROM p.lang_guess
+"""
+
+
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS as left_semi — customers with >=1 urgent order. Semi join
     never duplicates or widens rows (vs inner+distinct)."""
@@ -393,6 +430,34 @@ def win_ranking_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_total).cast("long").alias("bal_row_number"),
         F.ntile(4).over(w_total).cast("long").alias("bal_quartile"),
     )
+
+
+def win_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank and cume_dist per
+    nation over the exact-cents balance. Both are ratios of integers
+    ((rank-1)/(n-1), rank/n) computed from the same tie structure on
+    both engines, so the doubles are bit-identical. Completes the
+    ranking-window surface next to win_ranking_fns' rank family."""
+    c = _t(spark, sf_dir, "customer")
+    bal = cents("c_acctbal")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc(bal))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
+
+
+_WIN_DISTRIBUTION_FNS_SQL = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       percent_rank() OVER w AS bal_pct_rank,
+       cume_dist() OVER w AS bal_cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC)
+"""
 
 
 def win_analytic_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,6 +863,9 @@ QUERIES = {
         """,
         ("join", "broadcast"),
     ),
+    "join_null_safe": QuerySpec(
+        join_null_safe, _JOIN_NULL_SAFE_SQL, ("join", "null_safe")
+    ),
     "join_left_semi": QuerySpec(
         join_left_semi,
         """
@@ -842,6 +910,9 @@ QUERIES = {
         WHERE event_type = 'purchase'
         """,
         ("join", "asof"),
+    ),
+    "win_distribution_fns": QuerySpec(
+        win_distribution_fns, _WIN_DISTRIBUTION_FNS_SQL, ("window", "distribution")
     ),
     "win_ranking_fns": QuerySpec(
         win_ranking_fns,

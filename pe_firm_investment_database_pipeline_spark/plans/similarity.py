@@ -774,6 +774,141 @@ WHERE nn_rank <= {_ANN_JOIN_K}
 """
 
 
+def sim_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index growth — the ANN twin of
+    dedup_incremental_lsh: a new batch of vectors is assigned to the
+    STANDING corpus's existing centroids (broadcast; the standing
+    assignments are reused from the staged index, never recomputed,
+    and the quantizer is not retrained) and unioned into the posting
+    lists; retrieval then spans old + new. This is how a 100 TB
+    vector corpus absorbs a daily embedding batch: O(batch x sqrt(N))
+    assignment work, an append of new postings into the cell layout
+    (expressed here as a union — on a lake the batch lands as new
+    files in the cell-partitioned dir), and zero touch of standing
+    postings. The batch is a planted EXACT CLONE of every query
+    vector (vec_id + 1_000_000, same planting discipline as
+    dedup_embedding_cosine): identical vectors share the argmin
+    centroid, so each query MUST surface its clone at nn_rank 1 with
+    cosine ~1.0 — the entry is self-verifying, pinned by
+    tests/test_scale_blocking.py::test_ann_index_append_sees_batch.
+    Shares the staged IVF index with sim_ivf_multiprobe/sim_ann_join
+    (same stage key), so no extra index build."""
+    standing = _emb_q(spark, sf_dir)
+    batch = standing.where(F.col("vec_id") % 100 == 1).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
+    )
+    emb, cents, ranked = _ivf_index(standing, stage_key=(sf_dir, "ivf"))
+    old_posts = ranked.where(F.col("crank") == 1).select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label").alias("nbr_label"),
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+        F.col("cent_id").alias("cell"),
+    )
+    bcos = F.expr(_DOT.format(a="q", b="cq")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
+    )
+    wb = W.partitionBy("vec_id").orderBy(F.desc("bcos"), F.asc("cent_id"))
+    new_posts = (
+        batch.crossJoin(F.broadcast(cents))
+        .withColumn("bcos", bcos)
+        .withColumn("brank", F.row_number().over(wb))
+        .where(F.col("brank") == 1)
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    posts = old_posts.unionByName(new_posts)
+    queries = standing.where(F.col("vec_id") % 100 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("qnrm"),
+    )
+    qcos = F.expr(_DOT.format(a="qq", b="cq")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("cnrm").cast("double"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cent_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("qcos", qcos)
+        .withColumn("qrank", F.row_number().over(wq))
+        .where(F.col("qrank") <= _IVF_PROBES)
+        .select("query_id", "qq", "qnrm", F.col("cent_id").alias("probe_cell"))
+    )
+    cos = F.expr(_DOT.format(a="qq", b="qb")).cast("double") / (
+        F.sqrt(F.col("qnrm").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    cands = (
+        probes.join(posts, probes.probe_cell == posts.cell)
+        .where(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", "nbr_label", cos.alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        cands.withColumn("nn_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("nn_rank") <= 3)
+        .select("query_id", "nbr_id", "nbr_label", "cosine", "nn_rank")
+    )
+
+
+_SIM_ANN_INDEX_APPEND_SQL = f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), allv AS MATERIALIZED (
+  SELECT vec_id, label, q, nrm FROM eq
+  UNION ALL
+  SELECT vec_id + 1000000, label, q, nrm FROM eq WHERE vec_id % 100 = 1
+), prm AS (
+  SELECT {_IVF_STRIDE} AS stride FROM (SELECT COUNT(*) AS n FROM eq)
+), cents AS (
+  SELECT vec_id AS cent_id, q AS cq, nrm AS cnrm
+  FROM eq CROSS JOIN prm WHERE vec_id % stride = 0
+), assign_all AS (
+  SELECT e.vec_id, e.label, e.q, e.nrm, c.cent_id,
+         CAST(row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY CAST({_DOT_DUCK.format(a="e.q", b="c.cq")} AS DOUBLE)
+                      / (sqrt(CAST(e.nrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+                    DESC, c.cent_id) AS INT) AS crank
+  FROM allv e CROSS JOIN cents c
+), posts AS (
+  SELECT vec_id AS nbr_id, label AS nbr_label, q AS qb, nrm AS nb,
+         cent_id AS cell
+  FROM assign_all WHERE crank = 1
+), queries AS (
+  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm
+  FROM eq WHERE vec_id % 100 = 1
+), probes AS (
+  SELECT query_id, qq, qnrm, probe_cell FROM (
+    SELECT s.query_id, s.qq, s.qnrm, c.cent_id AS probe_cell,
+           CAST(row_number() OVER (
+             PARTITION BY s.query_id
+             ORDER BY CAST({_DOT_DUCK.format(a="s.qq", b="c.cq")} AS DOUBLE)
+                        / (sqrt(CAST(s.qnrm AS DOUBLE)) * sqrt(CAST(c.cnrm AS DOUBLE)))
+                      DESC, c.cent_id) AS INT) AS qrank
+    FROM queries s CROSS JOIN cents c)
+  WHERE qrank <= {_IVF_PROBES}
+), cands AS (
+  SELECT p.query_id, d.nbr_id, d.nbr_label,
+         CAST({_DOT_DUCK.format(a="p.qq", b="d.qb")} AS DOUBLE)
+           / (sqrt(CAST(p.qnrm AS DOUBLE)) * sqrt(CAST(d.nb AS DOUBLE))) AS cosine
+  FROM probes p JOIN posts d ON p.probe_cell = d.cell
+  WHERE p.query_id != d.nbr_id
+)
+SELECT query_id, nbr_id, nbr_label, cosine, nn_rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, nbr_id) AS BIGINT) AS nn_rank
+  FROM cands)
+WHERE nn_rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): 64-dim vector -> 8 one-byte codes
 # ---------------------------------------------------------------------------
@@ -1113,5 +1248,10 @@ QUERIES = {
     ),
     "sim_pq_topk": QuerySpec(
         sim_pq_topk, _SIM_PQ_TOPK_SQL, ("similarity", "pq", "compression")
+    ),
+    "sim_ann_index_append": QuerySpec(
+        sim_ann_index_append,
+        _SIM_ANN_INDEX_APPEND_SQL,
+        ("similarity", "ann", "incremental"),
     ),
 }

@@ -39,3 +39,36 @@ def test_partition_pruning(spark, tmp_path):
     n_full = part.count()
     n_pruned = pruned.count()
     assert 0 < n_pruned < n_full
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """At 100 TB the fact scan must be pruned by a JOIN-derived
+    partition set, not only by literal predicates: a selective filter
+    on the dimension side must reach the day-partitioned fact scan as
+    a dynamicpruningexpression in PartitionFilters (Spark's DPP) so
+    only the surviving days' files are read."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dpp_fact")
+    spark.range(0, 100_000).select(
+        (F.col("id") % 30).alias("day"), F.col("id").alias("v")
+    ).write.mode("overwrite").partitionBy("day").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.range(0, 30).select(
+        F.col("id").alias("day"), (F.col("id") % 7 == 0).alias("is_holiday")
+    )
+    j = (
+        fact.join(dim, "day")
+        .where("is_holiday")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert "PartitionFilters" in plan

@@ -547,3 +547,26 @@ def test_aqe_splits_planted_skewed_join(spark):
             spark.conf.set(k, v)
     assert "skew=true" in plan, plan
     assert "skewed" in plan  # the AQEShuffleRead actually split it
+
+
+def test_ann_index_append_sees_batch(spark, sf_dir):
+    """The incremental-index entry must be NON-VACUOUS (an empty
+    query set hash-matches an empty oracle — exactly the failure this
+    guards) and the appended batch must be retrievable
+    DETERMINISTICALLY: every query's planted clone (vec_id +
+    1_000_000, identical vector, therefore identical centroid
+    assignment) must come back at nn_rank 1 with cosine ~1.0 — if
+    the batch assignment or the postings union were broken, the
+    clone would be invisible and this fails regardless of fixture
+    randomness."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        sim_ann_index_append,
+    )
+
+    rows = sim_ann_index_append(spark, sf_dir).collect()
+    assert rows, "query congruence class must not be empty"
+    top1 = {r["query_id"]: r for r in rows if r["nn_rank"] == 1}
+    assert top1
+    for qid, r in top1.items():
+        assert r["nbr_id"] == qid + 1_000_000, (qid, r)
+        assert r["cosine"] > 0.999999, (qid, r["cosine"])

@@ -113,3 +113,42 @@ def test_dynamic_partition_overwrite_touches_one_day(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.where("day = 0").count() == 1
     assert back.where("day = 1").count() == 2
+
+
+def test_compaction_reduces_file_count(spark):
+    """snk_compact_files must physically compact: the fragmented
+    staging dir holds many files per day partition, the compacted dir
+    exactly one — with identical content (the entry's oracle checks
+    content; this pins the file layout)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        snk_compact_files,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    snk_compact_files(spark, sf).collect()
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+
+    def day_file_counts(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("day="):
+                full = os.path.join(root, d)
+                out[d] = len(
+                    [f for f in os.listdir(full) if f.endswith(".parquet")]
+                )
+        return out
+
+    frag = day_file_counts(
+        os.path.join(tempfile.gettempdir(), f"pe_frag_{h}_{app}")
+    )
+    comp = day_file_counts(
+        os.path.join(tempfile.gettempdir(), f"pe_compact_{h}_{app}")
+    )
+    assert set(frag) == set(comp) and frag
+    assert all(n == 1 for n in comp.values()), comp
+    assert sum(frag.values()) > sum(comp.values())
