@@ -83,6 +83,7 @@ HEADLINE = [
     "win_distribution_fns",
     "join_null_safe",
     "sim_ann_index_append",
+    "sql_cte_windowed",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

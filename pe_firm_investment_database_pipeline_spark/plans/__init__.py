@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "sim_ann_index_append",
         "snk_compact_files",
         "join_null_safe",
+        "sql_cte_windowed",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

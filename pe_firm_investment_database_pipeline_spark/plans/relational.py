@@ -432,6 +432,54 @@ def win_ranking_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_cte_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL-text surface: the same engine serves `spark.sql`
+    users — tables registered as temp views, a CTE + window query
+    authored as SQL text, planned by the SAME Catalyst pipeline as
+    the DataFrame entries (identical pushdown/broadcast behavior;
+    SQL text is an authoring surface, not a different engine). The
+    query: top-3 customers by exact-cents order spend per market
+    segment, a CTE chain ending in a ranking window."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT c_custkey, c_mktsegment,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+          FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_mktsegment
+        ), ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY spend_c DESC, c_custkey) AS BIGINT) AS seg_rank
+          FROM spend
+        )
+        SELECT c_mktsegment, seg_rank, c_custkey,
+               CAST(spend_c AS DOUBLE) / 100.0 AS total_spend
+        FROM ranked WHERE seg_rank <= 3
+        """
+    )
+
+
+_SQL_CTE_WINDOWED_SQL = """
+WITH spend AS (
+  SELECT c_custkey, c_mktsegment,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY spend_c DESC, c_custkey) AS BIGINT) AS seg_rank
+  FROM spend
+)
+SELECT c_mktsegment, seg_rank, c_custkey,
+       CAST(spend_c AS DOUBLE) / 100.0 AS total_spend
+FROM ranked WHERE seg_rank <= 3
+"""
+
+
 def win_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank and cume_dist per
     nation over the exact-cents balance. Both are ratios of integers
@@ -913,6 +961,9 @@ QUERIES = {
     ),
     "win_distribution_fns": QuerySpec(
         win_distribution_fns, _WIN_DISTRIBUTION_FNS_SQL, ("window", "distribution")
+    ),
+    "sql_cte_windowed": QuerySpec(
+        sql_cte_windowed, _SQL_CTE_WINDOWED_SQL, ("sql", "cte", "window")
     ),
     "win_ranking_fns": QuerySpec(
         win_ranking_fns,
