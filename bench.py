@@ -84,6 +84,8 @@ HEADLINE = [
     "join_null_safe",
     "sim_ann_index_append",
     "sql_cte_windowed",
+    "src_corrupt_tolerant",
+    "rag_retrieve_docs",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",

@@ -67,6 +67,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "snk_compact_files",
         "join_null_safe",
         "sql_cte_windowed",
+        "src_corrupt_tolerant",
+        "rag_retrieve_docs",
         "merge_scd2",
         "samp_domain_mixture",
         "txt_pii_redact",

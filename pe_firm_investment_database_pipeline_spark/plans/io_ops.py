@@ -584,6 +584,82 @@ GROUP BY day
 
 
 # ---------------------------------------------------------------------------
+# src_corrupt_tolerant — PERMISSIVE ingest with quarantine accounting
+# ---------------------------------------------------------------------------
+
+# The planted feed: well-formed records interleaved with the three
+# classic corruptions a real crawler log contains — truncated JSON,
+# a type clash on a declared column, and plain garbage. The file is
+# BYTE-DETERMINISTIC, so the expected outcome is a closed-form
+# VALUES-literal oracle (the right oracle shape for I/O-tolerance
+# entries: the result is decided by the contract, not by a query
+# over fixture tables).
+_CORRUPT_FEED = [
+    '{"rec_id": 1, "status": "ok", "score": 10}',
+    '{"rec_id": 2, "status": "ok", "score": 20}',
+    '{"rec_id": 3, "status": "degraded", "score"',  # truncated mid-key
+    '{"rec_id": "not-a-number", "status": "ok", "score": 30}',  # type clash
+    "complete garbage, not even json",
+    '{"rec_id": 6, "status": "degraded", "score": 60}',
+]
+
+
+def src_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant ingest — the contract every crawler/vendor feed
+    needs: PERMISSIVE JSON scan with a declared schema plus
+    columnNameOfCorruptRecord, so malformed lines become quarantine
+    rows (_corrupt_record carries the original bytes) instead of
+    killing the job (FAILFAST) or silently vanishing (DROPMALFORMED).
+    A JSON-valid line whose value clashes with the declared type
+    ('not-a-number' for a BIGINT) stays a GOOD row with that one
+    field nulled — quarantine is reserved for lines that do not parse
+    at all; per-field tolerance, not per-row.
+    The entry returns the triage a pipeline actually acts on: per
+    status, good-row count/score plus the quarantined count. At
+    100 TB this is the first stage after the raw landing zone; the
+    quarantine column routes to a dead-letter table."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    feed_dir = os.path.join(tempfile.gettempdir(), f"pe_corrupt_feed_{h}_{app}")
+    os.makedirs(feed_dir, exist_ok=True)
+    with open(os.path.join(feed_dir, "feed.jsonl"), "w") as f:
+        f.write("\n".join(_CORRUPT_FEED) + "\n")
+    raw = (
+        spark.read.schema(
+            "rec_id BIGINT, status STRING, score BIGINT, _corrupt_record STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(feed_dir)
+    )
+    return raw.groupBy(
+        F.coalesce("status", F.lit("<quarantined>")).alias("status")
+    ).agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count("_corrupt_record").alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("score"))).alias(
+            "sum_score"
+        ),
+    )
+
+
+# Closed-form oracle: lines 1,2 clean-ok; 4 good-ok with rec_id
+# nulled (JSON-valid, type clash on one field); 6 clean-degraded;
+# 3 and 5 unparseable -> the quarantine bucket.
+_SRC_CORRUPT_TOLERANT_SQL = """
+SELECT * FROM (VALUES
+  ('ok', CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(60 AS BIGINT)),
+  ('degraded', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(60 AS BIGINT)),
+  ('<quarantined>', CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+) AS t(status, n_good, n_quarantined, sum_score)
+"""
+
+
+# ---------------------------------------------------------------------------
 # snk_compact_files — small-file compaction (lake maintenance)
 # ---------------------------------------------------------------------------
 
@@ -646,6 +722,11 @@ QUERIES = {
     ),
     "snk_compact_files": QuerySpec(
         snk_compact_files, _SNK_COMPACT_FILES_SQL, ("io", "sink", "maintenance")
+    ),
+    "src_corrupt_tolerant": QuerySpec(
+        src_corrupt_tolerant,
+        _SRC_CORRUPT_TOLERANT_SQL,
+        ("io", "source", "tolerance"),
     ),
     "html_extract": QuerySpec(html_extract, _HTML_EXTRACT_SQL, ("io", "udtf")),
     "html_extract_names": QuerySpec(

@@ -909,6 +909,42 @@ WHERE nn_rank <= 3
 """
 
 
+def rag_retrieve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval — the RAG lookup closed end-to-end: the
+    ANN top-5 (sim_ann_join, shared staged IVF index — no extra index
+    build) is resolved from vector ids to the DOCUMENT payloads via
+    an equi-join on doc_id, the join a retrieval service runs for
+    every hit. Output carries the document fingerprint and token
+    count instead of raw text (compact exact oracle; the text column
+    itself never needs to leave the scan). At 100 TB the documents
+    side is the big one: the hit set (Q x k rows) broadcasts onto it
+    and the lookup is shuffle-free."""
+    hits = sim_ann_join(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.md5("text").alias("doc_fp"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return (
+        F.broadcast(hits)
+        .join(d, hits.nbr_id == d.doc_id)
+        .select("query_id", "nn_rank", "nbr_id", "doc_fp", "n_tokens")
+    )
+
+
+_RAG_RETRIEVE_DOCS_SQL = f"""
+WITH hits AS MATERIALIZED (
+{_SIM_ANN_JOIN_SQL}
+)
+SELECT query_id, nn_rank, nbr_id,
+       md5(text) AS doc_fp,
+       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+FROM hits JOIN documents ON nbr_id = doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): 64-dim vector -> 8 one-byte codes
 # ---------------------------------------------------------------------------
@@ -1253,5 +1289,8 @@ QUERIES = {
         sim_ann_index_append,
         _SIM_ANN_INDEX_APPEND_SQL,
         ("similarity", "ann", "incremental"),
+    ),
+    "rag_retrieve_docs": QuerySpec(
+        rag_retrieve_docs, _RAG_RETRIEVE_DOCS_SQL, ("similarity", "rag", "join")
     ),
 }
