@@ -89,6 +89,8 @@ HEADLINE = [
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build
     "stream_dedup_lsh",
+    "idx_inverted",
+    "rag_bm25_topk",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

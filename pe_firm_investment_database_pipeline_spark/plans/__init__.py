@@ -18,6 +18,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal,
         reference_scalars,
         relational,
+        retrieval,
         seed_pipeline,
         sessions,
         similarity,
@@ -33,6 +34,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # for exactly this oldest-first rotation). Everything else keeps
     # module order.
     merged = merge(
+        retrieval.QUERIES,
         datapipe.QUERIES,
         textops.QUERIES,
         similarity.QUERIES,
@@ -51,6 +53,9 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     priority = [
         # new in round 5
+        "rag_bm25_topk",
+        "idx_inverted",
+        "dedup_canonical_pick",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
+from ..sources.tables import load_table
 from .textops import _DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
 
 MAX_ITERS = 20
@@ -131,10 +132,88 @@ FROM reach GROUP BY v
 """
 
 
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step that turns cluster labels into
+    the deduplicated corpus: every document gets (cluster_id,
+    is_canonical), where the canonical member of a duplicate cluster
+    is the longest document (n_chars), ties to the smallest doc_id,
+    and every unclustered document is trivially canonical in its own
+    singleton cluster.
+
+    Scale shape: the cluster map (only documents that appeared in a
+    candidate PAIR — orders of magnitude smaller than the corpus) is
+    BROADCAST onto the corpus for labeling, so the big side is one
+    broadcast hash join, no shuffle. The argmax runs only over the
+    clustered slice and is a partial-aggregable max(struct(n_chars,
+    -doc_id)) keyed by cluster — never a corpus-wide window."""
+    comps = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("cid")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = d.join(F.broadcast(comps), "doc_id", "left")
+    # single-scalar argmax key so BOTH engines partial-aggregate it
+    # identically (DuckDB's arg_max takes no struct key): longest
+    # first, ties to smallest doc_id. 1e12 > any fixture doc_id by
+    # orders of magnitude; at a scale where ids overflow the gap this
+    # becomes max(struct) (Spark) / two-key arg_max (DuckDB).
+    canon = (
+        joined.where(F.col("cid").isNotNull())
+        .groupBy("cid")
+        .agg(
+            F.expr(
+                "max_by(doc_id, n_chars * CAST(1000000000000 AS BIGINT)"
+                " - doc_id)"
+            ).alias("canonical_doc")
+        )
+    )
+    canon = canon.select(
+        F.col("cid").alias("canon_cid"), "canonical_doc"
+    )
+    return (
+        joined.withColumn("cluster_id", F.coalesce("cid", "doc_id"))
+        .join(
+            F.broadcast(canon),
+            F.col("cluster_id") == F.col("canon_cid"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.coalesce(
+                F.col("doc_id") == F.col("canonical_doc"), F.lit(True)
+            ).alias("is_canonical"),
+        )
+    )
+
+
+_DEDUP_CANONICAL_PICK_SQL = f"""
+WITH comps AS MATERIALIZED (
+{_DEDUP_CONNECTED_COMPONENTS_SQL}
+), labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars, c.cluster_id IS NOT NULL AS in_cluster
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+), canon AS (
+  SELECT cluster_id,
+         arg_max(doc_id, n_chars * CAST(1000000000000 AS BIGINT) - doc_id)
+           AS canonical_doc
+  FROM labeled WHERE in_cluster GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id,
+       coalesce(l.doc_id = c.canonical_doc, TRUE) AS is_canonical
+FROM labeled l LEFT JOIN canon c ON l.cluster_id = c.cluster_id
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,
+        ("dedup", "iterative"),
+    ),
+    "dedup_canonical_pick": QuerySpec(
+        dedup_canonical_pick,
+        _DEDUP_CANONICAL_PICK_SQL,
         ("dedup", "iterative"),
     ),
 }

@@ -1,0 +1,231 @@
+"""Keyword retrieval over the documents table — the lexical half of
+the RAG stack next to the embedding half (plans/similarity.py
+``rag_retrieve_docs``): an inverted-index build and a BM25 top-k
+ranking, both pure DataFrame plans with exact DuckDB oracles.
+
+The reference pipeline retrieves evidence rows by fuzzy NAME matching
+(reference: utils/search_utils.py score loops); at corpus scale the
+same need — "find the documents that mention these terms, best
+first" — is BM25 over an inverted index. Both plans here are
+shuffle-minimal:
+
+- idx_inverted: one explode + one hash-aggregate on the term; the
+  shuffle carries (term, partial df/cf) thanks to map-side combine,
+  and the postings array is explicitly CAPPED (``slice`` after
+  ``collect_set``) so a stop-word-grade hot term cannot blow up a
+  single reducer's output row — the classic inverted-index skew
+  guard. At 100 TB postings would be bucketed by term and spilled
+  per-segment; the cap models the per-segment page.
+- rag_bm25_topk: corpus statistics (N docs, total token count) are a
+  1-row broadcast; document frequencies for the QUERY terms only
+  (a handful of rows) are computed once and broadcast back onto the
+  per-document term frequencies, so the big side is touched by
+  exactly one explode + one groupBy(doc_id, term). Final top-k is a
+  TakeOrderedAndProject, not a global sort.
+
+Cross-engine exactness: BM25 is usually computed in floating point
+(ln-based IDF), which would make the last-ulp of two engines'
+scores — and therefore the top-k cut — nondeterministic. Scores here
+are exact int64 rationals instead: the Robertson IDF's ln is replaced
+by its scaled rational argument idf_q = ((2*(N-df)+1)*10000) div
+(2*df+1) (monotone in the true IDF, which is what ranking needs),
+and the k1=1.2 / b=0.75 saturation term is cleared of denominators by
+multiplying through by 10*S (S = total corpus tokens):
+
+    tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl/avgdl)
+  = 22*tf*S / (10*tf*S + 3*S + 9*dl*N)        with avgdl = S/N
+
+so each term's contribution is one int64 integer division —
+associative, order-insensitive, bit-identical in any engine. At test
+scale the intermediate product idf_q*22*tf*S stays far below 2^63;
+at 100 TB the same plan would lift the product to DECIMAL(38,0) (or
+accept double scores, since a 1-ulp tie at that scale moves nothing
+the user can see).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import QuerySpec
+from ..sources.tables import load_table
+from .textops import _TOKENS, _TOKENS_DUCK
+
+# Query terms for the benched/oracled BM25 entry. Plan literals — at
+# serving time these arrive as a parameter; in the registry they are
+# pinned so the oracle is the same query.
+BM25_QUERY = ("spark", "window", "merge")
+_QUERY_SQL = "('" + "','".join(BM25_QUERY) + "')"
+
+# Postings-page cap for the inverted index (see module docstring).
+POSTINGS_CAP = 20
+
+
+_IDX_BUCKETS = 32
+
+
+def idx_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency (df), corpus
+    frequency (cf), and the first POSTINGS_CAP doc_ids ascending
+    (pipe-joined for the cross-engine compare).
+
+    Built segment-wise, the way a distributed indexer actually does
+    it: postings are first aggregated per (term, hash-bucket of
+    doc_id) — so no single reducer ever materializes a hot term's
+    full posting set — each bucket emits an already-capped sorted
+    page, and the term-level merge then combines at most
+    _IDX_BUCKETS tiny pages. df stays exact because the buckets
+    partition the doc-id space (per-bucket distinct counts sum);
+    the global smallest-POSTINGS_CAP ids are a subset of the union
+    of per-bucket smallest-POSTINGS_CAP pages. Both shuffles carry
+    partial aggregates (map-side combine)."""
+    d = load_table(spark, sf_dir, "documents")
+    posting = d.select(
+        "doc_id",
+        F.explode(F.expr(_TOKENS)).alias("term"),
+    ).withColumn("bucket", F.pmod(F.hash("doc_id"), F.lit(_IDX_BUCKETS)))
+    # df_part = size of the bucket's distinct set (NOT countDistinct,
+    # whose planner rewrite would add a third shuffle on
+    # (term, bucket, doc_id)); the set is bounded by the bucketing.
+    pages = (
+        posting.groupBy("term", "bucket")
+        .agg(
+            F.array_sort(F.collect_set("doc_id")).alias("docset"),
+            F.count(F.lit(1)).alias("cf_part"),
+        )
+        .select(
+            "term",
+            F.size("docset").cast("long").alias("df_part"),
+            "cf_part",
+            F.slice("docset", 1, POSTINGS_CAP).alias("page"),
+        )
+    )
+    return pages.groupBy("term").agg(
+        F.sum("df_part").alias("df"),
+        F.sum("cf_part").alias("cf"),
+        F.array_join(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("page"))),
+                1,
+                POSTINGS_CAP,
+            ),
+            "|",
+        ).alias("postings"),
+    )
+
+
+_IDX_INVERTED_SQL = f"""
+WITH posting AS (
+  SELECT doc_id, hash(doc_id) AS bucket, unnest({_TOKENS_DUCK}) AS term
+  FROM documents
+), pages AS (
+  SELECT term,
+         CAST(len(list_sort(list(DISTINCT doc_id))) AS BIGINT) AS df_part,
+         CAST(count(*) AS BIGINT) AS cf_part,
+         list_slice(list_sort(list(DISTINCT doc_id)), 1, {POSTINGS_CAP})
+           AS page
+  FROM posting GROUP BY term, bucket
+)
+SELECT term,
+       CAST(sum(df_part) AS BIGINT) AS df,
+       CAST(sum(cf_part) AS BIGINT) AS cf,
+       array_to_string(
+         list_slice(list_sort(flatten(list(page))), 1, {POSTINGS_CAP}), '|')
+         AS postings
+FROM pages GROUP BY term
+"""
+
+
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the pinned query, exact-int64 scored
+    (module docstring). One explode + one (doc_id, term) groupBy on
+    the corpus; stats and per-term df are broadcast 1-row / Q-row
+    sides; top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
+    )
+    tf = (
+        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_q",
+            F.expr("((2 * (n_docs - df) + 1) * 10000) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(idf_q * 22 * tf * s_tokens) div "
+                "(10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("bm25_scaled"))
+    )
+    # TakeOrderedAndProject FIRST (per-partition top-10 + merge on the
+    # driver — no global sort, no single-partition window over the
+    # corpus), THEN a row_number over the 10 survivors only.
+    top = scored.orderBy(F.desc("bm25_scaled"), F.asc("doc_id")).limit(10)
+    w = W.orderBy(F.desc("bm25_scaled"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "bm25_scaled",
+    )
+
+
+_RAG_BM25_TOPK_SQL = f"""
+WITH dl AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS s_tokens
+  FROM dl
+), tf AS (
+  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+  WHERE term IN {_QUERY_SQL}
+  GROUP BY doc_id, dl, term
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id,
+         CAST(sum(
+           ((2 * (n_docs - df) + 1) * 10000) // (2 * df + 1)
+           * 22 * tf * s_tokens
+           // (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)
+         ) AS BIGINT) AS bm25_scaled
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER
+           (ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank,
+         doc_id, bm25_scaled
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+QUERIES = {
+    "idx_inverted": QuerySpec(idx_inverted, _IDX_INVERTED_SQL, ("retrieval",)),
+    "rag_bm25_topk": QuerySpec(
+        rag_bm25_topk, _RAG_BM25_TOPK_SQL, ("retrieval", "ranking")
+    ),
+}

@@ -50,3 +50,37 @@ def test_dedup_clusters_planted_dups(spark):
         keepers = [m for m in members if m["is_keeper"]]
         assert len(keepers) == 1
         assert keepers[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
+
+
+def test_canonical_pick_survivors(spark):
+    """Survivor selection: every cluster has exactly one canonical
+    member, and it is the longest document (ties to smallest doc_id);
+    unclustered docs are their own canonical singletons."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        dedup_canonical_pick,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_canonical_pick(spark, sf).collect()
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, sf, "documents").collect()
+    }
+    assert len(out) == len(nchars)  # every document classified
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    multi = 0
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m["is_canonical"]]
+        assert len(canon) == 1
+        if len(members) > 1:
+            multi += 1
+            best = min(
+                members, key=lambda m: (-nchars[m["doc_id"]], m["doc_id"])
+            )
+            assert canon[0]["doc_id"] == best["doc_id"]
+    assert multi > 0  # fixture plants near-dups, so clusters exist

@@ -334,3 +334,34 @@ def test_attribution_single_user_shuffle(spark):
     ensure = plan.count("ENSURE_REQUIREMENTS")
     assert ensure == 1, f"expected one required exchange, got {ensure}"
     assert "Join" not in plan
+
+
+def test_bm25_topk_take_ordered_no_corpus_window(spark):
+    """rag_bm25_topk must cut the top-10 with TakeOrderedAndProject
+    (per-partition heap + driver merge) before any window touches the
+    data — a global row_number over the scored corpus would be the
+    single-partition trap. The df/stats sides must broadcast onto the
+    per-document term frequencies."""
+    plan = _plan(spark, "rag_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    # the only Window is over the already-limited 10 survivors:
+    # it must appear ABOVE the TakeOrderedAndProject in the tree
+    # (formatted explain lists operators leaves-last, so the Window's
+    # node id is smaller than the TakeOrderedAndProject's)
+    win_id = plan.index("Window")
+    take_id = plan.index("TakeOrderedAndProject")
+    assert win_id < take_id
+    assert "BroadcastExchange" in plan
+
+
+def test_inverted_index_partial_aggregation(spark):
+    """idx_inverted's (df, cf, postings) aggregate keeps map-side
+    partial aggregation on the term key, so the shuffle carries
+    partial states, not raw postings rows."""
+    plan = _plan(spark, "idx_inverted")
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+    # exactly two aggregation shuffles — (term, bucket) pages, then the
+    # term-level page merge; the countDistinct planner rewrite would
+    # make it three
+    assert plan.count("ENSURE_REQUIREMENTS") == 2
+    assert "partial_collect_set" in plan  # map-side combine on pages
