@@ -91,6 +91,7 @@ HEADLINE = [
     "stream_dedup_lsh",
     "idx_inverted",
     "rag_bm25_topk",
+    "udtf_kwic",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

@@ -56,6 +56,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",
+        "udtf_kwic",
+        "src_schema_evolution",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

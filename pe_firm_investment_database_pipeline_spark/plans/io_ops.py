@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
+_TOKENS_DUCK_IO = r"regexp_extract_all(text, '\S+')"
+
 
 class TokenBucket:
     """Per-partition rate limiter: ``rate`` tokens/sec, burst ``burst``.
@@ -713,6 +715,111 @@ GROUP BY day
 """
 
 
+_KWIC_KEYWORD = "spark"
+
+
+def udtf_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context via a NATIVE Python UDTF (Spark 4
+    ``@udtf``, Arrow-batched, consumed with a LATERAL join) — the
+    1→N surface the reference's HTML extractor uses mapInPandas for
+    (html_extract above), here exercised through the first-class API:
+    for every occurrence of the keyword in a document, one row with
+    its token position and the neighboring tokens (NULL at the
+    edges). Python is confined to the generator body; the planner
+    sees an ordinary Generate over the scanned rows, so pruning and
+    the lateral join shape are unchanged.
+
+    Scale: the UDTF streams Arrow batches and emits O(occurrences)
+    rows — no state, no shuffle; the only exchange in the plan is
+    whatever the consumer adds."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: long, left_tok: string, right_tok: string",
+          useArrow=True)
+    class Kwic:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split()
+            for i, t in enumerate(toks):
+                if t == _KWIC_KEYWORD:
+                    yield (
+                        i,
+                        toks[i - 1] if i > 0 else None,
+                        toks[i + 1] if i + 1 < len(toks) else None,
+                    )
+
+    spark.udtf.register("pe_kwic", Kwic)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "pe_kwic_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, s.pos, s.left_tok, s.right_tok "
+        "FROM pe_kwic_docs, LATERAL pe_kwic(text) s"
+    )
+
+
+# DuckDB twin: 1-based list indexing returns NULL out of range, which
+# matches the UDTF's explicit edge handling; Python str.split() on
+# whitespace == regexp_extract_all(\S+).
+_UDTF_KWIC_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK_IO} AS toks FROM documents
+), o AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+)
+SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       toks[i - 1] AS left_tok, toks[i + 1] AS right_tok
+FROM o WHERE toks[i] = '{_KWIC_KEYWORD}'
+"""
+
+
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lake reality that column sets
+    drift across ingest batches: an old batch written WITHOUT the
+    ``lang`` column and a new batch WITH it land in one dataset;
+    ``mergeSchema`` reconciles the footers and the old batch's rows
+    surface with lang NULL. The read-back aggregate (docs + chars per
+    lang, NULL bucket included) is exact against the source view, so
+    the evolution round-trip provably loses nothing. At 100 TB the
+    same read uses the metastore-declared superset schema instead of
+    footer merging — the NULL-fill semantics are identical."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"pe_evo_{h}_{app}")
+    # old ingest batch: even doc_ids, pre-evolution schema (no lang)
+    d.where("doc_id % 2 = 0").drop("lang").write.mode("overwrite").parquet(
+        os.path.join(root, "batch=old")
+    )
+    # new ingest batch: odd doc_ids, evolved schema
+    d.where("doc_id % 2 = 1").write.mode("overwrite").parquet(
+        os.path.join(root, "batch=new")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "batch=old"), os.path.join(root, "batch=new")
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+_SRC_SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")
@@ -737,5 +844,9 @@ QUERIES = {
     ),
     "portco_pipeline_e2e": QuerySpec(
         portco_pipeline_e2e, _portco_pipeline_e2e_sql(), ("io", "composed")
+    ),
+    "udtf_kwic": QuerySpec(udtf_kwic, _UDTF_KWIC_SQL, ("io", "udtf")),
+    "src_schema_evolution": QuerySpec(
+        src_schema_evolution, _SRC_SCHEMA_EVOLUTION_SQL, ("io", "source")
     ),
 }

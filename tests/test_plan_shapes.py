@@ -365,3 +365,12 @@ def test_inverted_index_partial_aggregation(spark):
     # make it three
     assert plan.count("ENSURE_REQUIREMENTS") == 2
     assert "partial_collect_set" in plan  # map-side combine on pages
+
+
+def test_udtf_kwic_arrow_no_shuffle(spark):
+    """udtf_kwic runs through the native Arrow UDTF operator with no
+    aggregation shuffle — the only exchange is the loader's
+    parallelism-floor rebalance, never ENSURE_REQUIREMENTS."""
+    plan = _plan(spark, "udtf_kwic")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "ENSURE_REQUIREMENTS" not in plan
