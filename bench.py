@@ -92,6 +92,9 @@ HEADLINE = [
     "idx_inverted",
     "rag_bm25_topk",
     "udtf_kwic",
+    # shares the minhash pair front with dedup_connected_components;
+    # runs late so the staged shingle/signature frames are warm
+    "graph_pagerank",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_canonical_pick",
         "udtf_kwic",
         "src_schema_evolution",
+        "graph_pagerank",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -205,6 +205,98 @@ FROM labeled l LEFT JOIN canon c ON l.cluster_id = c.cluster_id
 """
 
 
+_PR_ITERS = 3
+_PR_BASE = 1_000_000_000_000  # initial rank, scaled int64
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the near-duplicate candidate
+    graph — centrality here is a CURATION signal: a document tied to
+    many other near-dup clusters is boilerplate (headers, licenses,
+    templates) and a downweighting candidate.
+
+    Exact cross-engine arithmetic: ranks are scaled int64
+    (_PR_BASE), each neighbor contribution is r(u) div deg(u)
+    (identical floor division both engines), and damping 0.85 is
+    applied as (85 * sum) div 100 AFTER the associative int64 sum —
+    no float ever enters, so 3 iterations are bit-identical in Spark
+    and DuckDB. Iteration count is FIXED (deterministic plan depth),
+    unlike the components fixpoint above which needs a convergence
+    check.
+
+    Scale shape: per iteration one equi-join of the (vertex, rank)
+    table onto the degree-annotated edge list plus one sum keyed by
+    destination — the canonical Pregel-as-joins form. Both sides are
+    keyed on vertex ids, so at 100 TB the edge table is bucketed on
+    `a` and every iteration reuses that partitioning; the rank table
+    (one row per vertex in a candidate pair) is orders of magnitude
+    smaller than the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    sym = pairs.select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    ).union(
+        pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "a").localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("a").alias("v"), F.lit(_PR_BASE).cast("long").alias("r")
+    )
+    teleport = (15 * _PR_BASE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.a == ranks.v)
+            .select("b", F.expr("r div deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("v"),
+            (F.lit(teleport) + F.expr("(85 * s) div 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"), F.col("r").alias("pagerank_scaled")
+    )
+
+
+def _pagerank_sql() -> str:
+    """Unrolled fixed-depth iteration (aggregates are not allowed in
+    a recursive CTE's recursive term)."""
+    teleport = (15 * _PR_BASE) // 100
+    sql = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a
+), edges AS (
+  SELECT sym.a, sym.b, deg.deg FROM sym JOIN deg USING (a)
+), r0 AS (
+  SELECT a AS v, CAST({_PR_BASE} AS BIGINT) AS r FROM deg
+)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""", r{i} AS (
+  SELECT e.b AS v,
+         CAST({teleport} + (85 * SUM(e_r // e.deg)) // 100 AS BIGINT) AS r
+  FROM (SELECT e.a, e.b, e.deg, p.r AS e_r
+        FROM edges e JOIN {prev} p ON e.a = p.v) e
+  GROUP BY e.b
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT v AS doc_id, r AS pagerank_scaled FROM {prev}
+"""
+    return sql
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
@@ -215,5 +307,10 @@ QUERIES = {
         dedup_canonical_pick,
         _DEDUP_CANONICAL_PICK_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_pagerank": QuerySpec(
+        graph_pagerank,
+        _pagerank_sql(),
+        ("graph", "iterative"),
     ),
 }

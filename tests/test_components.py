@@ -84,3 +84,46 @@ def test_canonical_pick_survivors(spark):
             )
             assert canon[0]["doc_id"] == best["doc_id"]
     assert multi > 0  # fixture plants near-dups, so clusters exist
+
+
+def test_pagerank_star_graph(spark):
+    """Hand-checkable PageRank on a 4-leaf star: the hub aggregates
+    the leaves' full ranks (deg 1), leaves split the hub's rank four
+    ways — hub rank must exceed leaf rank, leaves must tie, and the
+    exact integer recurrence must reproduce by hand."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        _PR_BASE,
+        _PR_ITERS,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "a long, b long"
+    )
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    e = sym.join(deg, "a")
+    ranks = deg.select(F.col("a").alias("v"), F.lit(_PR_BASE).cast("long").alias("r"))
+    teleport = (15 * _PR_BASE) // 100
+    for _ in range(_PR_ITERS):
+        contrib = (
+            e.join(ranks, e.a == ranks.v)
+            .select("b", F.expr("r div deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("v"),
+            (F.lit(teleport) + F.expr("(85 * s) div 100")).cast("long").alias("r"),
+        )
+    got = {r["v"]: r["r"] for r in ranks.collect()}
+    # hand recurrence
+    hub, leaf = _PR_BASE, _PR_BASE
+    for _ in range(_PR_ITERS):
+        hub, leaf = (
+            teleport + (85 * (4 * (leaf // 1))) // 100,
+            teleport + (85 * (hub // 4)) // 100,
+        )
+    assert got[0] == hub
+    assert all(got[i] == leaf for i in range(1, 5))
+    assert hub > leaf
