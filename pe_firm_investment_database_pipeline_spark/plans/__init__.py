@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "udtf_kwic",
         "src_schema_evolution",
         "graph_pagerank",
+        "snk_zorder_layout",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -820,6 +820,118 @@ GROUP BY 1
 """
 
 
+_Z_BITS = 8
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Bit-interleave two _Z_BITS-wide ints into a Z-order key —
+    plain shifts and masks, identical in Spark and DuckDB."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite — the data-layout answer to
+    two-dimensional pruning: events are rewritten range-partitioned
+    and sorted by the bit-interleaved (user_id, day) Z-key, so
+    parquet row-group min/max stats become tight little boxes in BOTH
+    dimensions and a (user range AND day range) predicate skips most
+    files — where a layout sorted by user alone skips nothing for a
+    day-only filter. tests/test_sinks.py::test_zorder_prunes_2d
+    proves the skipping against the footers of this exact layout.
+
+    Coordinates are MIN-MAX NORMALIZED to the full _Z_BITS width
+    in-plan (broadcast 1-row stats, exact integer affine) before
+    interleaving — raw values would waste interleave bits whenever a
+    column's live range is narrow (the fixture's ~30 distinct days
+    use 5 of 8 bits, so raw-z day bounds stay wide per row group and
+    nothing prunes). Production Z-clustering does the same thing one
+    step further (quantile buckets instead of min-max).
+
+    The returned frame reads the clustered layout BACK and
+    aggregates per Z-bucket, so the oracle (same aggregate straight
+    off the source view) certifies the rewrite round-trip lost
+    nothing and the Z-key arithmetic is engine-exact. At 100 TB:
+    same plan, repartitionByRange sampling picks file boundaries,
+    maxRecordsPerFile sizes them; Z-clustering is what lakehouse
+    OPTIMIZE ZORDER does, here as a plain Spark job."""
+    import hashlib
+    import os
+    import tempfile
+
+    top = (1 << _Z_BITS) - 1
+    raw = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    stats = raw.agg(
+        F.min("user_id").alias("umin"),
+        F.max("user_id").alias("umax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    ev = raw.crossJoin(F.broadcast(stats)).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"((user_id - umin) * {top}) div greatest(umax - umin, 1)"
+        ).alias("ubits"),
+        F.expr(
+            f"((day - dmin) * {top}) div greatest(dmax - dmin, 1)"
+        ).alias("dbits"),
+    )
+    z = _z_interleave_sql("ubits", "dbits")
+    zed = ev.withColumn("zkey", F.expr(z).cast("long"))
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_zorder_{h}_{app}")
+    (
+        zed.repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.expr("zkey div 4096").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("zkey").alias("zmin"),
+            F.max("zkey").alias("zmax"),
+            F.sum("user_id").alias("sum_users"),
+        )
+    )
+
+
+def _snk_zorder_layout_sql() -> str:
+    z = _z_interleave_sql("ubits", "dbits")
+    top = (1 << _Z_BITS) - 1
+    return f"""
+WITH raw AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events
+), st AS (
+  SELECT MIN(user_id) AS umin, MAX(user_id) AS umax,
+         MIN(day) AS dmin, MAX(day) AS dmax
+  FROM raw
+), bits AS (
+  SELECT user_id,
+         ((user_id - umin) * {top}) // greatest(umax - umin, 1) AS ubits,
+         ((day - dmin) * {top}) // greatest(dmax - dmin, 1) AS dbits
+  FROM raw, st
+), zed AS (
+  SELECT user_id, CAST({z} AS BIGINT) AS zkey FROM bits
+)
+SELECT zkey // 4096 AS zbucket, COUNT(*) AS n_events,
+       MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM zed GROUP BY 1
+"""
+
+
 QUERIES = {
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")
@@ -848,5 +960,8 @@ QUERIES = {
     "udtf_kwic": QuerySpec(udtf_kwic, _UDTF_KWIC_SQL, ("io", "udtf")),
     "src_schema_evolution": QuerySpec(
         src_schema_evolution, _SRC_SCHEMA_EVOLUTION_SQL, ("io", "source")
+    ),
+    "snk_zorder_layout": QuerySpec(
+        snk_zorder_layout, _snk_zorder_layout_sql(), ("io", "sink", "layout")
     ),
 }

@@ -152,3 +152,77 @@ def test_compaction_reduces_file_count(spark):
     assert set(frag) == set(comp) and frag
     assert all(n == 1 for n in comp.values()), comp
     assert sum(frag.values()) > sum(comp.values())
+
+
+def test_zorder_prunes_2d(spark):
+    """Layout proof from real parquet footers: for a day-only slice
+    (the dimension the 1-D user-sorted layout does NOT order by), the
+    user-sorted layout's row groups ALL intersect the predicate while
+    the Z-ordered layout skips most of them — the point of
+    bit-interleaved clustering: partial pruning power in every
+    interleaved dimension instead of full power in exactly one."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        _Z_BITS,
+        snk_zorder_layout,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    snk_zorder_layout(spark, sf).collect()  # writes the z layout
+    h = hashlib.md5(sf.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    zdir = os.path.join(tempfile.gettempdir(), f"pe_zorder_{h}_{app}")
+
+    # contrast layout: identical rows/columns, range-sorted by the
+    # user coordinate only
+    udir = os.path.join(tempfile.gettempdir(), f"pe_usersort_{h}_{app}")
+    (
+        spark.read.parquet(zdir)
+        .repartitionByRange(8, "ubits")
+        .sortWithinPartitions("ubits")
+        .write.mode("overwrite")
+        .parquet(udir)
+    )
+
+    def row_group_hits(root, y0, y1):
+        hit = total = 0
+        for f in os.listdir(root):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            if md.num_row_groups == 0:
+                continue
+            cols = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for rg in range(md.num_row_groups):
+                total += 1
+                sy = md.row_group(rg).column(cols["dbits"]).statistics
+                if sy.max >= y0 and sy.min <= y1:
+                    hit += 1
+        return hit, total
+
+    # a single mid-range day value that exists in the fixture
+    days = sorted(
+        r[0] for r in spark.read.parquet(zdir).select("dbits").distinct().collect()
+    )
+    mid = days[len(days) // 2]
+
+    zhit, ztot = row_group_hits(zdir, mid, mid)
+    uhit, utot = row_group_hits(udir, mid, mid)
+    assert ztot >= 4 and utot >= 4  # both layouts actually split
+    assert uhit == utot  # 1-D layout: every group spans all days
+    assert zhit < ztot  # Z layout: day bits bound per z-range
+    # and the rewrite lost nothing
+    n_src = load_table(spark, sf, "events").count()
+    assert spark.read.parquet(zdir).count() == n_src
