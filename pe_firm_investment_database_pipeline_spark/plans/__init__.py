@@ -60,6 +60,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "src_schema_evolution",
         "graph_pagerank",
         "snk_zorder_layout",
+        "ts_gapfill_ffill",
+        "stream_upsert_foreachbatch",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

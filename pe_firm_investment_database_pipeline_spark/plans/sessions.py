@@ -360,7 +360,88 @@ FROM carried WHERE kind = 1
 """
 
 
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization — the date-spine + forward-fill
+    shape every metrics pipeline needs: each user's daily activity is
+    densified to a complete day axis (their own min..max day,
+    generated IN-ROW with sequence+explode — no calendar dim join,
+    no driver loop) and the per-day spend carries forward across the
+    gap days with last(ignorenulls).
+
+    Exactness: spend is summed in integer cents; gap days carry
+    n_events = 0 and ffill_cents = the previous observed day's sum.
+    Scale shape: everything downstream keys on user_id, so the
+    input is hash-partitioned on user_id up front and that
+    partitioning satisfies the daily aggregate (user_id is a prefix
+    of its key), the per-user spine aggregate, the spine-to-counts
+    join, and the forward-fill window — the planner adds ZERO
+    ENSURE_REQUIREMENTS exchanges (pinned in
+    tests/test_plan_shapes.py; at 100 TB `daily` would additionally
+    be persisted so the two consumer branches share one scan).
+    Spine width is bounded by the observed day span; a 100 TB
+    deployment bounds it the same way per partition-pruned time
+    slice."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .repartition("user_id")
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("day_cents"),
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_cents", ignorenulls=True).over(w).alias("ffill_cents"),
+        )
+    )
+
+
+_TS_GAPFILL_FFILL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, day, COUNT(*) AS n_events,
+         CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM e GROUP BY user_id, day
+), spine AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id)
+)
+SELECT s.user_id, s.day,
+       COALESCE(d.n_events, 0) AS n_events,
+       last_value(d.day_cents IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS UNBOUNDED PRECEDING) AS ffill_cents
+FROM spine s LEFT JOIN daily d USING (user_id, day)
+"""
+
+
 QUERIES = {
+    "ts_gapfill_ffill": QuerySpec(
+        ts_gapfill_ffill, _TS_GAPFILL_FFILL_SQL, ("timeseries", "window")
+    ),
     "win_sessionize_batch": QuerySpec(
         win_sessionize_batch, _WIN_SESSIONIZE_BATCH_SQL, ("window", "session")
     ),

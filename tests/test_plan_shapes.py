@@ -374,3 +374,14 @@ def test_udtf_kwic_arrow_no_shuffle(spark):
     plan = _plan(spark, "udtf_kwic")
     assert "ArrowEvalPythonUDTF" in plan
     assert "ENSURE_REQUIREMENTS" not in plan
+
+
+def test_gapfill_single_partitioning(spark):
+    """ts_gapfill_ffill keys every stage on user_id: the explicit
+    user_id repartition must satisfy the aggregates, the spine join,
+    and the forward-fill window — the planner adds no
+    ENSURE_REQUIREMENTS exchange of its own."""
+    plan = _plan(spark, "ts_gapfill_ffill")
+    assert "ENSURE_REQUIREMENTS" not in plan
+    assert "Window" in plan
+    assert "Generate" in plan  # the spine explode
