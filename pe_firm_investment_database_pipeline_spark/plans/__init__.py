@@ -16,6 +16,7 @@ def all_queries() -> dict[str, QuerySpec]:
         io_ops,
         matching,
         multimodal,
+        quality,
         reference_scalars,
         relational,
         retrieval,
@@ -35,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # module order.
     merged = merge(
         retrieval.QUERIES,
+        quality.QUERIES,
         datapipe.QUERIES,
         textops.QUERIES,
         similarity.QUERIES,
@@ -62,6 +64,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "snk_zorder_layout",
         "ts_gapfill_ffill",
         "stream_upsert_foreachbatch",
+        "dq_constraint_check",
+        "diff_snapshots",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",
