@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_upsert_foreachbatch",
         "dq_constraint_check",
         "diff_snapshots",
+        "sql_recursive_cte",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -480,6 +480,52 @@ FROM ranked WHERE seg_rank <= 3
 """
 
 
+# Hierarchy derived in-plan from customer: parent(k) = k div 2 makes
+# a binary tree rooted at custkey 1 — the account/BOM rollup shape —
+# so both engines traverse an identical forest with no side fixture.
+_SQL_RECURSIVE_TREE = """
+WITH RECURSIVE tree(k, depth, root_balance_c) AS (
+  SELECT k, 0, bal_c FROM {nodes} WHERE k = 1
+  UNION ALL
+  SELECT n.k, t.depth + 1, t.root_balance_c
+  FROM {nodes} n JOIN tree t ON n.parent = t.k AND n.k > 1
+)
+SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_accounts,
+       CAST(SUM(bal_c) AS BIGINT) AS level_balance_c,
+       CAST(MIN(root_balance_c) AS BIGINT) AS root_balance_c
+FROM tree JOIN {nodes} USING (k)
+GROUP BY depth
+"""
+
+
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE — the iterative-traversal surface as
+    plain SQL text: an account hierarchy (parent = key div 2, a
+    binary tree rooted at custkey 1, derived in-plan so both engines
+    see the same forest) is walked top-down, carrying the root's
+    balance to every descendant, then rolled up per depth with exact
+    integer cents. The same traversal the DataFrame loop in
+    components.py does by hand, here delegated to the engine's
+    recursion operator (UnionLoop); depth is bounded by log2(max
+    key), so the recursion is O(log N) rounds of an equi-join — the
+    scale shape matches the pointer-jumping analysis there."""
+    _t(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS k",
+        "c_custkey div 2 AS parent",
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c",
+    ).createOrReplaceTempView("v_acct_nodes")
+    return spark.sql(_SQL_RECURSIVE_TREE.format(nodes="v_acct_nodes"))
+
+
+_SQL_RECURSIVE_CTE_SQL = (
+    "WITH RECURSIVE nodes AS (SELECT c_custkey AS k, c_custkey // 2 AS "
+    "parent, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer)"
+    + _SQL_RECURSIVE_TREE.format(nodes="nodes").replace(
+        "WITH RECURSIVE", ",", 1
+    )
+)
+
+
 def win_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank and cume_dist per
     nation over the exact-cents balance. Both are ratios of integers
@@ -964,6 +1010,9 @@ QUERIES = {
     ),
     "sql_cte_windowed": QuerySpec(
         sql_cte_windowed, _SQL_CTE_WINDOWED_SQL, ("sql", "cte", "window")
+    ),
+    "sql_recursive_cte": QuerySpec(
+        sql_recursive_cte, _SQL_RECURSIVE_CTE_SQL, ("sql", "recursive")
     ),
     "win_ranking_fns": QuerySpec(
         win_ranking_fns,
