@@ -164,9 +164,13 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("diff_class"),
     )
+    # per-row Knuth-mix REDUCED mod 1e9+7 before the sum: the raw
+    # product overflows int64 once keys pass ~3.4e9 (and the SUM far
+    # earlier under ANSI mode at sf0.1); the reduced terms give the
+    # int64 sum ~9e9-row headroom, plenty for a checksum column
     return classified.groupBy("diff_class").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.expr("k * 2654435761")).alias("key_checksum"),
+        F.sum(F.expr("(k * 2654435761) % 1000000007")).alias("key_checksum"),
     )
 
 
@@ -192,7 +196,7 @@ WITH old AS (
   FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
 )
 SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(k * 2654435761) AS BIGINT) AS key_checksum
+       CAST(SUM((k * 2654435761) % 1000000007) AS BIGINT) AS key_checksum
 FROM classified GROUP BY diff_class
 """
 

@@ -27,6 +27,9 @@ SCALE_SENSITIVE = [
     "samp_domain_mixture",  # keep rates = f(per-stratum counts)
     "sim_pq_topk",  # codebook stride = f(COUNT(*))
     "agg_equidepth_hist",  # bin boundaries = percentiles of N values
+    "diff_snapshots",  # checksum sum must stay in int64 at 10x keys
+    "snk_zorder_layout",  # coordinate normalization = f(MIN/MAX)
+    "rag_bm25_topk",  # idf/saturation integers = f(N, S)
 ]
 
 
