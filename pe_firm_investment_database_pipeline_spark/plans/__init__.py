@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "dq_constraint_check",
         "diff_snapshots",
         "sql_recursive_cte",
+        "src_python_datasource",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -833,6 +833,87 @@ def _z_interleave_sql(xcol: str, ycol: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_PYDS_N = 10_000
+_PYDS_PARTS = 8
+
+
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A custom CONNECTOR through Spark 4's Python DataSource API —
+    the extension point the reference's browser-stream producer
+    would plug into today (reference: pipeline/seed_aic.py:104-156
+    captures an external feed; here the feed is a deterministic
+    generator so the oracle is closed-form). The source plans
+    _PYDS_PARTS InputPartitions, each worker generates its strided
+    slice independently (no driver materialization, no skew), and
+    rows carry an md5 payload so content — not just counts — is
+    verified. Downstream is a plain aggregate: the connector output
+    behaves like any other scan (prunable, partitioned, AQE-sized).
+
+    The reader is Arrow-batched by the runtime; at 100 TB the same
+    class shape wraps any external system that can enumerate
+    partition descriptors (files, shards, topic partitions)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _FeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", _PYDS_N))
+            self.parts = int(options.get("parts", _PYDS_PARTS))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, part):
+            import hashlib
+
+            for i in range(part.value, self.n, self.parts):
+                yield (
+                    i,
+                    hashlib.md5(str(i).encode()).hexdigest(),
+                    i * i,
+                )
+
+    class _FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "pe_feed"
+
+        def schema(self):
+            return "rec_id bigint, payload_md5 string, sq bigint"
+
+        def reader(self, schema):
+            return _FeedReader(self.options)
+
+    # re-registration in the same session is a cheap overwrite
+    spark.dataSource.register(_FeedSource)
+    feed = (
+        spark.read.format("pe_feed")
+        .option("n", str(_PYDS_N))
+        .option("parts", str(_PYDS_PARTS))
+        .load()
+    )
+    return feed.groupBy((F.col("rec_id") % 16).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").alias("sum_sq"),
+        F.min("payload_md5").alias("min_md5"),
+    )
+
+
+_SRC_PYTHON_DATASOURCE_SQL = f"""
+WITH feed AS (
+  SELECT i AS rec_id, md5(CAST(i AS VARCHAR)) AS payload_md5,
+         i * i AS sq
+  FROM (SELECT unnest(range(0, {_PYDS_N})) AS i)
+)
+SELECT rec_id % 16 AS bucket, COUNT(*) AS n,
+       CAST(SUM(sq) AS BIGINT) AS sum_sq, MIN(payload_md5) AS min_md5
+FROM feed GROUP BY 1
+"""
+
+
 def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered rewrite — the data-layout answer to
     two-dimensional pruning: events are rewritten range-partitioned
@@ -963,5 +1044,10 @@ QUERIES = {
     ),
     "snk_zorder_layout": QuerySpec(
         snk_zorder_layout, _snk_zorder_layout_sql(), ("io", "sink", "layout")
+    ),
+    "src_python_datasource": QuerySpec(
+        src_python_datasource,
+        _SRC_PYTHON_DATASOURCE_SQL,
+        ("io", "source", "connector"),
     ),
 }
