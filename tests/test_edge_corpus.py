@@ -17,7 +17,12 @@ def _tiny_docs(spark, tmp_path):
         (4, "now five tokens are here exactly yes", "en"),
         (5, "now five tokens are here exactly yes", "en"),  # exact dup of 4
     ]
-    df = spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+    rows = [(i, t, lang, f"src{i}", len(t)) for i, t, lang in rows]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
     d = str(tmp_path / "docs")
     df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
     return d
@@ -85,3 +90,27 @@ def test_round5b_ops_survive_short_docs(spark, tmp_path):
         and "@" not in r["redacted"]
         for r in red
     )
+
+
+def test_round5c_ops_survive_short_docs(spark, tmp_path):
+    """Retrieval + survivor-selection entries on the degenerate
+    corpus: BM25 with zero query-term hits returns an empty top-k
+    (not an error), the inverted index only indexes non-empty docs,
+    KWIC emits nothing when the keyword is absent, and canonical
+    pick classifies every document with exactly one canonical per
+    cluster (the planted dup pair collapses to its smaller id on an
+    n_chars tie)."""
+    sf = _tiny_docs(spark, tmp_path)
+    from pe_firm_investment_database_pipeline_spark.plans import (
+        components,
+        io_ops,
+        retrieval,
+    )
+
+    assert retrieval.rag_bm25_topk(spark, sf).count() == 0
+    inv = {r["term"]: r["df"] for r in retrieval.idx_inverted(spark, sf).collect()}
+    assert inv["tokens"] == 4 and "" not in inv  # docs 2,3,4,5
+    assert io_ops.udtf_kwic(spark, sf).count() == 0
+    pick = components.dedup_canonical_pick(spark, sf).collect()
+    assert len(pick) == 6
+    assert {r["doc_id"] for r in pick if not r["is_canonical"]} == {5}
