@@ -95,6 +95,17 @@ HEADLINE = [
     # shares the minhash pair front with dedup_connected_components;
     # runs late so the staged shingle/signature frames are warm
     "graph_pagerank",
+    "dedup_canonical_pick",
+    # shares the staged IVF index with sim_ann_join / sim_ivf_multiprobe
+    "rag_hybrid_rrf",
+    "dq_constraint_check",
+    "diff_snapshots",
+    "ts_gapfill_ffill",
+    "stream_upsert_foreachbatch",
+    "sql_recursive_cte",
+    "src_python_datasource",
+    "src_schema_evolution",
+    "snk_zorder_layout",
 ]
 
 RUNS = 3  # best-of-N: damps host-contention noise in shared CI

@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "diff_snapshots",
         "sql_recursive_cte",
         "src_python_datasource",
+        "rag_hybrid_rrf",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -223,9 +223,88 @@ SELECT * FROM (
 """
 
 
+# lcm(61..70): every RRF denominator (60 + rank, rank <= 10) divides
+# it, so LCM div (60 + rank) is an EXACT rational contribution and the
+# fused score is an associative int64 sum — no float RRF, no cross-
+# engine last-ulp risk. Max sum ~ 20 * LCM/61 ~ 4.7e13, far inside
+# int64.
+_RRF_LCM = 142_813_628_717_760
+_RRF_K0 = 60
+
+
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — reciprocal-rank fusion of the LEXICAL list
+    (rag_bm25_topk) and the VECTOR list (sim_ann_join's hits for
+    query vector 0, resolved to doc ids): the standard two-tower
+    serving shape where neither signal alone wins. Fusion is pure
+    integer arithmetic over two tiny ranked lists (<= 15 rows), so
+    the cost is entirely in the upstream entries — which are shared
+    (same staged IVF index, same staged corpus stats) and therefore
+    amortized when the registry sweep runs all three."""
+    from .similarity import sim_ann_join
+
+    lex = rag_bm25_topk(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("r")
+    )
+    vec = (
+        sim_ann_join(spark, sf_dir)
+        .where(F.col("query_id") == 0)
+        .select(F.col("nbr_id").alias("doc_id"), F.col("nn_rank").alias("r"))
+    )
+    fused = (
+        lex.unionByName(vec)
+        .withColumn(
+            "contrib", F.expr(f"CAST({_RRF_LCM} AS BIGINT) div ({_RRF_K0} + r)")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("rrf_scaled"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf_scaled"), F.asc("doc_id")).limit(10)
+    w = W.orderBy(F.desc("rrf_scaled"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("fused_rank"),
+        "doc_id",
+        "rrf_scaled",
+        "n_lists",
+    )
+
+
+def _rag_hybrid_rrf_sql() -> str:
+    from .similarity import _SIM_ANN_JOIN_SQL
+
+    return f"""
+WITH lex AS MATERIALIZED (
+{_RAG_BM25_TOPK_SQL}
+), ann AS MATERIALIZED (
+{_SIM_ANN_JOIN_SQL}
+), lists AS (
+  SELECT doc_id, rank AS r FROM lex
+  UNION ALL
+  SELECT nbr_id AS doc_id, nn_rank AS r FROM ann WHERE query_id = 0
+), fused AS (
+  SELECT doc_id,
+         CAST(SUM({_RRF_LCM} // ({_RRF_K0} + r)) AS BIGINT) AS rrf_scaled,
+         CAST(COUNT(*) AS BIGINT) AS n_lists
+  FROM lists GROUP BY doc_id
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER
+           (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS fused_rank,
+         doc_id, rrf_scaled, n_lists
+  FROM fused
+) WHERE fused_rank <= 10
+"""
+
+
 QUERIES = {
     "idx_inverted": QuerySpec(idx_inverted, _IDX_INVERTED_SQL, ("retrieval",)),
     "rag_bm25_topk": QuerySpec(
         rag_bm25_topk, _RAG_BM25_TOPK_SQL, ("retrieval", "ranking")
+    ),
+    "rag_hybrid_rrf": QuerySpec(
+        rag_hybrid_rrf, _rag_hybrid_rrf_sql(), ("retrieval", "fusion")
     ),
 }
