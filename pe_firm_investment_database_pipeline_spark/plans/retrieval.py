@@ -1,7 +1,8 @@
 """Keyword retrieval over the documents table — the lexical half of
 the RAG stack next to the embedding half (plans/similarity.py
-``rag_retrieve_docs``): an inverted-index build and a BM25 top-k
-ranking, both pure DataFrame plans with exact DuckDB oracles.
+``rag_retrieve_docs``): an inverted-index build, a BM25 top-k
+ranking, and the hybrid reciprocal-rank fusion of the lexical and
+vector lists, all pure DataFrame plans with exact DuckDB oracles.
 
 The reference pipeline retrieves evidence rows by fuzzy NAME matching
 (reference: utils/search_utils.py score loops); at corpus scale the
