@@ -69,6 +69,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_recursive_cte",
         "src_python_datasource",
         "rag_hybrid_rrf",
+        "src_orc_roundtrip",
+        "src_binaryfile_scan",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",
@@ -103,8 +105,13 @@ def all_queries() -> dict[str, QuerySpec]:
         "sim_ann_join_indexed",
         "evt_retention",
         "agg_mode",
+        # rows-only entry: its driver verdict is the weak check
+        # anyway, so it is the one allowed to fall past the ~50-slot
+        # recording cap this round
         "agg_percentile_approx",
-        # plan reworked in round 5 (window-count small path)
+        # plan reworked in round 5 (window-count small path); already
+        # recorded r04 so it yields its top-50 slot to never-recorded
+        # entries and relies on the pytest parity rerun this round
         "sim_knn_blocked",
         # stalest driver records: last recorded r01, before two
         # testdata regenerations

@@ -914,6 +914,94 @@ FROM feed GROUP BY 1
 """
 
 
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange — the second columnar format a lake actually
+    meets (Hive-era tables, vendor exports): orders are written as
+    ORC with exact integer cents, read BACK through the ORC reader,
+    and aggregated per status. The oracle runs the same aggregate off
+    the parquet source view, so the round-trip certifies the format
+    conversion preserved every row and the cents column exactly.
+    ORC's reader supports the same pushdown/pruning surface as
+    parquet in Spark, so the plan shape is unchanged — the entry
+    exists to prove the FORMAT boundary, not a new operator."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_orc_{h}_{app}")
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_c").alias("sum_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+_SRC_ORC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+_BINFILE_N = 24
+
+
+def src_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal lake ingest via Spark's `binaryFile` source — how
+    raw image/audio payloads actually enter a pipeline before any
+    decode: _BINFILE_N deterministic binary blobs (md5-keyed bytes,
+    varied lengths) are laid down as files, scanned with
+    format('binaryFile'), and reduced JVM-side (length + md5 of
+    content) — the payload bytes never reach Python. The oracle is
+    closed-form over the same generator arithmetic, so the content
+    column — not just file listing — is verified. At 100 TB this
+    scan is the entry point that mm_binary_meta/mm_resize consume;
+    pathGlobFilter/recursiveFileLookup prune at the listing level."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"pe_binfiles_{h}_{app}")
+    os.makedirs(root, exist_ok=True)
+    for i in range(_BINFILE_N):
+        # payload: the md5 hex of the index, repeated i+1 times
+        payload = (hashlib.md5(str(i).encode()).hexdigest()).encode() * (i + 1)
+        with open(os.path.join(root, f"blob_{i:04d}.bin"), "wb") as fh:
+            fh.write(payload)
+    files = spark.read.format("binaryFile").load(root)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"blob_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("blob_id"),
+        F.col("length"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+def _src_binaryfile_scan_sql() -> str:
+    return f"""
+SELECT i AS blob_id,
+       CAST(32 * (i + 1) AS BIGINT) AS length,
+       md5(repeat(md5(CAST(i AS VARCHAR)), i + 1)) AS content_md5
+FROM (SELECT unnest(range(0, {_BINFILE_N})) AS i)
+"""
+
+
 def snk_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustered rewrite — the data-layout answer to
     two-dimensional pruning: events are rewritten range-partitioned
@@ -1049,5 +1137,13 @@ QUERIES = {
         src_python_datasource,
         _SRC_PYTHON_DATASOURCE_SQL,
         ("io", "source", "connector"),
+    ),
+    "src_orc_roundtrip": QuerySpec(
+        src_orc_roundtrip, _SRC_ORC_ROUNDTRIP_SQL, ("io", "source", "format")
+    ),
+    "src_binaryfile_scan": QuerySpec(
+        src_binaryfile_scan,
+        _src_binaryfile_scan_sql(),
+        ("io", "source", "multimodal"),
     ),
 }
