@@ -71,6 +71,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "rag_hybrid_rrf",
         "src_orc_roundtrip",
         "src_binaryfile_scan",
+        "join_fuzzy_name",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -122,3 +122,31 @@ def test_rank_points_full_map(spark):
     df = spark.createDataFrame(cases, schema="r string, want long")
     for row in df.select(rank_points(F.col("r")).alias("p"), "want").collect():
         assert row["p"] == row["want"]
+
+
+def test_fuzzy_join_recovers_true_master(spark):
+    """join_fuzzy_name must link EVERY dirty name back to a master row
+    carrying its own original name (the fixture's part names repeat
+    across keys, so the deterministic tie-break may pick an earlier
+    key with the identical name — name-level recall is the right
+    invariant, and the block must never lose the true match)."""
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.plans.matching import (
+        join_fuzzy_name,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    names = {
+        r["p_partkey"]: r["n"]
+        for r in load_table(spark, sf, "part")
+        .select("p_partkey", F.lower("p_name").alias("n"))
+        .collect()
+    }
+    rows = join_fuzzy_name(spark, sf).collect()
+    assert len(rows) == sum(1 for k in names if k % 10 == 0)  # no dirty row lost
+    assert all(r["edit_distance"] <= 1 for r in rows)
+    assert all(names[r["master_key"]] == names[r["dirty_key"]] for r in rows)
