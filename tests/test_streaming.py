@@ -364,3 +364,38 @@ def test_upsert_foreachbatch_idempotent_rerun(spark):
         for r in stream_upsert_foreachbatch(spark, sf).collect()
     }
     assert again == first
+
+
+def test_stateful_ops_run_on_rocksdb_backend(spark):
+    """The state-store backend a 100 TB deployment actually runs
+    (RocksDB, changelog-checkpointable) must produce byte-identical
+    results to the default HDFS-backed store for the custom stateful
+    operator and the watermarked dedup."""
+    from pe_firm_investment_database_pipeline_spark.streaming.stateful import (
+        stream_custom_state,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    baseline = {
+        r["user_id"]: (r["n_events"], r["n_purchases"])
+        for r in stream_custom_state(spark, sf).collect()
+    }
+    assert baseline
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocks)
+    try:
+        rocksdb = {
+            r["user_id"]: (r["n_events"], r["n_purchases"])
+            for r in stream_custom_state(spark, sf).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    assert rocksdb == baseline
