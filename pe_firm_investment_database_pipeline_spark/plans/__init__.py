@@ -72,6 +72,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "src_orc_roundtrip",
         "src_binaryfile_scan",
         "join_fuzzy_name",
+        "sql_correlated_subquery",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -526,6 +526,39 @@ _SQL_RECURSIVE_CTE_SQL = (
 )
 
 
+# Q17-shaped correlated scalar subquery, made EXACT by integer
+# cross-multiplication: "qty < 0.2 * avg(qty) over the part" becomes
+# 5 * qty * count < sum — no division, no float, same truth value.
+_SQL_CORRELATED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small_orders,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM {li} l1
+WHERE 5 * CAST(round(l_quantity) AS BIGINT)
+        * (SELECT COUNT(*) FROM {li} l2
+           WHERE l2.l_partkey = l1.l_partkey)
+      < (SELECT CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         FROM {li} l3 WHERE l3.l_partkey = l1.l_partkey)
+"""
+
+
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (the TPC-H Q17 shape: rows below
+    a fifth of their part's average quantity) — the surface where the
+    OPTIMIZER earns its keep: Catalyst decorrelates both per-part
+    scalar subqueries into aggregate-then-join plans, so execution is
+    hash aggregates + equi-joins keyed on l_partkey, never a
+    per-row re-scan of lineitem (the O(N^2) naive semantics; plan
+    pinned in tests/test_plan_shapes.py). The 0.2-average threshold
+    is integer cross-multiplied (5*qty*count < sum) so both engines
+    compare exact int64s."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(_SQL_CORRELATED.format(li="v_lineitem"))
+
+
+_SQL_CORRELATED_SUBQUERY_SQL = _SQL_CORRELATED.format(li="lineitem")
+
+
 def win_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions — percent_rank and cume_dist per
     nation over the exact-cents balance. Both are ratios of integers
@@ -1013,6 +1046,11 @@ QUERIES = {
     ),
     "sql_recursive_cte": QuerySpec(
         sql_recursive_cte, _SQL_RECURSIVE_CTE_SQL, ("sql", "recursive")
+    ),
+    "sql_correlated_subquery": QuerySpec(
+        sql_correlated_subquery,
+        _SQL_CORRELATED_SUBQUERY_SQL,
+        ("sql", "subquery", "decorrelation"),
     ),
     "win_ranking_fns": QuerySpec(
         win_ranking_fns,

@@ -385,3 +385,14 @@ def test_gapfill_single_partitioning(spark):
     assert "ENSURE_REQUIREMENTS" not in plan
     assert "Window" in plan
     assert "Generate" in plan  # the spine explode
+
+
+def test_correlated_subquery_decorrelates(spark):
+    """Both per-part scalar subqueries must decorrelate to
+    aggregate-then-join (hash joins on l_partkey) — never a
+    BroadcastNestedLoopJoin or per-row re-scan."""
+    plan = _plan(spark, "sql_correlated_subquery")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Join" in plan
