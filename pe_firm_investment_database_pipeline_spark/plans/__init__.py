@@ -73,6 +73,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "src_binaryfile_scan",
         "join_fuzzy_name",
         "sql_correlated_subquery",
+        "join_asof_nearest",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

@@ -409,6 +409,87 @@ def join_range_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each purchase pairs with the closest same-user view in EITHER
+    time direction — the variant the backward-only window trick
+    (join_range_asof) cannot express with one carry-forward. Both
+    directional candidates come from the same interleaved single
+    window pass (last prior view via carry-forward, first later view
+    via the mirrored frame), then one row-local comparison picks the
+    smaller |Δt|; ties break toward the PRIOR view (pandas
+    semantics). Still exactly one shuffle on user_id — never a range
+    join; |Δt| is exact int64 micros on both engines."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+    )
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    marked = (
+        ev.withColumn("prior_id", F.last(view_id, ignorenulls=True).over(wb))
+        .withColumn("prior_ts", F.last(view_ts, ignorenulls=True).over(wb))
+        .withColumn("next_id", F.first(view_id, ignorenulls=True).over(wf))
+        .withColumn("next_ts", F.first(view_ts, ignorenulls=True).over(wf))
+        .where(F.col("event_type") == "purchase")
+    )
+    d_prior = F.col("ts_us") - F.col("prior_ts")
+    d_next = F.col("next_ts") - F.col("ts_us")
+    take_prior = F.col("prior_id").isNotNull() & (
+        F.col("next_id").isNull() | (d_prior <= d_next)
+    )
+    return marked.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_prior, F.col("prior_id"))
+        .otherwise(F.col("next_id"))
+        .alias("nearest_view_id"),
+        F.when(take_prior, d_prior).otherwise(d_next).alias("delta_us"),
+    )
+
+
+_JOIN_ASOF_NEAREST_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events WHERE event_type IN ('purchase', 'view')
+), marked AS (
+  SELECT *,
+    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_id,
+    last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_ts,
+    first_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_id,
+    first_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM ev
+)
+SELECT event_id AS purchase_id, user_id,
+       CASE WHEN prior_id IS NOT NULL
+                 AND (next_id IS NULL OR ts_us - prior_ts <= next_ts - ts_us)
+            THEN prior_id ELSE next_id END AS nearest_view_id,
+       CASE WHEN prior_id IS NOT NULL
+                 AND (next_id IS NULL OR ts_us - prior_ts <= next_ts - ts_us)
+            THEN ts_us - prior_ts ELSE next_ts - ts_us END AS delta_us
+FROM marked WHERE event_type = 'purchase'
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -1019,6 +1100,9 @@ QUERIES = {
         WHERE r1.r_regionkey < r2.r_regionkey
         """,
         ("join", "theta"),
+    ),
+    "join_asof_nearest": QuerySpec(
+        join_asof_nearest, _JOIN_ASOF_NEAREST_SQL, ("join", "asof")
     ),
     "join_range_asof": QuerySpec(
         join_range_asof,
