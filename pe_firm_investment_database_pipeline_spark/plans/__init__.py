@@ -74,6 +74,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "join_fuzzy_name",
         "sql_correlated_subquery",
         "join_asof_nearest",
+        "samp_hard_negatives",
+        "win_running_distinct",
+        "join_interval_overlap",
         "stream_dedup_lsh",
         "profile_drift",
         "join_scd2_asof",

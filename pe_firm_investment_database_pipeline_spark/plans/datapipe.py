@@ -537,7 +537,107 @@ FROM c
 """
 
 
+def samp_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep — the step between retrieval
+    and training a retriever/embedder: per query vector, POSITIVES
+    are its top-2 ANN neighbors, HARD negatives are ANN ranks 4-5
+    (close enough to be informative, not nearest), and RANDOM
+    negatives are two deterministic hash-picked corpus vectors with
+    accidental hits removed by an anti-join against the candidate
+    set. All three classes reuse `sim_ann_join`'s staged IVF index;
+    the random picks are pure arithmetic on (query_id, draw index)
+    mod corpus size — reproducible across engines, retries, and
+    re-runs, the property a training pipeline needs for exact
+    resumability (same discipline as samp_stratified_hash)."""
+    from .similarity import sim_ann_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    ann = sim_ann_join(spark, sf_dir).select("query_id", "nbr_id", "nn_rank")
+    pos = ann.where(F.col("nn_rank") <= 2).select(
+        "query_id",
+        F.col("nbr_id").alias("doc_id"),
+        F.lit("positive").alias("kind"),
+        F.lit(1).cast("long").alias("label"),
+    )
+    hard = ann.where(F.col("nn_rank") >= 4).select(
+        "query_id",
+        F.col("nbr_id").alias("doc_id"),
+        F.lit("hard_negative").alias("kind"),
+        F.lit(0).cast("long").alias("label"),
+    )
+    draws = ann.select("query_id").distinct().crossJoin(
+        F.broadcast(n_vec)
+    ).select(
+        "query_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 2), "
+                "j -> (query_id * 7919 + j * 104729) % n_vec)"
+            )
+        ).alias("doc_id"),
+    )
+    rand = (
+        draws.join(
+            ann.select(
+                "query_id", F.col("nbr_id").alias("doc_id")
+            ).union(
+                ann.select("query_id", F.col("query_id").alias("doc_id"))
+            ),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
+        .distinct()
+        .select(
+            "query_id",
+            "doc_id",
+            F.lit("random_negative").alias("kind"),
+            F.lit(0).cast("long").alias("label"),
+        )
+    )
+    return pos.unionByName(hard).unionByName(rand)
+
+
+def _samp_hard_negatives_sql() -> str:
+    from .similarity import _SIM_ANN_JOIN_SQL
+
+    return f"""
+WITH ann AS MATERIALIZED (
+{_SIM_ANN_JOIN_SQL}
+), nv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings
+), pos AS (
+  SELECT query_id, nbr_id AS doc_id, 'positive' AS kind,
+         CAST(1 AS BIGINT) AS label
+  FROM ann WHERE nn_rank <= 2
+), hard AS (
+  SELECT query_id, nbr_id AS doc_id, 'hard_negative' AS kind,
+         CAST(0 AS BIGINT) AS label
+  FROM ann WHERE nn_rank >= 4
+), draws AS (
+  SELECT DISTINCT query_id,
+         (query_id * 7919 + j * 104729) % n_vec AS doc_id
+  FROM (SELECT DISTINCT query_id FROM ann), nv,
+       (SELECT unnest(range(1, 3)) AS j)
+), rand AS (
+  SELECT d.query_id, d.doc_id, 'random_negative' AS kind,
+         CAST(0 AS BIGINT) AS label
+  FROM draws d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ann a
+    WHERE a.query_id = d.query_id
+      AND (a.nbr_id = d.doc_id OR a.query_id = d.doc_id))
+)
+SELECT * FROM pos UNION ALL SELECT * FROM hard UNION ALL SELECT * FROM rand
+"""
+
+
 QUERIES = {
+    "samp_hard_negatives": QuerySpec(
+        samp_hard_negatives,
+        _samp_hard_negatives_sql(),
+        ("sampling", "training", "retrieval"),
+    ),
     "samp_stratified_hash": QuerySpec(
         samp_stratified_hash, _SAMP_STRATIFIED_HASH_SQL, ("sampling",)
     ),

@@ -490,6 +490,56 @@ FROM marked WHERE event_type = 'purchase'
 """
 
 
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user over event time — the metric
+    ("unique event types seen so far") whose naive form needs a
+    set-valued accumulator no SQL window offers. The exact trick:
+    distinct-so-far = running SUM of an is-first-occurrence flag,
+    where the flag is row_number() = 1 over (user, event_type) —
+    two window passes over the SAME (user_id)-keyed partitioning
+    (the second refines the key in-partition), so the whole operator
+    is one shuffle, exact, and engine-portable — no HLL needed until
+    the per-key distinct cardinality itself explodes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts_us"
+    )
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        "ts_us", "event_id"
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.withColumn(
+        "is_first", (F.row_number().over(w_first) == 1).cast("long")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(w_run).alias("distinct_types_so_far"),
+    )
+
+
+_WIN_RUNNING_DISTINCT_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events
+), flagged AS (
+  SELECT event_id, user_id, ts_us,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts_us, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM ev
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS distinct_types_so_far
+FROM flagged
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -1103,6 +1153,9 @@ QUERIES = {
     ),
     "join_asof_nearest": QuerySpec(
         join_asof_nearest, _JOIN_ASOF_NEAREST_SQL, ("join", "asof")
+    ),
+    "win_running_distinct": QuerySpec(
+        win_running_distinct, _WIN_RUNNING_DISTINCT_SQL, ("window", "distinct")
     ),
     "join_range_asof": QuerySpec(
         join_range_asof,
