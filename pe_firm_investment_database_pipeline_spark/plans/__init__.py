@@ -75,6 +75,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_correlated_subquery",
         "join_asof_nearest",
         "samp_hard_negatives",
+        "txt_tfidf_topterms",
         "win_running_distinct",
         "join_interval_overlap",
         "stream_dedup_lsh",

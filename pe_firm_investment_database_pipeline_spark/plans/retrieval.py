@@ -309,3 +309,66 @@ QUERIES = {
         rag_hybrid_rrf, _rag_hybrid_rrf_sql(), ("retrieval", "fusion")
     ),
 }
+
+
+def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the query-free twin of
+    BM25: document keywording / topic signature extraction. Scores
+    are exact int64 (tf x the same scaled rational IDF as
+    rag_bm25_topk), document frequencies are a small broadcast
+    (vocabulary-sized), and the top-3 cut is a window partitioned by
+    doc_id — per-document state, perfectly parallel, no global
+    sort."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "tfidf_scaled",
+            F.expr("tf * (((2 * (n_docs - df) + 1) * 10000) div (2 * df + 1))"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_scaled"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "term_rank", "term", "tfidf_scaled")
+    )
+
+
+_TXT_TFIDF_TOPTERMS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents)
+  GROUP BY doc_id, term
+), stats AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY term
+), scored AS (
+  SELECT doc_id, term,
+         tf * (((2 * (n_docs - df) + 1) * 10000) // (2 * df + 1))
+           AS tfidf_scaled
+  FROM tf JOIN dfreq USING (term), stats
+)
+SELECT doc_id, term_rank, term, CAST(tfidf_scaled AS BIGINT) AS tfidf_scaled
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf_scaled DESC, term) AS BIGINT) AS term_rank
+  FROM scored
+) WHERE term_rank <= 3
+"""
+
+QUERIES["txt_tfidf_topterms"] = QuerySpec(
+    txt_tfidf_topterms, _TXT_TFIDF_TOPTERMS_SQL, ("retrieval", "tfidf")
+)
