@@ -30,11 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.session_cache import evict_stale_apps
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from .textops import _DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
 
 MAX_ITERS = 20
+
+# Final component labels memoized per (applicationId, sf_dir): three
+# entries (components, canonical pick, and any cluster consumer) walk
+# the same fixpoint, and the labels frame is an EAGER localCheckpoint
+# — already materialized and lineage-free, so reuse is safe and the
+# iterative driver loop runs once per (session, dataset).
+_COMP_CACHE: dict[tuple, DataFrame] = {}
 
 
 def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -99,8 +107,16 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the MinHash-LSH candidate pairs (est_jaccard >= 0.5)
     into duplicate groups; emit one row per vertex with its cluster
     id (= min doc_id in the cluster) and a keeper flag."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
-    comps = connected_components(pairs, "doc1", "doc2")
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comps = _COMP_CACHE.get(key)
+    if comps is None:
+        evict_stale_apps(_COMP_CACHE, key[0])
+        pairs = dedup_minhash_lsh(spark, sf_dir).where(
+            F.col("est_jaccard") >= 0.5
+        )
+        comps = _COMP_CACHE[key] = connected_components(
+            pairs, "doc1", "doc2"
+        )
     return comps.select(
         F.col("v").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
