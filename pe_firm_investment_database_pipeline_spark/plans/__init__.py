@@ -76,6 +76,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "join_asof_nearest",
         "samp_hard_negatives",
         "txt_tfidf_topterms",
+        "shard_manifest",
         "win_running_distinct",
         "join_interval_overlap",
         "stream_dedup_lsh",

@@ -632,6 +632,54 @@ SELECT * FROM pos UNION ALL SELECT * FROM hard UNION ALL SELECT * FROM rand
 """
 
 
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard MANIFEST — the file a data loader actually
+    opens before touching any shard: per shard, document count, total
+    tokens, the doc_id span, and an order-insensitive content
+    checksum (sum of md5-prefix ints mod 1e9+7 — associative, so
+    map-side combinable, and any row lost or duplicated between the
+    packer and the loader changes it). Composes shard_by_token_budget
+    with the documents fingerprints; one aggregate over the packed
+    corpus."""
+    sh = shard_by_token_budget(spark, sf_dir).select("doc_id", "n_tokens", "shard")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"
+            " % 1000000007"
+        ).alias("fp"),
+    )
+    return (
+        sh.join(d, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("fp").alias("content_checksum"),
+        )
+    )
+
+
+_SHARD_MANIFEST_SQL = f"""
+WITH sh AS MATERIALIZED (
+{_SHARD_BY_TOKEN_BUDGET_SQL}
+), fp AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT) % 1000000007
+           AS fp
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(sh.doc_id) AS first_doc, MAX(sh.doc_id) AS last_doc,
+       CAST(SUM(fp.fp) AS BIGINT) AS content_checksum
+FROM sh JOIN fp ON sh.doc_id = fp.doc_id
+GROUP BY shard
+"""
+
+
 QUERIES = {
     "samp_hard_negatives": QuerySpec(
         samp_hard_negatives,
@@ -652,6 +700,9 @@ QUERIES = {
     ),
     "shard_by_token_budget": QuerySpec(
         shard_by_token_budget, _SHARD_BY_TOKEN_BUDGET_SQL, ("sharding",)
+    ),
+    "shard_manifest": QuerySpec(
+        shard_manifest, _SHARD_MANIFEST_SQL, ("sharding", "manifest")
     ),
     "chunk_token_windows": QuerySpec(
         chunk_token_windows, _CHUNK_TOKEN_WINDOWS_SQL, ("sharding", "chunking")
