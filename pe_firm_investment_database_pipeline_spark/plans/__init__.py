@@ -77,6 +77,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_hard_negatives",
         "txt_tfidf_topterms",
         "shard_manifest",
+        "evt_transition_matrix",
         "win_running_distinct",
         "join_interval_overlap",
         "stream_dedup_lsh",

@@ -513,7 +513,64 @@ WHERE b.session_start_s < d.mw_end_s AND d.mw_start_s < b.session_end_s
 """
 
 
+def evt_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type TRANSITION MATRIX — the Markov-chain estimate
+    behind next-action prediction and funnel diagnostics: for every
+    consecutive same-user event pair, count (from_type, to_type),
+    with the transition probability in exact integer permille of the
+    from-state's outgoing total. One lag() window keyed on user_id
+    (the sessionize partitioning, reused) plus one tiny aggregate —
+    the output is |types|^2 rows regardless of corpus size, so the
+    result always broadcasts back into whatever consumes it."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = W.partitionBy("from_type")
+    return (
+        pairs.withColumn("tot", F.sum("n").over(wf))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000) div tot").alias("p_permille"),
+        )
+    )
+
+
+_EVT_TRANSITION_MATRIX_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS from_type,
+         event_type AS to_type
+  FROM ev
+), counted AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n * 1000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_permille
+FROM counted
+"""
+
+
 QUERIES = {
+    "evt_transition_matrix": QuerySpec(
+        evt_transition_matrix,
+        _EVT_TRANSITION_MATRIX_SQL,
+        ("events", "window", "markov"),
+    ),
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, _JOIN_INTERVAL_OVERLAP_SQL, ("join", "interval")
     ),
