@@ -37,6 +37,7 @@ HEADLINE = [
     "agg_consensus",
     "agg_weighted_vote",
     "txt_quality_score",
+    "txt_repetition_filter",
     "txt_bpe_tokens",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -57,6 +58,7 @@ HEADLINE = [
     "udaf_grouped_pandas",
     "agg_percentiles",
     "agg_percentile_approx",
+    "evt_anomaly_mad",
     "sim_ivf_multiprobe",
     # NEW entries that share a staged index with a prev-scope entry
     # run AFTER it, so the prev-scope entry's timing keeps its

@@ -55,6 +55,8 @@ def all_queries() -> dict[str, QuerySpec]:
     )
     priority = [
         # new in round 5
+        "txt_repetition_filter",
+        "evt_anomaly_mad",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

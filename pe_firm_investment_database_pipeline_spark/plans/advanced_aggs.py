@@ -186,6 +186,67 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# evt_anomaly_mad — robust outlier flags via median absolute deviation
+# ---------------------------------------------------------------------------
+
+def evt_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type anomaly detection: flag events whose
+    value deviates from the type median by more than 3x the median
+    absolute deviation (the standard robust outlier fence — unlike
+    mean/stddev, median/MAD are not dragged by the outliers they are
+    meant to catch). Values are cents-quantized; interpolated medians
+    of int64 are (a+b)/2 — exact binary fractions, bit-identical
+    across engines, so the flag boundary never flakes.
+
+    Plan shape at scale: two tiny per-type aggregates (the exact
+    percentile collects per group — swap for approx_percentile at
+    100 TB, same plan shape), each BROADCAST back onto the scan; the
+    anomaly filter is map-side. Only flagged rows leave the scan."""
+    c = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", cents("value").alias("v")
+    )
+    med = c.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    mad = (
+        c.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(v - med), 0.5)").alias("mad"))
+    )
+    return (
+        c.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .where(
+            (F.expr("abs(v - med)") > 3 * F.col("mad"))
+            | ((F.col("mad") == 0) & (F.col("v") != F.col("med")))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("v") / 100.0).alias("value"),
+            "med",
+            "mad",
+            F.expr("abs(v - med)").alias("abs_dev"),
+        )
+    )
+
+
+_EVT_ANOMALY_MAD_SQL = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), med_t AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY event_type
+), mad_t AS (
+  SELECT c.event_type, quantile_cont(abs(v - med), 0.5) AS mad
+  FROM c JOIN med_t USING (event_type) GROUP BY c.event_type
+)
+SELECT event_id, c.event_type, v / 100.0 AS value, med, mad,
+       abs(v - med) AS abs_dev
+FROM c JOIN med_t USING (event_type) JOIN mad_t USING (event_type)
+WHERE abs(v - med) > 3 * mad OR (mad = 0 AND v != med)
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_corr_stats — exact correlation / covariance / regression slope
 # ---------------------------------------------------------------------------
 
@@ -810,6 +871,9 @@ QUERIES = {
     "agg_pivot": QuerySpec(agg_pivot, _AGG_PIVOT_SQL, ("agg", "pivot")),
     "agg_corr_stats": QuerySpec(
         agg_corr_stats, _AGG_CORR_STATS_SQL, ("agg", "stats")
+    ),
+    "evt_anomaly_mad": QuerySpec(
+        evt_anomaly_mad, _EVT_ANOMALY_MAD_SQL, ("events", "anomaly", "robust")
     ),
     "profile_drift": QuerySpec(
         profile_drift, _PROFILE_DRIFT_SQL, ("profile", "drift")

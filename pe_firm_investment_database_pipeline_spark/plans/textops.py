@@ -188,6 +188,94 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# txt_repetition_filter — Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+def txt_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition heuristics from the published Gopher/MassiveText
+    filtering rules (Rae et al. 2021, §A1.1): the most-frequent-token
+    share and the duplicate-bigram excess (occurrences beyond each
+    bigram's first). Docs dominated by one token or by repeated
+    bigrams are boilerplate/spam candidates for a pretraining filter.
+
+    Plan shape: ZERO shuffle — every signal is a per-document array
+    computation (higher-order functions over the staged token array),
+    so the op runs at scan speed and scales embarrassingly at 100 TB.
+    The top-token count is max over distinct tokens of its occurrence
+    count (O(distinct x n) per doc, bounded by doc length); bigram
+    excess is n_bigrams - distinct bigrams. Fractions are divisions
+    of identical integers -> bit-identical doubles on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    n_tokens = F.size("toks").cast("long")
+    top_n = F.expr(
+        "array_max(transform(array_distinct(toks), w ->"
+        " size(filter(toks, x -> x = w))))"
+    ).cast("long")
+    n_bigrams = F.greatest(F.size("toks") - 1, F.lit(0)).cast("long")
+    # sequence(0, -1) DESCENDS in Spark, so the <2-token case must be
+    # guarded out rather than relying on an empty sequence
+    dup_excess = F.when(F.size("toks") < 2, F.lit(0).cast("long")).otherwise(
+        n_bigrams
+        - F.expr(
+            "size(array_distinct(transform(sequence(0, size(toks) - 2), i ->"
+            " concat_ws(' ', toks[i], toks[i+1]))))"
+        ).cast("long")
+    )
+    top_frac = F.when(
+        n_tokens > 0, top_n.cast("double") / n_tokens.cast("double")
+    )
+    dup_frac = F.when(
+        n_bigrams > 0, dup_excess.cast("double") / n_bigrams.cast("double")
+    )
+    label = (
+        F.when(n_tokens == 0, "empty")
+        .when((top_frac > 0.2) | (dup_frac > 0.4), "repetitive")
+        .otherwise("ok")
+    )
+    return staged.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        top_n.alias("top_token_n"),
+        n_bigrams.alias("n_bigrams"),
+        dup_excess.alias("dup_bigram_excess"),
+        top_frac.alias("top_token_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        label.alias("repetition_label"),
+    )
+
+
+_TXT_REPETITION_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(list_max(list_transform(list_distinct(toks),
+              w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS top_token_n,
+         CAST(GREATEST(len(toks) - 1, 0) AS BIGINT) AS n_bigrams,
+         CAST(GREATEST(len(toks) - 1, 0)
+              - len(list_distinct(list_transform(range(1, GREATEST(len(toks), 1)),
+                    i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS dup_bigram_excess
+  FROM t
+)
+SELECT doc_id, n_tokens, top_token_n, n_bigrams, dup_bigram_excess,
+       CASE WHEN n_tokens > 0
+            THEN CAST(top_token_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         AS top_token_frac,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(dup_bigram_excess AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END
+         AS dup_bigram_frac,
+       CASE WHEN n_tokens = 0 THEN 'empty'
+            WHEN CAST(top_token_n AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.2
+              OR (n_bigrams > 0 AND CAST(dup_bigram_excess AS DOUBLE)
+                    / CAST(n_bigrams AS DOUBLE) > 0.4)
+            THEN 'repetitive' ELSE 'ok' END AS repetition_label
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_langid — marker-token language heuristic
 # ---------------------------------------------------------------------------
 
@@ -1227,6 +1315,9 @@ QUERIES = {
     "txt_bpe_tokens": QuerySpec(txt_bpe_tokens, _TXT_BPE_TOKENS_SQL, ("text",)),
     "txt_quality_score": QuerySpec(
         txt_quality_score, _TXT_QUALITY_SCORE_SQL, ("text",)
+    ),
+    "txt_repetition_filter": QuerySpec(
+        txt_repetition_filter, _TXT_REPETITION_FILTER_SQL, ("text", "gopher")
     ),
     "txt_langid": QuerySpec(txt_langid, _TXT_LANGID_SQL, ("text",)),
     "txt_fingerprint": QuerySpec(txt_fingerprint, _TXT_FINGERPRINT_SQL, ("text",)),

@@ -70,6 +70,24 @@ def test_round5_ops_survive_short_docs(spark, tmp_path):
     assert datapipe.curation_pipeline_e2e(spark, sf).count() == 0
 
 
+def test_repetition_filter_short_docs(spark, tmp_path):
+    """txt_repetition_filter on the degenerate corpus: the empty doc
+    labels 'empty' with NULL fractions (no divide-by-zero), <2-token
+    docs take the guarded zero-bigram path (Spark's sequence(0, -1)
+    descends — the guard is load-bearing), and a one-token doc is
+    top_token_frac = 1.0 -> repetitive."""
+    sf = _tiny_docs(spark, tmp_path)
+    rows = {r["doc_id"]: r for r in textops.txt_repetition_filter(spark, sf).collect()}
+    assert len(rows) == 6
+    assert rows[0]["repetition_label"] == "empty"
+    assert rows[0]["top_token_frac"] is None and rows[0]["dup_bigram_frac"] is None
+    assert rows[0]["dup_bigram_excess"] == 0 and rows[0]["n_bigrams"] == 0
+    assert rows[1]["repetition_label"] == "repetitive"  # 1/1 > 0.2
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["dup_bigram_excess"] == 0
+    assert rows[2]["top_token_frac"] == 0.5 and rows[2]["dup_bigram_excess"] == 0
+    assert rows[4]["repetition_label"] == "ok"  # 1/7 < 0.2, all bigrams unique
+
+
 def test_round5b_ops_survive_short_docs(spark, tmp_path):
     """Late round-5 entries on the degenerate corpus: the mixture
     sampler's integer rate math must survive a single-language corpus

@@ -396,3 +396,14 @@ def test_correlated_subquery_decorrelates(spark):
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
     assert "Join" in plan
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """evt_anomaly_mad's median/MAD tables (5 rows each) must come
+    back onto the events scan as BROADCAST joins — a shuffled join on
+    event_type (5 distinct values) would funnel the whole fact table
+    through 5 tasks. The anomaly fence itself is then map-side."""
+    plan = _plan(spark, "evt_anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
