@@ -67,6 +67,7 @@ HEADLINE = [
     # jaccard join's staged candidate counts).
     "sim_ann_join",
     "dedup_containment",
+    "contamination_bloom",
     "curation_pipeline_e2e",
     "merge_scd2",
     "samp_domain_mixture",

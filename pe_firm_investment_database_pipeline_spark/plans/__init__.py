@@ -57,6 +57,7 @@ def all_queries() -> dict[str, QuerySpec]:
         # new in round 5
         "txt_repetition_filter",
         "evt_anomaly_mad",
+        "contamination_bloom",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

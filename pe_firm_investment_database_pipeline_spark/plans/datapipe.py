@@ -460,6 +460,93 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 
 
 # ---------------------------------------------------------------------------
+# contamination_bloom — Bloom-prefiltered contamination join
+# ---------------------------------------------------------------------------
+#
+# The 1e9-shingle benchmark case: when the bench shingle set is too
+# big to broadcast as a HASH TABLE, its Bloom BITSET still fits
+# (m bits vs ~32 bytes/entry — a 64x reduction), so the corpus side
+# is pruned to probable-hits BEFORE the shuffle join and the exchange
+# carries ~FP-rate of the corpus instead of all of it. The filter is
+# built from relational primitives only: k=2 probe positions per
+# shingle, bit_or-aggregated int64 words, broadcast back as a
+# <=m/64-row table. False positives die in the exact join, so the
+# RESULT is exactly the containment join's — the oracle stays exact.
+# m is fixed 2^16 here (bench stand-in is tiny); at scale derive m
+# from the bench count in-plan exactly like the LSH nbits.
+
+_BLOOM_BITS = 1 << 16
+
+
+def _bloom_survivors(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Prune ``train`` (doc_id, s) to the rows whose shingle passes
+    the Bloom bitset built from ``bench``'s shingles — a superset of
+    the true matches. k=2 probes: the low 16 bits and next 16 bits of
+    the 48-bit md5-derived shingle hash (independent by
+    construction)."""
+    m = _BLOOM_BITS
+    probe1, probe2 = f"s % {m}", f"(s div {m}) % {m}"
+    bloom = (
+        bench.select(
+            F.explode(F.array(F.expr(probe1), F.expr(probe2))).alias("h")
+        )
+        .groupBy(F.expr("h div 64").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    survivors = train
+    for i, probe in enumerate((probe1, probe2), start=1):
+        b = bloom.select(
+            F.col("word").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        survivors = (
+            survivors.withColumn(f"h{i}", F.expr(probe))
+            .join(F.broadcast(b), F.expr(f"h{i} div 64 = w{i}"))
+            .where(
+                F.expr(
+                    f"(bits{i} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(h{i} % 64 AS INT))) != 0"
+                )
+            )
+            .drop(f"w{i}", f"bits{i}", f"h{i}")
+        )
+    return survivors
+
+
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark-contamination check: same output
+    as `contamination_ngram` (the exact join removes Bloom false
+    positives), but the corpus side is pruned by a broadcast bitset
+    before any join — the shape that survives a benchmark set too
+    large to broadcast-hash-join. Reduction is pinned by
+    tests/test_scale_blocking.py::test_bloom_prefilter_prunes."""
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    # exact join over the pruned side — deliberately NOT broadcast-
+    # hinted: this entry demonstrates the non-broadcastable-bench
+    # shape (AQE may still pick broadcast at test scale; at volume
+    # both sides shuffle on s, with only bloom survivors moving)
+    return (
+        _bloom_survivors(train, bench)
+        .join(bench, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .where(F.col("n_shared_shingles") >= _CONTAM_MIN_SHARED)
+    )
+
+
+# identical output to the exact containment join by construction —
+# the oracle is the same SQL as contamination_ngram's
+_CONTAMINATION_BLOOM_SQL = _CONTAMINATION_NGRAM_SQL
+
+
+# ---------------------------------------------------------------------------
 # curation_pipeline_e2e — the composed training-data pipeline
 # ---------------------------------------------------------------------------
 
@@ -709,6 +796,11 @@ QUERIES = {
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")
+    ),
+    "contamination_bloom": QuerySpec(
+        contamination_bloom,
+        _CONTAMINATION_BLOOM_SQL,
+        ("dedup", "contamination", "bloom"),
     ),
     "curation_pipeline_e2e": QuerySpec(
         curation_pipeline_e2e, _CURATION_PIPELINE_SQL, ("pipeline", "curation")

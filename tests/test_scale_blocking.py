@@ -570,3 +570,39 @@ def test_ann_index_append_sees_batch(spark, sf_dir):
     for qid, r in top1.items():
         assert r["nbr_id"] == qid + 1_000_000, (qid, r)
         assert r["cosine"] > 0.999999, (qid, r["cosine"])
+
+
+def test_bloom_prefilter_prunes(spark, sf_dir):
+    """contamination_bloom's bitset must do real work: the pruned
+    train side entering the exact join is a small fraction of all
+    train shingles (bench shingles load ~11% of the 2^16 bits, so
+    the two-probe FP rate is ~1%), while the final result is EXACTLY
+    contamination_ngram's — false positives die in the exact join,
+    true positives are never dropped (a Bloom filter has no false
+    negatives)."""
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _bloom_survivors,
+        _shingled,
+        contamination_bloom,
+        contamination_ngram,
+    )
+
+    sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    train = sh.where(F.col("doc_id") % 97 != 0)
+    n_train = train.count()
+    n_surv = _bloom_survivors(train, bench).count()
+    assert n_surv < 0.2 * n_train, (n_surv, n_train)
+    got = {
+        (r["doc_id"], r["bench_id"], r["n_shared_shingles"])
+        for r in contamination_bloom(spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["bench_id"], r["n_shared_shingles"])
+        for r in contamination_ngram(spark, sf_dir).collect()
+    }
+    assert got == want
