@@ -59,6 +59,7 @@ HEADLINE = [
     "agg_percentiles",
     "agg_percentile_approx",
     "evt_anomaly_mad",
+    "agg_bitmap_distinct",
     "sim_ivf_multiprobe",
     # NEW entries that share a staged index with a prev-scope entry
     # run AFTER it, so the prev-scope entry's timing keeps its

@@ -58,6 +58,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_repetition_filter",
         "evt_anomaly_mad",
         "contamination_bloom",
+        "agg_bitmap_distinct",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

@@ -606,3 +606,40 @@ def test_bloom_prefilter_prunes(spark, sf_dir):
         for r in contamination_ngram(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_bitmap_distinct_incremental_merge(spark, sf_dir):
+    """The bitmap-distinct claim that matters at 100 TB: bitmaps
+    built INDEPENDENTLY per ingest slice (two halves of the events
+    table here) and or-merged afterwards must give exactly the same
+    distinct counts as a direct countDistinct over everything —
+    that's what lets a daily pipeline persist per-day bitmap states
+    and never re-expand history."""
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("slice"),
+        F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+        F.expr("bitmap_bit_position(user_id)").alias("pos"),
+    )
+    per_slice = ev.groupBy("event_type", "slice", "bucket").agg(
+        F.expr("bitmap_construct_agg(pos)").alias("bm")
+    )
+    merged = (
+        per_slice.groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("bitmap_count(bm)")).alias("n"))
+    )
+    got = {r["event_type"]: r["n"] for r in merged.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want
