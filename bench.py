@@ -53,6 +53,7 @@ HEADLINE = [
     "stream_join_interval_outer",
     "mm_feature_extract",
     "mm_resize",
+    "mm_phash_neardup",
     "chunk_token_windows",
     "io_http_fetch",
     "udaf_grouped_pandas",

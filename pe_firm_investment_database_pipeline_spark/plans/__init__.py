@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_anomaly_mad",
         "contamination_bloom",
         "agg_bitmap_distinct",
+        "mm_phash_neardup",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

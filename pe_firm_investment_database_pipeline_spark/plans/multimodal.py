@@ -394,9 +394,102 @@ FROM frames
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_phash_neardup — banded perceptual-hash near-dup over binary payloads
+# ---------------------------------------------------------------------------
+
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over IMAGE payloads via a banded
+    60-bit perceptual hash — the multimodal member of the dedup
+    suite. A real pipeline computes the signature from decoded pixel
+    blocks (DCT means); the codec is stubbed (`decode_image_real`),
+    so the deterministic stand-in hashes the payload bytes (md5
+    prefix — JVM-side, no Python hop at all), which preserves the
+    load-bearing property: identical payloads get identical
+    signatures. Everything downstream is the REAL scale machinery:
+    metadata prune to images BEFORE hashing, 4 x 15-bit bands,
+    candidate pairs ONLY via the (band, bits) equi-join (pigeonhole:
+    hamming <= 3 of 60 implies one exact band match), exact
+    bit_count(xor) hamming re-check. The fixture ships no binary
+    dups, so a clone batch (doc_id + 1e6, every 30th image) is
+    planted IN-PLAN — each planted pair must surface at hamming 0,
+    making the entry self-verifying on both engines."""
+    p = _payloads(spark, sf_dir).where(F.col("media_type") == "image/png")
+    base = p.select("doc_id", "payload")
+    clones = base.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload"
+    )
+    sigs = (
+        base.unionByName(clones)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(conv(substring(md5(payload), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("sig"),
+        )
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct(b AS band,"
+                " (sig div shiftleft(CAST(1 AS BIGINT), b * 15)) % 32768"
+                " AS bits))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.expr("bit_count(a.sig ^ b.sig)").cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+_MM_PHASH_NEARDUP_SQL = """
+WITH p AS (
+  -- DuckDB's md5 is VARCHAR-only; the payload is the utf-8 encoding
+  -- of text, so md5(text) equals Spark's md5(payload) byte-for-byte
+  SELECT doc_id, md5(text) AS payload_md5
+  FROM documents WHERE doc_id % 3 = 0
+), allp AS (
+  SELECT doc_id, payload_md5 FROM p
+  UNION ALL
+  SELECT doc_id + 1000000, payload_md5 FROM p WHERE doc_id % 30 = 0
+), sigs AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(payload_md5, 1, 15)) AS BIGINT) AS sig
+  FROM allp
+), bands AS (
+  SELECT doc_id, sig, b.band,
+         (sig // (CAST(1 AS BIGINT) << (b.band * 15))) % 32768 AS bits
+  FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 QUERIES = {
     "mm_binary_meta": QuerySpec(
         mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
+    ),
+    "mm_phash_neardup": QuerySpec(
+        mm_phash_neardup, _MM_PHASH_NEARDUP_SQL, ("multimodal", "dedup", "phash")
     ),
     "mm_audio_resample": QuerySpec(
         mm_audio_resample, _MM_AUDIO_RESAMPLE_SQL, ("multimodal", "pandas_udf")

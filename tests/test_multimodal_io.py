@@ -67,3 +67,28 @@ def test_frame_sample_batch_shape(spark):
         assert len(idxs) <= MAX_FRAMES
         for f in frames:
             assert f["frame_off"] == f["frame_idx"] * FRAME_BYTES
+
+
+def test_phash_neardup_finds_planted_clones(spark, sf_dir):
+    """mm_phash_neardup must surface EVERY planted clone pair
+    (identical payload -> identical signature -> same band keys) at
+    hamming 0, and nothing below the band-collision floor: with
+    md5-random signatures, non-clone pairs within hamming 3 of 60
+    bits are ~never present, so the result IS the planted set — the
+    self-verifying property the entry relies on."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        mm_phash_neardup,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    rows = mm_phash_neardup(spark, sf_dir).collect()
+    assert rows
+    planted = {
+        (r["doc_id"], r["doc_id"] + 1000000)
+        for r in load_table(spark, sf_dir, "documents")
+        .where("doc_id % 30 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    got_exact = {(r["doc1"], r["doc2"]) for r in rows if r["hamming"] == 0}
+    assert planted <= got_exact
