@@ -81,6 +81,7 @@ HEADLINE = [
     "mm_audio_resample",
     "sim_pq_topk",
     "samp_topk_hash",
+    "samp_train_split",
     "evt_attribution",
     "agg_equidepth_hist",
     "json_variant_ops",

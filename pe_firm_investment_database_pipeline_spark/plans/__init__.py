@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "contamination_bloom",
         "agg_bitmap_distinct",
         "mm_phash_neardup",
+        "samp_train_split",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

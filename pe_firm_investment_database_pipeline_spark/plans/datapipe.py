@@ -460,6 +460,58 @@ HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
 
 
 # ---------------------------------------------------------------------------
+# samp_train_split — leakage-safe deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+def samp_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment keyed on the
+    CONTENT digest, not the doc id: exact duplicates hash to the same
+    split by construction, so a train copy of a test document — the
+    classic eval-leakage bug of id-keyed splits — cannot exist.
+    Assignment is a pure map-side projection (hash -> bucket ->
+    label); the output is the per-(lang, split) manifest a training
+    run consumes. At 100 TB the same projection tags every row at
+    scan speed and the manifest is one tiny aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('split:', md5(text))), 1, 12),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    tagged = d.select(
+        "lang",
+        split.alias("split"),
+        F.size(F.expr(_TOKENS)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+_SAMP_TRAIN_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT lang,
+         CASE
+           WHEN CAST(('0x' || substr(md5('split:' || md5(text)), 1, 12)) AS BIGINT)
+                % 100 < 90 THEN 'train'
+           WHEN CAST(('0x' || substr(md5('split:' || md5(text)), 1, 12)) AS BIGINT)
+                % 100 < 95 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM tagged GROUP BY lang, split
+"""
+
+
+# ---------------------------------------------------------------------------
 # contamination_bloom — Bloom-prefiltered contamination join
 # ---------------------------------------------------------------------------
 #
@@ -801,6 +853,9 @@ QUERIES = {
         contamination_bloom,
         _CONTAMINATION_BLOOM_SQL,
         ("dedup", "contamination", "bloom"),
+    ),
+    "samp_train_split": QuerySpec(
+        samp_train_split, _SAMP_TRAIN_SPLIT_SQL, ("sampling", "split")
     ),
     "curation_pipeline_e2e": QuerySpec(
         curation_pipeline_e2e, _CURATION_PIPELINE_SQL, ("pipeline", "curation")

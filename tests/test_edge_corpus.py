@@ -132,3 +132,30 @@ def test_round5c_ops_survive_short_docs(spark, tmp_path):
     pick = components.dedup_canonical_pick(spark, sf).collect()
     assert len(pick) == 6
     assert {r["doc_id"] for r in pick if not r["is_canonical"]} == {5}
+
+
+def test_train_split_keeps_duplicates_together(spark, tmp_path):
+    """samp_train_split keys the split on the CONTENT digest, so the
+    planted exact-duplicate pair (docs 4 and 5) can never straddle
+    train/test — the eval-leakage property id-keyed splits lack.
+    Verified on the per-doc assignment (recomputing the entry's split
+    expression over the tiny corpus)."""
+    sf = _tiny_docs(spark, tmp_path)
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.plans import datapipe
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    manifest = datapipe.samp_train_split(spark, sf).collect()
+    assert sum(r["n_docs"] for r in manifest) == 6
+    bucket = F.expr(
+        "CAST(conv(substring(md5(concat('split:', md5(text))), 1, 12),"
+        " 16, 10) AS BIGINT) % 100"
+    )
+    per_doc = {
+        r["doc_id"]: r["b"]
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", bucket.alias("b"))
+        .collect()
+    }
+    assert per_doc[4] == per_doc[5]  # identical text -> identical split
