@@ -76,6 +76,7 @@ HEADLINE = [
     "txt_pii_redact",
     "agg_corr_stats",
     "profile_drift",
+    "profile_ks_drift",
     "join_scd2_asof",
     "agg_hll_rollup",
     "mm_audio_resample",

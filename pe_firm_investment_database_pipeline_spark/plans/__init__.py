@@ -61,6 +61,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "agg_bitmap_distinct",
         "mm_phash_neardup",
         "samp_train_split",
+        "profile_ks_drift",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

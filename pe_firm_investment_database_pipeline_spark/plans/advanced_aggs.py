@@ -451,6 +451,103 @@ FROM t
 
 
 # ---------------------------------------------------------------------------
+# profile_ks_drift — exact two-sample Kolmogorov-Smirnov drift
+# ---------------------------------------------------------------------------
+
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic per event type between the early
+    and late halves of the time axis (split at the in-plan midpoint of
+    [min ts, max ts]) — the distribution-shape drift gate that
+    share/mean comparisons (profile_drift) can't see. All-integer
+    formulation: D = max_v |cA(v)*nB - cB(v)*nA| / (nA*nB), with the
+    numerator exact int64 (counts <= 1e7 per side keep the product in
+    range at any realistic group size; beyond that, scale to ppm).
+
+    Plan shape: one scan -> groupBy (type, value-cents) compresses to
+    the DISTINCT-VALUE distribution before any window (the cumulative
+    window then runs over O(#distinct values) rows per type, bounded
+    by the value domain — NOT by corpus size, so the per-type ordered
+    cumsum does not serialize raw rows at 100 TB); the (min, max)
+    split epoch is one tiny broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_us", cents("value").alias("v")
+    )
+    lim = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us")
+    )
+    d = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.when(F.col("ts_us") < F.col("mid_us"), 1)).alias("da"),
+            F.count(F.when(F.col("ts_us") >= F.col("mid_us"), 1)).alias("db"),
+        )
+    )
+    wc = W.partitionBy("event_type").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("event_type")
+    c = (
+        d.withColumn("ca", F.sum("da").over(wc))
+        .withColumn("cb", F.sum("db").over(wc))
+        .withColumn("na", F.sum("da").over(wt))
+        .withColumn("nb", F.sum("db").over(wt))
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max(F.expr("abs(ca * nb - cb * na)")).alias("ks_num"),
+            F.max("na").alias("n_early"),
+            F.max("nb").alias("n_late"),
+        )
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "ks_num",
+            F.expr(
+                "CASE WHEN n_early > 0 AND n_late > 0 THEN"
+                " CAST(ks_num AS DOUBLE) / (CAST(n_early AS DOUBLE)"
+                " * CAST(n_late AS DOUBLE)) END"
+            ).alias("ks_stat"),
+        )
+    )
+
+
+_PROFILE_KS_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), d AS (
+  SELECT event_type, v,
+         COUNT(*) FILTER (WHERE ts_us < mid_us) AS da,
+         COUNT(*) FILTER (WHERE ts_us >= mid_us) AS db
+  FROM ev CROSS JOIN lim GROUP BY event_type, v
+), c AS (
+  SELECT event_type,
+         SUM(da) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS ca,
+         SUM(db) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cb,
+         SUM(da) OVER (PARTITION BY event_type) AS na,
+         SUM(db) OVER (PARTITION BY event_type) AS nb
+  FROM d
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_early,
+       CAST(MAX(nb) AS BIGINT) AS n_late,
+       CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+       CASE WHEN MAX(na) > 0 AND MAX(nb) > 0 THEN
+         CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+           / (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)) END AS ks_stat
+FROM c GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — wide-format pivot
 # ---------------------------------------------------------------------------
 
@@ -877,6 +974,9 @@ QUERIES = {
     ),
     "profile_drift": QuerySpec(
         profile_drift, _PROFILE_DRIFT_SQL, ("profile", "drift")
+    ),
+    "profile_ks_drift": QuerySpec(
+        profile_ks_drift, _PROFILE_KS_DRIFT_SQL, ("profile", "drift", "ks")
     ),
     "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),

@@ -643,3 +643,38 @@ def test_bitmap_distinct_incremental_merge(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_ks_drift_detects_planted_shift(spark, tmp_path):
+    """profile_ks_drift semantics: a planted distribution shift
+    (early epoch values ~1, late epoch values ~100, disjoint
+    supports) must yield the maximal KS statistic 1.0 exactly
+    (ks_num = n_early * n_late), while an identical-distribution
+    type stays well below it."""
+    import datetime as dt
+
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        profile_ks_drift,
+    )
+
+    rows = []
+    eid = 0
+    for i in range(50):
+        early = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+        late = dt.datetime(2024, 6, 1) + dt.timedelta(minutes=i)
+        rows.append((eid, early, 1, "shifted", 1.0 + i * 0.01, "{}")); eid += 1
+        rows.append((eid, late, 1, "shifted", 100.0 + i * 0.01, "{}")); eid += 1
+        # same uniform ramp in both epochs -> low KS
+        rows.append((eid, early, 1, "stable", 5.0 + i * 0.01, "{}")); eid += 1
+        rows.append((eid, late, 1, "stable", 5.0 + i * 0.01, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        schema="event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r["event_type"]: r for r in profile_ks_drift(spark, d).collect()}
+    sh = out["shifted"]
+    assert sh["ks_stat"] == 1.0 and sh["ks_num"] == sh["n_early"] * sh["n_late"]
+    assert out["stable"]["ks_stat"] < 0.1
