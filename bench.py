@@ -88,6 +88,7 @@ HEADLINE = [
     "json_variant_ops",
     "snk_partition_overwrite",
     "win_distribution_fns",
+    "win_ewma",
     "join_null_safe",
     "sim_ann_index_append",
     "sql_cte_windowed",

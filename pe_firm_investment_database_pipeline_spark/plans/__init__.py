@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "mm_phash_neardup",
         "samp_train_split",
         "profile_ks_drift",
+        "win_ewma",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

@@ -851,6 +851,62 @@ WINDOW w AS (PARTITION BY o_custkey
 """
 
 
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event value per user
+    (decay 1/2, bounded 8-event memory) — the time-series smoothing
+    window, in EXACT integer arithmetic: the trailing values are
+    collected over a ROWS frame (deterministic frame order on
+    (ts_us, event_id)), weighted by powers of two (element i of the
+    s-row frame gets 2^i, newest highest), and the weighted sum stays
+    int64 (cents * 2^7 max). ewma = num / (2^s - 1) is one double
+    division of identical integers — bit-identical across engines,
+    unlike a float-recursive EWMA whose accumulation order differs.
+    One shuffle on user_id; the frame is O(8) per row at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_us", cents("value").alias("v")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    lst = F.collect_list("v").over(w)
+    staged = ev.withColumn("lst", lst)
+    num = F.expr(
+        "aggregate(zip_with(lst, sequence(0, size(lst) - 1),"
+        " (x, i) -> x * shiftleft(CAST(1 AS BIGINT), i)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    den = F.expr("shiftleft(CAST(1 AS BIGINT), size(lst)) - 1")
+    return staged.select(
+        "event_id",
+        "user_id",
+        (F.col("v") / 100.0).alias("value"),
+        F.size("lst").cast("long").alias("n_window"),
+        (num.cast("double") / den.cast("double") / 100.0).alias("ewma_usd"),
+    )
+
+
+_WIN_EWMA_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), staged AS (
+  SELECT event_id, user_id, v,
+         list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS lst
+  FROM ev
+)
+SELECT event_id, user_id, v / 100.0 AS value,
+       CAST(len(lst) AS BIGINT) AS n_window,
+       CAST(list_sum(list_transform(range(1, len(lst) + 1),
+              i -> lst[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS DOUBLE)
+         / CAST((CAST(1 AS BIGINT) << len(lst)) - 1 AS DOUBLE) / 100.0 AS ewma_usd
+FROM staged
+"""
+
+
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (segment, priority) with grouping_id — all four
     grouping-set combinations in one Expand pass (§2.4
@@ -1271,6 +1327,7 @@ QUERIES = {
     "win_range_frame": QuerySpec(
         win_range_frame, _WIN_RANGE_FRAME_SQL, ("window", "frame")
     ),
+    "win_ewma": QuerySpec(win_ewma, _WIN_EWMA_SQL, ("window", "ewma")),
     "agg_cube": QuerySpec(agg_cube, _AGG_CUBE_SQL, ("agg", "cube")),
     "win_best_match": QuerySpec(
         win_best_match,
