@@ -116,7 +116,18 @@ HEADLINE = [
     "snk_zorder_layout",
 ]
 
-RUNS = 3  # best-of-N: damps host-contention noise in shared CI
+# best-of-N, adaptive: every entry gets AT LEAST one repeat (the
+# first run pays cold staging/index builds — recording it would make
+# round-over-round ratios measure cache state, not the query), and
+# sub-second queries get a third run (a stray 100 ms is a 30% swing
+# there; multi-second queries are work-dominated). Bounds the
+# 79-entry sweep's wall time as HEADLINE grows without changing what
+# is measured: the warm best, same as the old uniform best-of-3.
+RUNS = 3
+
+
+def _runs_for(first_run_sec: float) -> int:
+    return RUNS if first_run_sec < 1.5 else 2
 
 
 def main() -> None:
@@ -136,12 +147,21 @@ def main() -> None:
     registry["sim_knn_blocked"].fn(spark, warm_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # also warm the TARGET sf's lineitem/orders scan (OS page cache +
+    # footer reads): the first timed entry otherwise pays the cold
+    # filesystem once per session, which the old uniform best-of-3
+    # hid in its discarded first run
+    registry["flagship_revenue_by_nation"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for op_id in HEADLINE:
         fn = registry[op_id].fn
-        best = float("inf")
-        for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = time.perf_counter() - t0
+        for _ in range(_runs_for(best) - 1):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
