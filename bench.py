@@ -84,6 +84,7 @@ HEADLINE = [
     "samp_topk_hash",
     "samp_train_split",
     "evt_attribution",
+    "evt_audience_overlap",
     "agg_equidepth_hist",
     "json_variant_ops",
     "snk_partition_overwrite",

@@ -63,6 +63,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_train_split",
         "profile_ks_drift",
         "win_ewma",
+        "evt_audience_overlap",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

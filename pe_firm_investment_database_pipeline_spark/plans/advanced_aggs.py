@@ -548,6 +548,79 @@ FROM c GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_audience_overlap — pairwise exact audience intersection
+# ---------------------------------------------------------------------------
+
+def evt_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every ordered pair of event
+    types, how many users did BOTH, and the Jaccard of the two user
+    sets. Plan shape for 100 TB: ONE shuffle on user_id builds each
+    user's distinct type set; the pair explode is map-side and
+    bounded by |types|^2 per user (25 here), so the pair aggregation
+    input is O(users x 25), never a self-join of the events table on
+    user_id (which explodes quadratically in per-user activity).
+    Set sizes join back from the tiny per-type distinct aggregate
+    (broadcast); Jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a division of
+    exact integers."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, a ->"
+                " transform(filter(types, b -> b > a),"
+                " b -> struct(a AS type_a, b AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    inter = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    sizes = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    a = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    b = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(a), "type_a")
+        .join(F.broadcast(b), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+_EVT_AUDIENCE_OVERLAP_SQL = """
+WITH du AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n_users FROM du GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b,
+       sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+       CAST(n_both AS DOUBLE)
+         / CAST(sa.n_users + sb.n_users - n_both AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_pivot — wide-format pivot
 # ---------------------------------------------------------------------------
 
@@ -977,6 +1050,9 @@ QUERIES = {
     ),
     "profile_ks_drift": QuerySpec(
         profile_ks_drift, _PROFILE_KS_DRIFT_SQL, ("profile", "drift", "ks")
+    ),
+    "evt_audience_overlap": QuerySpec(
+        evt_audience_overlap, _EVT_AUDIENCE_OVERLAP_SQL, ("events", "overlap")
     ),
     "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
