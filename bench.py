@@ -85,6 +85,7 @@ HEADLINE = [
     "samp_train_split",
     "evt_attribution",
     "evt_audience_overlap",
+    "evt_cusum_changepoint",
     "agg_equidepth_hist",
     "json_variant_ops",
     "snk_partition_overwrite",

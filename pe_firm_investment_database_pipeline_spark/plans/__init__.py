@@ -64,6 +64,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "profile_ks_drift",
         "win_ewma",
         "evt_audience_overlap",
+        "evt_cusum_changepoint",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

@@ -548,6 +548,130 @@ FROM c GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_cusum_changepoint — distributed CUSUM mean-shift detection
+# ---------------------------------------------------------------------------
+
+_CUSUM_H = 100_000  # alarm threshold in cents of cumulative excess
+
+
+def evt_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift monitor per event type, DISTRIBUTED: the
+    classic recursion s_t = max(0, s_{t-1} + (x_t - target)) is not
+    window-expressible, but its prefix identity is —
+    s_t = c_t - min(0, min_{i<=t} c_i) with c the running sum of
+    deviations — and prefix sums/minima DECOMPOSE over day blocks:
+    within-day cumsum/cummin (ordered ROWS windows per (type, day))
+    plus a tiny day-level offset table (per-day totals and minima,
+    one window over #days rows). No per-type total order ever runs
+    through one partition — the same block-cumsum shape as
+    shard_by_token_budget, which a naive ORDER BY ts cumsum would
+    serialize at 100 TB. The target is the per-type floor-mean
+    (integer div, broadcast); everything stays int64 cents, so the
+    oracle — the NAIVE sequential formulation — matches exactly.
+    Output is the compact per-(type, day) monitor summary."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.col("ts_date").alias("day"),
+        cents("value").alias("v"),
+    )
+    tgt = ev.groupBy("event_type").agg(
+        F.expr("sum(v) div count(1)").alias("target_c")
+    )
+    d = ev.join(F.broadcast(tgt), "event_type").withColumn(
+        "dev", F.col("v") - F.col("target_c")
+    )
+    w_in = (
+        W.partitionBy("event_type", "day")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    rows = d.withColumn("c_in", F.sum("dev").over(w_in)).withColumn(
+        "m_in", F.min("c_in").over(w_in)
+    )
+    day_tot = rows.groupBy("event_type", "day").agg(
+        F.sum("dev").alias("day_sum"),
+        F.min("c_in").alias("day_min_in"),
+    )
+    w_day = W.partitionBy("event_type").orderBy("day")
+    w_prev = w_day.rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        day_tot.withColumn(
+            "day_offset",
+            F.coalesce(F.sum("day_sum").over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "m_prev",
+            F.least(
+                F.lit(0).cast("long"),
+                F.coalesce(
+                    F.min(F.col("day_offset") + F.col("day_min_in")).over(w_prev),
+                    F.lit(0),
+                ),
+            ),
+        )
+        .select("event_type", "day", "day_offset", "m_prev")
+    )
+    scored = (
+        rows.join(offsets, ["event_type", "day"])
+        .withColumn("c", F.col("day_offset") + F.col("c_in"))
+        .withColumn(
+            "s",
+            F.col("c")
+            - F.least(F.col("m_prev"), F.col("day_offset") + F.col("m_in")),
+        )
+    )
+    return (
+        scored.groupBy(
+            "event_type",
+            # epoch-day int: raw DATE/TIMESTAMP values stay out of the
+            # comparison surface (engine/pandas date repr differs)
+            F.expr("CAST(unix_date(day) AS BIGINT)").alias("day_no"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("s").alias("max_s"),
+            F.sum(F.when(F.col("s") > _CUSUM_H, 1).otherwise(0)).alias(
+                "n_alarms"
+            ),
+            F.max("c").alias("max_c"),
+        )
+    )
+
+
+_EVT_CUSUM_CHANGEPOINT_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+         ts::DATE AS day, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), tgt AS (
+  SELECT event_type, SUM(v) // COUNT(*) AS target_c FROM ev GROUP BY event_type
+), cs AS (
+  SELECT e.event_type, e.day, ts_us, event_id,
+         SUM(v - target_c) OVER (PARTITION BY e.event_type
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+  FROM ev e JOIN tgt USING (event_type)
+), seq AS (
+  SELECT event_type, day, c,
+         LEAST(0, MIN(c) OVER (PARTITION BY event_type
+                               ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING)) AS mn
+  FROM cs
+)
+SELECT event_type,
+       CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) AS day_no,
+       COUNT(*) AS n_events,
+       CAST(MAX(c - mn) AS BIGINT) AS max_s,
+       CAST(SUM(CASE WHEN c - mn > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MAX(c) AS BIGINT) AS max_c
+FROM seq GROUP BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_audience_overlap — pairwise exact audience intersection
 # ---------------------------------------------------------------------------
 
@@ -1053,6 +1177,11 @@ QUERIES = {
     ),
     "evt_audience_overlap": QuerySpec(
         evt_audience_overlap, _EVT_AUDIENCE_OVERLAP_SQL, ("events", "overlap")
+    ),
+    "evt_cusum_changepoint": QuerySpec(
+        evt_cusum_changepoint,
+        _EVT_CUSUM_CHANGEPOINT_SQL,
+        ("events", "changepoint", "cusum"),
     ),
     "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
