@@ -39,6 +39,7 @@ HEADLINE = [
     "txt_quality_score",
     "txt_repetition_filter",
     "txt_bpe_tokens",
+    "txt_winnowing",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "win_ewma",
         "evt_audience_overlap",
         "evt_cusum_changepoint",
+        "txt_winnowing",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

@@ -1220,6 +1220,92 @@ FROM staged
 
 
 # ---------------------------------------------------------------------------
+# txt_winnowing — full winnowing fingerprint selection (MOSS)
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # winnowing window over consecutive 3-gram hashes
+
+
+def txt_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full winnowing (Schleimer et al. 2003, the MOSS algorithm):
+    positional token-3-gram hashes, then the minimum of every sliding
+    window of {w} consecutive hashes, deduplicated — guaranteeing a
+    shared fingerprint for any match of length >= w+k-1 tokens while
+    storing only ~2/(w+1) of all hashes. The per-doc selection is a
+    pure array computation (zero shuffle, scan speed at 100 TB); a
+    matching service then inverts (fingerprint -> doc) with the same
+    equi-join shape as the shingle dedup ops. Output is the compact
+    per-doc summary with an order-insensitive mod-1e9+7 checksum over
+    the selected prints — exact int64 on both engines. Docs with
+    fewer than w windows keep the single global min; docs under 3
+    tokens have no grams (zero fingerprints, NULL stats)."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    # the >=3 guard sits INSIDE the hs expression: the column is
+    # evaluated for every row, and sequence(0, -1) descends (edge
+    # corpus rule) — an outer CASE on a separate column can't save it
+    hs = (
+        "CASE WHEN size(toks) >= 3 THEN "
+        "transform(sequence(0, size(toks) - 3), i -> "
+        "CAST(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2])), "
+        "1, 12), 16, 10) AS BIGINT)) "
+        "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    w = _WINNOW_W
+    sel = (
+        f"array_distinct(CASE "
+        f"WHEN size(hs) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN size(hs) < {w} THEN array(array_min(hs)) "
+        f"ELSE transform(sequence(0, size(hs) - {w}), j -> "
+        f"array_min(slice(hs, j + 1, {w}))) END)"
+    )
+    out = staged.withColumn("hs", F.expr(hs)).withColumn("sel", F.expr(sel))
+    return out.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n_grams"),
+        F.size("sel").cast("long").alias("n_fps"),
+        F.expr("array_min(sel)").alias("fp_min"),
+        F.expr("array_max(sel)").alias("fp_max"),
+        F.expr(
+            "aggregate(sel, 0L, (acc, x) -> (acc + x) % 1000000007)"
+        ).alias("fp_checksum"),
+    )
+
+
+_TXT_WINNOWING_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), hashed AS (
+  SELECT doc_id, len(toks) AS n_toks,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1), i ->
+             CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                                      || toks[i+2]), 1, 12)) AS BIGINT))
+         ELSE [] END AS hs
+  FROM staged
+), selected AS (
+  SELECT doc_id, n_toks, hs,
+         list_distinct(CASE
+           WHEN n_toks < 3 THEN []
+           WHEN len(hs) < {_WINNOW_W} THEN [list_min(hs)]
+           ELSE list_transform(range(1, len(hs) - {_WINNOW_W} + 2), j ->
+                  list_min(hs[j : j + {_WINNOW_W} - 1]))
+         END) AS sel
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_grams,
+       CAST(len(sel) AS BIGINT) AS n_fps,
+       CAST(list_min(sel) AS BIGINT) AS fp_min,
+       CAST(list_max(sel) AS BIGINT) AS fp_max,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), sel),
+                        (acc, x) -> (acc + x) % 1000000007) AS BIGINT)
+         AS fp_checksum
+FROM selected
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_bpe_tokens — BPE-ish regex tokenization (GPT-2-style pattern)
 # ---------------------------------------------------------------------------
 
@@ -1311,6 +1397,9 @@ QUERIES = {
     ),
     "txt_rolling_hash": QuerySpec(
         txt_rolling_hash, _TXT_ROLLING_HASH_SQL, ("text", "fingerprint")
+    ),
+    "txt_winnowing": QuerySpec(
+        txt_winnowing, _TXT_WINNOWING_SQL, ("text", "fingerprint", "winnowing")
     ),
     "txt_bpe_tokens": QuerySpec(txt_bpe_tokens, _TXT_BPE_TOKENS_SQL, ("text",)),
     "txt_quality_score": QuerySpec(

@@ -159,3 +159,21 @@ def test_train_split_keeps_duplicates_together(spark, tmp_path):
         .collect()
     }
     assert per_doc[4] == per_doc[5]  # identical text -> identical split
+
+
+def test_winnowing_short_docs(spark, tmp_path):
+    """txt_winnowing on the degenerate corpus: <3-token docs have
+    zero grams and zero fingerprints with NULL min/max (the guarded
+    empty-array path — an unguarded hs column would hit Spark's
+    descending sequence under ANSI); docs with fewer than w windows
+    keep the single global min; the planted identical pair shares an
+    identical fingerprint checksum (the winnowing guarantee)."""
+    sf = _tiny_docs(spark, tmp_path)
+    rows = {r["doc_id"]: r for r in textops.txt_winnowing(spark, sf).collect()}
+    assert len(rows) == 6
+    for did in (0, 1, 2):
+        assert rows[did]["n_grams"] == 0 and rows[did]["n_fps"] == 0
+        assert rows[did]["fp_min"] is None and rows[did]["fp_checksum"] == 0
+    assert rows[3]["n_grams"] == 1 and rows[3]["n_fps"] == 1  # < w windows
+    assert rows[4]["fp_checksum"] == rows[5]["fp_checksum"]  # identical docs
+    assert rows[4]["n_fps"] >= 1
