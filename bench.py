@@ -96,6 +96,7 @@ HEADLINE = [
     "sim_ann_index_append",
     "sql_cte_windowed",
     "src_corrupt_tolerant",
+    "src_text_scan",
     "rag_retrieve_docs",
     # runs after dedup_incremental_lsh so the persisted band index is
     # warm and the entry times the streaming join, not the index build

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_audience_overlap",
         "evt_cusum_changepoint",
         "txt_winnowing",
+        "src_text_scan",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

@@ -956,6 +956,53 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text interchange — the rawest ingest format a
+    corpus pipeline meets (log shipping, one-doc-per-line dumps):
+    documents are exported as tab-prefixed lines (doc_id TAB text,
+    valid because the fixture text is newline/tab-free), read BACK
+    through ``spark.read.text`` — one string column, the reader every
+    other format builds on — re-parsed with JVM-side split/cast, and
+    summarized per parsed id bucket. The oracle runs the same parse
+    off the documents view, so the round-trip certifies the text
+    boundary loses nothing (including empty documents, which survive
+    as 'id<TAB>' lines). Text scans split by line ranges at 100 TB —
+    same parallelism surface as any other file source."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr("concat(CAST(doc_id AS STRING), '\\t', text)").alias("value")
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_text_{h}_{app}")
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out).select(
+        F.expr("CAST(split_part(value, '\\t', 1) AS BIGINT)").alias("doc_id"),
+        F.expr("substring(value, length(split_part(value, '\\t', 1)) + 2)").alias(
+            "text"
+        ),
+    )
+    return back.groupBy((F.col("doc_id") % 10).alias("id_bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(F.expr("CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)"))
+        .alias("content_checksum"),
+    )
+
+
+_SRC_TEXT_SCAN_SQL = """
+SELECT doc_id % 10 AS id_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM documents GROUP BY doc_id % 10
+"""
+
+
 _BINFILE_N = 24
 
 
@@ -1140,6 +1187,9 @@ QUERIES = {
     ),
     "src_orc_roundtrip": QuerySpec(
         src_orc_roundtrip, _SRC_ORC_ROUNDTRIP_SQL, ("io", "source", "format")
+    ),
+    "src_text_scan": QuerySpec(
+        src_text_scan, _SRC_TEXT_SCAN_SQL, ("io", "source", "format")
     ),
     "src_binaryfile_scan": QuerySpec(
         src_binaryfile_scan,

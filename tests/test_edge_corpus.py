@@ -177,3 +177,21 @@ def test_winnowing_short_docs(spark, tmp_path):
     assert rows[3]["n_grams"] == 1 and rows[3]["n_fps"] == 1  # < w windows
     assert rows[4]["fp_checksum"] == rows[5]["fp_checksum"]  # identical docs
     assert rows[4]["n_fps"] >= 1
+
+
+def test_text_scan_roundtrips_empty_doc(spark, tmp_path):
+    """src_text_scan on the degenerate corpus: the EMPTY document
+    must survive the text-format round trip (its line is 'id<TAB>'
+    with nothing after) — 6 docs out, per-bucket char totals equal to
+    the source lengths."""
+    sf = _tiny_docs(spark, tmp_path)
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import src_text_scan
+
+    rows = src_text_scan(spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == 6
+    total = sum(r["total_chars"] for r in rows)
+    assert total == sum(len(t) for t in (
+        "", "one", "two tokens", "three whole tokens",
+        "now five tokens are here exactly yes",
+        "now five tokens are here exactly yes",
+    ))
