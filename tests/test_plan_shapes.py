@@ -407,3 +407,15 @@ def test_anomaly_mad_broadcasts_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_joins_are_broadcast(spark):
+    """contamination_bloom's two bitset probes must be BROADCAST hash
+    joins (<=1024-row word tables onto the shingle stream) and the
+    whole plan must stay free of cartesian/nested-loop joins — the
+    prefilter is only cheaper than the exact join if the bitset never
+    shuffles the corpus side."""
+    plan = _plan(spark, "contamination_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
