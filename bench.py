@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_incremental_lsh",
     "sim_cosine_topk",
+    "sim_range_search",
     "sim_knn_blocked",
     "sim_knn_blocked_full",
     "seed_extract_pe_firms",
@@ -87,6 +88,7 @@ HEADLINE = [
     "evt_attribution",
     "evt_audience_overlap",
     "evt_cusum_changepoint",
+    "evt_streaks",
     "agg_equidepth_hist",
     "json_variant_ops",
     "snk_partition_overwrite",

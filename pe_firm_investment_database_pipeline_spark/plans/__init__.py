@@ -67,6 +67,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_cusum_changepoint",
         "txt_winnowing",
         "src_text_scan",
+        "sim_range_search",
+        "evt_streaks",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

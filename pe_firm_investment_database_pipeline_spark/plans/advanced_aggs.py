@@ -672,6 +672,64 @@ FROM seq GROUP BY event_type, day
 
 
 # ---------------------------------------------------------------------------
+# evt_streaks — gaps-and-islands longest-run detection
+# ---------------------------------------------------------------------------
+
+def evt_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive same-type runs per user — the classic
+    gaps-and-islands pattern (island id = overall row_number minus
+    per-type row_number, constant exactly within a run), the shape
+    behind 'N failures in a row' alerting and engagement-streak
+    features. Both window passes share ONE user_id shuffle (same
+    partitioning, Catalyst plans them in one Window stage chain);
+    islands then aggregate per (user, type, island) and roll up per
+    type. All counts int64 — exact everywhere."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w_all = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_typ = W.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    islands = (
+        ev.withColumn("rn", F.row_number().over(w_all))
+        .withColumn("rn_t", F.row_number().over(w_typ))
+        .withColumn("island", F.col("rn") - F.col("rn_t"))
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("streak_len").cast("long").alias("max_streak"),
+        F.sum(F.when(F.col("streak_len") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_streaks_ge3"),
+    )
+
+
+_EVT_STREAKS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), marked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts_us, event_id) AS island
+  FROM ev
+), islands AS (
+  SELECT user_id, event_type, island, COUNT(*) AS streak_len
+  FROM marked GROUP BY user_id, event_type, island
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS max_streak,
+       CAST(SUM(CASE WHEN streak_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_streaks_ge3
+FROM islands GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_audience_overlap — pairwise exact audience intersection
 # ---------------------------------------------------------------------------
 
@@ -1182,6 +1240,9 @@ QUERIES = {
         evt_cusum_changepoint,
         _EVT_CUSUM_CHANGEPOINT_SQL,
         ("events", "changepoint", "cusum"),
+    ),
+    "evt_streaks": QuerySpec(
+        evt_streaks, _EVT_STREAKS_SQL, ("events", "islands", "streaks")
     ),
     "agg_hll_rollup": QuerySpec(agg_hll_rollup, None, ("agg", "sketch", "rollup")),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),

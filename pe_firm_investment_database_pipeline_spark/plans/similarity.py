@@ -336,6 +336,52 @@ LIMIT 10
 """
 
 
+_RANGE_TAU = 0.25
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL vectors with cosine >= tau to the
+    query vector — the other half of the vector-search API surface
+    (top-k answers 'the nearest'; range answers 'everything similar
+    enough', the shape dedup admission and recall-complete retrieval
+    need). Same broadcast-query scan as `sim_cosine_topk`, but the
+    cut is a map-side FILTER instead of a top-k heap: no ordering, no
+    limit, result size data-dependent. The cosine doubles are
+    bit-identical across engines (exact-int dot/norms), so the tau
+    comparison can never straddle engines."""
+    emb = _emb_q(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    cos = F.expr(_DOT.format(a="q", b="qq")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double")) * F.sqrt(F.col("qnrm").cast("double"))
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cosine"))
+        .where(F.col("cosine") >= _RANGE_TAU)
+    )
+
+
+_SIM_RANGE_SEARCH_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), query AS (
+  SELECT q AS qq, nrm AS qnrm FROM eq WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       CAST({_DOT_DUCK.format(a="q", b="qq")} AS DOUBLE)
+         / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))) AS cosine
+FROM eq CROSS JOIN query
+WHERE vec_id != 0
+  AND CAST({_DOT_DUCK.format(a="q", b="qq")} AS DOUBLE)
+        / (sqrt(CAST(nrm AS DOUBLE)) * sqrt(CAST(qnrm AS DOUBLE))) >= {_RANGE_TAU}
+"""
+
+
 def sim_knn_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked kNN: top-3 cosine neighbors per vector within its
     random-hyperplane cell. Pairs exist only inside a cell (equi-join
@@ -1260,6 +1306,9 @@ SELECT keeper_id, dup_id, label, cosine FROM pairs WHERE cosine >= 0.9999
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
+    ),
+    "sim_range_search": QuerySpec(
+        sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, _DEDUP_EMBEDDING_COSINE_SQL, ("similarity", "dedup")
