@@ -109,6 +109,7 @@ HEADLINE = [
     # shares the minhash pair front with dedup_connected_components;
     # runs late so the staged shingle/signature frames are warm
     "graph_pagerank",
+    "graph_triangles",
     "dedup_canonical_pick",
     # shares the staged IVF index with sim_ann_join / sim_ivf_multiprobe
     "rag_hybrid_rrf",

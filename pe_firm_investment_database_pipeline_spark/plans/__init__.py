@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "src_text_scan",
         "sim_range_search",
         "evt_streaks",
+        "graph_triangles",
         "rag_bm25_topk",
         "idx_inverted",
         "dedup_canonical_pick",

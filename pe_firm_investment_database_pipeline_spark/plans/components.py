@@ -279,6 +279,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the near-duplicate candidate graph —
+    the clustering-coefficient signal: a candidate pair whose
+    endpoints share many common neighbors is a dense template cluster
+    (license/header boilerplate), while a triangle-free pair is more
+    likely an isolated true near-dup. Algorithm is the standard
+    distributed shape: orient every edge low-id -> high-id (each
+    triangle counted exactly once as a<b<c), then ONE self-join on
+    the middle vertex generates wedges and ONE semi-style join
+    against the oriented edge set confirms the closing edge. Work is
+    sum of deg^2 over the oriented adjacency — the degree-ordering
+    bound production systems rely on; both joins are equi-joins on
+    vertex ids (bucket-friendly at 100 TB). Output: per-document
+    triangle membership counts, top-level totals exact int64."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    ab = e.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    bc = e.select(F.col("a").alias("t_b2"), F.col("b").alias("t_c"))
+    wedges = ab.join(bc, F.col("t_b") == F.col("t_b2")).select(
+        "t_a", "t_b", "t_c"
+    )
+    ac = e.select(F.col("a").alias("t_a2"), F.col("b").alias("t_c2"))
+    tris = wedges.join(
+        ac, (F.col("t_a") == F.col("t_a2")) & (F.col("t_c") == F.col("t_c2"))
+    ).select("t_a", "t_b", "t_c")
+    per_vertex = (
+        tris.select(F.explode(F.array("t_a", "t_b", "t_c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return per_vertex
+
+
+_GRAPH_TRIANGLES_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), tris AS (
+  SELECT e1.a AS t_a, e1.b AS t_b, e2.b AS t_c
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), verts AS (
+  SELECT unnest([t_a, t_b, t_c]) AS doc_id FROM tris
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verts GROUP BY doc_id
+"""
+
+
 def _pagerank_sql() -> str:
     """Unrolled fixed-depth iteration (aggregates are not allowed in
     a recursive CTE's recursive term)."""
@@ -328,5 +382,10 @@ QUERIES = {
         graph_pagerank,
         _pagerank_sql(),
         ("graph", "iterative"),
+    ),
+    "graph_triangles": QuerySpec(
+        graph_triangles,
+        _GRAPH_TRIANGLES_SQL,
+        ("graph", "triangles"),
     ),
 }

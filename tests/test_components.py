@@ -127,3 +127,31 @@ def test_pagerank_star_graph(spark):
     assert got[0] == hub
     assert all(got[i] == leaf for i in range(1, 5))
     assert hub > leaf
+
+
+def test_triangles_on_planted_clique(spark, tmp_path):
+    """graph_triangles on a planted 3-clique (three identical docs →
+    all three near-dup pairs): exactly one triangle, so each of the
+    three documents has n_triangles = 1; the lone extra dup pair
+    (a 2-clique) contributes none."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en"),
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),
+        (3, "one two three four five six seven", "en"),
+        (4, "one two three four five six seven", "en"),
+        (5, "totally different words appear in this document here", "en"),
+    ]
+    rows = [(i, t, lang, f"src{i}", len(t)) for i, t, lang in rows]
+    df = spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/documents.parquet")
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        graph_triangles,
+    )
+
+    got = {r["doc_id"]: r["n_triangles"] for r in graph_triangles(spark, d).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
