@@ -28,12 +28,12 @@ def all_queries() -> dict[str, QuerySpec]:
 
     # Order matters operationally: the external driver records
     # correctness entries in registry order and caps each round at the
-    # first ~50 (observed r01-r04). Entries that most need an official
-    # driver verdict THIS round go first: round-5's new ops, then the
-    # 40 entries whose newest driver record is still r01 — predating
-    # two testdata regenerations (round-4 verdict §missing #4 asked
-    # for exactly this oldest-first rotation). Everything else keeps
-    # module order.
+    # first ~50 (observed r01-r05). Round-6 rotation (VERDICT r5 'Next
+    # round' #1-#2): the three entries repaired this round go first
+    # (r5's two driver hash-fails + the restructured now-oracled HLL
+    # rollup), then the 25 entries that have never received an
+    # official driver verdict, then round-6's new ops. Everything
+    # else keeps module order.
     merged = merge(
         retrieval.QUERIES,
         quality.QUERIES,
@@ -54,91 +54,41 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # new in round 5
-        "txt_repetition_filter",
-        "evt_anomaly_mad",
-        "contamination_bloom",
-        "agg_bitmap_distinct",
-        "mm_phash_neardup",
-        "samp_train_split",
-        "profile_ks_drift",
-        "win_ewma",
-        "evt_audience_overlap",
-        "evt_cusum_changepoint",
-        "txt_winnowing",
-        "src_text_scan",
-        "sim_range_search",
-        "evt_streaks",
-        "graph_triangles",
-        "rag_bm25_topk",
-        "idx_inverted",
-        "dedup_canonical_pick",
-        "udtf_kwic",
-        "src_schema_evolution",
-        "graph_pagerank",
-        "snk_zorder_layout",
-        "ts_gapfill_ffill",
-        "stream_upsert_foreachbatch",
-        "dq_constraint_check",
-        "diff_snapshots",
-        "sql_recursive_cte",
-        "src_python_datasource",
-        "rag_hybrid_rrf",
-        "src_orc_roundtrip",
-        "src_binaryfile_scan",
-        "join_fuzzy_name",
-        "sql_correlated_subquery",
-        "join_asof_nearest",
-        "samp_hard_negatives",
-        "txt_tfidf_topterms",
-        "shard_manifest",
-        "evt_transition_matrix",
-        "win_running_distinct",
-        "join_interval_overlap",
-        "stream_dedup_lsh",
+        # repaired in round 6 (r5 driver hash-fails + restructured HLL)
         "profile_drift",
-        "join_scd2_asof",
-        "agg_hll_rollup",
-        "mm_audio_resample",
-        "sim_pq_topk",
-        "samp_topk_hash",
-        "evt_attribution",
-        "agg_equidepth_hist",
         "json_variant_ops",
-        "snk_partition_overwrite",
-        "win_distribution_fns",
-        "sim_ann_index_append",
-        "snk_compact_files",
-        "join_null_safe",
-        "sql_cte_windowed",
-        "src_corrupt_tolerant",
-        "rag_retrieve_docs",
-        "merge_scd2",
-        "samp_domain_mixture",
-        "txt_pii_redact",
+        "agg_hll_rollup",
+        # never driver-verdicted through r5 (VERDICT r5 missing #1)
         "agg_corr_stats",
-        "sim_knn_blocked_full",
-        "sim_ann_join",
-        "dedup_incremental_lsh",
-        "stream_join_interval_outer",
-        "stream_static_join",
-        "samp_weighted_quality",
+        "agg_mode",
         "curation_pipeline_e2e",
         "dedup_containment",
-        "snk_stream_parquet",
-        "sim_ann_join_indexed",
+        "dedup_incremental_lsh",
         "evt_retention",
-        "agg_mode",
-        # rows-only entry: its driver verdict is the weak check
-        # anyway, so it is the one allowed to fall past the ~50-slot
-        # recording cap this round
+        "join_null_safe",
+        "merge_scd2",
+        "rag_retrieve_docs",
+        "samp_domain_mixture",
+        "samp_weighted_quality",
+        "sim_ann_index_append",
+        "sim_ann_join",
+        "sim_ann_join_indexed",
+        "sim_knn_blocked_full",
+        "snk_compact_files",
+        "snk_partition_overwrite",
+        "snk_stream_parquet",
+        "sql_cte_windowed",
+        "src_corrupt_tolerant",
+        "stream_join_interval_outer",
+        "stream_static_join",
+        "txt_pii_redact",
+        "win_distribution_fns",
         "agg_percentile_approx",
-        # plan reworked in round 5 (window-count small path); already
-        # recorded r04 so it yields its top-50 slot to never-recorded
-        # entries and relies on the pytest parity rerun this round
+        # perf confirmation targets this round (VERDICT #3, #5)
         "sim_knn_blocked",
-        # stalest driver records: last recorded r01, before two
-        # testdata regenerations
+        "io_http_fetch",
+        # remaining slots up to ~50: round-6 additions go here
+        # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",
         "agg_distinct_exact",

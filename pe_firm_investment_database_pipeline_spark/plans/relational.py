@@ -19,7 +19,7 @@ re-expresses (file:line relative to /root/reference/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -1051,10 +1051,24 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     `json_get` re-tokenizes the string per call). try_variant_get on
     a missing path yields NULL instead of failing — the tolerance
     knob. Output aggregates per event_type so the oracle is compact;
-    missing-path counts prove the try_ semantics."""
+    missing-path counts prove the try_ semantics.
+
+    Engine parity (r5 driver hash-fail, VERDICT 'What's wrong' #2):
+    typed `variant_get(..., 'long')` and DuckDB's `CAST(json_extract
+    ... AS BIGINT)` coerce non-integer / string-encoded JSON numbers
+    differently (truncate-vs-round, null-vs-parse). Both twins now
+    extract the field AS STRING and apply the same explicit rule —
+    cast to int64 only when the string is a pure optionally-signed
+    integer, else NULL — byte-identical on every JSON shape."""
     e = _t(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
-    missing = F.expr("try_variant_get(parse_json(props), '$.absent', 'long')")
+    def _int_or_null(extract_sql: str) -> Column:
+        s = F.expr(extract_sql)
+        return F.when(s.rlike(r"^-?[0-9]+$"), s).cast("long")
+
+    k = _int_or_null("variant_get(parse_json(props), '$.k', 'string')")
+    missing = _int_or_null(
+        "try_variant_get(parse_json(props), '$.absent', 'string')"
+    )
     return (
         e.select("event_type", k.alias("k"), missing.alias("m"))
         .groupBy("event_type")
@@ -1069,12 +1083,23 @@ def json_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_VARIANT_OPS_SQL = """
+WITH x AS (
+  SELECT event_type,
+         json_extract_string(props, '$.k') AS ks,
+         json_extract_string(props, '$.absent') AS ms
+  FROM events
+), y AS (
+  SELECT event_type,
+         CASE WHEN regexp_matches(ks, '^-?[0-9]+$')
+              THEN CAST(ks AS BIGINT) END AS k,
+         CASE WHEN regexp_matches(ms, '^-?[0-9]+$')
+              THEN CAST(ms AS BIGINT) END AS m
+  FROM x
+)
 SELECT event_type, COUNT(*) AS n_events,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
-       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       COUNT(CAST(json_extract(props, '$.absent') AS BIGINT)) AS n_absent_hits
-FROM events
+       SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k,
+       COUNT(m) AS n_absent_hits
+FROM y
 GROUP BY event_type
 """
 

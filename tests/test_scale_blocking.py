@@ -410,24 +410,26 @@ def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
 
 
 def test_hll_rollup_merge_equals_direct(spark, sf_dir):
-    """agg_hll_rollup (rows-only at the driver gate) gets its
-    value-level check here. Two properties: (1) MERGE LOSES NOTHING —
-    unioning the per-nation sketches to region level must estimate
-    exactly what a direct region-level sketch over the raw rows
-    estimates (DataSketches HLL union is lossless for sketches of the
-    same lgK); (2) the estimate lands within the configured sketch
-    accuracy (~0.8% rsd at lgK=14, 3x slack) of the exact distinct
-    customer count per region."""
+    """agg_hll_rollup's sketch-level properties (the entry itself now
+    emits exact counts + an est_ok bound flag so the driver can
+    hash-check it; the raw estimates are value-checked here). Three
+    properties: (1) MERGE LOSES NOTHING — unioning the per-nation
+    sketches to region level must estimate exactly what a direct
+    region-level sketch over the raw rows estimates (DataSketches HLL
+    union is lossless for sketches of the same lgK); (2) the estimate
+    lands within the configured sketch accuracy (~0.8% rsd at lgK=14,
+    3x slack) of the exact distinct customer count per region; (3) the
+    entry's own est_ok flag is 1 everywhere and its exact column
+    matches countDistinct."""
     from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
         _HLL_LGK,
         agg_hll_rollup,
     )
     from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
 
-    rolled = {
-        r["r_name"]: r["est_distinct_customers"]
-        for r in agg_hll_rollup(spark, sf_dir).collect()
-    }
+    entry_rows = agg_hll_rollup(spark, sf_dir).collect()
+    assert all(r["est_ok"] == 1 for r in entry_rows)
+    entry_exact = {r["r_name"]: r["exact_distinct_customers"] for r in entry_rows}
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -448,16 +450,27 @@ def test_hll_rollup_merge_equals_direct(spark, sf_dir):
         )
         .collect()
     }
+    rolled = {
+        row["r_name"]: row["est"]
+        for row in fact.groupBy("r_name", fact.c_nationkey)
+        .agg(
+            F.expr(f"hll_sketch_agg(o_custkey, {_HLL_LGK})").alias("sk")
+        )
+        .groupBy("r_name")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+        .collect()
+    }
     exact = {
         row["r_name"]: row["n"]
         for row in fact.groupBy("r_name")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
-    assert set(rolled) == set(direct) == set(exact)
+    assert set(rolled) == set(direct) == set(exact) == set(entry_exact)
     for name in rolled:
         assert rolled[name] == direct[name], (name, rolled[name], direct[name])
         assert abs(rolled[name] - exact[name]) <= max(2, 0.025 * exact[name])
+        assert entry_exact[name] == exact[name]
 
 
 def test_pq_adc_recall_vs_exact(spark, sf_dir):
