@@ -87,7 +87,11 @@ def all_queries() -> dict[str, QuerySpec]:
         # perf confirmation targets this round (VERDICT #3, #5)
         "sim_knn_blocked",
         "io_http_fetch",
-        # remaining slots up to ~50: round-6 additions go here
+        # round-6 additions
+        "ts_resample_ohlc",
+        "ts_gapfill_linear",
+        "evt_top_paths",
+        "sketch_kmv_distinct",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -397,6 +397,111 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sketch_kmv_distinct — bottom-k (KMV) distinct estimator, exactly
+# deterministic cross-engine
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_BUCKETS = 16
+# hash domain: 15 hex chars of md5 = 60 uniform bits
+_KMV_M = 16**15
+
+
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (K-Minimum-Values) distinct-user estimator per event
+    type — the OTHER mergeable distinct sketch next to HLL
+    (agg_hll_rollup), with a property HLL lacks: given the hash
+    function, the sketch and its estimate are EXACTLY deterministic,
+    so the whole entry (k-th smallest hash, estimate, and exact twin)
+    hash-checks against DuckDB with no accuracy-bound indirection.
+
+    Mergeability is demonstrated IN-PLAN the way a 100 TB profiler
+    would run it: users hash to a 60-bit uniform value (md5-derived —
+    same bytes both engines), each (type, hash-bucket) page keeps its
+    own bottom-k via a per-bucket row_number window (bounded state —
+    no reducer ever holds a type's full distinct set), and the
+    type-level merge re-minimizes over <= buckets*k page rows. The
+    estimator is the textbook (k-1) * M / h_k, computed in
+    DECIMAL(38,0)/HUGEINT because (k-1)*M overflows int64; when a
+    type has fewer than k distinct users the sketch is the exact set
+    and the estimate is its size."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = e.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    wb = W.partitionBy(
+        "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    pages = hashed.withColumn("rn", F.row_number().over(wb)).where(
+        F.col("rn") <= _KMV_K
+    )
+    wt = W.partitionBy("event_type").orderBy("h")
+    bottom = pages.withColumn("rk", F.row_number().over(wt)).where(
+        F.col("rk") <= _KMV_K
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.expr(
+        f"CASE WHEN k_used < {_KMV_K} THEN k_used ELSE "
+        f"CAST((CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_M}) div hk"
+        " AS BIGINT) END"
+    )
+    return (
+        bottom.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("h").alias("hk"),
+        )
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "k_used",
+            "hk",
+            est.alias("kmv_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+_SKETCH_KMV_DISTINCT_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+), pages AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type, h % {_KMV_BUCKETS}
+                            ORDER BY h) AS rn
+  FROM hashed
+), bottom AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM pages WHERE rn <= {_KMV_K}
+), sk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(MAX(h) AS BIGINT) AS hk
+  FROM bottom WHERE rk <= {_KMV_K} GROUP BY event_type
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT event_type, k_used, hk,
+       CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
+                 ELSE ({_KMV_K - 1}::HUGEINT * {_KMV_M}) // hk
+            END AS BIGINT) AS kmv_estimate,
+       exact_distinct
+FROM sk JOIN exact USING (event_type)
+"""
+
+
 _AGG_HLL_ROLLUP_SQL = """
 WITH fact AS (
   SELECT r.r_name, n.n_name, o.o_custkey
@@ -1288,6 +1393,9 @@ QUERIES = {
     ),
     "agg_hll_rollup": QuerySpec(
         agg_hll_rollup, _AGG_HLL_ROLLUP_SQL, ("agg", "sketch", "rollup")
+    ),
+    "sketch_kmv_distinct": QuerySpec(
+        sketch_kmv_distinct, _SKETCH_KMV_DISTINCT_SQL, ("agg", "sketch", "kmv")
     ),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "evt_attribution": QuerySpec(

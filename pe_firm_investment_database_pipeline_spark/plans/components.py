@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps
+from ..functions.session_cache import evict_stale_apps, register_cache
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from .textops import _DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
@@ -42,7 +42,7 @@ MAX_ITERS = 20
 # the same fixpoint, and the labels frame is an EAGER localCheckpoint
 # — already materialized and lineage-free, so reuse is safe and the
 # iterative driver loop runs once per (session, dataset).
-_COMP_CACHE: dict[tuple, DataFrame] = {}
+_COMP_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:

@@ -959,8 +959,11 @@ FROM orders GROUP BY o_orderstatus
 def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text interchange — the rawest ingest format a
     corpus pipeline meets (log shipping, one-doc-per-line dumps):
-    documents are exported as tab-prefixed lines (doc_id TAB text,
-    valid because the fixture text is newline/tab-free), read BACK
+    documents are exported as tab-prefixed lines (doc_id TAB text;
+    rows whose text contains a tab or newline are excluded IN-PLAN on
+    both twins — the line format cannot carry them, and relying on the
+    fixture being control-character-free left the round-trip one
+    fixture regeneration away from silent corruption), read BACK
     through ``spark.read.text`` — one string column, the reader every
     other format builds on — re-parsed with JVM-side split/cast, and
     summarized per parsed id bucket. The oracle runs the same parse
@@ -972,8 +975,12 @@ def src_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.expr("concat(CAST(doc_id AS STRING), '\\t', text)").alias("value")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(~F.col("text").rlike("[\\t\\n\\r]"))
+        .select(
+            F.expr("concat(CAST(doc_id AS STRING), '\\t', text)").alias("value")
+        )
     )
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
@@ -999,7 +1006,9 @@ SELECT doc_id % 10 AS id_bucket,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars,
        CAST(SUM(CAST(('0x' || substr(md5(text), 1, 12)) AS BIGINT)) AS BIGINT)
          AS content_checksum
-FROM documents GROUP BY doc_id % 10
+FROM documents
+WHERE NOT regexp_matches(text, '[\t\n\r]')
+GROUP BY doc_id % 10
 """
 
 

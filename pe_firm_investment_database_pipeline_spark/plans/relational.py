@@ -861,9 +861,15 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 (cents * 2^7 max). ewma = num / (2^s - 1) is one double
     division of identical integers — bit-identical across engines,
     unlike a float-recursive EWMA whose accumulation order differs.
-    One shuffle on user_id; the frame is O(8) per row at any scale."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts_us", cents("value").alias("v")
+    One shuffle on user_id; the frame is O(8) per row at any scale.
+    NULL values are filtered up front in BOTH twins: Spark's
+    collect_list silently drops NULLs inside the frame while DuckDB's
+    list() keeps them, so a NULL-free-by-construction frame is the
+    only shape where the two engines agree on frame sizes."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts_us", cents("value").alias("v"))
+        .where(F.col("v").isNotNull())
     )
     w = (
         W.partitionBy("user_id")
@@ -892,6 +898,7 @@ WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
          CAST(round(value * 100) AS BIGINT) AS v
   FROM events
+  WHERE value IS NOT NULL
 ), staged AS (
   SELECT event_id, user_id, v,
          list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id

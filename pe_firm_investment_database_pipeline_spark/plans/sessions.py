@@ -565,6 +565,251 @@ FROM counted
 """
 
 
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample the event stream to per-(type, day) OHLC bars —
+    the financial-series resample shape (open/high/low/close/volume)
+    that any metrics or market-data pipeline needs when the raw tick
+    stream is too fine to store hot.
+
+    Open/close need the FIRST/LAST value in event-time order, which a
+    plain groupBy cannot express deterministically when timestamps
+    tie; one window pass computes ascending and descending row
+    numbers on (ts_us, event_id) — a total order — and the aggregate
+    then reduces with max(when(rn=1)). The window partitioning
+    (type, day) is a prefix of the groupBy key, so Catalyst reuses
+    the exchange: ONE shuffle end-to-end. All outputs are int64
+    cents/counts. At 100 TB bars are per (type, day) — bounded state,
+    perfectly parallel, and the same plan rolls up to coarser bars by
+    re-aggregating bars instead of rescanning ticks (open = open of
+    min day, etc.)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    wa = W.partitionBy("event_type", "day").orderBy("ts_us", "event_id")
+    wd = W.partitionBy("event_type", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    marked = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return marked.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("cents"))).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("cents"))).alias("close_cents"),
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+_TS_RESAMPLE_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), marked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM marked GROUP BY event_type, day
+"""
+
+
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill over the per-user daily spine —
+    the companion to ts_gapfill_ffill for quantities where carrying
+    the last value forward biases the series (sensor readings,
+    balances): a gap day gets prev + (next - prev) * (d - d_prev)
+    div (d_next - d_prev), all int64 (div truncation is identical in
+    both engines, so the interpolated cents are bit-equal). Edge
+    days fall back to the single available bound (leading gap →
+    backfill, trailing gap → forward fill). Plan shape matches
+    ts_gapfill_ffill — everything keys on user_id, the forward and
+    backward ignore-nulls windows share the same sort — plus carrying
+    the OBSERVATION DAY through the same windows so the slope
+    denominator is available without a self-join."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .repartition("user_id")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.sum("cents").alias("day_cents"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+    )
+    wb = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    wf = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    j = (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("pv", F.last("day_cents", ignorenulls=True).over(wb))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("day_cents", ignorenulls=True).over(wf))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(wf))
+    )
+    interp = F.expr(
+        "CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv "
+        "WHEN nd = pd THEN pv "
+        "ELSE pv + ((nv - pv) * (day - pd)) div (nd - pd) END"
+    )
+    return j.select(
+        "user_id",
+        "day",
+        (F.col("day_cents").isNotNull()).alias("is_observed"),
+        interp.alias("interp_cents"),
+    )
+
+
+_TS_GAPFILL_LINEAR_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), daily AS (
+  SELECT user_id, day, CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM e GROUP BY user_id, day
+), spine AS (
+  SELECT user_id, unnest(range(d0, d1 + 1)) AS day
+  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id)
+), j AS (
+  SELECT s.user_id, s.day, d.day_cents,
+         last_value(d.day_cents IGNORE NULLS) OVER wb AS pv,
+         last_value(CASE WHEN d.day_cents IS NOT NULL THEN s.day END
+                    IGNORE NULLS) OVER wb AS pd,
+         first_value(d.day_cents IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN d.day_cents IS NOT NULL THEN s.day END
+                     IGNORE NULLS) OVER wf AS nd
+  FROM spine s LEFT JOIN daily d USING (user_id, day)
+  WINDOW wb AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, day_cents IS NOT NULL AS is_observed,
+       CAST(CASE WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+                 WHEN nd = pd THEN pv
+                 ELSE pv + ((nv - pv) * (day - pd)) // (nd - pd)
+            END AS BIGINT) AS interp_cents
+FROM j
+"""
+
+
+def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top conversion paths — the sequence-mining summary behind
+    funnel design: each user session (30-min gap, the sessionize
+    partitioning again) is collapsed into its ordered event-type path
+    string, and the top-10 most frequent paths are reported with
+    their session counts and purchase-conversion share (sessions
+    containing a purchase) in exact permille. Path assembly is a
+    per-session sort INSIDE an aggregate (collect_list over struct +
+    array_sort + transform — no window needed beyond sessionization),
+    so the big side sees the sessionize window plus ONE aggregate;
+    the path-frequency table is tiny (paths are short strings) and
+    the top-10 is TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    new_s = F.when(
+        (F.col("ts_us") - F.lag("ts_us").over(w)) >= GAP_S * 1_000_000, 1
+    ).otherwise(0)
+    marked = e.withColumn(
+        "sid",
+        F.sum(new_s).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    paths = (
+        marked.groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.max(
+                (F.col("event_type") == F.lit("purchase")).cast("int")
+            ).alias("converted"),
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    top = counted.orderBy(F.desc("n_sessions"), F.asc("path")).limit(10)
+    return top.select(
+        "path",
+        "n_sessions",
+        "n_converted",
+        F.expr("(n_converted * 1000) div n_sessions").alias(
+            "conversion_permille"
+        ),
+    )
+
+
+_EVT_TOP_PATHS_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w >= {GAP_S}::BIGINT * 1000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessioned AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sessioned GROUP BY user_id, sid
+), counted AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         CAST(SUM(converted) AS BIGINT) AS n_converted
+  FROM paths GROUP BY path
+)
+SELECT path, n_sessions, n_converted,
+       CAST(n_converted * 1000 // n_sessions AS BIGINT)
+         AS conversion_permille
+FROM counted
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
 QUERIES = {
     "evt_transition_matrix": QuerySpec(
         evt_transition_matrix,
@@ -587,5 +832,14 @@ QUERIES = {
     "merge_scd2": QuerySpec(merge_scd2, _MERGE_SCD2_SQL, ("cdc", "window")),
     "join_scd2_asof": QuerySpec(
         join_scd2_asof, _JOIN_SCD2_ASOF_SQL, ("cdc", "join", "asof")
+    ),
+    "ts_resample_ohlc": QuerySpec(
+        ts_resample_ohlc, _TS_RESAMPLE_OHLC_SQL, ("timeseries", "resample")
+    ),
+    "ts_gapfill_linear": QuerySpec(
+        ts_gapfill_linear, _TS_GAPFILL_LINEAR_SQL, ("timeseries", "window")
+    ),
+    "evt_top_paths": QuerySpec(
+        evt_top_paths, _EVT_TOP_PATHS_SQL, ("events", "sequence")
     ),
 }

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps
+from ..functions.session_cache import evict_stale_apps, register_cache
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -183,7 +183,7 @@ _NBITS_IVF = (
 # when CacheManager dedups the plans. Returning the SAME Python
 # DataFrame bounds live storage at one block set per (session, data
 # dir, index kind).
-_STAGE_CACHE: dict[tuple, DataFrame] = {}
+_STAGE_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _staged(spark: SparkSession, key: tuple, build, src: DataFrame) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps
+from ..functions.session_cache import evict_stale_apps, register_cache
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -73,7 +73,7 @@ _SH_HASH_DUCK = (
 # pairs, signatures) and would otherwise recompute the regexp+md5
 # chain per consumer. On a cluster this intermediate is a cached or
 # bucketed table — the standard shape for multi-consumer pipelines.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +523,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the second consumer reads the staged pairs instead of re-running
 # the explode + three shuffles. On a cluster this intermediate is the
 # natural cached/bucketed 'candidate pairs' table.
-_SHARED_COUNTS_CACHE: dict[tuple, DataFrame] = {}
+_SHARED_COUNTS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _shared_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
