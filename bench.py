@@ -126,6 +126,12 @@ HEADLINE = [
     "ts_gapfill_linear",
     "evt_top_paths",
     "sketch_kmv_distinct",
+    "rag_mmr_rerank",
+    "txt_rake_keywords",
+    "chunk_recursive_split",
+    # runs after graph_pagerank/graph_triangles so the minhash pair
+    # front and the component fixpoint caches are warm
+    "graph_cc_incremental",
 ]
 
 # best-of-N, adaptive: every entry gets AT LEAST one repeat (the

@@ -92,6 +92,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_gapfill_linear",
         "evt_top_paths",
         "sketch_kmv_distinct",
+        "rag_mmr_rerank",
+        "txt_rake_keywords",
+        "chunk_recursive_split",
+        "graph_cc_incremental",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

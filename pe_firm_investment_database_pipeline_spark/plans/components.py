@@ -221,6 +221,102 @@ FROM labeled l LEFT JOIN canon c ON l.cluster_id = c.cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_cc_incremental — incremental connected components
+# ---------------------------------------------------------------------------
+
+# "new batch" stand-in: a deterministic modular slice of the doc-id
+# space (the diff_snapshots convention) — these documents' candidate
+# pairs are the edges that "arrived since the last run".
+_INC_MOD, _INC_REM = 10, 1
+
+
+def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — the production shape of
+    cluster maintenance: a new ingest batch lands, its near-dup pairs
+    are computed against the standing corpus, and only the clusters
+    those edges TOUCH are relabeled; every untouched cluster's labels
+    pass through without entering the iteration. At 100 TB this is
+    the difference between re-clustering the world per batch and a
+    fixpoint over (touched clusters + new edges) — typically orders
+    of magnitude smaller.
+
+    Mechanics: the standing state is the label table of the OLD graph
+    (pairs with no endpoint in the new batch — in production this is
+    the persisted output of the last run). New edges select the old
+    components they touch via one semi-join; the re-label fixpoint
+    runs over (new edges UNION the touched clusters' star edges
+    v—label, which reproduce exactly the touched subgraph's
+    connectivity); untouched labels are emitted verbatim. The merged
+    result EQUALS full-graph CC (min labels propagate identically),
+    which is precisely what the full-closure DuckDB oracle checks.
+    `relabelled` marks the vertices that entered the fixpoint — in
+    both engines this is exactly 'my final cluster contains a
+    new-batch vertex'."""
+    all_pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    in_batch = lambda c: F.pmod(F.col(c), F.lit(_INC_MOD)) == _INC_REM
+    old_pairs = all_pairs.where(~in_batch("doc1") & ~in_batch("doc2"))
+    new_pairs = all_pairs.where(
+        in_batch("doc1") | in_batch("doc2")
+    ).localCheckpoint(eager=True)
+
+    old_labels = connected_components(old_pairs, "doc1", "doc2")
+    new_verts = (
+        new_pairs.select(F.col("doc1").alias("v"))
+        .union(new_pairs.select(F.col("doc2").alias("v")))
+        .distinct()
+    )
+    touched_comps = (
+        old_labels.join(new_verts, "v", "left_semi")
+        .select("comp")
+        .distinct()
+    )
+    touched_labels = old_labels.join(
+        F.broadcast(touched_comps), "comp", "left_semi"
+    )
+    sub_edges = new_pairs.select(
+        F.col("doc1").alias("a"), F.col("doc2").alias("b")
+    ).union(touched_labels.select(F.col("v").alias("a"), F.col("comp").alias("b")))
+    sub_labels = connected_components(sub_edges, "a", "b")
+    untouched = old_labels.join(
+        F.broadcast(touched_comps), "comp", "left_anti"
+    )
+    return untouched.select(
+        F.col("v").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        F.lit(False).alias("relabelled"),
+    ).unionByName(
+        sub_labels.select(
+            F.col("v").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            F.lit(True).alias("relabelled"),
+        )
+    )
+
+
+_GRAPH_CC_INCREMENTAL_SQL = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+), comps AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+)
+SELECT doc_id, cluster_id,
+       MAX(CASE WHEN doc_id % {_INC_MOD} = {_INC_REM} THEN 1 ELSE 0 END)
+         OVER (PARTITION BY cluster_id) = 1 AS relabelled
+FROM comps
+"""
+
+
 _PR_ITERS = 3
 _PR_BASE = 1_000_000_000_000  # initial rank, scaled int64
 
@@ -387,5 +483,10 @@ QUERIES = {
         graph_triangles,
         _GRAPH_TRIANGLES_SQL,
         ("graph", "triangles"),
+    ),
+    "graph_cc_incremental": QuerySpec(
+        graph_cc_incremental,
+        _GRAPH_CC_INCREMENTAL_SQL,
+        ("graph", "dedup", "iterative", "incremental"),
     ),
 }

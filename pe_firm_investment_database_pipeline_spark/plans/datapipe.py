@@ -410,6 +410,79 @@ FROM e
 """
 
 
+# ---------------------------------------------------------------------------
+# chunk_recursive_split — delimiter-hierarchy chunker
+# ---------------------------------------------------------------------------
+
+_SPLIT_MAX = 120  # max chunk characters
+_SENT_MARK = "\x01"  # post-replace sentence delimiter
+
+
+def chunk_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive delimiter-hierarchy chunking — the RAG-ingest
+    splitter (LangChain's RecursiveCharacterTextSplitter shape):
+    split on sentence boundaries first ('. ', preserved via a
+    replace-then-split two-step because RE2 — the DuckDB twin's
+    engine — has no lookbehind), and only pieces still longer than
+    _SPLIT_MAX characters fall through to hard character windows.
+    Sentence-sized chunks keep semantic boundaries; the fallback
+    bounds the worst case.
+
+    Scale shape: like chunk_token_windows this is a pure NARROW
+    per-row transformation — nested array transforms + flatten +
+    posexplode, ZERO shuffles, runs at scan speed at any corpus size.
+    Output carries (chunk_idx, n_chars, 48-bit md5 fingerprint)
+    instead of the chunk text, so the result stays narrow and the
+    fingerprint gives the oracle byte-level coverage of every chunk's
+    CONTENT, not just its size."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = (
+        f"split(replace(text, '. ', concat('.', '{_SENT_MARK}')), "
+        f"'{_SENT_MARK}')"
+    )
+    chunks = (
+        f"flatten(transform({sents}, s -> CASE "
+        f"WHEN length(s) <= {_SPLIT_MAX} THEN array(s) "
+        f"ELSE transform(sequence(0, CAST(ceil(length(s) / {_SPLIT_MAX}.0)"
+        f" AS INT) - 1), i -> substring(s, i * {_SPLIT_MAX} + 1,"
+        f" {_SPLIT_MAX})) END))"
+    )
+    return (
+        d.select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.length("c").cast("long").alias("n_chars"),
+            F.expr(
+                "CAST(conv(substring(md5(c), 1, 12), 16, 10) AS BIGINT)"
+            ).alias("chunk_fp"),
+        )
+    )
+
+
+_CHUNK_RECURSIVE_SPLIT_SQL = f"""
+WITH sents AS (
+  SELECT doc_id,
+         string_split(replace(text, '. ', '.' || chr(1)), chr(1)) AS ss
+  FROM documents
+), chunked AS (
+  SELECT doc_id,
+         flatten(list_transform(ss, s -> CASE
+           WHEN length(s) <= {_SPLIT_MAX} THEN [s]
+           ELSE list_transform(
+                  range(0, CAST(ceil(length(s) / {_SPLIT_MAX}.0) AS INT)),
+                  i -> substring(s, i * {_SPLIT_MAX} + 1, {_SPLIT_MAX}))
+           END)) AS cs
+  FROM sents
+)
+SELECT doc_id,
+       CAST(unnest(range(0, len(cs))) AS BIGINT) AS chunk_idx,
+       CAST(length(unnest(cs)) AS BIGINT) AS n_chars,
+       CAST(('0x' || substr(md5(unnest(cs)), 1, 12)) AS BIGINT) AS chunk_fp
+FROM chunked
+"""
+
+
 _CONTAM_MIN_SHARED = 3  # shared 3-gram shingles to flag
 
 
@@ -845,6 +918,11 @@ QUERIES = {
     ),
     "chunk_token_windows": QuerySpec(
         chunk_token_windows, _CHUNK_TOKEN_WINDOWS_SQL, ("sharding", "chunking")
+    ),
+    "chunk_recursive_split": QuerySpec(
+        chunk_recursive_split,
+        _CHUNK_RECURSIVE_SPLIT_SQL,
+        ("sharding", "chunking", "rag"),
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")

@@ -300,8 +300,174 @@ SELECT * FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# rag_mmr_rerank — maximal-marginal-relevance diversity reranking
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20  # candidate pool from first-stage retrieval
+_MMR_K = 5  # reranked slate size
+# lambda = 0.7, cleared of the denominator: score = 7*rel - 3*max_sim
+_MMR_REL_W, _MMR_DIV_W = 7, 3
+
+# Fixed-point cosine both engines compute identically: the int64 dot
+# and norms are exact, the double divide/sqrt are IEEE-correctly-
+# rounded single operations in the SAME order, and floor(x * 1e6)
+# lands on the same integer. (dot <= 64 * (2e6)^2 ~ 2.6e14 < 2^53, so
+# the int->double conversion is exact.)
+_COS_PPM = (
+    "CAST(floor(CAST({dot} AS DOUBLE)"
+    " / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking of the vector top-20 for
+    query vec 0 — the diversity stage every RAG serving stack puts
+    between retrieval and the context window (near-duplicate passages
+    waste prompt tokens; MMR trades relevance against redundancy):
+    greedily pick argmax of 7*rel - 3*max_sim_to_selected until k=5.
+
+    Scale shape: the DISTRIBUTED work is the first stage (exact
+    cosine top-20 here, TakeOrderedAndProject over the corpus — at
+    100 TB that stage is the IVF/ANN index path, same candidates).
+    The rerank itself touches only the candidate slate: 20 rows and
+    their 20x19 pairwise similarities, materialized once as eager
+    localCheckpoints (lineage-free, broadcast-sized), then k-1 tiny
+    argmax jobs — greedy selection is sequential BY DEFINITION, so
+    doing it over a checkpointed 20-row frame is the correct plan at
+    any corpus size. All scores are fixed-point ppm integers; the
+    DuckDB twin unrolls the same greedy steps as chained CTEs."""
+    from .similarity import _DOT, _emb_q
+
+    emb = _emb_q(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    rel = F.expr(
+        _COS_PPM.format(dot=_DOT.format(a="q", b="qq"), na="nrm", nb="qnrm")
+    )
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", "q", "nrm", rel.alias("rel_ppm"))
+        .orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("a"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("b"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    sim = F.expr(
+        _COS_PPM.format(dot=_DOT.format(a="qa", b="qb"), na="na", nb="nb")
+    )
+    pairs = (
+        a.join(b, F.col("a") != F.col("b"))
+        .select("a", "b", sim.alias("sim_ppm"))
+        .localCheckpoint(eager=True)
+    )
+    first = (
+        cand.orderBy(F.desc("rel_ppm"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("mmr_rank"),
+            "vec_id",
+            "rel_ppm",
+            (F.lit(_MMR_REL_W) * F.col("rel_ppm")).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [first]
+    selected = first.select("vec_id")
+    for r in range(2, _MMR_K + 1):
+        maxsim = (
+            pairs.join(selected.withColumnRenamed("vec_id", "b"), "b")
+            .groupBy("a")
+            .agg(F.max("sim_ppm").alias("ms"))
+        )
+        pick = (
+            cand.join(selected, "vec_id", "left_anti")
+            .join(maxsim, cand.vec_id == maxsim.a)
+            .select(
+                F.lit(r).cast("long").alias("mmr_rank"),
+                "vec_id",
+                "rel_ppm",
+                (
+                    F.lit(_MMR_REL_W) * F.col("rel_ppm")
+                    - F.lit(_MMR_DIV_W) * F.col("ms")
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick)
+        selected = selected.union(pick.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mmr_sql() -> str:
+    from .similarity import _DOT_DUCK, _QUANT_DUCK
+
+    rel = _COS_PPM.format(
+        dot=_DOT_DUCK.format(a="q", b="qq"), na="nrm", nb="qnrm"
+    )
+    sim = _COS_PPM.format(
+        dot=_DOT_DUCK.format(a="a.q", b="b.q"), na="a.nrm", nb="b.nrm"
+    )
+    sql = f"""
+WITH eq AS (
+  SELECT vec_id, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), query AS (
+  SELECT q AS qq, nrm AS qnrm FROM eq WHERE vec_id = 0
+), cand AS MATERIALIZED (
+  SELECT vec_id, q, nrm, {rel} AS rel_ppm
+  FROM eq CROSS JOIN query
+  WHERE vec_id != 0
+  ORDER BY rel_ppm DESC, vec_id LIMIT {_MMR_CAND}
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b, {sim} AS sim_ppm
+  FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+), p1 AS (
+  SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, rel_ppm,
+         CAST({_MMR_REL_W} * rel_ppm AS BIGINT) AS mmr_score
+  FROM cand ORDER BY rel_ppm DESC, vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM p1)"""
+    prev = "sel1"
+    for r in range(2, _MMR_K + 1):
+        sql += f""", p{r} AS (
+  SELECT CAST({r} AS BIGINT) AS mmr_rank, c.vec_id, c.rel_ppm,
+         CAST({_MMR_REL_W} * c.rel_ppm
+              - {_MMR_DIV_W} * MAX(p.sim_ppm) AS BIGINT) AS mmr_score
+  FROM cand c JOIN pairs p
+    ON p.a = c.vec_id AND p.b IN (SELECT vec_id FROM {prev})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel_ppm
+  ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+), sel{r} AS (
+  SELECT vec_id FROM {prev} UNION SELECT vec_id FROM p{r}
+)"""
+        prev = f"sel{r}"
+    sql += "".join(
+        f"\nSELECT * FROM p{r}" + ("\nUNION ALL" if r < _MMR_K else "")
+        for r in range(1, _MMR_K + 1)
+    )
+    return sql
+
+
 QUERIES = {
     "idx_inverted": QuerySpec(idx_inverted, _IDX_INVERTED_SQL, ("retrieval",)),
+    "rag_mmr_rerank": QuerySpec(
+        rag_mmr_rerank, _mmr_sql(), ("retrieval", "rerank", "mmr")
+    ),
     "rag_bm25_topk": QuerySpec(
         rag_bm25_topk, _RAG_BM25_TOPK_SQL, ("retrieval", "ranking")
     ),

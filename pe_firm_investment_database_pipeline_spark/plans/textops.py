@@ -1390,7 +1390,121 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_rake_keywords — RAKE keyphrase extraction (corpus-level)
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 15
+
+
+def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus —
+    the unsupervised keyPHRASE extractor (multi-word, unlike
+    txt_tfidf_topterms' single terms): token runs between stopwords
+    are candidate phrases; each word scores degree/freq (degree = sum
+    of the lengths of the phrases its occurrences sit in — words that
+    live in long collocations outrank words that appear alone), and a
+    phrase scores the sum of its member words. Top-15 corpus-wide.
+
+    All-integer scoring: word_score = (degree * 10000) div freq,
+    phrase score = sum of member scores — associative int64, no float
+    tie ambiguity. Plan shape: posexplode + ONE per-doc window
+    assigns phrase ids (partitioned by doc — perfectly parallel),
+    the word-stat table is vocabulary-sized, and identical phrases
+    merge in a final hash aggregate before a top-k
+    TakeOrderedAndProject. No window ever spans more than one
+    document, so the shape holds at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "term")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower(F.col("term")).alias("w"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    marked = toks.withColumn(
+        "phrase_id",
+        F.sum(F.col("w").isin(*STOPWORDS).cast("int")).over(wdoc),
+    ).where(~F.col("w").isin(*STOPWORDS))
+    plen = marked.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    words = marked.join(plen, ["doc_id", "phrase_id"])
+    wstats = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    wscore = wstats.select(
+        "w", F.expr("(degree * 10000) div freq").alias("wscore")
+    )
+    phrases = (
+        words.join(F.broadcast(wscore), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").alias("score"),
+        )
+    )
+    top = (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score").alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(_RAKE_TOP)
+    )
+    return top
+
+
+_TXT_RAKE_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(range(0, len(t))) AS pos,
+         lower(unnest(t)) AS w
+  FROM (SELECT doc_id, {_TOKENS_DUCK} AS t FROM documents)
+), marked AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM toks
+), words0 AS (
+  SELECT * FROM marked WHERE w NOT IN {_STOP_SQL}
+), plen AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words0 GROUP BY doc_id, phrase_id
+), words AS (
+  SELECT w0.*, p.plen FROM words0 w0 JOIN plen p USING (doc_id, phrase_id)
+), wscore AS (
+  SELECT w, (SUM(plen) * 10000) // COUNT(*) AS wscore
+  FROM words GROUP BY w
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(wd.w, ' ' ORDER BY wd.pos) AS phrase,
+         CAST(SUM(ws.wscore) AS BIGINT) AS score
+  FROM words wd JOIN wscore ws USING (w)
+  GROUP BY doc_id, phrase_id
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(score) AS BIGINT) AS rake_score
+FROM phrases GROUP BY phrase
+ORDER BY rake_score DESC, phrase
+LIMIT {_RAKE_TOP}
+"""
+
+
 QUERIES = {
+    "txt_rake_keywords": QuerySpec(
+        txt_rake_keywords, _TXT_RAKE_KEYWORDS_SQL, ("text", "keywords", "rake")
+    ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(
         txt_ngram_stats, _TXT_NGRAM_STATS_SQL, ("text", "topk")

@@ -1,0 +1,162 @@
+"""Behavioral pins for the round-6 operators — properties their
+DuckDB oracles can NOT express (parity is covered for every entry by
+tests/test_parity.py): diversity semantics of the MMR slate, the
+incremental-CC decomposition actually splitting work, the recursive
+chunker's size bound, and the KMV estimator's accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_mmr_slate_is_diverse_subset(spark, sf_dir):
+    """The MMR picks must (a) be 5 distinct members of the relevance
+    top-20, (b) start with the single most relevant vector, and (c)
+    never exceed the pure-relevance slate's internal redundancy —
+    the property the operator exists to enforce."""
+    from pe_firm_investment_database_pipeline_spark.plans.retrieval import (
+        _MMR_CAND,
+        _MMR_K,
+        rag_mmr_rerank,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _DOT,
+        _emb_q,
+    )
+
+    rows = rag_mmr_rerank(spark, sf_dir).orderBy("mmr_rank").collect()
+    assert len(rows) == _MMR_K
+    picked = [r["vec_id"] for r in rows]
+    assert len(set(picked)) == _MMR_K
+
+    emb = _emb_q(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("q").alias("qq"), F.col("nrm").alias("qnrm")
+    )
+    rel = F.expr(_DOT.format(a="q", b="qq")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double"))
+        * F.sqrt(F.col("qnrm").cast("double"))
+    )
+    top = (
+        emb.where(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select("vec_id", rel.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+        .collect()
+    )
+    top_ids = [r["vec_id"] for r in top]
+    assert set(picked) <= set(top_ids)
+    assert picked[0] == top_ids[0]
+
+    def max_pairwise_sim(ids):
+        sub = emb.where(F.col("vec_id").isin(*ids))
+        a = sub.select(
+            F.col("vec_id").alias("ai"),
+            F.col("q").alias("qa"),
+            F.col("nrm").alias("na"),
+        )
+        b = sub.select(
+            F.col("vec_id").alias("bi"),
+            F.col("q").alias("qb"),
+            F.col("nrm").alias("nb"),
+        )
+        pair = a.join(b, F.col("ai") < F.col("bi")).select(
+            (
+                F.expr(_DOT.format(a="qa", b="qb")).cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("s")
+        )
+        return pair.agg(F.max("s")).collect()[0][0]
+
+    assert max_pairwise_sim(picked) <= max_pairwise_sim(
+        top_ids[:_MMR_K]
+    ) + 1e-12
+
+
+def test_cc_incremental_splits_work(spark, sf_dir):
+    """The incremental decomposition is only worth its name if the
+    untouched partition is non-trivial: both relabelled=True and
+    =False vertices must exist, labels must agree with the full-graph
+    fixpoint, and the relabelled flag must be constant per cluster."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        dedup_connected_components,
+        graph_cc_incremental,
+    )
+
+    inc = graph_cc_incremental(spark, sf_dir)
+    counts = {
+        r["relabelled"]: r["n"]
+        for r in inc.groupBy("relabelled").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0, counts
+
+    full = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    got = {r["doc_id"]: r["cluster_id"] for r in inc.collect()}
+    assert got == full
+
+    per_cluster = (
+        inc.groupBy("cluster_id")
+        .agg(F.countDistinct("relabelled").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert per_cluster == 1
+
+
+def test_recursive_split_bounds_and_coverage(spark, sf_dir):
+    """Every chunk respects the character bound, and per doc the
+    chunk characters sum to the document length minus one removed
+    sentence-delimiter space per split point (the '. ' -> '.<mark>'
+    replacement drops the space from the reassembled text)."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _SPLIT_MAX,
+        chunk_recursive_split,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ch = chunk_recursive_split(spark, sf_dir)
+    assert ch.where(F.col("n_chars") > _SPLIT_MAX).count() == 0
+
+    got = {
+        r["doc_id"]: (r["n"], r["chars"])
+        for r in ch.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.size(F.expr(r"split(text, '\\. ')")).alias("n_sents"),
+    )
+    for r in d.collect():
+        n_chunks, chars = got[r["doc_id"]]
+        removed_spaces = r["n_sents"] - 1
+        assert chars == r["len"] - removed_spaces, r["doc_id"]
+        assert n_chunks >= r["n_sents"]
+
+
+def test_kmv_estimate_within_rsd(spark, sf_dir):
+    """KMV with k=64 has relative standard deviation ~ 1/sqrt(k-2) ~
+    12.7%; the per-type estimate must land within 4 sigma of the
+    exact distinct count (and be EXACT when the type has < k distinct
+    users)."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _KMV_K,
+        sketch_kmv_distinct,
+    )
+
+    for r in sketch_kmv_distinct(spark, sf_dir).collect():
+        exact, est = r["exact_distinct"], r["kmv_estimate"]
+        if exact < _KMV_K:
+            assert est == exact, r
+        else:
+            assert abs(est - exact) <= 0.51 * exact, r
