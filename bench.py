@@ -129,6 +129,9 @@ HEADLINE = [
     "rag_mmr_rerank",
     "txt_rake_keywords",
     "chunk_recursive_split",
+    "evt_ab_test",
+    "profile_cardinality_report",
+    "samp_class_balance",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

@@ -96,6 +96,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_rake_keywords",
         "chunk_recursive_split",
         "graph_cc_incremental",
+        "evt_ab_test",
+        "profile_cardinality_report",
+        "samp_class_balance",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -248,6 +248,66 @@ WHERE pick_rank <= {_TOPK_PER_STRATUM}
 """
 
 
+# ---------------------------------------------------------------------------
+# samp_class_balance — downsample every class to the minority count
+# ---------------------------------------------------------------------------
+
+def samp_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling of the event log — the classifier-
+    training prep that caps every class at the MINORITY class's
+    count: the per-type cap is a 1-row broadcast MIN over the type
+    counts (derived in-plan, not a config), membership is the
+    deterministic smallest-md5-hash rank per type (unbiased, stable
+    across engines and re-runs — the samp_topk_hash discipline), and
+    the output pins WHICH rows were kept via an associative modular
+    checksum of the kept event_ids, not just how many. One window
+    pass per type + one tiny aggregate; never a global sort."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    cap = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.min("n").alias("cap")
+    )
+    keyhash = (
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12),"
+        " 16, 10) AS BIGINT)"
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.expr(keyhash).asc(), F.col("event_id").asc()
+    )
+    kept = (
+        e.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(cap))
+        .where(F.col("rn") <= F.col("cap"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "CAST(SUM((event_id * 2654435761) % 1000000007) AS BIGINT)"
+        ).alias("id_checksum"),
+    )
+
+
+_SAMP_CLASS_BALANCE_SQL = """
+WITH cap AS (
+  SELECT MIN(n) AS cap
+  FROM (SELECT COUNT(*) AS n FROM events GROUP BY event_type)
+), ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                         1, 12)) AS BIGINT), event_id)
+           AS rn
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM((event_id * 2654435761) % 1000000007) AS BIGINT)
+         AS id_checksum
+FROM ranked, cap
+WHERE rn <= cap
+GROUP BY event_type
+"""
+
+
 _BUDGET = 20_000  # tokens per training shard
 
 # Cumsum block width, derived IN-PLAN from COUNT(*) and MAX(doc_id):
@@ -923,6 +983,11 @@ QUERIES = {
         chunk_recursive_split,
         _CHUNK_RECURSIVE_SPLIT_SQL,
         ("sharding", "chunking", "rag"),
+    ),
+    "samp_class_balance": QuerySpec(
+        samp_class_balance,
+        _SAMP_CLASS_BALANCE_SQL,
+        ("sampling", "balance"),
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")

@@ -201,11 +201,169 @@ FROM classified GROUP BY diff_class
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_ab_test — two-proportion experiment readout, exact rational z^2
+# ---------------------------------------------------------------------------
+
+def evt_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — the analysis every growth pipeline
+    runs over the event log: users split into arms by a deterministic
+    hash (parity of user_id here), the metric is user-level purchase
+    conversion, and significance is the two-proportion z test. The
+    z statistic itself is irrational (a square root), so the entry
+    emits z^2 scaled to ppm — algebraically
+    (c1*n2 - c2*n1)^2 * n * 1e6 / (n1*n2*c*(n-c)) — which is a pure
+    integer rational both engines evaluate identically in
+    DECIMAL(38,0)/HUGEINT (the numerator overflows int64 at modest
+    user counts). z^2 >= 3.84 (chi-square 95%) <=> z2_ppm >= 3841459
+    — significance thresholding stays exact too.
+
+    Plan shape: one scan -> per-user conversion flag (groupBy
+    user_id, partial-agg sum) -> 1-row conditional aggregate. At
+    100 TB the user table is the only shuffle and the readout is
+    O(1). The metric is 'heavy purchaser' (>= 14 purchase events —
+    the fixture gives every user at least a few purchases, so a >=1
+    flag would saturate and zero the pooled variance); the degenerate
+    all-or-none case still guards the division with an explicit
+    CASE."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = e.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    g = users.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)
+        ).alias("c_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)
+        ).alias("c_b"),
+    )
+    return g.select(
+        F.expr("CAST(n_a AS BIGINT)").alias("n_a"),
+        F.expr("CAST(c_a AS BIGINT)").alias("c_a"),
+        F.expr("CAST(n_b AS BIGINT)").alias("n_b"),
+        F.expr("CAST(c_b AS BIGINT)").alias("c_b"),
+        F.expr(
+            "(c_a * 1000000) div n_a - (c_b * 1000000) div n_b"
+        ).alias("conv_diff_ppm"),
+        F.expr(
+            "CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL"
+            " ELSE CAST((CAST(c_a * n_b - c_b * n_a AS DECIMAL(38,0))"
+            " * (c_a * n_b - c_b * n_a) * (n_a + n_b) * 1000000)"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b * (c_a + c_b)"
+            " * (n_a + n_b - c_a - c_b)) AS BIGINT) END"
+        ).alias("z2_ppm"),
+    )
+
+
+_EVT_AB_TEST_SQL = """
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS c_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS c_b
+  FROM users
+)
+SELECT n_a, c_a, n_b, c_b,
+       (c_a * 1000000) // n_a - (c_b * 1000000) // n_b AS conv_diff_ppm,
+       CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+            ELSE CAST(((c_a * n_b - c_b * n_a)::HUGEINT
+             * (c_a * n_b - c_b * n_a) * (n_a + n_b) * 1000000)
+            // (n_a::HUGEINT * n_b * (c_a + c_b)
+                * (n_a + n_b - c_a - c_b)) AS BIGINT) END AS z2_ppm
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# profile_cardinality_report — one-scan per-column table profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+)
+
+
+def profile_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile over orders — the ANALYZE TABLE /
+    data-catalog summary every lake keeps per partition: row count,
+    null count, exact distinct count, and min/max (as strings, so one
+    schema fits every column type) for each profiled column, in ONE
+    scan. The multi-column countDistincts share the pass through
+    Spark's Expand (one shuffle carrying partial aggregates); the
+    unpivot to (column, ...) rows is a stack() over the 1-row
+    aggregate — free. At 100 TB the same plan profiles a partition at
+    a time and the report table stays O(columns)."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}_nd"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nn"),
+            F.min(F.col(c).cast("string")).alias(f"{c}_min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}_max"),
+        ]
+    g = o.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}_nd, {c}_nn, {c}_min, {c}_max" for c in _PROFILE_COLS
+    )
+    return g.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_distinct, n_nulls, min_str, max_str)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_distinct", "n_nulls", "min_str", "max_str"
+    )
+
+
+def _profile_cardinality_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "dq_constraint_check": QuerySpec(
         dq_constraint_check, _DQ_CONSTRAINT_CHECK_SQL, ("quality",)
     ),
     "diff_snapshots": QuerySpec(
         diff_snapshots, _diff_snapshots_sql(), ("quality", "audit")
+    ),
+    "evt_ab_test": QuerySpec(
+        evt_ab_test, _EVT_AB_TEST_SQL, ("quality", "experiment")
+    ),
+    "profile_cardinality_report": QuerySpec(
+        profile_cardinality_report,
+        _profile_cardinality_sql(),
+        ("quality", "profile"),
     ),
 }

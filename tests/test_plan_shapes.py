@@ -419,3 +419,34 @@ def test_bloom_prefilter_joins_are_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_recursive_split_is_narrow(spark):
+    """chunk_recursive_split must be a pure narrow transform: no
+    Exchange anywhere except the parallelism-floor repartition of the
+    source scan — the chunker itself adds zero shuffles."""
+    plan = _plan(spark, "chunk_recursive_split")
+    # only _spread's round-robin parallelism floor — never a hash or
+    # range repartition (those would mean a hidden wide dependency)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate" in plan  # the posexplode
+    assert "Window" not in plan and "HashAggregate" not in plan
+
+
+def test_ohlc_single_shuffle(spark):
+    """ts_resample_ohlc's window partitioning (type, day) must be
+    reused by the aggregate: exactly ONE hash exchange beyond the
+    source parallelism floor."""
+    plan = _plan(spark, "ts_resample_ohlc")
+    assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_mmr_candidate_stage_is_topk(spark):
+    """rag_mmr_rerank's distributed stage must cut the corpus with
+    TakeOrderedAndProject (no global sort), and the greedy tail must
+    run over checkpointed slates (scan-free: the final plan contains
+    no parquet scan of embeddings)."""
+    plan = _plan(spark, "rag_mmr_rerank")
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+    assert "parquet" not in plan.lower()
