@@ -132,6 +132,9 @@ HEADLINE = [
     "evt_ab_test",
     "profile_cardinality_report",
     "samp_class_balance",
+    "stream_ohlc_bars",
+    "join_spatial_grid",
+    "txt_boilerplate_chunks",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

@@ -99,6 +99,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_ab_test",
         "profile_cardinality_report",
         "samp_class_balance",
+        "stream_ohlc_bars",
+        "join_spatial_grid",
+        "txt_boilerplate_chunks",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

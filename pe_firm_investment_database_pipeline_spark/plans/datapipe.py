@@ -249,6 +249,55 @@ WHERE pick_rank <= {_TOPK_PER_STRATUM}
 
 
 # ---------------------------------------------------------------------------
+# txt_boilerplate_chunks — cross-document repeated-chunk detection
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 2
+_BOILER_TOP = 20
+
+
+def txt_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection at CHUNK granularity — the Gopher-style
+    curation signal document-level dedup can't see: a sentence chunk
+    whose md5 fingerprint recurs across >= 2 distinct documents is a
+    header / license / template fragment, and training pipelines
+    strip or downweight it even when the surrounding documents are
+    unique. Composes chunk_recursive_split (zero-shuffle chunker)
+    with ONE fingerprint aggregate — the shuffle carries (fp, partial
+    doc-sets bounded by the aggregate's partial distinct), and the
+    report is top-20 by reach, a TakeOrderedAndProject."""
+    ch = chunk_recursive_split(spark, sf_dir)
+    rep = (
+        ch.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_chars").alias("chunk_chars"),
+        )
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
+    return rep.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("chunk_fp")
+    ).limit(_BOILER_TOP)
+
+
+def _txt_boilerplate_chunks_sql() -> str:
+    # deferred: _CHUNK_RECURSIVE_SPLIT_SQL is defined later in this
+    # module (the chunker section); QUERIES builds after both exist
+    return f"""
+WITH chunks AS ({_CHUNK_RECURSIVE_SPLIT_SQL})
+SELECT chunk_fp,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MAX(n_chars) AS BIGINT) AS chunk_chars
+FROM chunks GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, chunk_fp
+LIMIT {_BOILER_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # samp_class_balance — downsample every class to the minority count
 # ---------------------------------------------------------------------------
 
@@ -988,6 +1037,11 @@ QUERIES = {
         samp_class_balance,
         _SAMP_CLASS_BALANCE_SQL,
         ("sampling", "balance"),
+    ),
+    "txt_boilerplate_chunks": QuerySpec(
+        txt_boilerplate_chunks,
+        _txt_boilerplate_chunks_sql(),
+        ("text", "dedup", "boilerplate"),
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")

@@ -721,6 +721,97 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# join_spatial_grid — radius self-join via grid binning
+# ---------------------------------------------------------------------------
+
+_GRID_EXTENT = 1_000_000  # coordinate space: [0, 1e6)^2 integer units
+_GRID_R = 5_000  # radius (and grid cell width)
+
+
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius self-join — the geo twin of the interval-bin
+    join: find all customer pairs within _GRID_R of each other on a
+    synthetic integer coordinate plane (md5-derived x/y — the fixture
+    ships no geo columns, the PATTERN is the point). The classic
+    sub-quadratic shape: bin points into cells of width = radius, one
+    side explodes into its 3x3 cell neighborhood (a 9-element in-row
+    array — no row blowup beyond 9x on ONE side), the join is a pure
+    cell equi-join, and an exact integer distance-squared predicate
+    removes edge false positives. Cost is O(points x 9 x density per
+    cell), never all-pairs; a<b keeps each unordered pair exactly
+    once (a pair is generated only when b's own cell is in a's
+    neighborhood — exactly one neighborhood cell matches). At 100 TB
+    both sides bucket by cell and the join co-locates."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def coord(salt: str):
+        return F.expr(
+            f"CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING),"
+            f" '{salt}')), 1, 12), 16, 10) AS BIGINT) % {_GRID_EXTENT}"
+        )
+
+    pts = c.select(
+        "c_custkey", coord("x").alias("x"), coord("y").alias("y")
+    ).withColumn("cx", F.expr(f"x div {_GRID_R}")).withColumn(
+        "cy", F.expr(f"y div {_GRID_R}")
+    )
+    left = pts.select(
+        F.col("c_custkey").alias("a"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(cx + dx AS ncx, cy + dy AS ncy))))"
+            )
+        ).alias("nc"),
+    ).select("a", "ax", "ay", F.col("nc.ncx").alias("cx"), F.col("nc.ncy").alias("cy"))
+    right = pts.select(
+        F.col("c_custkey").alias("b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+    )
+    d2 = F.expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)")
+    return (
+        left.join(right, ["cx", "cy"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("dist2", d2)
+        .where(F.col("dist2") <= _GRID_R * _GRID_R)
+        .select("a", "b", "dist2")
+    )
+
+
+_JOIN_SPATIAL_GRID_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 12))
+              AS BIGINT) % {_GRID_EXTENT} AS x,
+         CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 12))
+              AS BIGINT) % {_GRID_EXTENT} AS y
+  FROM customer
+), binned AS (
+  SELECT *, x // {_GRID_R} AS cx, y // {_GRID_R} AS cy FROM pts
+), lhs AS (
+  SELECT c_custkey AS a, x AS ax, y AS ay,
+         cx + dx.d AS cx, cy + dy.d AS cy
+  FROM binned,
+       (SELECT unnest([-1, 0, 1]) AS d) dx,
+       (SELECT unnest([-1, 0, 1]) AS d) dy
+)
+SELECT l.a, r.c_custkey AS b,
+       CAST((l.ax - r.x) * (l.ax - r.x)
+            + (l.ay - r.y) * (l.ay - r.y) AS BIGINT) AS dist2
+FROM lhs l JOIN binned r ON l.cx = r.cx AND l.cy = r.cy
+WHERE l.a < r.c_custkey
+  AND (l.ax - r.x) * (l.ax - r.x) + (l.ay - r.y) * (l.ay - r.y)
+      <= {_GRID_R * _GRID_R}
+"""
+
+
 def evt_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top conversion paths — the sequence-mining summary behind
     funnel design: each user session (30-min gap, the sessionize
@@ -841,5 +932,8 @@ QUERIES = {
     ),
     "evt_top_paths": QuerySpec(
         evt_top_paths, _EVT_TOP_PATHS_SQL, ("events", "sequence")
+    ),
+    "join_spatial_grid": QuerySpec(
+        join_spatial_grid, _JOIN_SPATIAL_GRID_SQL, ("join", "spatial", "grid")
     ),
 }

@@ -862,7 +862,85 @@ def _stream_dedup_lsh_sql() -> str:
 _STREAM_DEDUP_LSH_SQL = _stream_dedup_lsh_sql()
 
 
+# ---------------------------------------------------------------------------
+# stream_ohlc_bars — deterministic first/last in a streaming aggregate
+# ---------------------------------------------------------------------------
+
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars — the live twin of plans/sessions.py
+    ts_resample_ohlc: per (1-day window, event_type) open / high /
+    low / close / volume, maintained incrementally. Open/close inside
+    a STREAMING aggregate can't use a window rank (no row_number on
+    unbounded input); min_by/max_by over a scalar event-time key is
+    the declarative form whose state merges associatively across
+    micro-batches — exactly how a production bar builder keeps state
+    bounded by (windows x types). The ordering key packs
+    (in-day offset µs, event_id) into one int64 — in-day offsets are
+    < 8.64e10, so offset * 1e7 + event_id is collision-free and fits
+    comfortably (at an event-id scale beyond 1e7 the key would widen
+    to DECIMAL, same plan). Ties therefore break identically in the
+    DuckDB oracle's arg_min/arg_max."""
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    day_us = DAY_S * 1_000_000
+    key = F.expr(
+        f"(unix_micros(ts) - (unix_micros(ts) div {day_us}) * {day_us})"
+        " * 10000000 + event_id"
+    )
+    agg = (
+        ev.withColumn("k", key)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.expr("min_by(value_c, k)").alias("open_cents"),
+            F.max("value_c").alias("high_cents"),
+            F.min("value_c").alias("low_cents"),
+            F.expr("max_by(value_c, k)").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("value_c").alias("volume_cents"),
+        )
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_ticks",
+            "volume_cents",
+        )
+    )
+    return _run(agg, "complete")
+
+
+_STREAM_OHLC_BARS_SQL = f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         epoch_us(ts::TIMESTAMP) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), keyed AS (
+  SELECT event_type,
+         (us // {DAY_S * 1000000}) * {DAY_S} AS win_start_s,
+         (us - (us // {DAY_S * 1000000}) * {DAY_S * 1000000}) * 10000000
+           + event_id AS k,
+         c
+  FROM e
+)
+SELECT win_start_s, event_type,
+       arg_min(c, k) AS open_cents,
+       MAX(c) AS high_cents,
+       MIN(c) AS low_cents,
+       arg_max(c, k) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(SUM(c) AS BIGINT) AS volume_cents
+FROM keyed GROUP BY win_start_s, event_type
+"""
+
+
 QUERIES = {
+    "stream_ohlc_bars": QuerySpec(
+        stream_ohlc_bars, _STREAM_OHLC_BARS_SQL, ("streaming", "window", "ohlc")
+    ),
     "stream_ingest_jsonl": QuerySpec(
         stream_ingest_jsonl, _STREAM_INGEST_JSONL_SQL, ("streaming", "ingest")
     ),
