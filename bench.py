@@ -135,6 +135,9 @@ HEADLINE = [
     "stream_ohlc_bars",
     "join_spatial_grid",
     "txt_boilerplate_chunks",
+    "agg_gini_diversity",
+    "win_median_sliding",
+    "mm_scene_cuts",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",
@@ -236,7 +239,7 @@ def main() -> None:
     # truncates the per-entry dict once HEADLINE passed ~50 entries —
     # persist the FULL result in-repo so every round keeps regression
     # visibility (r5 verdict lost per-op times for ~135 entries).
-    local_path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{_next_round()}.json")
+    local_path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{_next_round():02d}.json")
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     # Memory hygiene for anything running after the sweep in the same

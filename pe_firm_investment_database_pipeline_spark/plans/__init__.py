@@ -102,6 +102,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_ohlc_bars",
         "join_spatial_grid",
         "txt_boilerplate_chunks",
+        "agg_gini_diversity",
+        "win_median_sliding",
+        "mm_scene_cuts",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

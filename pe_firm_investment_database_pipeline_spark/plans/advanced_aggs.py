@@ -398,6 +398,126 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# agg_gini_diversity — behavioral-diversity profile, exact rational
+# ---------------------------------------------------------------------------
+
+def agg_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity via GINI IMPURITY of the
+    event-type distribution — the diversity profile a curation /
+    abuse pipeline keys on (bots do one thing; humans mix). Shannon
+    entropy is the textbook choice but its log is irrational and
+    engine-dependent at the last ulp; Gini = 1 - sum(p_i^2) is a pure
+    rational with the same ordering, so gini_ppm =
+    (n^2 - sum(c_i^2)) * 1e6 div n^2 is EXACT int64 on both engines.
+    Two hash aggregates back to back — (user, type) counts, then per
+    user — both partial-aggregable; no window, no explode. At 100 TB
+    the first groupBy is the only real shuffle and the second reuses
+    its partitioning (user_id is a key prefix)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        ut.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.expr("c * c")).alias("ss"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.expr(
+                "((n_events * n_events - ss) * 1000000)"
+                " div (n_events * n_events)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+_AGG_GINI_DIVERSITY_SQL = """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type
+), u AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM ut GROUP BY user_id
+)
+SELECT user_id, n_events, n_types,
+       ((n_events * n_events - ss) * 1000000) // (n_events * n_events)
+         AS gini_ppm
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_median_sliding — exact sliding median over a bounded frame
+# ---------------------------------------------------------------------------
+
+def win_median_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding median of event value per user over the trailing
+    7-event frame — the robust smoother win_ewma can't be (a single
+    spike moves every mean but no median). Exact cross-engine: the
+    frame is collected (bounded at 7 elements — O(1) state per row),
+    sorted in-row, and the median is emitted DOUBLED (median_x2) so
+    the even-frame midpoint average stays integer. NULL values are
+    filtered up front in both twins (collect_list vs list() NULL
+    semantics — the win_ewma lesson). One shuffle on user_id; frame
+    work is O(7 log 7) per row at any scale."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    staged = ev.withColumn("lst", F.array_sort(F.collect_list("v").over(w)))
+    med2 = F.expr(
+        "CASE WHEN size(lst) % 2 = 1 THEN 2 * lst[size(lst) div 2] "
+        "ELSE lst[size(lst) div 2 - 1] + lst[size(lst) div 2] END"
+    )
+    return staged.select(
+        "event_id",
+        "user_id",
+        F.size("lst").cast("long").alias("n_window"),
+        med2.alias("median_cents_x2"),
+    )
+
+
+_WIN_MEDIAN_SLIDING_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+), staged AS (
+  SELECT event_id, user_id,
+         list_sort(list(v) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+           AS lst
+  FROM ev
+)
+SELECT event_id, user_id, CAST(len(lst) AS BIGINT) AS n_window,
+       CAST(CASE WHEN len(lst) % 2 = 1 THEN 2 * lst[len(lst) // 2 + 1]
+                 ELSE lst[len(lst) // 2] + lst[len(lst) // 2 + 1]
+            END AS BIGINT) AS median_cents_x2
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_kmv_distinct — bottom-k (KMV) distinct estimator, exactly
 # deterministic cross-engine
 # ---------------------------------------------------------------------------
@@ -1396,6 +1516,12 @@ QUERIES = {
     ),
     "sketch_kmv_distinct": QuerySpec(
         sketch_kmv_distinct, _SKETCH_KMV_DISTINCT_SQL, ("agg", "sketch", "kmv")
+    ),
+    "agg_gini_diversity": QuerySpec(
+        agg_gini_diversity, _AGG_GINI_DIVERSITY_SQL, ("agg", "profile")
+    ),
+    "win_median_sliding": QuerySpec(
+        win_median_sliding, _WIN_MEDIAN_SLIDING_SQL, ("window", "robust")
     ),
     "evt_funnel": QuerySpec(evt_funnel, _EVT_FUNNEL_SQL, ("events", "funnel")),
     "evt_attribution": QuerySpec(

@@ -99,7 +99,12 @@ def io_http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bucket = TokenBucket(rate=500.0, burst=50)
+        # burst = one second of the configured rate (standard bucket
+        # sizing): a cold bucket then never throttles a partition wave
+        # smaller than the rate itself, so the stage's cost tracks the
+        # transport, not the partition layout (r5 bench regression
+        # suspect — VERDICT r5 'Next round' #3)
+        bucket = TokenBucket(rate=500.0, burst=500)
         for pdf in batches:
             statuses, lengths = [], []
             for key, url in zip(pdf["s_suppkey"], pdf["url"]):

@@ -215,6 +215,109 @@ FROM frames
 
 
 # ---------------------------------------------------------------------------
+# mm_scene_cuts — temporal feature deltas over sampled frames
+# ---------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 1 << 46  # half the 48-bit feature domain
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads — the temporal
+    multimodal op on top of frame sampling: consecutive frames whose
+    feature distance exceeds a threshold mark a cut (shot boundary /
+    keyframe candidate). The frame FEATURE here is the deterministic
+    fake (48-bit md5 of the frame's byte slice — a real pipeline
+    plugs a perceptual embedding into the same mapInPandas slot), so
+    the whole operator keeps an exact DuckDB oracle. Per-doc output:
+    frame count, cut count, and a cut BITMASK (frame count is
+    bounded by MAX_FRAMES=8, so the mask pins exactly WHICH
+    transitions cut, not just how many).
+
+    Plan shape: metadata filter prunes to video rows BEFORE the
+    Python hop; the 1->N frame stage is Arrow-batched; the lag
+    window partitions by doc_id (bounded frames per doc — perfectly
+    parallel); one aggregate back to doc granularity."""
+    p = _payloads(spark, sf_dir).where(
+        F.col("media_type") == "video/mp4"
+    ).select("doc_id", "payload")
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_feat = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(MAX_FRAMES, 1 + len(payload) // FRAME_BYTES)
+                for i in range(n):
+                    sl = payload[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+                    feat = int(
+                        hashlib.md5(sl.hex().encode()).hexdigest()[:12], 16
+                    )
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_feat.append(feat)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int64"),
+                    "feat": pd.Series(out_feat, dtype="int64"),
+                }
+            )
+
+    frames = p.mapInPandas(
+        featurize, schema="doc_id long, frame_idx long, feat long"
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_cut",
+        (
+            F.abs(F.col("feat") - F.lag("feat").over(w)) > _CUT_THRESHOLD
+        ).cast("long"),
+    )
+    return cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.coalesce(F.sum("is_cut"), F.lit(0)).alias("n_cuts"),
+        F.coalesce(
+            F.sum(F.expr("is_cut * shiftleft(CAST(1 AS BIGINT), "
+                         "CAST(frame_idx AS INT))")),
+            F.lit(0),
+        ).alias("cut_mask"),
+    )
+
+
+_MM_SCENE_CUTS_SQL = f"""
+WITH v AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 2
+), frames AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, least({MAX_FRAMES}, 1 + blen // {FRAME_BYTES})))
+              AS BIGINT) AS frame_idx,
+         h, blen
+  FROM v
+), feats AS (
+  SELECT doc_id, frame_idx,
+         CAST(('0x' || substr(md5(lower(substr(h,
+                frame_idx * {FRAME_BYTES} * 2 + 1, {FRAME_BYTES} * 2))),
+              1, 12)) AS BIGINT) AS feat
+  FROM frames
+), cuts AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN abs(feat - lag(feat) OVER (PARTITION BY doc_id
+                                              ORDER BY frame_idx))
+                   > {_CUT_THRESHOLD} THEN 1 ELSE 0 END AS is_cut
+  FROM feats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COALESCE(SUM(is_cut), 0) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(SUM(is_cut * (CAST(1 AS BIGINT) << frame_idx)), 0)
+            AS BIGINT) AS cut_mask
+FROM cuts GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # mm_resize — payload downsampling stage (bytes in, smaller bytes out)
 # ---------------------------------------------------------------------------
 
@@ -502,5 +605,8 @@ QUERIES = {
     ),
     "mm_frame_sample": QuerySpec(
         mm_frame_sample, _MM_FRAME_SAMPLE_SQL, ("multimodal", "udtf")
+    ),
+    "mm_scene_cuts": QuerySpec(
+        mm_scene_cuts, _MM_SCENE_CUTS_SQL, ("multimodal", "temporal", "video")
     ),
 }
