@@ -138,6 +138,9 @@ HEADLINE = [
     "agg_gini_diversity",
     "win_median_sliding",
     "mm_scene_cuts",
+    "evt_rfm_segmentation",
+    "dedup_url_canonicalize",
+    "sketch_kmv_setops",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

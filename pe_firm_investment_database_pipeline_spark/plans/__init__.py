@@ -84,9 +84,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_pii_redact",
         "win_distribution_fns",
         "agg_percentile_approx",
-        # perf confirmation targets this round (VERDICT #3, #5)
-        "sim_knn_blocked",
-        "io_http_fetch",
         # round-6 additions
         "ts_resample_ohlc",
         "ts_gapfill_linear",
@@ -105,6 +102,13 @@ def all_queries() -> dict[str, QuerySpec]:
         "agg_gini_diversity",
         "win_median_sliding",
         "mm_scene_cuts",
+        "evt_rfm_segmentation",
+        "dedup_url_canonicalize",
+        "sketch_kmv_setops",
+        # perf confirmation targets (correctness already verdicted;
+        # re-measured in BENCH_LOCAL_r06 / BENCH_NOTES.md)
+        "sim_knn_blocked",
+        "io_http_fetch",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

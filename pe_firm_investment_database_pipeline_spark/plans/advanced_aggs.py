@@ -398,6 +398,102 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# evt_rfm_segmentation — quartile RFM scores without a global sort
+# ---------------------------------------------------------------------------
+
+def evt_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics workhorse: each user scores 1-4 on each
+    axis by quartile, concatenated into a 3-digit segment code. The
+    textbook formulation is ntile(4), which is a GLOBAL sort — one
+    partition through the whole user table at 100 TB. This plan
+    instead computes the three quartile boundary triples in ONE 1-row
+    exact-percentile aggregate (the agg_percentiles discipline:
+    integer inputs, interpolation arithmetic identical across
+    engines), broadcasts them, and scores map-side with strict->
+    comparisons — no global ordering anywhere. (Boundary-tied users
+    can land one quartile apart vs ntile's arbitrary split; for a
+    segmentation that difference is immaterial and the boundary rule
+    is deterministic, which ntile's tie handling is not.)"""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    users = e.groupBy("user_id").agg(
+        F.max("ts_us").alias("rec"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("freq"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("c")).otherwise(0)
+        ).alias("mon"),
+    )
+    bounds = users.agg(
+        *[
+            F.expr(f"percentile({m}, {q})").alias(f"{m}_{int(q * 100)}")
+            for m in ("rec", "freq", "mon")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def seg(m: str):
+        return (
+            F.lit(1)
+            + (F.col(m) > F.col(f"{m}_25")).cast("long")
+            + (F.col(m) > F.col(f"{m}_50")).cast("long")
+            + (F.col(m) > F.col(f"{m}_75")).cast("long")
+        )
+
+    scored = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        seg("rec").alias("r_seg"),
+        seg("freq").alias("f_seg"),
+        seg("mon").alias("m_seg"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        F.expr("r_seg * 100 + f_seg * 10 + m_seg"),
+    )
+
+
+_EVT_RFM_SEGMENTATION_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), users AS (
+  SELECT user_id, MAX(ts_us) AS rec,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS freq,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)
+              AS BIGINT) AS mon
+  FROM e GROUP BY user_id
+), bounds AS (
+  SELECT quantile_cont(rec, 0.25) AS rec_25, quantile_cont(rec, 0.5) AS rec_50,
+         quantile_cont(rec, 0.75) AS rec_75,
+         quantile_cont(freq, 0.25) AS freq_25,
+         quantile_cont(freq, 0.5) AS freq_50,
+         quantile_cont(freq, 0.75) AS freq_75,
+         quantile_cont(mon, 0.25) AS mon_25, quantile_cont(mon, 0.5) AS mon_50,
+         quantile_cont(mon, 0.75) AS mon_75
+  FROM users
+), scored AS (
+  SELECT user_id,
+         1 + CAST(rec > rec_25 AS BIGINT) + CAST(rec > rec_50 AS BIGINT)
+           + CAST(rec > rec_75 AS BIGINT) AS r_seg,
+         1 + CAST(freq > freq_25 AS BIGINT) + CAST(freq > freq_50 AS BIGINT)
+           + CAST(freq > freq_75 AS BIGINT) AS f_seg,
+         1 + CAST(mon > mon_25 AS BIGINT) + CAST(mon > mon_50 AS BIGINT)
+           + CAST(mon > mon_75 AS BIGINT) AS m_seg
+  FROM users, bounds
+)
+SELECT user_id, r_seg, f_seg, m_seg,
+       r_seg * 100 + f_seg * 10 + m_seg AS rfm_code
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_gini_diversity — behavioral-diversity profile, exact rational
 # ---------------------------------------------------------------------------
 
@@ -620,6 +716,160 @@ SELECT event_type, k_used, hk,
        exact_distinct
 FROM sk JOIN exact USING (event_type)
 """
+
+
+# ---------------------------------------------------------------------------
+# sketch_kmv_setops — KMV set algebra (union + intersection estimates)
+# ---------------------------------------------------------------------------
+
+_KMV_PAIRS = (("view", "purchase"), ("view", "click"), ("signup", "error"))
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV sketches — the capability that justifies
+    keeping bottom-k sketches next to HLL in a profile store: two
+    types' audience sketches combine into UNION and INTERSECTION
+    estimates without rescanning users. Union: the merged bottom-k of
+    two bottom-k sets is exactly bottom-k(A ∪ B) (rank in a subset
+    only shrinks), so the standard (k-1)*M/h_k estimator applies.
+    Intersection: a merged-bottom-k member that belongs to A
+    necessarily sits in bottom-k(A) (same rank argument), so flags
+    from the per-type sketches give the exact Jaccard numerator and
+    inter_est = j_hits * union_est div k. Everything is
+    deterministic given the hash, so BOTH estimates hash-check
+    against DuckDB, and exact twin columns quantify the error.
+
+    Plan: per-type bottom-k reuses sketch_kmv_distinct's bucketed
+    window discipline (bounded state); the pair algebra runs over
+    <= types*k sketch rows — broadcast-scale regardless of corpus."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = e.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    wb = W.partitionBy(
+        "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    pages = hashed.withColumn("rn", F.row_number().over(wb)).where(
+        F.col("rn") <= _KMV_K
+    )
+    wt = W.partitionBy("event_type").orderBy("h")
+    bottoms = (
+        pages.withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= _KMV_K)
+        .select("event_type", "h")
+        .localCheckpoint(eager=True)
+    )
+    ut = hashed.select("event_type", "user_id")
+
+    outs = []
+    for a, b in _KMV_PAIRS:
+        pair = bottoms.where(F.col("event_type").isin(a, b))
+        flagged = pair.groupBy("h").agg(
+            F.max((F.col("event_type") == a).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == b).cast("int")).alias("in_b"),
+        )
+        wm = W.orderBy("h")
+        merged = flagged.withColumn("rn", F.row_number().over(wm)).where(
+            F.col("rn") <= _KMV_K
+        )
+        sk = merged.agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.max("h").alias("hk"),
+            F.sum(F.expr("in_a * in_b")).cast("long").alias("j_hits"),
+        )
+        exact = ut.where(F.col("event_type").isin(a, b)).groupBy(
+            "user_id"
+        ).agg(
+            F.max((F.col("event_type") == a).cast("int")).alias("ia"),
+            F.max((F.col("event_type") == b).cast("int")).alias("ib"),
+        ).agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.expr("ia * ib")).cast("long").alias("exact_inter"),
+        )
+        union_est = F.expr(
+            f"CASE WHEN k_used < {_KMV_K} THEN k_used ELSE "
+            f"CAST((CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_M}) div hk"
+            " AS BIGINT) END"
+        )
+        out = sk.crossJoin(exact).select(
+            F.lit(a).alias("type_a"),
+            F.lit(b).alias("type_b"),
+            "k_used",
+            union_est.alias("union_est"),
+            F.expr("CAST(j_hits AS BIGINT)").alias("j_hits"),
+            "exact_union",
+            "exact_inter",
+        ).withColumn(
+            "inter_est", F.expr("(j_hits * union_est) div k_used")
+        )
+        outs.append(out)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sketch_kmv_setops_sql() -> str:
+    parts = []
+    for a, b in _KMV_PAIRS:
+        parts.append(f"""
+SELECT type_a, type_b, k_used, union_est, j_hits, exact_union,
+       exact_inter, (j_hits * union_est) // k_used AS inter_est
+FROM (
+  WITH hashed AS (
+    SELECT DISTINCT event_type, user_id,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+  ), pages AS (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type, h % {_KMV_BUCKETS}
+                              ORDER BY h) AS rn
+    FROM hashed
+  ), bottoms AS (
+    SELECT event_type, h FROM (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM pages WHERE rn <= {_KMV_K}
+    ) WHERE rk <= {_KMV_K}
+  ), flagged AS (
+    SELECT h,
+           MAX(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS in_b
+    FROM bottoms WHERE event_type IN ('{a}', '{b}')
+    GROUP BY h
+  ), merged AS (
+    SELECT * FROM (
+      SELECT *, row_number() OVER (ORDER BY h) AS rn FROM flagged
+    ) WHERE rn <= {_KMV_K}
+  ), sk AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k_used, CAST(MAX(h) AS BIGINT) AS hk,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS j_hits
+    FROM merged
+  ), exact AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           CAST(SUM(ia * ib) AS BIGINT) AS exact_inter
+    FROM (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS ia,
+             MAX(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS ib
+      FROM hashed WHERE event_type IN ('{a}', '{b}')
+      GROUP BY user_id
+    )
+  )
+  SELECT '{a}' AS type_a, '{b}' AS type_b, k_used,
+         CAST(CASE WHEN k_used < {_KMV_K} THEN k_used
+                   ELSE ({_KMV_K - 1}::HUGEINT * {_KMV_M}) // hk
+              END AS BIGINT) AS union_est,
+         j_hits, exact_union, exact_inter
+  FROM sk, exact
+)""")
+    return "\nUNION ALL\n".join(parts)
 
 
 _AGG_HLL_ROLLUP_SQL = """
@@ -1519,6 +1769,16 @@ QUERIES = {
     ),
     "agg_gini_diversity": QuerySpec(
         agg_gini_diversity, _AGG_GINI_DIVERSITY_SQL, ("agg", "profile")
+    ),
+    "evt_rfm_segmentation": QuerySpec(
+        evt_rfm_segmentation,
+        _EVT_RFM_SEGMENTATION_SQL,
+        ("events", "segmentation", "percentile"),
+    ),
+    "sketch_kmv_setops": QuerySpec(
+        sketch_kmv_setops,
+        _sketch_kmv_setops_sql(),
+        ("agg", "sketch", "kmv", "setops"),
     ),
     "win_median_sliding": QuerySpec(
         win_median_sliding, _WIN_MEDIAN_SLIDING_SQL, ("window", "robust")

@@ -1130,6 +1130,104 @@ def url_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier /
+    link-graph hygiene step (reference: the _domain normalization at
+    step3_attempt1.py:43-57, extended to full-URL canonical form):
+    four deterministic messy variants per supplier URL (case-shifted
+    host, www. prefix, utm_*/ref tracking params, trailing slash)
+    must collapse to ONE canonical form. Rules, applied identically
+    in both twins: lowercase, strip www. after the scheme, drop
+    utm_*/ref params, sort surviving params, strip trailing '/' and
+    bare '?'. Pure narrow string expressions — canonicalization runs
+    at scan speed, and the dedup groupBy shuffles canonical STRINGS
+    once (at 100 TB you'd hash them first — dedup_exact's digest
+    discipline)."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    slug = F.lower(F.regexp_replace("s_name", r"[^A-Za-z0-9]", ""))
+    base = F.concat(slug, F.lit(".com.au/portfolio"))
+    variants = s.select(
+        "s_suppkey",
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://www."), base),
+                F.concat(F.lit("HTTPS://WWW."), F.upper(base)),
+                F.concat(
+                    F.lit("https://"),
+                    base,
+                    F.lit("?utm_source=news&b=2&utm_campaign=x&a=1"),
+                ),
+                F.concat(F.lit("https://www."), base, F.lit("/?ref=tw")),
+            )
+        ).alias("url"),
+    )
+    lowered = F.lower(F.col("url"))
+    no_www = F.regexp_replace(lowered, r"^(https?://)www\.", "$1")
+    split_q = F.split(no_www, r"\?", 2)
+    # try_element_at: a URL with no '?' yields a 1-element split and
+    # ANSI mode makes plain [i] indexing a hard error out of range
+    kept = F.expr(
+        "array_join(array_sort(filter("
+        "split(coalesce(try_element_at(parts, 2), ''), '&'),"
+        " p -> p != '' AND p NOT RLIKE '^(utm_[a-z]+|ref)=')), '&')"
+    )
+    canon = F.expr(
+        "rtrim('/', CASE WHEN q = '' THEN try_element_at(parts, 1)"
+        " ELSE concat(try_element_at(parts, 1), '?', q) END)"
+    )
+    canonical = (
+        variants.withColumn("parts", split_q)
+        .withColumn("q", kept)
+        .withColumn("canonical_url", canon)
+    )
+    return canonical.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("s_suppkey").alias("min_suppkey"),
+    )
+
+
+_DEDUP_URL_CANONICALIZE_SQL = r"""
+WITH s AS (
+  SELECT s_suppkey,
+         lower(regexp_replace(s_name, '[^A-Za-z0-9]', '', 'g'))
+           || '.com.au/portfolio' AS base
+  FROM supplier
+), variants AS (
+  SELECT s_suppkey, unnest([
+    'https://www.' || base,
+    'HTTPS://WWW.' || upper(base),
+    'https://' || base || '?utm_source=news&b=2&utm_campaign=x&a=1',
+    'https://www.' || base || '/?ref=tw'
+  ]) AS url
+  FROM s
+), cleaned AS (
+  SELECT s_suppkey, url,
+         string_split(regexp_replace(lower(url), '^(https?://)www\.', '\1'),
+                      '?') AS parts
+  FROM variants
+), canon AS (
+  SELECT s_suppkey, url,
+         rtrim(CASE WHEN q = '' THEN parts[1]
+                    ELSE parts[1] || '?' || q END, '/') AS canonical_url
+  FROM (
+    SELECT s_suppkey, url, parts,
+           -- coalesce: DuckDB's array_to_string over an empty
+           -- filtered list yields NULL where Spark yields ''
+           coalesce(array_to_string(list_sort(list_filter(
+             string_split(coalesce(parts[2], ''), '&'),
+             p -> p != '' AND NOT regexp_matches(p, '^(utm_[a-z]+|ref)=')
+           )), '&'), '') AS q
+    FROM cleaned
+  )
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       MIN(s_suppkey) AS min_suppkey
+FROM canon GROUP BY canonical_url
+"""
+
+
 def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace collapse + trim (_norm, step3_attempt1.py:36-41)."""
     c = _t(spark, sf_dir, "customer")
@@ -1450,6 +1548,11 @@ QUERIES = {
     ),
     "json_variant_ops": QuerySpec(
         json_variant_ops, _JSON_VARIANT_OPS_SQL, ("json", "variant")
+    ),
+    "dedup_url_canonicalize": QuerySpec(
+        dedup_url_canonicalize,
+        _DEDUP_URL_CANONICALIZE_SQL,
+        ("dedup", "url", "canonical"),
     ),
     "json_get": QuerySpec(
         json_get,
