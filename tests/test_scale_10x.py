@@ -65,6 +65,10 @@ HEAVY = [
     "rag_hybrid_rrf",
     "evt_streaks",
     "agg_bitmap_distinct",
+    # round-6 additions with at-scale claims of their own
+    "graph_cc_incremental",
+    "rag_mmr_rerank",
+    "txt_rake_keywords",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
@@ -164,13 +168,21 @@ def con_scale(scale_dir):
 def results():
     res: dict[str, dict] = {}
     yield res
-    # persist measured evidence in-repo (overwritten per run)
+    # persist measured evidence in-repo; MERGE with prior entries so a
+    # targeted re-run of a few ops doesn't drop the others' evidence
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_LOCAL.json",
     )
+    merged: dict[str, dict] = {}
+    try:
+        with open(out) as f:
+            merged = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    merged.update(res)
     with open(out, "w") as f:
-        json.dump(res, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
 
 
 @pytest.mark.parametrize("op_id", HEAVY)
