@@ -141,6 +141,9 @@ HEADLINE = [
     "evt_rfm_segmentation",
     "dedup_url_canonicalize",
     "sketch_kmv_setops",
+    "set_multiset_ops",
+    "sql_lateral_topk",
+    "src_csv_permissive",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

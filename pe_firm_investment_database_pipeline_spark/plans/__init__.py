@@ -105,6 +105,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_rfm_segmentation",
         "dedup_url_canonicalize",
         "sketch_kmv_setops",
+        "set_multiset_ops",
+        "sql_lateral_topk",
+        "src_csv_permissive",
         # perf confirmation targets (correctness already verdicted;
         # re-measured in BENCH_LOCAL_r06 / BENCH_NOTES.md)
         "sim_knn_blocked",

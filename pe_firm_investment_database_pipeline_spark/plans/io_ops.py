@@ -1017,6 +1017,70 @@ GROUP BY doc_id % 10
 """
 
 
+def src_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV tolerance — the ingest reality parquet entries
+    never face: a vendor CSV where some rows carry an unparseable
+    field. Documents are exported as CSV lines with every
+    doc_id % 13 == 0 row deliberately corrupted (non-numeric
+    n_chars), read back under PERMISSIVE mode with a
+    columnNameOfCorruptRecord column, and summarized per language
+    with the corrupt rows in their own class — nothing dropped
+    silently (the FAILFAST/DROPMALFORMED alternatives are one option
+    away; the permissive+quarantine shape is what a 100 TB ingest
+    actually runs). The oracle derives the same classes closed-form
+    from the parquet source, so the round-trip certifies BOTH the
+    good rows' values and the corrupt rows' exact membership."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    line = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.expr("concat(CAST(doc_id AS STRING), ',oops,', lang)"),
+    ).otherwise(
+        F.expr(
+            "concat(CAST(doc_id AS STRING), ',',"
+            " CAST(n_chars AS STRING), ',', lang)"
+        )
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_csvperm_{h}_{app}")
+    d.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "doc_id LONG, n_chars LONG, lang STRING, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    cls = F.when(F.col("_corrupt").isNotNull(), F.lit("CORRUPT")).otherwise(
+        F.col("lang")
+    )
+    return back.groupBy(cls.alias("lang_class")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("sum_chars"),
+        F.sum(F.expr("(doc_id * 2654435761) % 1000000007")).alias(
+            "id_checksum"
+        ),
+    )
+
+
+_SRC_CSV_PERMISSIVE_SQL = """
+SELECT CASE WHEN doc_id % 13 = 0 THEN 'CORRUPT' ELSE lang END AS lang_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN doc_id % 13 != 0 THEN n_chars END), 0)
+            AS BIGINT) AS sum_chars,
+       CAST(SUM((doc_id * 2654435761) % 1000000007) AS BIGINT) AS id_checksum
+FROM documents
+GROUP BY 1
+"""
+
+
 _BINFILE_N = 24
 
 
@@ -1176,6 +1240,11 @@ QUERIES = {
         src_corrupt_tolerant,
         _SRC_CORRUPT_TOLERANT_SQL,
         ("io", "source", "tolerance"),
+    ),
+    "src_csv_permissive": QuerySpec(
+        src_csv_permissive,
+        _SRC_CSV_PERMISSIVE_SQL,
+        ("io", "source", "csv", "tolerance"),
     ),
     "html_extract": QuerySpec(html_extract, _HTML_EXTRACT_SQL, ("io", "udtf")),
     "html_extract_names": QuerySpec(

@@ -997,6 +997,103 @@ def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return machinery.union(rich).distinct()
 
 
+def set_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET set operations the
+    distinct-flavored entries (set_intersect / set_except) don't
+    cover: multiplicities survive (a customer with three urgent and
+    two building-segment orders intersects with multiplicity two).
+    Spark's intersectAll/exceptAll plan as aggregate+generate
+    (replicate-row counts), not a join explosion. Output is the
+    aggregated shape (op, n_rows, n_distinct, key_checksum) so the
+    multiplicity semantics are pinned without shipping every row."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+    def summarize(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("custkey").alias("n_distinct"),
+            F.sum(
+                F.expr("(custkey * 2654435761) % 1000000007")
+            ).alias("key_checksum"),
+        )
+
+    return summarize(urgent.intersectAll(high), "intersect_all").unionByName(
+        summarize(urgent.exceptAll(high), "except_all")
+    )
+
+
+_SET_MULTISET_OPS_SQL = """
+WITH urgent AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), high AS (
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+), ia AS (
+  SELECT * FROM urgent INTERSECT ALL SELECT * FROM high
+), ea AS (
+  SELECT * FROM urgent EXCEPT ALL SELECT * FROM high
+)
+SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_distinct,
+       CAST(SUM((custkey * 2654435761) % 1000000007) AS BIGINT)
+         AS key_checksum
+FROM ia
+UNION ALL
+SELECT 'except_all', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT custkey) AS BIGINT),
+       CAST(SUM((custkey * 2654435761) % 1000000007) AS BIGINT)
+FROM ea
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with per-row ORDER BY + LIMIT —
+    the 'top-N related rows per outer row' SQL surface (Spark 4
+    lateral join; Catalyst decorrelates the LIMIT into a ranked
+    window under the hood, so the physical plan is the same
+    shuffle-once top-k-per-group as limit_per_group, authored the way
+    a SQL user writes it). Top-2 orders by exact cents per BUILDING
+    customer."""
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rnk
+        FROM v_customer c JOIN LATERAL (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+                 CAST(row_number() OVER (
+                   ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+                 ) AS BIGINT) AS rnk
+          FROM v_orders WHERE o_custkey = c.c_custkey
+          ORDER BY price_c DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+_SQL_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.price_c, t.rnk
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(row_number() OVER (
+           ORDER BY round(o_totalprice * 100) DESC, o_orderkey
+         ) AS BIGINT) AS rnk
+  FROM orders WHERE o_custkey = c.c_custkey
+  ORDER BY price_c DESC, o_orderkey LIMIT 2
+) t ON TRUE
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
 def set_member_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """isin membership filter (seed_aic.py:336 member-type set)."""
     e = _t(spark, sf_dir, "events")
@@ -1553,6 +1650,12 @@ QUERIES = {
         dedup_url_canonicalize,
         _DEDUP_URL_CANONICALIZE_SQL,
         ("dedup", "url", "canonical"),
+    ),
+    "set_multiset_ops": QuerySpec(
+        set_multiset_ops, _SET_MULTISET_OPS_SQL, ("set", "multiset")
+    ),
+    "sql_lateral_topk": QuerySpec(
+        sql_lateral_topk, _SQL_LATERAL_TOPK_SQL, ("sql", "lateral", "topk")
     ),
     "json_get": QuerySpec(
         json_get,
