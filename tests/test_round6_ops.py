@@ -160,3 +160,52 @@ def test_kmv_estimate_within_rsd(spark, sf_dir):
             assert est == exact, r
         else:
             assert abs(est - exact) <= 0.51 * exact, r
+
+
+def test_class_balance_caps_every_class(spark, sf_dir):
+    """Every class keeps EXACTLY the minority count (deterministic
+    exact-k, not rate-based), and the total equals classes * cap."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        samp_class_balance,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = samp_class_balance(spark, sf_dir).collect()
+    cap = min(
+        r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert rows and all(r["n_kept"] == cap for r in rows)
+
+
+def test_kmv_setops_estimator_sanity(spark, sf_dir):
+    """Sketch-algebra invariants the oracle can't see as invariants:
+    j_hits <= k_used, intersection estimate <= union estimate, union
+    estimate within 4 sigma of the exact union, and the Jaccard-based
+    intersection estimate lands within a generous factor of exact
+    (intersection estimates compound two sketch errors)."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _KMV_K,
+        sketch_kmv_setops,
+    )
+
+    for r in sketch_kmv_setops(spark, sf_dir).collect():
+        assert r["j_hits"] <= r["k_used"] <= _KMV_K
+        assert r["inter_est"] <= r["union_est"]
+        if r["exact_union"] >= _KMV_K:
+            assert abs(r["union_est"] - r["exact_union"]) <= 0.51 * r[
+                "exact_union"
+            ], r
+        else:
+            assert r["union_est"] == r["exact_union"], r
+        if r["exact_inter"] >= _KMV_K:
+            assert (
+                0.3 * r["exact_inter"]
+                <= r["inter_est"]
+                <= 2.5 * r["exact_inter"]
+            ), r
