@@ -144,6 +144,9 @@ HEADLINE = [
     "set_multiset_ops",
     "sql_lateral_topk",
     "src_csv_permissive",
+    "agg_linreg_trend",
+    "win_max_drawdown",
+    "ts_autocorr",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

@@ -112,6 +112,10 @@ def all_queries() -> dict[str, QuerySpec]:
         # re-measured in BENCH_LOCAL_r06 / BENCH_NOTES.md)
         "sim_knn_blocked",
         "io_http_fetch",
+        # late round-6 additions (slots 51+: first verdicts land in r7)
+        "agg_linreg_trend",
+        "win_max_drawdown",
+        "ts_autocorr",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -1730,6 +1730,237 @@ GROUP BY col_name
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_linreg_trend — per-user exact OLS spend trend
+# ---------------------------------------------------------------------------
+
+# Fixed day-origin shift so the OLS cross-products stay far from int64
+# range at any realistic per-user event count. The fixture's dates are
+# ~day 19700 (2024); shifting makes |d| a few hundred, so even 1e6
+# events per user keeps n*Σd² below ~5e17. The shift is applied
+# IDENTICALLY in both twins, and the OLS slope is shift-invariant.
+_LINREG_DAY0 = 19700
+
+
+def agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear TREND of event value over calendar days — the
+    \"is this account's spend rising or falling\" primitive behind
+    growth scoring and churn features (reference computes per-entity
+    rollups imperatively; this is the regression analogue). Exact
+    cross-engine: values lift to int64 cents, days to shifted int64
+    day indexes, and the OLS slope is kept as the RATIONAL pair
+    (slope_num = n·Σdy − Σd·Σy, slope_den = n·Σd² − (Σd)²) plus the
+    integer-division slope_ppm — no doubles anywhere. One hash
+    aggregate = one shuffle on user_id; every sum is
+    partial-aggregable map-side, so at 100 TB this is a textbook
+    two-phase agg with no window and no skew hazard (user_id is
+    high-cardinality). Single-day users get slope_ppm NULL via an
+    explicit den=0 guard (ANSI-safe)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"unix_date(ts_date) - {_LINREG_DAY0}").alias("d"),
+            cents("value").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("d").alias("sd"),
+        F.sum("v").alias("sv"),
+        F.sum(F.expr("d * d")).alias("sdd"),
+        F.sum(F.expr("d * v")).alias("sdv"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.expr("n_events * sdv - sd * sv").alias("slope_num"),
+        F.expr("n_events * sdd - sd * sd").alias("slope_den"),
+        F.expr(
+            "CASE WHEN n_events * sdd - sd * sd = 0 THEN NULL "
+            "ELSE ((n_events * sdv - sd * sv) * 1000000)"
+            " div (n_events * sdd - sd * sd) END"
+        ).alias("slope_ppm"),
+    )
+
+
+_AGG_LINREG_TREND_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') - {_LINREG_DAY0} AS d,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+), g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(d * d) AS BIGINT) AS sdd,
+         CAST(SUM(d * v) AS BIGINT) AS sdv
+  FROM ev GROUP BY user_id
+)
+SELECT user_id, n_events,
+       n_events * sdv - sd * sv AS slope_num,
+       n_events * sdd - sd * sd AS slope_den,
+       CASE WHEN n_events * sdd - sd * sd = 0 THEN NULL
+            ELSE ((n_events * sdv - sd * sv) * 1000000)
+                 // (n_events * sdd - sd * sd) END AS slope_ppm
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_max_drawdown — running-peak drawdown per account
+# ---------------------------------------------------------------------------
+
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MAXIMUM DRAWDOWN of the cumulative value series — the
+    canonical risk statistic (largest peak-to-trough drop of the
+    running equity curve). Two stacked unbounded-preceding windows on
+    the SAME (user_id | ts, event_id) ordering — cumulative sum, then
+    running max — so Spark plans ONE sort+shuffle and evaluates both
+    frames in a single Window node with O(1) state per row (no frame
+    collection). The final per-user rollup reuses the partitioning.
+    All arithmetic is int64 cents: exact on both engines, any scale.
+    At 100 TB each user's series streams through one task in order —
+    no driver state, no all-pairs."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", "event_id", cents("value").alias("v"))
+        .where(F.col("v").isNotNull())
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    curve = ev.withColumn("equity", F.sum("v").over(w)).withColumn(
+        "peak", F.max("equity").over(w)
+    )
+    return curve.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("equity").alias("max_equity_c"),
+        F.sum("v").alias("final_equity_c"),
+        F.max(F.expr("peak - equity")).alias("max_drawdown_c"),
+    )
+
+
+_WIN_MAX_DRAWDOWN_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+), cum AS (
+  SELECT user_id, ts_us, event_id, v,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS equity
+  FROM ev
+), curve AS (
+  SELECT user_id, v, equity,
+         MAX(equity) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS peak
+  FROM cum
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(equity) AS BIGINT) AS max_equity_c,
+       CAST(SUM(v) AS BIGINT) AS final_equity_c,
+       CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_c
+FROM curve
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_autocorr — exact lag-1 autocorrelation sufficient statistics
+# ---------------------------------------------------------------------------
+
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 AUTOCORRELATION of each user's value series — the
+    is-this-series-momentum-or-noise primitive for per-entity
+    seasonality triage. Pairs (y_t, y_{t-1}) come from one lag()
+    window; the Pearson pieces stay EXACT as int64 sufficient
+    statistics (cov_num = n·Σxy − ΣxΣy, var numerators likewise), and
+    the squared correlation r²_ppm — whose cross-products overflow
+    int64 — is computed in DECIMAL(38,0)/HUGEINT with integer
+    division, the same idiom as sketch_kmv_distinct's estimator. No
+    doubles, no sqrt. One shuffle on user_id shared by the window and
+    the aggregate; at 100 TB this is a per-series linear pass."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", "event_id", cents("value").alias("y"))
+        .where(F.col("y").isNotNull())
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        ev.withColumn("x", F.lag("y").over(w))
+        .where(F.col("x").isNotNull())
+        .select("user_id", "x", "y")
+    )
+    g = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    cov = "(n_pairs * sxy - sx * sy)"
+    vx = "(n_pairs * sxx - sx * sx)"
+    vy = "(n_pairs * syy - sy * sy)"
+    return g.select(
+        "user_id",
+        "n_pairs",
+        F.expr(cov).alias("cov_num"),
+        F.expr(vx).alias("varx_num"),
+        F.expr(vy).alias("vary_num"),
+        F.expr(
+            f"CASE WHEN {vx} = 0 OR {vy} = 0 THEN NULL ELSE "
+            f"CAST(SIGN({cov}) AS BIGINT) * CAST("
+            f"({dec.format(cov)} * {cov} * 1000000)"
+            f" div ({dec.format(vx)} * {vy}) AS BIGINT) END"
+        ).alias("r2_signed_ppm"),
+    )
+
+
+_TS_AUTOCORR_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL
+), pairs AS (
+  SELECT user_id,
+         lag(y) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS x,
+         y
+  FROM ev
+), g AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_pairs,
+       n_pairs * sxy - sx * sy AS cov_num,
+       n_pairs * sxx - sx * sx AS varx_num,
+       n_pairs * syy - sy * sy AS vary_num,
+       CASE WHEN n_pairs * sxx - sx * sx = 0
+              OR n_pairs * syy - sy * sy = 0 THEN NULL
+            ELSE CAST(SIGN(n_pairs * sxy - sx * sy) AS BIGINT) * CAST(
+              (CAST(n_pairs * sxy - sx * sy AS HUGEINT)
+                 * (n_pairs * sxy - sx * sy) * 1000000)
+              // (CAST(n_pairs * sxx - sx * sx AS HUGEINT)
+                 * (n_pairs * syy - sy * sy)) AS BIGINT) END
+         AS r2_signed_ppm
+FROM g
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
@@ -1805,5 +2036,14 @@ QUERIES = {
     ),
     "agg_percentiles": QuerySpec(
         agg_percentiles, _AGG_PERCENTILES_SQL, ("agg", "percentile")
+    ),
+    "agg_linreg_trend": QuerySpec(
+        agg_linreg_trend, _AGG_LINREG_TREND_SQL, ("agg", "regression")
+    ),
+    "win_max_drawdown": QuerySpec(
+        win_max_drawdown, _WIN_MAX_DRAWDOWN_SQL, ("window", "finance")
+    ),
+    "ts_autocorr": QuerySpec(
+        ts_autocorr, _TS_AUTOCORR_SQL, ("timeseries", "stats")
     ),
 }

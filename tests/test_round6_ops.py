@@ -209,3 +209,110 @@ def test_kmv_setops_estimator_sanity(spark, sf_dir):
                 <= r["inter_est"]
                 <= 2.5 * r["exact_inter"]
             ), r
+
+
+def test_max_drawdown_invariants_and_replay(spark, sf_dir):
+    """Drawdown >= 0, peak >= final equity, and an independent pandas
+    replay of one user's series reproduces the exact cents numbers."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        win_max_drawdown,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["user_id"]: r for r in win_max_drawdown(spark, sf_dir).collect()}
+    assert rows and all(
+        r["max_drawdown_c"] >= 0 and r["max_equity_c"] >= r["final_equity_c"]
+        for r in rows.values()
+    )
+
+    uid = min(rows)
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id") == uid)
+        .select(
+            "ts_us",
+            "event_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .orderBy("ts_us", "event_id")
+        .toPandas()
+    )
+    equity = pdf["v"].cumsum()
+    peak = equity.cummax()
+    r = rows[uid]
+    assert r["n_events"] == len(pdf)
+    assert r["final_equity_c"] == int(equity.iloc[-1])
+    assert r["max_equity_c"] == int(equity.max())
+    assert r["max_drawdown_c"] == int((peak - equity).max())
+
+
+def test_linreg_trend_matches_numpy(spark, sf_dir):
+    """slope_den >= 0 everywhere, and slope_num/slope_den equals the
+    float OLS slope from numpy's lstsq for a sample of users."""
+    import numpy as np
+
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _LINREG_DAY0,
+        agg_linreg_trend,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["user_id"]: r for r in agg_linreg_trend(spark, sf_dir).collect()}
+    assert rows and all(r["slope_den"] >= 0 for r in rows.values())
+
+    sample = sorted(rows)[:3]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isin([int(u) for u in sample]))
+        .select(
+            "user_id",
+            F.expr(f"unix_date(ts_date) - {_LINREG_DAY0}").alias("d"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .toPandas()
+    )
+    for uid in sample:
+        g = ev[ev["user_id"] == uid]
+        r = rows[uid]
+        if r["slope_den"] == 0:
+            assert r["slope_ppm"] is None
+            continue
+        slope = np.polyfit(g["d"].to_numpy(float), g["v"].to_numpy(float), 1)[0]
+        assert abs(r["slope_num"] / r["slope_den"] - slope) < 1e-6
+        num, den = r["slope_num"] * 1_000_000, r["slope_den"]
+        trunc = abs(num) // abs(den) * (1 if (num >= 0) == (den >= 0) else -1)
+        assert r["slope_ppm"] == trunc  # both engines truncate toward zero
+
+
+def test_autocorr_r2_bounded(spark, sf_dir):
+    """|r| <= 1 so the signed r2 must live in [-1e6, 1e6]; variance
+    numerators are never negative; pair counts are series length - 1."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_autocorr,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = ts_autocorr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["varx_num"] >= 0 and r["vary_num"] >= 0
+        if r["r2_signed_ppm"] is not None:
+            assert -1_000_000 <= r["r2_signed_ppm"] <= 1_000_000
+
+    counts = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["n_pairs"] == counts[r["user_id"]] - 1
