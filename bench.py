@@ -147,6 +147,10 @@ HEADLINE = [
     "agg_linreg_trend",
     "win_max_drawdown",
     "ts_autocorr",
+    "sketch_freq_heavy",
+    "join_salted_skew",
+    # after the graph family so its minhash-pair front is warm
+    "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair
     # front and the component fixpoint caches are warm
     "graph_cc_incremental",

@@ -116,6 +116,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "agg_linreg_trend",
         "win_max_drawdown",
         "ts_autocorr",
+        "sketch_freq_heavy",
+        "graph_common_neighbors",
+        "join_salted_skew",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

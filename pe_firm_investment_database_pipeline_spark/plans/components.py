@@ -479,6 +479,97 @@ SELECT v AS doc_id, r AS pagerank_scaled FROM {prev}
     return sql
 
 
+# ---------------------------------------------------------------------------
+# graph_common_neighbors — link prediction over the near-dup graph
+# ---------------------------------------------------------------------------
+
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the near-duplicate graph: for every
+    non-adjacent document pair that shares at least one neighbor,
+    the common-neighbor count and neighborhood-Jaccard score — the
+    \"these two never banded together but their duplicate circles
+    overlap\" signal used to propose cluster merges a second LSH pass
+    missed. Pairs that ARE already edges come out too, flagged
+    is_edge — for them the score is edge SUPPORT (triangle strength),
+    the embeddedness signal dense-cluster pruning keys on. Same
+    distributed discipline as graph_triangles: symmetric adjacency,
+    ONE self-join on the shared middle vertex generates candidate
+    pairs (cost = sum of deg² — never all-pairs), a left join against
+    the edge set labels them, and a broadcast degree table turns
+    counts into the exact rational Jaccard
+    cn·1e6 div (deg1 + deg2 − cn). All equi-joins on vertex ids:
+    bucket-friendly at 100 TB, and skew is bounded because LSH band
+    caps degree growth."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    left = adj.select(F.col("n").alias("m"), F.col("v").alias("x"))
+    right = adj.select(F.col("n").alias("m2"), F.col("v").alias("y"))
+    cn = (
+        left.join(right, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    flagged = cn.join(
+        e.select("a", "b", F.lit(True).alias("is_edge")),
+        (cn["x"] == e["a"]) & (cn["y"] == e["b"]),
+        "left",
+    ).select("x", "y", "common_neighbors", F.coalesce("is_edge", F.lit(False)).alias("is_edge"))
+    d1 = deg.select(F.col("v").alias("x"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("y"), F.col("deg").alias("deg2"))
+    return (
+        flagged.join(F.broadcast(d1), "x")
+        .join(F.broadcast(d2), "y")
+        .select(
+            F.col("x").alias("doc1"),
+            F.col("y").alias("doc2"),
+            "common_neighbors",
+            "is_edge",
+            "deg1",
+            "deg2",
+            F.expr(
+                "(common_neighbors * 1000000)"
+                " div (deg1 + deg2 - common_neighbors)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_GRAPH_COMMON_NEIGHBORS_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v
+), cn AS (
+  SELECT l.v AS x, r.v AS y, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+  FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+  GROUP BY l.v, r.v
+), flagged AS (
+  SELECT cn.*,
+         EXISTS (SELECT 1 FROM e WHERE e.a = cn.x AND e.b = cn.y)
+           AS is_edge
+  FROM cn
+)
+SELECT n.x AS doc1, n.y AS doc2, n.common_neighbors, n.is_edge,
+       d1.deg AS deg1, d2.deg AS deg2,
+       (n.common_neighbors * 1000000)
+         // (d1.deg + d2.deg - n.common_neighbors) AS jaccard_ppm
+FROM flagged n
+JOIN deg d1 ON d1.v = n.x
+JOIN deg d2 ON d2.v = n.y
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
@@ -504,5 +595,10 @@ QUERIES = {
         graph_cc_incremental,
         _GRAPH_CC_INCREMENTAL_SQL,
         ("graph", "dedup", "iterative", "incremental"),
+    ),
+    "graph_common_neighbors": QuerySpec(
+        graph_common_neighbors,
+        _GRAPH_COMMON_NEIGHBORS_SQL,
+        ("graph", "link-prediction"),
     ),
 }

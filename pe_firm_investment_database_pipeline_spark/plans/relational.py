@@ -1335,9 +1335,65 @@ def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# join_salted_skew — salted shuffle join (semantics-preserving rewrite)
+# ---------------------------------------------------------------------------
+
+_JOIN_SALTS = 8
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SALTED-JOIN skew rewrite, proved semantics-preserving: the
+    fact side (lineitem) carries a deterministic salt, the dimension
+    side (part) is replicated once per salt value via explode(
+    sequence), and the join runs on (key, salt) — a hot part key's
+    rows land on _JOIN_SALTS reducers instead of one. `shuffle_hash`
+    hints pin the shuffle join (broadcast would bypass the pattern
+    being demonstrated; at 100 TB the dimension is too big to
+    broadcast, which is exactly when salting matters and AQE's
+    skew-split can't help a deliberately co-partitioned join).
+    Replication multiplies the SMALL side only — dim x 8 is noise
+    next to the fact shuffle it de-skews. The oracle is the PLAIN
+    join + aggregate: equality proves the rewrite changes the
+    distribution, never the answer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.pmod("l_orderkey", F.lit(_JOIN_SALTS)).alias("salt"),
+        cents("l_extendedprice").alias("price_c"),
+    )
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .withColumn(
+            "salt", F.explode(F.expr(f"sequence(0, {_JOIN_SALTS - 1})"))
+        )
+    )
+    joined = li.hint("shuffle_hash").join(
+        pt.hint("shuffle_hash"),
+        (li["l_partkey"] == pt["p_partkey"]) & (li["salt"] == pt["salt"]),
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum("price_c") / 100.0).alias("revenue"),
+    )
+
+
+_JOIN_SALTED_SKEW_SQL = """
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+
 QUERIES = {
     "flagship_revenue_by_nation": QuerySpec(
         flagship_revenue_by_nation, _FLAGSHIP_SQL, ("join", "agg", "flagship")
+    ),
+    "join_salted_skew": QuerySpec(
+        join_salted_skew, _JOIN_SALTED_SKEW_SQL, ("join", "skew")
     ),
     "proj_select": QuerySpec(
         proj_select,

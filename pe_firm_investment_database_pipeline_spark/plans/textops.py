@@ -1501,9 +1501,86 @@ LIMIT {_RAKE_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_freq_heavy — Misra-Gries heavy hitters with exact re-count
+# ---------------------------------------------------------------------------
+
+# _MG_COUNTERS bounds per-partition sketch state; _HH_K defines "heavy"
+# (global frequency > N/_HH_K). The superset guarantee needs
+# _MG_COUNTERS + 1 >= _HH_K: if a token's global share exceeds 1/K, a
+# weighted-average argument puts its share above 1/K in at least one
+# partition, and Misra-Gries with C counters keeps every token whose
+# partition count exceeds N_p/(C+1). 256 >> 50 leaves slack.
+_MG_COUNTERS, _HH_K = 256, 50
+
+
+def sketch_freq_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level HEAVY HITTERS (tokens with frequency > N/50) via
+    the production two-phase shape: a bounded-memory MISRA-GRIES
+    sketch per partition prunes the candidate set map-side (256
+    counters of state, no matter how many distinct tokens stream by),
+    then ONE exact count over the pruned candidates confirms — so the
+    full-token shuffle never happens. The MG merge-trim (combine,
+    subtract the (C+1)-th largest, drop non-positives) preserves the
+    classical undercount bound, and C+1 >= K makes the candidate set
+    a guaranteed SUPERSET of the true heavy hitters — the exact
+    re-count then makes the final answer EXACTLY the frequency-
+    threshold set, which is what the plain-SQL oracle computes. At
+    100 TB the candidate broadcast is tiny (<= partitions x 256
+    tokens) and the confirm pass is a semi-join + count on a
+    thinned stream. (Reference rolls frequency tables imperatively —
+    e.g. pipeline counting loops; this is the bounded-state analogue.)
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(F.explode(F.expr(_TOKENS)).alias("token"))
+
+    def mg_partition(batches):
+        counter: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counter[tok] = counter.get(tok, 0) + int(c)
+            if len(counter) > _MG_COUNTERS:
+                cut = sorted(counter.values(), reverse=True)[_MG_COUNTERS]
+                counter = {
+                    t: c - cut for t, c in counter.items() if c > cut
+                }
+        yield pd.DataFrame({"token": list(counter.keys())})
+
+    candidates = (
+        words.mapInPandas(mg_partition, "token string").distinct()
+    )
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    confirmed = (
+        words.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .where(F.expr(f"freq * {_HH_K} > n_total"))
+    )
+    return confirmed.select("token", "freq", "n_total")
+
+
+_SKETCH_FREQ_HEAVY_SQL = f"""
+WITH words AS (
+  SELECT unnest({_TOKENS_DUCK}) AS token FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM words
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq, MAX(t.n_total) AS n_total
+FROM words, tot t
+GROUP BY token
+HAVING CAST(COUNT(*) AS BIGINT) * {_HH_K} > MAX(t.n_total)
+"""
+
+
 QUERIES = {
     "txt_rake_keywords": QuerySpec(
         txt_rake_keywords, _TXT_RAKE_KEYWORDS_SQL, ("text", "keywords", "rake")
+    ),
+    "sketch_freq_heavy": QuerySpec(
+        sketch_freq_heavy, _SKETCH_FREQ_HEAVY_SQL, ("sketch", "heavy-hitters")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -316,3 +316,114 @@ def test_autocorr_r2_bounded(spark, sf_dir):
     }
     for r in rows:
         assert r["n_pairs"] == counts[r["user_id"]] - 1
+
+
+def test_heavy_hitters_candidates_are_superset(spark, sf_dir):
+    """The Misra-Gries stage must emit a candidate SUPERSET of the
+    true heavy hitters, and the confirmed output must equal the exact
+    frequency-threshold set computed independently."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _HH_K,
+        _TOKENS,
+        sketch_freq_heavy,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("token"))
+    )
+    counts = {
+        r["token"]: r["n"]
+        for r in words.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(counts.values())
+    exact_hh = {t for t, c in counts.items() if c * _HH_K > n_total}
+
+    rows = sketch_freq_heavy(spark, sf_dir).collect()
+    got = {r["token"]: r["freq"] for r in rows}
+    assert set(got) == exact_hh
+    assert all(counts[t] == f for t, f in got.items())
+    assert all(r["n_total"] == n_total for r in rows)
+
+
+def test_common_neighbors_replay_on_graph(spark, sf_dir):
+    """Replay the scores driver-side from the edge list: every output
+    pair's common-neighbor count, degrees, and is_edge flag must match
+    a networkx-free adjacency-dict recomputation."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        graph_common_neighbors,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    edges = {
+        (min(r["doc1"], r["doc2"]), max(r["doc1"], r["doc2"]))
+        for r in dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    rows = graph_common_neighbors(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        x, y = r["doc1"], r["doc2"]
+        assert x < y
+        cn = len(adj[x] & adj[y])
+        assert cn == r["common_neighbors"] > 0
+        assert r["is_edge"] == ((x, y) in edges)
+        assert r["deg1"] == len(adj[x]) and r["deg2"] == len(adj[y])
+        seen.add((x, y))
+    # completeness: every pair sharing a neighbor is in the output
+    expected = {
+        (x, y)
+        for m, ns in adj.items()
+        for x in ns
+        for y in ns
+        if x < y
+    }
+    assert seen == expected
+
+
+def test_salted_join_spreads_and_preserves(spark, sf_dir):
+    """The salted plan must (a) contain no broadcast join, (b) carry
+    the salt into both shuffle keys, and (c) equal the unsalted
+    aggregate exactly."""
+    from pe_firm_investment_database_pipeline_spark.plans.relational import (
+        join_salted_skew,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    df = join_salted_skew(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+
+    got = {
+        r["p_brand"]: (r["n_items"], r["revenue"]) for r in df.collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.expr("CAST(round(l_extendedprice*100) AS BIGINT)").alias("c")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    plain = {
+        r["p_brand"]: (r["n"], r["rev"])
+        for r in li.join(pt, li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("c") / 100.0).alias("rev"),
+        )
+        .collect()
+    }
+    assert got == plain
