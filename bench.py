@@ -149,6 +149,9 @@ HEADLINE = [
     "ts_autocorr",
     "sketch_freq_heavy",
     "join_salted_skew",
+    "ml_kmeans_fixed",
+    "mm_silence_detect",
+    "evt_seasonality_profile",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -119,6 +119,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "sketch_freq_heavy",
         "graph_common_neighbors",
         "join_salted_skew",
+        "ml_kmeans_fixed",
+        "mm_silence_detect",
+        "evt_seasonality_profile",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -1731,6 +1731,58 @@ GROUP BY col_name
 
 
 # ---------------------------------------------------------------------------
+# evt_seasonality_profile — hour-of-day load profile with peak marking
+# ---------------------------------------------------------------------------
+
+def evt_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOUR-OF-DAY seasonality profile per event type — the traffic
+    shape capacity planning and anomaly baselines key on. Hours come
+    from tz-free integer arithmetic on the epoch-microsecond axis
+    ((ts_us div 3600e6) mod 24 — never a session-zone cast), shares
+    are exact integer ppm of the type's total, and the peak hour(s)
+    are flagged by comparing against the per-type max count (ties all
+    flagged — deterministic, no argmax pick needed). One hash
+    aggregate on a 24 x #types grid plus a broadcast-size window:
+    at 100 TB the only real shuffle carries the grid, not the
+    events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(ts_us div 3600000000) % 24").alias("hour"),
+    )
+    g = e.groupBy("event_type", "hour").agg(F.count(F.lit(1)).alias("n"))
+    wt = W.partitionBy("event_type")
+    return g.select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr("n * 1000000").alias("n_ppm_pre"),
+        F.sum("n").over(wt).alias("type_total"),
+        F.max("n").over(wt).alias("peak_n"),
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        F.expr("n_ppm_pre div type_total").alias("share_ppm"),
+        (F.col("n") == F.col("peak_n")).alias("is_peak"),
+    )
+
+
+_EVT_SEASONALITY_PROFILE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts::TIMESTAMP) // 3600000000) % 24 AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       (n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+         AS share_ppm,
+       n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_linreg_trend — per-user exact OLS spend trend
 # ---------------------------------------------------------------------------
 
@@ -2045,5 +2097,10 @@ QUERIES = {
     ),
     "ts_autocorr": QuerySpec(
         ts_autocorr, _TS_AUTOCORR_SQL, ("timeseries", "stats")
+    ),
+    "evt_seasonality_profile": QuerySpec(
+        evt_seasonality_profile,
+        _EVT_SEASONALITY_PROFILE_SQL,
+        ("events", "seasonality"),
     ),
 }

