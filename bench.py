@@ -152,6 +152,9 @@ HEADLINE = [
     "ml_kmeans_fixed",
     "mm_silence_detect",
     "evt_seasonality_profile",
+    "ts_decompose_ma",
+    "evt_inter_arrival",
+    "win_rolling_linreg",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

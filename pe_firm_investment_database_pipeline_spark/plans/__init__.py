@@ -122,6 +122,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_kmeans_fixed",
         "mm_silence_detect",
         "evt_seasonality_profile",
+        "ts_decompose_ma",
+        "evt_inter_arrival",
+        "win_rolling_linreg",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -1730,6 +1730,227 @@ GROUP BY col_name
 """
 
 
+# Fixed day-origin shift so OLS cross-products stay far from int64
+# range at any realistic per-user event count. The fixture's dates are
+# ~day 19700 (2024); shifting makes |d| a few hundred, so even 1e6
+# events per user keeps n*Σd² below ~5e17. The shift is applied
+# IDENTICALLY in both twins, and the OLS slope is shift-invariant.
+# Shared by agg_linreg_trend and win_rolling_linreg.
+_LINREG_DAY0 = 19700
+
+
+# ---------------------------------------------------------------------------
+# ts_decompose_ma — trend / seasonal / remainder decomposition
+# ---------------------------------------------------------------------------
+
+def ts_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical MOVING-AVERAGE DECOMPOSITION of the daily value
+    series per event type: trend = centered 7-day moving average,
+    seasonal = per-weekday mean of the detrended series, remainder =
+    what's left — the additive STL-lite every ops dashboard runs.
+    Exact cross-engine: the series is pre-aggregated to int64 cents
+    per (type, day) — the ONLY event-sized shuffle — and every mean
+    is a truncating integer division over the tiny (types x days)
+    grid, so trend/seasonal/remainder are bit-identical on both
+    engines. Weekday is tz-free modular arithmetic on the epoch-day
+    index (day 0 = Thursday). At 100 TB the grid windows are noise;
+    the plan is scan -> one partial-aggregable groupBy -> grid
+    work."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("d"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    wt = (
+        W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3)
+    )
+    trended = (
+        daily.withColumn("tsum", F.sum("v").over(wt))
+        .withColumn("tcnt", F.count(F.lit(1)).over(wt))
+        .withColumn("trend", F.expr("tsum div tcnt"))
+        .withColumn("detr", F.expr("v - trend"))
+        .withColumn("weekday", F.expr("d % 7"))
+    )
+    ws = W.partitionBy("event_type", "weekday")
+    return (
+        trended.withColumn("ssum", F.sum("detr").over(ws))
+        .withColumn("scnt", F.count(F.lit(1)).over(ws))
+        .withColumn("seasonal", F.expr("ssum div scnt"))
+        .select(
+            "event_type",
+            "d",
+            "weekday",
+            "v",
+            "trend",
+            "seasonal",
+            F.expr("detr - seasonal").alias("remainder"),
+        )
+    )
+
+
+_TS_DECOMPOSE_MA_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), trended AS (
+  SELECT event_type, d, v,
+         CAST(SUM(v) OVER w // COUNT(*) OVER w AS BIGINT) AS trend,
+         d % 7 AS weekday
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), seas AS (
+  SELECT *, v - trend AS detr FROM trended
+)
+SELECT event_type, d, weekday, v, trend,
+       CAST(SUM(detr) OVER ws // COUNT(*) OVER ws AS BIGINT) AS seasonal,
+       CAST(detr - (SUM(detr) OVER ws // COUNT(*) OVER ws) AS BIGINT)
+         AS remainder
+FROM seas
+WINDOW ws AS (PARTITION BY event_type, weekday)
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_inter_arrival — inter-event gap statistics per user
+# ---------------------------------------------------------------------------
+
+_BURST_GAP_US = 60_000_000  # gaps under a minute count as "bursty"
+
+
+def evt_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-ARRIVAL statistics per user — the cadence fingerprint
+    (bot-burst vs human-paced) every abuse and engagement model
+    starts from: consecutive-event gaps on the tz-free epoch-us
+    axis via one lag() window, then min/max/mean gap (truncating
+    division) and the count of sub-minute \"burst\" gaps. All int64.
+    One shuffle on user_id shared by the window and the rollup."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select("user_id", F.expr("ts_us - prev").alias("gap_us"))
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.expr("sum(gap_us) div count(1)").alias("mean_gap_us"),
+        F.sum(
+            F.expr(f"CASE WHEN gap_us < {_BURST_GAP_US} THEN 1 ELSE 0 END")
+        ).alias("n_burst_gaps"),
+    )
+
+
+_EVT_INTER_ARRIVAL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS gap_us
+  FROM ev
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us,
+       CAST(SUM(CASE WHEN gap_us < {_BURST_GAP_US} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_burst_gaps
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# win_rolling_linreg — rolling OLS slope over the trailing frame
+# ---------------------------------------------------------------------------
+
+def win_rolling_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS slope of value-vs-day over each user's trailing
+    8-event frame — the windowed momentum feature (agg_linreg_trend
+    gives the lifetime trend; this gives trend-right-now, per row).
+    Four int64 window sums over ONE shared frame (Σd, Σv, Σdv, Σd² +
+    count) feed the same rational slope pair; Spark evaluates all
+    five aggregates in a single Window node on one sort — no frame
+    collection, O(1) state per row. Day indexes use the shared
+    _LINREG_DAY0 shift so products stay deep inside int64 at any
+    frame length. Rows whose frame is degenerate (all same day) emit
+    NULL ppm via the den=0 guard."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            F.expr(f"unix_date(ts_date) - {_LINREG_DAY0}").alias("d"),
+            cents("value").alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("d").over(w).alias("sd"),
+        F.sum("v").over(w).alias("sv"),
+        F.sum(F.expr("d * v")).over(w).alias("sdv"),
+        F.sum(F.expr("d * d")).over(w).alias("sdd"),
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        "n",
+        F.expr(
+            "CASE WHEN n * sdd - sd * sd = 0 THEN NULL "
+            "ELSE ((n * sdv - sd * sv) * 1000000)"
+            " div (n * sdd - sd * sd) END"
+        ).alias("slope_ppm"),
+    )
+
+
+_WIN_ROLLING_LINREG_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') - {_LINREG_DAY0} AS d,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL
+), framed AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(d) OVER w AS BIGINT) AS sd,
+         CAST(SUM(v) OVER w AS BIGINT) AS sv,
+         CAST(SUM(d * v) OVER w AS BIGINT) AS sdv,
+         CAST(SUM(d * d) OVER w AS BIGINT) AS sdd
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n,
+       CASE WHEN n * sdd - sd * sd = 0 THEN NULL
+            ELSE ((n * sdv - sd * sv) * 1000000)
+                 // (n * sdd - sd * sd) END AS slope_ppm
+FROM framed
+"""
+
+
 # ---------------------------------------------------------------------------
 # evt_seasonality_profile — hour-of-day load profile with peak marking
 # ---------------------------------------------------------------------------
@@ -1785,14 +2006,6 @@ FROM g
 # ---------------------------------------------------------------------------
 # agg_linreg_trend — per-user exact OLS spend trend
 # ---------------------------------------------------------------------------
-
-# Fixed day-origin shift so the OLS cross-products stay far from int64
-# range at any realistic per-user event count. The fixture's dates are
-# ~day 19700 (2024); shifting makes |d| a few hundred, so even 1e6
-# events per user keeps n*Σd² below ~5e17. The shift is applied
-# IDENTICALLY in both twins, and the OLS slope is shift-invariant.
-_LINREG_DAY0 = 19700
-
 
 def agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user linear TREND of event value over calendar days — the
@@ -2102,5 +2315,14 @@ QUERIES = {
         evt_seasonality_profile,
         _EVT_SEASONALITY_PROFILE_SQL,
         ("events", "seasonality"),
+    ),
+    "ts_decompose_ma": QuerySpec(
+        ts_decompose_ma, _TS_DECOMPOSE_MA_SQL, ("timeseries", "decompose")
+    ),
+    "evt_inter_arrival": QuerySpec(
+        evt_inter_arrival, _EVT_INTER_ARRIVAL_SQL, ("events", "cadence")
+    ),
+    "win_rolling_linreg": QuerySpec(
+        win_rolling_linreg, _WIN_ROLLING_LINREG_SQL, ("window", "regression")
     ),
 }

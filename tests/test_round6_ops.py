@@ -522,3 +522,74 @@ def test_seasonality_shares_and_peaks(spark, sf_dir):
         assert 1_000_000 - 24 <= total_ppm <= 1_000_000
         peak_n = max(r["n"] for r in rs)
         assert all((r["n"] == peak_n) == r["is_peak"] for r in rs)
+
+
+def test_decompose_identity_holds(spark, sf_dir):
+    """The additive identity v = trend + seasonal + remainder +
+    (detrending residue absorbed by construction) must hold exactly:
+    v - trend - seasonal == remainder on every row, and per (type,
+    weekday) the remainders sum to the truncation residue bounded by
+    the group size."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_decompose_ma,
+    )
+
+    rows = ts_decompose_ma(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["v"] - r["trend"] - r["seasonal"] == r["remainder"]
+        assert r["weekday"] == r["d"] % 7
+
+
+def test_inter_arrival_gaps_nonnegative_and_consistent(spark, sf_dir):
+    """Gaps ordered by the (ts, event_id) axis are non-negative,
+    min <= mean <= max, and burst gaps never exceed total gaps."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_inter_arrival,
+    )
+
+    rows = evt_inter_arrival(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["min_gap_us"] <= r["mean_gap_us"] <= r["max_gap_us"]
+        assert 0 <= r["n_burst_gaps"] <= r["n_gaps"]
+
+
+def test_rolling_linreg_warmup_matches_lifetime(spark, sf_dir):
+    """For a user's full history the LAST row's trailing frame of
+    size >= n_events collapses to the lifetime regression when the
+    user has <= 8 events; spot-check that correspondence."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        agg_linreg_trend,
+        win_rolling_linreg,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    life = {
+        r["user_id"]: (r["n_events"], r["slope_ppm"])
+        for r in agg_linreg_trend(spark, sf_dir).collect()
+    }
+    small_users = [u for u, (n, _) in life.items() if n <= 8]
+    rows = win_rolling_linreg(spark, sf_dir).collect()
+    last_by_user = {}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "ts_us", "event_id")
+        .collect()
+    )
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["ts_us"], r["event_id"]))
+    last_event = {u: max(v)[1] for u, v in per_user.items()}
+    for r in rows:
+        if r["event_id"] == last_event[r["user_id"]]:
+            last_by_user[r["user_id"]] = (r["n"], r["slope_ppm"])
+    for u in small_users:
+        assert last_by_user[u] == life[u]
+    # and frames never exceed 8 rows
+    assert all(1 <= r["n"] <= 8 for r in rows)
