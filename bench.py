@@ -155,6 +155,9 @@ HEADLINE = [
     "ts_decompose_ma",
     "evt_inter_arrival",
     "win_rolling_linreg",
+    "agg_market_basket",
+    "txt_hapax_stats",
+    "graph_kcore_peel",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

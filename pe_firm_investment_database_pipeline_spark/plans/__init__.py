@@ -125,6 +125,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_decompose_ma",
         "evt_inter_arrival",
         "win_rolling_linreg",
+        "agg_market_basket",
+        "graph_kcore_peel",
+        "txt_hapax_stats",
         # stalest of the already-verdicted cohort
         "flagship_revenue_by_nation",
         "agg_hash_groupby",

@@ -1730,6 +1730,90 @@ GROUP BY col_name
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_market_basket — brand co-occurrence with exact lift
+# ---------------------------------------------------------------------------
+
+_BASKET_MIN_SUPPORT = 3
+
+
+def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET pairs over orders: which part brands co-occur in
+    the same order more than independence predicts — the frequent-
+    itemset primitive (association rules, co-purchase recs). Baskets
+    come from ONE broadcast join (part is the small dim), pairs from
+    a self-equi-join on the order key — work is items-per-order
+    squared, never orders squared — and lift is the exact rational
+    (n_both · N_orders · 1e6) div (n_a · n_b). Minimum support
+    prunes the tail before the lift join. At 100 TB the basket
+    self-join co-partitions on the order key (bucket-friendly), and
+    every aggregate is partial-combinable."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    b1 = baskets.select(F.col("o").alias("o1"), F.col("brand").alias("brand1"))
+    b2 = baskets.select(F.col("o").alias("o2"), F.col("brand").alias("brand2"))
+    pairs = (
+        b1.join(b2, (F.col("o1") == F.col("o2")) & (F.col("brand1") < F.col("brand2")))
+        .groupBy("brand1", "brand2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= _BASKET_MIN_SUPPORT)
+    )
+    counts = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n_orders"))
+    total = baskets.select("o").distinct().agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    c1 = counts.select(F.col("brand").alias("brand1"), F.col("n_orders").alias("n_a"))
+    c2 = counts.select(F.col("brand").alias("brand2"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(c1), "brand1")
+        .join(F.broadcast(c2), "brand2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand1",
+            "brand2",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_both * n_total * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
+_AGG_MARKET_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), pairs AS (
+  SELECT b1.brand AS brand1, b2.brand AS brand2,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM baskets b1 JOIN baskets b2
+    ON b1.o = b2.o AND b1.brand < b2.brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}
+), counts AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM baskets GROUP BY brand
+), total AS (
+  SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_total FROM baskets
+)
+SELECT p.brand1, p.brand2, p.n_both,
+       c1.n_orders AS n_a, c2.n_orders AS n_b,
+       (p.n_both * t.n_total * 1000000) // (c1.n_orders * c2.n_orders)
+         AS lift_ppm
+FROM pairs p
+JOIN counts c1 ON c1.brand = p.brand1
+JOIN counts c2 ON c2.brand = p.brand2
+CROSS JOIN total t
+"""
+
+
 # Fixed day-origin shift so OLS cross-products stay far from int64
 # range at any realistic per-user event count. The fixture's dates are
 # ~day 19700 (2024); shifting makes |d| a few hundred, so even 1e6
@@ -2324,5 +2408,8 @@ QUERIES = {
     ),
     "win_rolling_linreg": QuerySpec(
         win_rolling_linreg, _WIN_ROLLING_LINREG_SQL, ("window", "regression")
+    ),
+    "agg_market_basket": QuerySpec(
+        agg_market_basket, _AGG_MARKET_BASKET_SQL, ("agg", "basket")
     ),
 }

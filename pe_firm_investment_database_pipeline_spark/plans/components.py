@@ -480,6 +480,80 @@ SELECT v AS doc_id, r AS pagerank_scaled FROM {prev}
 
 
 # ---------------------------------------------------------------------------
+# graph_kcore_peel — bounded k-core peeling
+# ---------------------------------------------------------------------------
+
+_KCORE_K, _KCORE_PEELS = 2, 3
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE PEELING over the near-dup graph (k=2, a fixed 3 peel
+    rounds): repeatedly drop vertices of degree < k — what remains is
+    the densely-duplicated core (template/boilerplate families) as
+    opposed to isolated near-dup pairs, the standard graph-densest-
+    region triage. Each round is ONE degree aggregate + two semi-joins
+    filtering the edge list, with an eager localCheckpoint so lineage
+    stays flat (the dedup_connected_components discipline); the round
+    count is a CONSTANT unrolled identically in the SQL oracle, so
+    results are exactly comparable (the fixture converges in fewer
+    rounds; production would loop to fixpoint with the same per-round
+    plan). Output: surviving vertices with their core degree."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    for _ in range(_KCORE_PEELS):
+        adj = e.select(F.col("a").alias("v")).union(
+            e.select(F.col("b").alias("v"))
+        )
+        keep = (
+            adj.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= _KCORE_K)
+            .select("v")
+        )
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    adj = e.select(F.col("a").alias("doc_id")).union(
+        e.select(F.col("b").alias("doc_id"))
+    )
+    return adj.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("core_deg")
+    )
+
+
+def _kcore_sql() -> str:
+    sql = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e0 AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+)"""
+    prev = "e0"
+    for i in range(1, _KCORE_PEELS + 1):
+        sql += f""", keep{i} AS (
+  SELECT v FROM (
+    SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY v HAVING COUNT(*) >= {_KCORE_K}
+), e{i} AS (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN keep{i} ka ON e.a = ka.v
+  JOIN keep{i} kb ON e.b = kb.v
+)"""
+        prev = f"e{i}"
+    sql += f"""
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+  SELECT a AS doc_id FROM {prev} UNION ALL SELECT b FROM {prev}
+) GROUP BY doc_id
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # graph_common_neighbors — link prediction over the near-dup graph
 # ---------------------------------------------------------------------------
 
@@ -600,5 +674,8 @@ QUERIES = {
         graph_common_neighbors,
         _GRAPH_COMMON_NEIGHBORS_SQL,
         ("graph", "link-prediction"),
+    ),
+    "graph_kcore_peel": QuerySpec(
+        graph_kcore_peel, _kcore_sql(), ("graph", "iterative", "kcore")
     ),
 }

@@ -1502,6 +1502,70 @@ LIMIT {_RAKE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_hapax_stats — vocabulary profile per source
+# ---------------------------------------------------------------------------
+
+def txt_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY profile per document source: token count, vocabulary
+    size, HAPAX LEGOMENA count (tokens seen exactly once — the
+    long-tail mass that dominates open-vocab corpora), type-token
+    ratio and hapax share in exact integer ppm. The lexical-richness
+    gate of corpus curation (templated/spammy sources have collapsed
+    TTR; OCR noise inflates hapax share). Two stacked hash aggregates
+    — (source, token) counts, then per source — both partial-
+    aggregable; the shuffle carries one row per distinct (source,
+    token), never per token occurrence. Exact at any scale."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    tok = d.select("source", F.explode(F.expr(_TOKENS)).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        st.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("hapax"),
+        )
+        .join(docs, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.expr("(vocab * 1000000) div n_tokens").alias("ttr_ppm"),
+            F.expr("(hapax * 1000000) div vocab").alias("hapax_ppm"),
+        )
+    )
+
+
+_TXT_HAPAX_STATS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKENS_DUCK}) AS token FROM documents
+), st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+), agg AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+  FROM st GROUP BY source
+), docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT a.source, d.n_docs, a.n_tokens, a.vocab, a.hapax,
+       (a.vocab * 1000000) // a.n_tokens AS ttr_ppm,
+       (a.hapax * 1000000) // a.vocab AS hapax_ppm
+FROM agg a JOIN docs d ON a.source = d.source
+"""
+
+
+# ---------------------------------------------------------------------------
 # sketch_freq_heavy — Misra-Gries heavy hitters with exact re-count
 # ---------------------------------------------------------------------------
 
@@ -1581,6 +1645,9 @@ QUERIES = {
     ),
     "sketch_freq_heavy": QuerySpec(
         sketch_freq_heavy, _SKETCH_FREQ_HEAVY_SQL, ("sketch", "heavy-hitters")
+    ),
+    "txt_hapax_stats": QuerySpec(
+        txt_hapax_stats, _TXT_HAPAX_STATS_SQL, ("text", "vocabulary")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(
