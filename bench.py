@@ -158,6 +158,9 @@ HEADLINE = [
     "agg_market_basket",
     "txt_hapax_stats",
     "graph_kcore_peel",
+    "evt_time_to_convert",
+    "ts_anomaly_decomposed",
+    "stream_topk_windowed",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -2310,6 +2310,127 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_time_to_convert — first-view -> first-purchase latency
+# ---------------------------------------------------------------------------
+
+def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT per user: the epoch-us gap between the FIRST
+    view and the first purchase STRICTLY AFTER it — the conversion-
+    latency distribution growth teams actually monitor (a purchase
+    before any view is attribution noise and must not count, which is
+    why this is not two independent mins). One conditional aggregate
+    finds the first view; purchases re-join on user_id with the
+    after-view predicate and re-minimize — two shuffles on the same
+    key, both partial-aggregable. Users who never view drop out;
+    users who view but never convert after stay with NULLs and
+    converted=false. All int64 epoch-us."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us"
+    )
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view_us"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("ts_us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    return fv.join(fp, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.expr("first_purchase_us - first_view_us").alias("delta_us"),
+        F.col("first_purchase_us").isNotNull().alias("converted"),
+    )
+
+
+_EVT_TIME_TO_CONVERT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+), fv AS (
+  SELECT user_id, CAST(MIN(ts_us) AS BIGINT) AS first_view_us
+  FROM ev WHERE event_type = 'view' GROUP BY user_id
+), fp AS (
+  SELECT e.user_id, CAST(MIN(e.ts_us) AS BIGINT) AS first_purchase_us
+  FROM ev e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > fv.first_view_us
+  GROUP BY e.user_id
+)
+SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+       fp.first_purchase_us - fv.first_view_us AS delta_us,
+       fp.first_purchase_us IS NOT NULL AS converted
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_decomposed — MAD fence over the decomposition remainder
+# ---------------------------------------------------------------------------
+
+def ts_anomaly_decomposed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY-AWARE anomaly detection: run the MAD outlier fence
+    on ts_decompose_ma's REMAINDER instead of the raw series, so a
+    normal Friday peak is not an anomaly but the same value on a
+    Tuesday is — the composition every production monitor converges
+    to. Exactness trick: medians of integers live on halves, so
+    everything is pre-DOUBLED (med2 = median of 2·r is an integer;
+    mad4 = median of 2·dev2 likewise), and the 3-sigma-equivalent
+    fence dev > 3·mad becomes the pure-int64 comparison
+    2·dev2 > 3·mad4. Per-type med/mad tables broadcast back onto the
+    grid — the evt_anomaly_mad discipline over a decomposed input."""
+    base = ts_decompose_ma(spark, sf_dir).select(
+        "event_type", "d", "remainder"
+    )
+    med = base.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * remainder, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.expr("abs(2 * remainder - med2)")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "d",
+            "remainder",
+            "dev2",
+            "mad4",
+            F.expr("2 * dev2 > 3 * mad4").alias("is_anomaly"),
+        )
+    )
+
+
+_TS_ANOMALY_DECOMPOSED_SQL = f"""
+WITH base AS (
+  SELECT event_type, d, remainder FROM ({_TS_DECOMPOSE_MA_SQL})
+), med AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * remainder, 0.5) AS BIGINT) AS med2
+  FROM base GROUP BY event_type
+), dev AS (
+  SELECT b.event_type, b.d, b.remainder, m.med2,
+         abs(2 * b.remainder - m.med2) AS dev2
+  FROM base b JOIN med m ON b.event_type = m.event_type
+), mad AS (
+  SELECT event_type,
+         CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.d, d.remainder, d.dev2, m.mad4,
+       2 * d.dev2 > 3 * m.mad4 AS is_anomaly
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+"""
+
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
@@ -2411,5 +2532,13 @@ QUERIES = {
     ),
     "agg_market_basket": QuerySpec(
         agg_market_basket, _AGG_MARKET_BASKET_SQL, ("agg", "basket")
+    ),
+    "evt_time_to_convert": QuerySpec(
+        evt_time_to_convert, _EVT_TIME_TO_CONVERT_SQL, ("events", "funnel")
+    ),
+    "ts_anomaly_decomposed": QuerySpec(
+        ts_anomaly_decomposed,
+        _TS_ANOMALY_DECOMPOSED_SQL,
+        ("timeseries", "anomaly", "decompose"),
     ),
 }

@@ -937,7 +937,71 @@ FROM keyed GROUP BY win_start_s, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_topk_windowed — streaming agg table + top-k serving query
+# ---------------------------------------------------------------------------
+
+_TOPK_N = 3
+
+
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day TOP-K event types by streaming count — the production
+    two-tier shape for streaming leaderboards: ranking is not a
+    streaming-supported operation (no window functions over an
+    in-flight aggregate), so the STREAM maintains the (day, type)
+    count table in the sink and the RANK is a serving-layer query
+    over that materialized state. The streaming side is an ordinary
+    watermark-free tumbling count (state = days x types); the batch
+    side is one partition-local row_number over the tiny grid with a
+    deterministic (count desc, type asc) tiebreak. At 100 TB only
+    the grid ever leaves the stream."""
+    from pyspark.sql import Window as W
+
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    agg = (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").cast("long").alias("win_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+    table = _run(agg, "complete")
+    w = W.partitionBy("win_start_s").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        table.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK_N)
+        .select("win_start_s", "rank", "event_type", "n_events")
+    )
+
+
+_STREAM_TOPK_WINDOWED_SQL = f"""
+WITH g AS (
+  SELECT (epoch_us(ts::TIMESTAMP) // {DAY_S * 1000000}) * {DAY_S}
+           AS win_start_s,
+         event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY win_start_s
+                               ORDER BY n_events DESC, event_type)
+              AS rank
+  FROM g
+)
+SELECT win_start_s, CAST(rank AS BIGINT) AS rank, event_type, n_events
+FROM ranked WHERE rank <= {_TOPK_N}
+"""
+
+
 QUERIES = {
+    "stream_topk_windowed": QuerySpec(
+        stream_topk_windowed,
+        _STREAM_TOPK_WINDOWED_SQL,
+        ("streaming", "topk"),
+    ),
     "stream_ohlc_bars": QuerySpec(
         stream_ohlc_bars, _STREAM_OHLC_BARS_SQL, ("streaming", "window", "ohlc")
     ),

