@@ -161,6 +161,9 @@ HEADLINE = [
     "evt_time_to_convert",
     "ts_anomaly_decomposed",
     "stream_topk_windowed",
+    "snk_bucketed_join",
+    "evt_active_users",
+    "txt_bigram_prob",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -2431,6 +2431,69 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 
 
 
+# ---------------------------------------------------------------------------
+# evt_active_users — DAU / trailing-WAU / stickiness
+# ---------------------------------------------------------------------------
+
+def evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / STICKINESS per calendar day — the
+    engagement dashboard's backbone. Exact distinct counts: the event
+    stream compresses to the distinct (user, day) grid FIRST (the
+    only event-sized shuffle), the day spine broadcasts onto it with
+    the trailing-window range predicate (a bounded <= 7x expansion of
+    the tiny grid, never of raw events), and stickiness is the exact
+    integer ppm DAU/WAU ratio. At 100 TB the user-day grid is ~users
+    x days — orders of magnitude under the event count — and every
+    aggregate is partial-combinable."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
+        .distinct()
+    )
+    spine = ud.select("day").distinct().withColumnRenamed("day", "d")
+    dau = ud.groupBy(F.col("day").alias("d")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = (
+        ud.join(
+            F.broadcast(spine),
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - 6),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("(dau * 1000000) div wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+_EVT_ACTIVE_USERS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+), spine AS (
+  SELECT DISTINCT day AS d FROM ud
+), dau AS (
+  SELECT day AS d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day
+), wau AS (
+  SELECT s.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM ud u JOIN spine s ON u.day <= s.d AND u.day >= s.d - 6
+  GROUP BY s.d
+)
+SELECT dau.d AS day, dau.dau, wau.wau,
+       (dau.dau * 1000000) // wau.wau AS stickiness_ppm
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
@@ -2540,5 +2603,8 @@ QUERIES = {
         ts_anomaly_decomposed,
         _TS_ANOMALY_DECOMPOSED_SQL,
         ("timeseries", "anomaly", "decompose"),
+    ),
+    "evt_active_users": QuerySpec(
+        evt_active_users, _EVT_ACTIVE_USERS_SQL, ("events", "dau-wau")
     ),
 }

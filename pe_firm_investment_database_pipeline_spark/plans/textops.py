@@ -1502,6 +1502,74 @@ LIMIT {_RAKE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_bigram_prob — bigram language-model fluency score per doc
+# ---------------------------------------------------------------------------
+
+def txt_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIGRAM-LM fluency score per document: train corpus bigram
+    conditional probabilities, then score each document by the MEAN
+    probability of its own bigrams — the cheap perplexity stand-in
+    that separates fluent text from shuffled/garbled tokens (the
+    quality gate a pretraining pipeline runs after langid). Exact
+    integer arithmetic: p(w2|w1) = c(w1 w2)·1e6 div c(w1·) in ppm,
+    doc score = sum div count (truncating). One bigram explode, two
+    corpus-count aggregates (both partial-combinable), one equi-join
+    of occurrences to counts on the bigram key. Docs with < 2 tokens
+    are out of domain and excluded in both twins."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("p_ppm")
+    )
+    return (
+        bg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(p_ppm) div count(1)").alias("mean_prob_ppm"),
+        )
+    )
+
+
+_TXT_BIGRAM_PROB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+  WHERE len({_TOKENS_DUCK}) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), probs AS (
+  SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS p_ppm
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1
+)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(p.p_ppm) // COUNT(*) AS BIGINT) AS mean_prob_ppm
+FROM bg JOIN probs p ON bg.w1 = p.w1 AND bg.w2 = p.w2
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_hapax_stats — vocabulary profile per source
 # ---------------------------------------------------------------------------
 
@@ -1648,6 +1716,9 @@ QUERIES = {
     ),
     "txt_hapax_stats": QuerySpec(
         txt_hapax_stats, _TXT_HAPAX_STATS_SQL, ("text", "vocabulary")
+    ),
+    "txt_bigram_prob": QuerySpec(
+        txt_bigram_prob, _TXT_BIGRAM_PROB_SQL, ("text", "lm", "quality")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -747,3 +747,84 @@ def test_stream_topk_matches_batch_rank(spark, sf_dir):
         assert len(rs) <= _TOPK_N
         counts = [r["n_events"] for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The co-bucketed join's scale contract: with broadcast disabled
+    the sort-merge join must read both bucketed scans with NO
+    exchange on the order key (the aggregate's exchange is fine)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        snk_bucketed_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = snk_bucketed_join(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+
+
+def test_active_users_window_replay(spark, sf_dir):
+    """Replay DAU/WAU for three days from the raw user-day grid."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_active_users,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["day"]: r for r in evt_active_users(spark, sf_dir).collect()}
+    assert rows
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
+        .distinct()
+        .collect()
+    )
+    grid = {(r["user_id"], r["day"]) for r in ud}
+    for day in sorted(rows)[:3]:
+        dau = len({u for u, d in grid if d == day})
+        wau = len({u for u, d in grid if day - 6 <= d <= day})
+        r = rows[day]
+        assert (r["dau"], r["wau"]) == (dau, wau)
+        assert r["stickiness_ppm"] == dau * 1_000_000 // wau
+        assert r["dau"] <= r["wau"]
+
+
+def test_bigram_prob_bounds_and_fluency_signal(spark, sf_dir):
+    """Scores live in (0, 1e6]; a doc scored against its own corpus
+    has every bigram seen at least once, so the mean is > 0; and the
+    bigram count per doc equals token count - 1."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _TOKENS,
+        txt_bigram_prob,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["doc_id"]: r for r in txt_bigram_prob(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 < r["mean_prob_ppm"] <= 1_000_000
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.expr(_TOKENS)).alias("n"))
+        .collect()
+    }
+    for doc_id, r in rows.items():
+        assert r["n_bigrams"] == n_toks[doc_id] - 1
+    assert set(rows) == {d for d, n in n_toks.items() if n >= 2}
