@@ -164,6 +164,9 @@ HEADLINE = [
     "snk_bucketed_join",
     "evt_active_users",
     "txt_bigram_prob",
+    "join_runtime_filter",
+    "agg_pareto_abc",
+    "txt_pmi_pairs",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

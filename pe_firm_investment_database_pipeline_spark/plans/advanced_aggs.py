@@ -2432,6 +2432,75 @@ FROM dev d JOIN mad m ON d.event_type = m.event_type
 
 
 # ---------------------------------------------------------------------------
+# agg_pareto_abc — cumulative-share ABC classification
+# ---------------------------------------------------------------------------
+
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC ANALYSIS of revenue by part brand: rank brands by
+    exact cents revenue, accumulate the running share, and classify
+    A (first 70% of revenue) / B (to 90%) / C (tail) — the inventory
+    80/20 workhorse. The global window is BOUNDED BY CONSTRUCTION:
+    it runs over the ~25-brand aggregate, never over lineitem (at
+    100 TB the brand rollup is the only real shuffle and the ranking
+    grid is a handful of rows on one reducer — the documented scale
+    path for every partitionBy()-less window in this repo). Shares
+    are exact integer ppm of the broadcast total; ties broken by
+    brand for determinism."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", cents("l_extendedprice").alias("price_c")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("p_brand")
+        .agg(F.sum("price_c").alias("revenue_c"))
+    )
+    w = W.orderBy(F.desc("revenue_c"), F.asc("p_brand"))
+    total = rev.agg(F.sum("revenue_c").alias("total_c"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_c", F.sum("revenue_c").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "p_brand",
+            "revenue_c",
+            "rank",
+            F.expr("(cum_c * 1000000) div total_c").alias("cum_share_ppm"),
+            F.expr(
+                "CASE WHEN (cum_c * 1000000) div total_c <= 700000 THEN 'A' "
+                "WHEN (cum_c * 1000000) div total_c <= 900000 THEN 'B' "
+                "ELSE 'C' END"
+            ).alias("abc_class"),
+        )
+    )
+
+
+_AGG_PARETO_ABC_SQL = """
+WITH rev AS (
+  SELECT p.p_brand,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand
+), ranked AS (
+  SELECT p_brand, revenue_c,
+         row_number() OVER (ORDER BY revenue_c DESC, p_brand) AS rank,
+         CAST(SUM(revenue_c) OVER (ORDER BY revenue_c DESC, p_brand
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_c,
+         CAST(SUM(revenue_c) OVER () AS BIGINT) AS total_c
+  FROM rev
+)
+SELECT p_brand, revenue_c, CAST(rank AS BIGINT) AS rank,
+       (cum_c * 1000000) // total_c AS cum_share_ppm,
+       CASE WHEN (cum_c * 1000000) // total_c <= 700000 THEN 'A'
+            WHEN (cum_c * 1000000) // total_c <= 900000 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_active_users — DAU / trailing-WAU / stickiness
 # ---------------------------------------------------------------------------
 
@@ -2606,5 +2675,8 @@ QUERIES = {
     ),
     "evt_active_users": QuerySpec(
         evt_active_users, _EVT_ACTIVE_USERS_SQL, ("events", "dau-wau")
+    ),
+    "agg_pareto_abc": QuerySpec(
+        agg_pareto_abc, _AGG_PARETO_ABC_SQL, ("agg", "pareto")
     ),
 }

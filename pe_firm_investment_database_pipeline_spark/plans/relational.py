@@ -1336,6 +1336,72 @@ def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# join_runtime_filter — runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME FILTER join: a selective dimension predicate (one
+    order priority) is turned by Spark into a BLOOM FILTER built from
+    the orders side at runtime and pushed into the lineitem scan —
+    rows that cannot join are dropped AT THE SCAN, before the
+    shuffle. This is Catalyst's InjectRuntimeFilter doing dynamic
+    semi-join reduction; at 100 TB it is the difference between
+    shuffling the whole fact table and shuffling the ~20% that can
+    match. The thresholds are scoped down for the entry's lifetime
+    (save/restore) because the injection heuristics assume
+    production-sized scans; the rewrite never changes results — the
+    oracle is the plain filtered join. Plan pinned by
+    tests/test_round6_ops.py (bloom build + might_contain on the
+    fact scan)."""
+    conf = spark.conf
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", cents("l_extendedprice").alias("price_c")
+        )
+        # creation side reads the scan DIRECTLY: InjectRuntimeFilter
+        # requires a plain scan+filter+project creation side — the
+        # parallelism-floor Repartition load_table adds (for scan-
+        # heavy sides) defeats the pattern, and a filtered dimension
+        # needs no parallelism floor
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        out = j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum("price_c") / 100.0).alias("revenue"),
+        )
+        # optimization happens at action time, so the runtime-filter
+        # plan must EXECUTE while the scoped confs are live: eager
+        # localCheckpoint pins the result computed under them
+        return out.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+_JOIN_RUNTIME_FILTER_SQL = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_salted_skew — salted shuffle join (semantics-preserving rewrite)
 # ---------------------------------------------------------------------------
 
@@ -1394,6 +1460,9 @@ QUERIES = {
     ),
     "join_salted_skew": QuerySpec(
         join_salted_skew, _JOIN_SALTED_SKEW_SQL, ("join", "skew")
+    ),
+    "join_runtime_filter": QuerySpec(
+        join_runtime_filter, _JOIN_RUNTIME_FILTER_SQL, ("join", "runtime-filter")
     ),
     "proj_select": QuerySpec(
         proj_select,

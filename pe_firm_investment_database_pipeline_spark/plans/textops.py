@@ -1502,6 +1502,118 @@ LIMIT {_RAKE_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_pmi_pairs — collocation mining by document-level lift
+# ---------------------------------------------------------------------------
+
+_PMI_WIN = 8  # tokens per co-occurrence window
+_PMI_MIN_DF, _PMI_MAX_DF_PCT, _PMI_MIN_COOC, _PMI_TOP = 5, 60, 5, 50
+# container packing: window index rides in the low decimal digits of
+# the doc id; 1e5 windows = 800k tokens per doc before collision
+_PMI_CID = 100000
+
+
+def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION MINING: token pairs that co-occur inside 8-token
+    WINDOWS far more than independence predicts, ranked by LIFT —
+    rank-identical to PMI (lift = exp(PMI) for fixed marginals) but a
+    pure RATIONAL, so the whole pipeline stays exact int64 ppm. The
+    window (not the document) is the co-occurrence container because
+    collocations are a local phenomenon — and because it is what
+    keeps the shape scale-sane: the per-container pair join is
+    bounded by 8² regardless of document length. The frequency BAND
+    (df >= 5, df <= 60% of windows) drops no-evidence and stop-like
+    tokens BEFORE pairing; top-50 with a full deterministic tiebreak.
+    The same shape mines entity co-mentions at 100 TB — band, pair
+    within container, lift."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
+    )
+    dt = words.select(
+        F.expr(f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}").alias("cid"),
+        "tok",
+    ).distinct()
+    nwin = dt.select("cid").distinct().agg(
+        F.count(F.lit(1)).alias("n_win")
+    )
+    df_counts = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    banded = (
+        df_counts.crossJoin(F.broadcast(nwin))
+        .where(
+            (F.col("df") >= _PMI_MIN_DF)
+            & (F.col("df") * 100 <= F.col("n_win") * _PMI_MAX_DF_PCT)
+        )
+        .select("tok", "df")
+    )
+    dtb = dt.join(F.broadcast(banded), "tok")
+    a = dtb.select(F.col("cid").alias("ca"), F.col("tok").alias("w1"))
+    b = dtb.select(F.col("cid").alias("cb"), F.col("tok").alias("w2"))
+    cooc = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .where(F.col("n_xy") >= _PMI_MIN_COOC)
+    )
+    m1 = banded.select(F.col("tok").alias("w1"), F.col("df").alias("n_x"))
+    m2 = banded.select(F.col("tok").alias("w2"), F.col("df").alias("n_y"))
+    return (
+        cooc.join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(nwin))
+        .select(
+            "w1",
+            "w2",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.expr("(n_xy * n_win * 1000000) div (n_x * n_y)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+_TXT_PMI_PAIRS_SQL = f"""
+WITH toksrc AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(range(1, len(toks) + 1)) AS pos,
+         unnest(toks) AS tok
+  FROM toksrc
+), dt AS (
+  SELECT DISTINCT doc_id * {_PMI_CID} + (pos - 1) // {_PMI_WIN} AS cid,
+         tok
+  FROM words
+), nw AS (
+  SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_win FROM dt
+), dfc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
+), banded AS (
+  SELECT tok, df FROM dfc, nw
+  WHERE df >= {_PMI_MIN_DF} AND df * 100 <= n_win * {_PMI_MAX_DF_PCT}
+), dtb AS (
+  SELECT dt.cid, dt.tok FROM dt JOIN banded USING (tok)
+), cooc AS (
+  SELECT a.tok AS w1, b.tok AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM dtb a JOIN dtb b ON a.cid = b.cid AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_COOC}
+)
+SELECT c.w1, c.w2, c.n_xy, m1.df AS n_x, m2.df AS n_y,
+       (c.n_xy * nw.n_win * 1000000) // (m1.df * m2.df) AS lift_ppm
+FROM cooc c
+JOIN banded m1 ON m1.tok = c.w1
+JOIN banded m2 ON m2.tok = c.w2
+CROSS JOIN nw
+ORDER BY lift_ppm DESC, c.w1, c.w2
+LIMIT {_PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_bigram_prob — bigram language-model fluency score per doc
 # ---------------------------------------------------------------------------
 
@@ -1719,6 +1831,9 @@ QUERIES = {
     ),
     "txt_bigram_prob": QuerySpec(
         txt_bigram_prob, _TXT_BIGRAM_PROB_SQL, ("text", "lm", "quality")
+    ),
+    "txt_pmi_pairs": QuerySpec(
+        txt_pmi_pairs, _TXT_PMI_PAIRS_SQL, ("text", "collocations")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -828,3 +828,92 @@ def test_bigram_prob_bounds_and_fluency_signal(spark, sf_dir):
     for doc_id, r in rows.items():
         assert r["n_bigrams"] == n_toks[doc_id] - 1
     assert set(rows) == {d for d, n in n_toks.items() if n >= 2}
+
+
+def test_runtime_filter_injects_bloom(spark, sf_dir):
+    """Under the op's scoped thresholds the optimized plan must carry
+    the runtime bloom filter (might_contain) on the fact side."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan or "bloom_filter_agg" in plan, plan[:2000]
+
+
+def test_pareto_abc_share_monotone(spark, sf_dir):
+    """Cumulative share must be monotone in rank, end at ~1e6 ppm,
+    and classes must be ordered A..C along the rank axis."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        agg_pareto_abc,
+    )
+
+    rows = sorted(
+        agg_pareto_abc(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert rows and rows[0]["rank"] == 1
+    shares = [r["cum_share_ppm"] for r in rows]
+    assert shares == sorted(shares)
+    assert 1_000_000 - len(rows) <= shares[-1] <= 1_000_000
+    classes = "".join(r["abc_class"] for r in rows)
+    assert classes == "".join(sorted(classes))  # A* B* C* in rank order
+    revs = [r["revenue_c"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_pmi_pairs_band_respected(spark, sf_dir):
+    """Every reported pair respects the window-df band and min
+    co-occurrence support, n_xy <= min(n_x, n_y), and lift replays
+    exactly against an independently computed window count."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _PMI_CID,
+        _PMI_MAX_DF_PCT,
+        _PMI_MIN_COOC,
+        _PMI_MIN_DF,
+        _PMI_WIN,
+        _TOKENS,
+        txt_pmi_pairs,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    n_win = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok"))
+        .select(
+            F.expr(f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}").alias("cid")
+        )
+        .distinct()
+        .count()
+    )
+    rows = txt_pmi_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_xy"] >= _PMI_MIN_COOC
+        assert r["n_xy"] <= min(r["n_x"], r["n_y"])
+        for m in (r["n_x"], r["n_y"]):
+            assert m >= _PMI_MIN_DF and m * 100 <= n_win * _PMI_MAX_DF_PCT
+        assert (
+            r["lift_ppm"]
+            == r["n_xy"] * n_win * 1_000_000 // (r["n_x"] * r["n_y"])
+        )
