@@ -167,6 +167,9 @@ HEADLINE = [
     "join_runtime_filter",
     "agg_pareto_abc",
     "txt_pmi_pairs",
+    "mm_image_tiles",
+    "ts_pct_change_wow",
+    "evt_cohort_triangle",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

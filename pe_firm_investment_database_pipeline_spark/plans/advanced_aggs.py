@@ -2167,9 +2167,10 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical risk statistic (largest peak-to-trough drop of the
     running equity curve). Two stacked unbounded-preceding windows on
     the SAME (user_id | ts, event_id) ordering — cumulative sum, then
-    running max — so Spark plans ONE sort+shuffle and evaluates both
-    frames in a single Window node with O(1) state per row (no frame
-    collection). The final per-user rollup reuses the partitioning.
+    running max — the peak frame consumes the equity frame, so Spark
+    stacks two Window nodes, but they share ONE shuffle and ONE sort
+    (plan-pinned) with O(1) state per row (no frame collection). The
+    final per-user rollup reuses the partitioning.
     All arithmetic is int64 cents: exact on both engines, any scale.
     At 100 TB each user's series streams through one task in order —
     no driver state, no all-pairs."""
@@ -2563,6 +2564,139 @@ FROM dau JOIN wau ON dau.d = wau.d
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_pct_change_wow — calendar week-over-week change
+# ---------------------------------------------------------------------------
+
+def ts_pct_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEK-OVER-WEEK change of daily value per event type with
+    CALENDAR semantics: each day compares against the value exactly 7
+    calendar days earlier via a self-join on (type, day-7) — not
+    lag(7) over present rows, which silently compares across gaps
+    when days are missing (the classic WoW bug). Change is exact
+    integer ppm with a NULL guard for missing/zero baselines. The
+    grid self-join is broadcast-small at any corpus scale because it
+    runs on the (types x days) aggregate, never on events."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("d"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    prev = daily.select(
+        F.col("event_type").alias("pt"),
+        F.col("d").alias("pd"),
+        F.col("v").alias("v_prev"),
+    )
+    return (
+        daily.join(
+            prev,
+            (F.col("event_type") == F.col("pt"))
+            & (F.col("d") - 7 == F.col("pd")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "d",
+            "v",
+            "v_prev",
+            F.expr(
+                "CASE WHEN v_prev IS NULL OR v_prev = 0 THEN NULL "
+                "ELSE ((v - v_prev) * 1000000) div v_prev END"
+            ).alias("wow_change_ppm"),
+        )
+    )
+
+
+_TS_PCT_CHANGE_WOW_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d, a.v, b.v AS v_prev,
+       CASE WHEN b.v IS NULL OR b.v = 0 THEN NULL
+            ELSE ((a.v - b.v) * 1000000) // b.v END AS wow_change_ppm
+FROM daily a
+LEFT JOIN daily b ON a.event_type = b.event_type AND a.d - 7 = b.d
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_cohort_triangle — weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+def evt_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEEKLY COHORT RETENTION TRIANGLE: users grouped by first-
+    activity week, activity tracked per (cohort_week, week_offset)
+    cell, retention as exact ppm of the cohort's size — the matrix
+    behind every retention curve. Three partial-aggregable hash
+    aggregates on compressed grids (user-week activity, per-user
+    first week, cell counts); the cohort-size join broadcasts.
+    Epoch-week = epoch-day div 7, tz-free on both engines. At 100 TB
+    the user-week grid is the only event-sized shuffle."""
+    uw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id", F.expr("unix_date(ts_date) div 7").alias("week")
+        )
+        .distinct()
+    )
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        uw.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("week - cohort_week").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(n_active * 1000000) div cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+    )
+
+
+_EVT_COHORT_TRIANGLE_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS week
+  FROM events
+), first AS (
+  SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_week
+  FROM uw GROUP BY user_id
+), cells AS (
+  SELECT f.cohort_week, u.week - f.cohort_week AS week_offset,
+         CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+  FROM uw u JOIN first f ON u.user_id = f.user_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS cohort_size
+  FROM first GROUP BY cohort_week
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       (c.n_active * 1000000) // s.cohort_size AS retention_ppm
+FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
@@ -2678,5 +2812,11 @@ QUERIES = {
     ),
     "agg_pareto_abc": QuerySpec(
         agg_pareto_abc, _AGG_PARETO_ABC_SQL, ("agg", "pareto")
+    ),
+    "ts_pct_change_wow": QuerySpec(
+        ts_pct_change_wow, _TS_PCT_CHANGE_WOW_SQL, ("timeseries", "wow")
+    ),
+    "evt_cohort_triangle": QuerySpec(
+        evt_cohort_triangle, _EVT_COHORT_TRIANGLE_SQL, ("events", "cohort")
     ),
 }

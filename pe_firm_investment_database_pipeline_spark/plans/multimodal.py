@@ -589,6 +589,99 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 
 
 # ---------------------------------------------------------------------------
+# mm_image_tiles — 2x2 spatial pooling over image payloads
+# ---------------------------------------------------------------------------
+
+_TILE_GRID = 2  # 2x2 tiles
+
+
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL POOLING over image payloads: the byte plane splits
+    into a 2x2 TILE GRID (contiguous quarters of the byte stream as
+    the deterministic stand-in for pixel blocks) and each tile emits
+    min / max / integer-mean pooled statistics — the
+    region-of-interest features (brightness corners, contrast
+    spread) a vision curation filter thresholds per region rather
+    than per image. Same discipline as every mm stage: metadata
+    prunes to image rows BEFORE the Arrow hop, the Python stage only
+    decodes (1 -> 4 typed rows), and the stats are pure functions of
+    the bytes that DuckDB recomputes from the hex encoding. Work is
+    one linear pass per payload at any scale."""
+    p = _payloads(spark, sf_dir).where(
+        F.col("media_type") == "image/png"
+    ).select("doc_id", "payload")
+    t2 = _TILE_GRID * _TILE_GRID
+
+    def tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "tile_row": [], "tile_col": [],
+                "tile_len": [], "b_min": [], "b_max": [], "b_mean": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(b)
+                base, rem = divmod(n, t2)
+                off = 0
+                for idx in range(t2):
+                    ln = base + (1 if idx < rem else 0)
+                    seg = b[off : off + ln]
+                    off += ln
+                    out["doc_id"].append(doc_id)
+                    out["tile_row"].append(idx // _TILE_GRID)
+                    out["tile_col"].append(idx % _TILE_GRID)
+                    out["tile_len"].append(ln)
+                    out["b_min"].append(min(seg) if ln else 0)
+                    out["b_max"].append(max(seg) if ln else 0)
+                    out["b_mean"].append(sum(seg) // ln if ln else 0)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v, dtype="int64" if k != "doc_id" else "int64"
+                    )
+                    for k, v in out.items()
+                }
+            )
+
+    return p.mapInPandas(
+        tiles,
+        schema=(
+            "doc_id long, tile_row long, tile_col long, tile_len long,"
+            " b_min long, b_max long, b_mean long"
+        ),
+    )
+
+
+_MM_IMAGE_TILES_SQL = f"""
+WITH img AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 0
+), tiles AS (
+  SELECT doc_id, h, n, t.idx,
+         -- quarter boundaries: first (n % 4) tiles get one extra byte
+         (n // 4) * t.idx + LEAST(t.idx, n % 4) AS off,
+         (n // 4) + CASE WHEN t.idx < n % 4 THEN 1 ELSE 0 END AS ln
+  FROM img CROSS JOIN (SELECT unnest(range(0, 4)) AS idx) t
+), stats AS (
+  SELECT doc_id, idx, ln,
+         list_transform(range(off, off + ln),
+           i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS BIGINT), 2))
+                     AS BIGINT)) AS bytes
+  FROM tiles
+)
+SELECT doc_id,
+       idx // {_TILE_GRID} AS tile_row,
+       idx % {_TILE_GRID} AS tile_col,
+       ln AS tile_len,
+       CAST(COALESCE(list_min(bytes), 0) AS BIGINT) AS b_min,
+       CAST(COALESCE(list_max(bytes), 0) AS BIGINT) AS b_max,
+       CAST(CASE WHEN ln = 0 THEN 0
+                 ELSE list_sum(bytes) // ln END AS BIGINT) AS b_mean
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
 # mm_silence_detect — silence-run segmentation over audio frames
 # ---------------------------------------------------------------------------
 
@@ -711,6 +804,9 @@ QUERIES = {
     ),
     "mm_silence_detect": QuerySpec(
         mm_silence_detect, _MM_SILENCE_DETECT_SQL, ("multimodal", "islands")
+    ),
+    "mm_image_tiles": QuerySpec(
+        mm_image_tiles, _MM_IMAGE_TILES_SQL, ("multimodal", "pooling")
     ),
     "mm_phash_neardup": QuerySpec(
         mm_phash_neardup, _MM_PHASH_NEARDUP_SQL, ("multimodal", "dedup", "phash")

@@ -450,3 +450,76 @@ def test_mmr_candidate_stage_is_topk(spark):
     plan = _plan(spark, "rag_mmr_rerank")
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
     assert "parquet" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Late-round-6 operators: the scale-bearing plan properties
+# ---------------------------------------------------------------------------
+
+def test_linreg_trend_single_shuffle_partial_agg(spark):
+    """One hash aggregate on user_id with a map-side partial phase;
+    no window, no sort."""
+    plan = _plan(spark, "agg_linreg_trend")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+
+
+def test_max_drawdown_one_sort_one_window(spark):
+    """The dependent frames stack as two Window nodes (peak consumes
+    equity) but share ONE partitioning — stacking must not add a
+    shuffle or a second sort."""
+    plan = _plan(spark, "win_max_drawdown")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    windows = [ln for ln in plan.splitlines() if ") Window" in ln]
+    assert len(windows) == 2, windows
+    sorts = [ln for ln in plan.splitlines() if ") Sort" in ln]
+    assert len(sorts) == 1, sorts
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_linreg_single_window_node(spark):
+    """All five frame aggregates share one Window node on one sort."""
+    plan = _plan(spark, "win_rolling_linreg")
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1
+    windows = [ln for ln in plan.splitlines() if ") Window" in ln]
+    assert len(windows) == 1, windows
+
+
+def test_kmeans_broadcast_assignment(spark):
+    """The N x K assignment is a broadcast join — vectors never
+    shuffle for assignment; only the (cluster, coord) grid does."""
+    plan = _plan(spark, "ml_kmeans_fixed")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_broadcast_confirm(spark):
+    """The exact re-count semi-joins against BROADCAST candidates —
+    the token stream is never shuffled on token for the prefilter."""
+    plan = _plan(spark, "sketch_freq_heavy")
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan
+
+
+def test_market_basket_broadcasts_dim(spark):
+    """part is broadcast; the pair self-join equi-joins on the order
+    key (no cartesian)."""
+    plan = _plan(spark, "agg_market_basket")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_active_users_grid_first(spark):
+    """The trailing-window expansion joins the broadcast day spine
+    onto the DISTINCT user-day grid — never onto raw events."""
+    plan = _plan(spark, "evt_active_users")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonality_grid_shuffle_only(spark):
+    """The only hash exchange carries the (type, hour) grid."""
+    plan = _plan(spark, "evt_seasonality_profile")
+    assert plan.count("Arguments: hashpartitioning(event_type") >= 1
+    assert "CartesianProduct" not in plan

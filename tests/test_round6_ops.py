@@ -917,3 +917,98 @@ def test_pmi_pairs_band_respected(spark, sf_dir):
             r["lift_ppm"]
             == r["n_xy"] * n_win * 1_000_000 // (r["n_x"] * r["n_y"])
         )
+
+
+def test_image_tiles_partition_bytes(spark, sf_dir):
+    """4 tiles per image doc, tile lengths partition the payload
+    exactly, min <= mean <= max, and a driver-side replay of one doc
+    matches byte-for-byte."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        mm_image_tiles,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = mm_image_tiles(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["b_min"] <= r["b_mean"] <= r["b_max"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(by_doc) == set(texts)
+    for doc_id, rs in by_doc.items():
+        assert len(rs) == 4
+        assert sum(r["tile_len"] for r in rs) == len(texts[doc_id].encode())
+    doc_id = min(by_doc)
+    b = texts[doc_id].encode()
+    base, rem = divmod(len(b), 4)
+    off = 0
+    for r in sorted(by_doc[doc_id], key=lambda r: (r["tile_row"], r["tile_col"])):
+        ln = base + (1 if r["tile_row"] * 2 + r["tile_col"] < rem else 0)
+        seg = b[off : off + ln]
+        off += ln
+        assert (r["tile_len"], r["b_min"], r["b_max"], r["b_mean"]) == (
+            ln,
+            min(seg),
+            max(seg),
+            sum(seg) // ln,
+        )
+
+
+def test_wow_change_calendar_semantics(spark, sf_dir):
+    """v_prev must be the value exactly 7 calendar days earlier (NULL
+    when that day is absent), never the 7th-previous present row."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_pct_change_wow,
+    )
+
+    rows = ts_pct_change_wow(spark, sf_dir).collect()
+    assert rows
+    grid = {(r["event_type"], r["d"]): r["v"] for r in rows}
+    for r in rows:
+        expect = grid.get((r["event_type"], r["d"] - 7))
+        assert r["v_prev"] == expect
+        if expect:
+            num, den = (r["v"] - expect) * 1_000_000, expect
+            trunc = abs(num) // abs(den) * (
+                1 if (num >= 0) == (den >= 0) else -1
+            )
+            assert r["wow_change_ppm"] == trunc
+        else:
+            assert r["wow_change_ppm"] is None
+
+
+def test_cohort_triangle_axioms(spark, sf_dir):
+    """Offset-0 retention is exactly 1e6 ppm (every cohort member is
+    active in their first week), offsets are non-negative, n_active
+    never exceeds cohort_size, and cohort sizes sum to the user
+    count."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_cohort_triangle,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = evt_cohort_triangle(spark, sf_dir).collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        if r["week_offset"] == 0:
+            assert r["n_active"] == r["cohort_size"]
+            assert r["retention_ppm"] == 1_000_000
+        sizes[r["cohort_week"]] = r["cohort_size"]
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(sizes.values()) == n_users

@@ -69,6 +69,12 @@ HEAVY = [
     "graph_cc_incremental",
     "rag_mmr_rerank",
     "txt_rake_keywords",
+    # late-r6 additions with at-scale claims
+    "graph_common_neighbors",
+    "ml_kmeans_fixed",
+    "sketch_freq_heavy",
+    "snk_bucketed_join",
+    "txt_bigram_prob",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
