@@ -170,6 +170,8 @@ HEADLINE = [
     "mm_image_tiles",
     "ts_pct_change_wow",
     "evt_cohort_triangle",
+    "ml_knn_classify",
+    "evt_bot_score",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -2565,6 +2565,111 @@ FROM dau JOIN wau ON dau.d = wau.d
 
 
 # ---------------------------------------------------------------------------
+# evt_bot_score — multi-signal automation score
+# ---------------------------------------------------------------------------
+
+_BOT_THRESHOLD_PPM = 600_000
+
+
+def evt_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite BOT/AUTOMATION score per user — the feature-union
+    shape of production abuse scoring: three orthogonal behavioral
+    signals, each an exact integer ppm, averaged into one score.
+    (1) behavioral NARROWNESS = 1e6 - gini_ppm of the event-type mix
+    (bots do one thing); (2) temporal CONCENTRATION = busiest day's
+    share of all events (bots burst); (3) purchase AVERSION =
+    1e6 - purchase share x 5 capped (bots browse, humans buy). Each
+    signal is a partial-aggregable grouped aggregate on user_id; the
+    three frames join co-partitioned on the same key, so the whole
+    plan is one scan + keyed aggregates — no windows over events, no
+    skew hazard. Deterministic threshold flag at 0.6."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    narrow = (
+        ut.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr("c * c")).alias("ss"),
+            F.sum(
+                F.expr("CASE WHEN event_type = 'purchase' THEN c ELSE 0 END")
+            ).alias("purchases"),
+        )
+        .select(
+            "user_id",
+            "n",
+            F.expr("1000000 - ((n * n - ss) * 1000000 div (n * n))").alias(
+                "narrowness_ppm"
+            ),
+            F.expr(
+                "1000000 - LEAST(1000000, (purchases * 5 * 1000000) div n)"
+            ).alias("aversion_ppm"),
+        )
+    )
+    ud = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("dc"))
+    conc = ud.groupBy("user_id").agg(
+        F.expr("(max(dc) * 1000000) div sum(dc)").alias("concentration_ppm")
+    )
+    return (
+        narrow.join(conc, "user_id")
+        .select(
+            "user_id",
+            "n",
+            "narrowness_ppm",
+            "concentration_ppm",
+            "aversion_ppm",
+            F.expr(
+                "(narrowness_ppm + concentration_ppm + aversion_ppm) div 3"
+            ).alias("bot_score_ppm"),
+        )
+        .withColumn(
+            "is_bot", F.expr(f"bot_score_ppm > {_BOT_THRESHOLD_PPM}")
+        )
+    )
+
+
+_EVT_BOT_SCORE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+), ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+), narrow AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         1000000 - (((CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)
+                      - CAST(SUM(c * c) AS BIGINT)) * 1000000)
+                    // (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)))
+           AS narrowness_ppm,
+         1000000 - LEAST(1000000,
+           (CAST(SUM(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)
+                 AS BIGINT) * 5 * 1000000) // CAST(SUM(c) AS BIGINT))
+           AS aversion_ppm
+  FROM ut GROUP BY user_id
+), ud AS (
+  SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS dc
+  FROM e GROUP BY 1, 2
+), conc AS (
+  SELECT user_id,
+         (CAST(MAX(dc) AS BIGINT) * 1000000) // CAST(SUM(dc) AS BIGINT)
+           AS concentration_ppm
+  FROM ud GROUP BY user_id
+)
+SELECT n.user_id, n.n, n.narrowness_ppm, c.concentration_ppm,
+       n.aversion_ppm,
+       (n.narrowness_ppm + c.concentration_ppm + n.aversion_ppm) // 3
+         AS bot_score_ppm,
+       (n.narrowness_ppm + c.concentration_ppm + n.aversion_ppm) // 3
+         > {_BOT_THRESHOLD_PPM} AS is_bot
+FROM narrow n JOIN conc c ON n.user_id = c.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ts_pct_change_wow — calendar week-over-week change
 # ---------------------------------------------------------------------------
 
@@ -2818,5 +2923,8 @@ QUERIES = {
     ),
     "evt_cohort_triangle": QuerySpec(
         evt_cohort_triangle, _EVT_COHORT_TRIANGLE_SQL, ("events", "cohort")
+    ),
+    "evt_bot_score": QuerySpec(
+        evt_bot_score, _EVT_BOT_SCORE_SQL, ("events", "abuse", "score")
     ),
 }

@@ -1398,12 +1398,113 @@ SELECT vec_id, cluster_id, dist FROM a{_KM_ITERS}
     return sql
 
 
+# ---------------------------------------------------------------------------
+# ml_knn_classify — k-nearest-neighbor majority-vote labeling
+# ---------------------------------------------------------------------------
+
+_KNN_CLS_K = 5
+_KNN_TEST_MOD = 10  # vec_id % 10 == 0 is the held-out set
+
+
+def ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION over the embedding space: every held-out
+    vector (vec_id % 10 = 0) takes the MAJORITY LABEL of its 5
+    nearest training neighbors by cosine — the classic
+    label-propagation / auto-labeling primitive, and the first
+    consumer of the embeddings table's ground-truth label column
+    (accuracy is directly inspectable via the `correct` flag). The
+    neighbor rank and the vote both break ties deterministically
+    (neighbor id; then vote count desc, label asc) so the prediction
+    is exactly reproducible on both engines. This entry is the
+    brute-force exact baseline — at 100 TB the identical rank+vote
+    tail runs on sim_ann_join's IVF candidates instead of the full
+    cross product (same discipline as sim_knn_blocked vs _full)."""
+    emb = _emb_q(spark, sf_dir)
+    test = emb.where(F.col("vec_id") % _KNN_TEST_MOD == 0).select(
+        F.col("vec_id").alias("tid"),
+        F.col("label").alias("true_label"),
+        F.col("q").alias("tq"),
+        F.col("nrm").alias("tn"),
+    )
+    train = emb.where(F.col("vec_id") % _KNN_TEST_MOD != 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("q").alias("nq"),
+        F.col("nrm").alias("nn"),
+    )
+    cos = F.expr(_DOT.format(a="tq", b="nq")).cast("double") / (
+        F.sqrt(F.col("tn").cast("double")) * F.sqrt(F.col("nn").cast("double"))
+    )
+    wr = W.partitionBy("tid").orderBy(F.desc("cos"), F.asc("nid"))
+    neigh = (
+        train.join(F.broadcast(test))
+        .withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _KNN_CLS_K)
+    )
+    votes = neigh.groupBy("tid", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = W.partitionBy("tid").orderBy(F.desc("votes"), F.asc("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("tid").alias("vec_id"),
+            F.col("nlabel").alias("pred_label"),
+            "votes",
+            "true_label",
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+    )
+
+
+_ML_KNN_CLASSIFY_SQL = f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), test AS (
+  SELECT vec_id AS tid, label AS true_label, q AS tq, nrm AS tn
+  FROM eq WHERE vec_id % {_KNN_TEST_MOD} = 0
+), train AS (
+  SELECT vec_id AS nid, label AS nlabel, q AS nq, nrm AS nn
+  FROM eq WHERE vec_id % {_KNN_TEST_MOD} != 0
+), neigh AS (
+  SELECT * FROM (
+    SELECT t.tid, t.true_label, n.nlabel, n.nid,
+           row_number() OVER (
+             PARTITION BY t.tid
+             ORDER BY CAST({_DOT_DUCK.format(a="t.tq", b="n.nq")} AS DOUBLE)
+                      / (sqrt(CAST(t.tn AS DOUBLE))
+                         * sqrt(CAST(n.nn AS DOUBLE))) DESC,
+                      n.nid
+           ) AS rn
+    FROM test t CROSS JOIN train n
+  ) WHERE rn <= {_KNN_CLS_K}
+), votes AS (
+  SELECT tid, true_label, nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM neigh GROUP BY 1, 2, 3
+)
+SELECT tid AS vec_id, nlabel AS pred_label, votes, true_label,
+       nlabel = true_label AS correct
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY tid
+                               ORDER BY votes DESC, nlabel) AS vr
+  FROM votes
+) WHERE vr = 1
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
     ),
     "ml_kmeans_fixed": QuerySpec(
         ml_kmeans_fixed, _kmeans_sql(), ("ml", "clustering", "iterative")
+    ),
+    "ml_knn_classify": QuerySpec(
+        ml_knn_classify, _ML_KNN_CLASSIFY_SQL, ("ml", "knn", "classify")
     ),
     "sim_range_search": QuerySpec(
         sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")
