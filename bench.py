@@ -172,6 +172,9 @@ HEADLINE = [
     "evt_cohort_triangle",
     "ml_knn_classify",
     "evt_bot_score",
+    "evt_recency_score",
+    "ts_forecast_snaive",
+    "sec_row_mask_policy",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

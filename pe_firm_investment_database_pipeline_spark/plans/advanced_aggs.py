@@ -2565,6 +2565,142 @@ FROM dau JOIN wau ON dau.d = wau.d
 
 
 # ---------------------------------------------------------------------------
+# evt_recency_score — power-of-two time-decayed engagement
+# ---------------------------------------------------------------------------
+
+_RECENCY_MAX_SHIFT = 20  # cap the decay shift; older than 20 weeks ~ 0
+
+
+def evt_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-WEIGHTED engagement score per user: each event's cents
+    value decays by 2^-age_weeks (age measured back from the
+    dataset's max day, so the score is deterministic — no wall
+    clock), implemented as a pure integer SHIFT (v >> min(age, 20))
+    — the win_ewma trick applied to scoring: power-of-two decay
+    keeps every term exact int64 on both engines, where a float
+    exp() would drift at the last ulp. One broadcast scalar (max
+    day) onto the scan, one hash aggregate on user_id; decay happens
+    map-side. The standard \"hotness\" feature for ranking and
+    re-engagement models."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_date(ts_date)").alias("day"),
+        cents("value").alias("v"),
+    )
+    mx = e.agg(F.max("day").alias("max_day"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            "v",
+            F.expr(
+                f"LEAST(CAST((max_day - day) div 7 AS INT),"
+                f" {_RECENCY_MAX_SHIFT})"
+            ).alias("age_shift"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("shiftright(v, age_shift)")).alias(
+                "recency_score_c"
+            ),
+            F.sum("v").alias("raw_sum_c"),
+        )
+    )
+
+
+_EVT_RECENCY_SCORE_SQL = f"""
+WITH e AS (
+  SELECT user_id, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), mx AS (
+  SELECT MAX(day) AS max_day FROM e
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v >> LEAST(CAST((max_day - day) // 7 AS INT),
+                           {_RECENCY_MAX_SHIFT})) AS BIGINT)
+         AS recency_score_c,
+       CAST(SUM(v) AS BIGINT) AS raw_sum_c
+FROM e CROSS JOIN mx
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_forecast_snaive — seasonal-naive forecast with exact backtest
+# ---------------------------------------------------------------------------
+
+def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-NAIVE FORECAST backtest per event type: predict each
+    day's total as the value 7 calendar days earlier, then score the
+    forecast with exact integer error metrics — absolute error
+    cents, signed error, and APE in ppm — plus the per-type rollup
+    MAE. The honest baseline every forecasting system must beat,
+    with calendar (not row-offset) lag semantics like
+    ts_pct_change_wow. All arithmetic int64; the grid self-join and
+    the metric rollup are broadcast-small at any event volume."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("d"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    prev = daily.select(
+        F.col("event_type").alias("pt"),
+        F.col("d").alias("pd"),
+        F.col("v").alias("forecast"),
+    )
+    scored = daily.join(
+        prev,
+        (F.col("event_type") == F.col("pt")) & (F.col("d") - 7 == F.col("pd")),
+    ).select(
+        "event_type",
+        "d",
+        "v",
+        "forecast",
+        F.expr("abs(v - forecast)").alias("abs_err_c"),
+        F.expr("v - forecast").alias("err_c"),
+        F.expr(
+            "CASE WHEN v = 0 THEN NULL"
+            " ELSE (abs(v - forecast) * 1000000) div abs(v) END"
+        ).alias("ape_ppm"),
+    )
+    mae = scored.groupBy(F.col("event_type").alias("mt")).agg(
+        F.expr("sum(abs_err_c) div count(1)").alias("mae_c")
+    )
+    return scored.join(
+        F.broadcast(mae), F.col("event_type") == F.col("mt")
+    ).drop("mt")
+
+
+_TS_FORECAST_SNAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, a.d, a.v, b.v AS forecast,
+         abs(a.v - b.v) AS abs_err_c,
+         a.v - b.v AS err_c,
+         CASE WHEN a.v = 0 THEN NULL
+              ELSE (abs(a.v - b.v) * 1000000) // abs(a.v) END AS ape_ppm
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d - 7 = b.d
+), mae AS (
+  SELECT event_type, CAST(SUM(abs_err_c) // COUNT(*) AS BIGINT) AS mae_c
+  FROM scored GROUP BY event_type
+)
+SELECT s.*, m.mae_c
+FROM scored s JOIN mae m ON s.event_type = m.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_bot_score — multi-signal automation score
 # ---------------------------------------------------------------------------
 
@@ -2926,5 +3062,13 @@ QUERIES = {
     ),
     "evt_bot_score": QuerySpec(
         evt_bot_score, _EVT_BOT_SCORE_SQL, ("events", "abuse", "score")
+    ),
+    "evt_recency_score": QuerySpec(
+        evt_recency_score, _EVT_RECENCY_SCORE_SQL, ("events", "recency")
+    ),
+    "ts_forecast_snaive": QuerySpec(
+        ts_forecast_snaive,
+        _TS_FORECAST_SNAIVE_SQL,
+        ("timeseries", "forecast"),
     ),
 }

@@ -351,7 +351,63 @@ FROM orders"""
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# sec_row_mask_policy — row-level security + column masking
+# ---------------------------------------------------------------------------
+
+_BLOCKED_TENANT, _MASKED_TENANT = 3, 2
+
+
+def sec_row_mask_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOVERNANCE POLICY enforcement as a plan rewrite — the
+    row-filter + column-mask shape every governed lakehouse applies
+    between storage and consumer: rows of the BLOCKED tenant never
+    leave the scan (row-level security as a pushable predicate, not
+    post-hoc redaction), and the MASKED tenant's monetary value is
+    nulled while its row survives for aggregate-shape fidelity
+    (column masking). Tenancy derives deterministically from
+    user_id % 4 (the fixture's stand-in for an ACL dimension — in
+    production this predicate comes from a broadcast entitlement
+    table, same plan shape). The policy is pure projection+filter:
+    it fuses into whole-stage codegen with zero extra shuffles, and
+    the blocked-tenant predicate reaches the parquet scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("user_id % 4").alias("tenant"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    return (
+        e.where(F.col("tenant") != _BLOCKED_TENANT)
+        .select(
+            "event_id",
+            "user_id",
+            "tenant",
+            F.expr(
+                f"CASE WHEN tenant = {_MASKED_TENANT} THEN NULL"
+                " ELSE v END"
+            ).alias("value_c"),
+            (F.col("tenant") == _MASKED_TENANT).alias("is_masked"),
+        )
+    )
+
+
+_SEC_ROW_MASK_POLICY_SQL = f"""
+SELECT event_id, user_id, user_id % 4 AS tenant,
+       CASE WHEN user_id % 4 = {_MASKED_TENANT} THEN NULL
+            ELSE CAST(round(value * 100) AS BIGINT) END AS value_c,
+       user_id % 4 = {_MASKED_TENANT} AS is_masked
+FROM events
+WHERE user_id % 4 != {_BLOCKED_TENANT}
+"""
+
+
 QUERIES = {
+    "sec_row_mask_policy": QuerySpec(
+        sec_row_mask_policy,
+        _SEC_ROW_MASK_POLICY_SQL,
+        ("security", "governance", "mask"),
+    ),
     "dq_constraint_check": QuerySpec(
         dq_constraint_check, _DQ_CONSTRAINT_CHECK_SQL, ("quality",)
     ),

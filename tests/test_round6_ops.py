@@ -1083,3 +1083,98 @@ def test_bot_score_signal_ranges_and_mean(spark, sf_dir):
             // 3
         )
         assert r["is_bot"] == (r["bot_score_ppm"] > _BOT_THRESHOLD_PPM)
+
+
+def test_recency_score_decay_properties(spark, sf_dir):
+    """Score <= raw sum always (decay never amplifies), equality only
+    possible when all events are in the newest week, and a driver
+    replay of one user matches shift-for-shift."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _RECENCY_MAX_SHIFT,
+        evt_recency_score,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["user_id"]: r for r in evt_recency_score(spark, sf_dir).collect()}
+    assert rows
+    assert all(
+        r["recency_score_c"] <= r["raw_sum_c"] for r in rows.values()
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("unix_date(ts_date)").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    max_day = max(r["day"] for r in ev)
+    uid = min(rows)
+    expect = sum(
+        r["v"] >> min((max_day - r["day"]) // 7, _RECENCY_MAX_SHIFT)
+        for r in ev
+        if r["user_id"] == uid
+    )
+    assert rows[uid]["recency_score_c"] == expect
+
+
+def test_snaive_backtest_metrics_consistent(spark, sf_dir):
+    """abs_err == |err|, APE denominator semantics, MAE equals the
+    truncated mean of the per-day absolute errors per type."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_forecast_snaive,
+    )
+
+    rows = ts_forecast_snaive(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r["abs_err_c"] == abs(r["err_c"])
+        assert r["abs_err_c"] == abs(r["v"] - r["forecast"])
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        mae = sum(r["abs_err_c"] for r in rs) // len(rs)
+        assert all(r["mae_c"] == mae for r in rs)
+
+
+def test_row_mask_policy_enforced(spark, sf_dir):
+    """No blocked-tenant rows escape, every masked-tenant row has a
+    NULL value, every other row keeps its exact cents value, and the
+    blocked predicate is pushed to the parquet scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _BLOCKED_TENANT,
+        _MASKED_TENANT,
+        sec_row_mask_policy,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    df = sec_row_mask_policy(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    values = {
+        r["event_id"]: r["v"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "event_id", F.expr("CAST(round(value*100) AS BIGINT)").alias("v")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["tenant"] != _BLOCKED_TENANT
+        if r["tenant"] == _MASKED_TENANT:
+            assert r["is_masked"] and r["value_c"] is None
+        else:
+            assert not r["is_masked"] and r["value_c"] == values[r["event_id"]]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert "Filter" in buf.getvalue()
