@@ -175,6 +175,9 @@ HEADLINE = [
     "evt_recency_score",
     "ts_forecast_snaive",
     "sec_row_mask_policy",
+    "txt_code_detect",
+    "src_file_lineage",
+    "ml_eval_confusion",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

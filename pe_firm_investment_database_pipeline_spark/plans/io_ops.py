@@ -1233,6 +1233,68 @@ FROM zed GROUP BY 1
 
 _BUCKETED_JOIN_CACHE: dict = register_cache({})
 _BUCKETS = 8
+_LINEAGE_CACHE: dict = register_cache({})
+
+
+def _lineage_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two deterministic event batches landed as separate parquet
+    files under one directory, memoized per (app, dataset)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "lineage")
+    cached = _LINEAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slot = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"pe_lineage_{slot}_{app}")
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    for name, pred in (
+        ("batch_a", F.col("event_id") % 2 == 0),
+        ("batch_b", F.col("event_id") % 2 == 1),
+    ):
+        (
+            e.where(pred)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, name))
+        )
+    _LINEAGE_CACHE[key] = path
+    return path
+
+
+def src_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE LINEAGE over a multi-file landing zone: a directory of
+    independently-landed parquet batches scans as one relation with
+    ``input_file_name()`` exposing per-row provenance — the audit
+    column every ingest pipeline carries to trace a bad row back to
+    its source file. The batch id is extracted from the PATH (the
+    stable part; the parquet part-file name is run-specific), and the
+    entry rolls provenance up to (batch, event_type) counts — the
+    reconciliation report that catches a half-landed batch. The
+    lineage column is evaluated at the scan (no shuffle added); the
+    rollup is one partial-aggregable aggregate."""
+    path = _lineage_dir(spark, sf_dir)
+    df = spark.read.parquet(f"{path}/batch_a", f"{path}/batch_b")
+    batch = F.expr(
+        r"regexp_extract(input_file_name(), '(batch_[ab])', 1)"
+    )
+    return (
+        df.withColumn("batch", batch)
+        .groupBy("batch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_SRC_FILE_LINEAGE_SQL = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'batch_a' ELSE 'batch_b' END
+         AS batch,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -1310,6 +1372,9 @@ GROUP BY o.o_orderpriority
 QUERIES = {
     "snk_bucketed_join": QuerySpec(
         snk_bucketed_join, _SNK_BUCKETED_JOIN_SQL, ("sink", "bucketing", "join")
+    ),
+    "src_file_lineage": QuerySpec(
+        src_file_lineage, _SRC_FILE_LINEAGE_SQL, ("source", "lineage")
     ),
     "io_http_fetch": QuerySpec(
         io_http_fetch, _IO_HTTP_FETCH_SQL, ("io", "pandas_udf")

@@ -1496,6 +1496,95 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_eval_confusion — confusion matrix + per-class metrics
+# ---------------------------------------------------------------------------
+
+def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL EVALUATION over ml_knn_classify's predictions: the
+    per-class PRECISION / RECALL / F1 report (in exact integer ppm)
+    derived from the confusion counts — the eval primitive that
+    closes the train/predict/evaluate loop. Support, predicted
+    count, and true positives come from three partial-aggregable
+    aggregates over the small prediction relation; F1 is the exact
+    rational 2·tp·1e6 div (pred + support) (the harmonic mean
+    identity on counts — no intermediate float precision/recall).
+    Classes never predicted or never present still appear via the
+    full outer key union with zero counts."""
+    pred = ml_knn_classify(spark, sf_dir).select("true_label", "pred_label")
+    support = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    predicted = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("predicted")
+    )
+    tp = (
+        pred.where(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    base = (
+        support.join(predicted, "label", "full_outer")
+        .join(tp, "label", "full_outer")
+        .select(
+            "label",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            F.coalesce("predicted", F.lit(0)).alias("predicted"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return base.select(
+        "label",
+        "support",
+        "predicted",
+        "tp",
+        F.expr(
+            "CASE WHEN predicted = 0 THEN NULL"
+            " ELSE (tp * 1000000) div predicted END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN support = 0 THEN NULL"
+            " ELSE (tp * 1000000) div support END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN predicted + support = 0 THEN NULL"
+            " ELSE (2 * tp * 1000000) div (predicted + support) END"
+        ).alias("f1_ppm"),
+    )
+
+
+_ML_EVAL_CONFUSION_SQL = f"""
+WITH pred AS (
+  SELECT true_label, pred_label FROM ({_ML_KNN_CLASSIFY_SQL})
+), support AS (
+  SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS support
+  FROM pred GROUP BY 1
+), predicted AS (
+  SELECT pred_label AS label, CAST(COUNT(*) AS BIGINT) AS predicted
+  FROM pred GROUP BY 1
+), tp AS (
+  SELECT true_label AS label, CAST(COUNT(*) AS BIGINT) AS tp
+  FROM pred WHERE true_label = pred_label GROUP BY 1
+), base AS (
+  SELECT COALESCE(s.label, p.label, t.label) AS label,
+         COALESCE(s.support, 0) AS support,
+         COALESCE(p.predicted, 0) AS predicted,
+         COALESCE(t.tp, 0) AS tp
+  FROM support s
+  FULL OUTER JOIN predicted p ON s.label = p.label
+  FULL OUTER JOIN tp t ON COALESCE(s.label, p.label) = t.label
+)
+SELECT label, support, predicted, tp,
+       CASE WHEN predicted = 0 THEN NULL
+            ELSE (tp * 1000000) // predicted END AS precision_ppm,
+       CASE WHEN support = 0 THEN NULL
+            ELSE (tp * 1000000) // support END AS recall_ppm,
+       CASE WHEN predicted + support = 0 THEN NULL
+            ELSE (2 * tp * 1000000) // (predicted + support) END AS f1_ppm
+FROM base
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
@@ -1505,6 +1594,9 @@ QUERIES = {
     ),
     "ml_knn_classify": QuerySpec(
         ml_knn_classify, _ML_KNN_CLASSIFY_SQL, ("ml", "knn", "classify")
+    ),
+    "ml_eval_confusion": QuerySpec(
+        ml_eval_confusion, _ML_EVAL_CONFUSION_SQL, ("ml", "eval")
     ),
     "sim_range_search": QuerySpec(
         sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")

@@ -1614,6 +1614,79 @@ LIMIT {_PMI_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_code_detect — code-vs-prose heuristic classifier
+# ---------------------------------------------------------------------------
+
+_CODE_THRESHOLD_PPM = 120_000
+
+
+def txt_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection per document — the pretraining router
+    that decides which pipeline a crawl shard enters (code corpora
+    and prose corpora want different dedup, quality, and tokenizer
+    settings). Three zero-shuffle integer signals per doc: symbol
+    density (non-alphanumeric-non-space chars), digit density, and
+    bracket/operator hits ({}();=<>), each in exact ppm of the char
+    count, combined into a truncated-mean score with a fixed
+    threshold. Pure projection — fuses into whole-stage codegen; at
+    100 TB this is a free rider on any scan that already reads
+    text."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = "length(text)"
+    sym = r"length(regexp_replace(text, '[A-Za-z0-9 ]', ''))"
+    dig = r"length(regexp_replace(text, '[^0-9]', ''))"
+    brk = r"length(regexp_replace(text, '[^{}();=<>]', ''))"
+    return d.where(F.expr(f"{n} > 0")).select(
+        "doc_id",
+        F.expr(f"CAST({n} AS BIGINT)").alias("n_chars"),
+        F.expr(f"(CAST({sym} AS BIGINT) * 1000000) div {n}").alias(
+            "symbol_ppm"
+        ),
+        F.expr(f"(CAST({dig} AS BIGINT) * 1000000) div {n}").alias(
+            "digit_ppm"
+        ),
+        F.expr(f"(CAST({brk} AS BIGINT) * 1000000) div {n}").alias(
+            "bracket_ppm"
+        ),
+        F.expr(
+            f"((CAST({sym} AS BIGINT) * 1000000) div {n}"
+            f" + (CAST({dig} AS BIGINT) * 1000000) div {n}"
+            f" + (CAST({brk} AS BIGINT) * 1000000) div {n}) div 3"
+        ).alias("code_score_ppm"),
+    ).withColumn(
+        "is_code", F.expr(f"code_score_ppm > {_CODE_THRESHOLD_PPM}")
+    )
+
+
+_TXT_CODE_DETECT_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       (CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             AS BIGINT) * 1000000) // length(text) AS symbol_ppm,
+       (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+             AS BIGINT) * 1000000) // length(text) AS digit_ppm,
+       (CAST(length(regexp_replace(text, '[^{{}}();=<>]', '', 'g'))
+             AS BIGINT) * 1000000) // length(text) AS bracket_ppm,
+       ((CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              AS BIGINT) * 1000000) // length(text)
+        + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS BIGINT) * 1000000) // length(text)
+        + (CAST(length(regexp_replace(text, '[^{{}}();=<>]', '', 'g'))
+                AS BIGINT) * 1000000) // length(text)) // 3
+         AS code_score_ppm,
+       ((CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              AS BIGINT) * 1000000) // length(text)
+        + (CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                AS BIGINT) * 1000000) // length(text)
+        + (CAST(length(regexp_replace(text, '[^{{}}();=<>]', '', 'g'))
+                AS BIGINT) * 1000000) // length(text)) // 3
+         > {_CODE_THRESHOLD_PPM} AS is_code
+FROM documents
+WHERE length(text) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_bigram_prob — bigram language-model fluency score per doc
 # ---------------------------------------------------------------------------
 
@@ -1834,6 +1907,9 @@ QUERIES = {
     ),
     "txt_pmi_pairs": QuerySpec(
         txt_pmi_pairs, _TXT_PMI_PAIRS_SQL, ("text", "collocations")
+    ),
+    "txt_code_detect": QuerySpec(
+        txt_code_detect, _TXT_CODE_DETECT_SQL, ("text", "router", "quality")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -1178,3 +1178,83 @@ def test_row_mask_policy_enforced(spark, sf_dir):
     with redirect_stdout(buf):
         df.explain("formatted")
     assert "Filter" in buf.getvalue()
+
+
+def test_code_detect_signal_replay(spark, sf_dir):
+    """Replay the three densities for one doc in pure Python and pin
+    the score identity + threshold flag."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _CODE_THRESHOLD_PPM,
+        txt_code_detect,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["doc_id"]: r for r in txt_code_detect(spark, sf_dir).collect()}
+    assert rows
+    doc_id = min(rows)
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == doc_id)
+        .select("text")
+        .collect()[0][0]
+    )
+    n = len(text)
+    sym = sum(1 for c in text if not (c.isalnum() and c.isascii()) and c != " ")
+    dig = sum(1 for c in text if c.isdigit())
+    brk = sum(1 for c in text if c in "{}();=<>")
+    r = rows[doc_id]
+    assert r["n_chars"] == n
+    assert r["symbol_ppm"] == sym * 1_000_000 // n
+    assert r["digit_ppm"] == dig * 1_000_000 // n
+    assert r["bracket_ppm"] == brk * 1_000_000 // n
+    score = (
+        r["symbol_ppm"] + r["digit_ppm"] + r["bracket_ppm"]
+    ) // 3
+    assert r["code_score_ppm"] == score
+    assert r["is_code"] == (score > _CODE_THRESHOLD_PPM)
+
+
+def test_file_lineage_batches_partition_events(spark, sf_dir):
+    """Lineage batches must partition the event space by parity and
+    reconcile exactly against per-type counts."""
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        src_file_lineage,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = src_file_lineage(spark, sf_dir).collect()
+    assert {r["batch"] for r in rows} == {"batch_a", "batch_b"}
+    got = {(r["batch"], r["event_type"]): r["n_rows"] for r in rows}
+    expect = {
+        (("batch_a" if r["event_id"] % 2 == 0 else "batch_b"), r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .collect()
+    }
+    assert set(got) == expect
+    assert sum(got.values()) == load_table(spark, sf_dir, "events").count()
+
+
+def test_eval_confusion_ties_to_predictions(spark, sf_dir):
+    """Supports sum to the held-out count, predicted sums likewise,
+    tp <= min(support, predicted), and the F1 identity holds."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        ml_eval_confusion,
+        ml_knn_classify,
+    )
+
+    n_test = ml_knn_classify(spark, sf_dir).count()
+    rows = ml_eval_confusion(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["support"] for r in rows) == n_test
+    assert sum(r["predicted"] for r in rows) == n_test
+    for r in rows:
+        assert r["tp"] <= min(r["support"], r["predicted"])
+        if r["predicted"] + r["support"] > 0:
+            assert r["f1_ppm"] == 2 * r["tp"] * 1_000_000 // (
+                r["predicted"] + r["support"]
+            )
