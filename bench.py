@@ -178,6 +178,9 @@ HEADLINE = [
     "txt_code_detect",
     "src_file_lineage",
     "ml_eval_confusion",
+    "txt_extractive_summary",
+    "ml_minmax_scale",
+    "ts_outlier_repair",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -2565,6 +2565,198 @@ FROM dau JOIN wau ON dau.d = wau.d
 
 
 # ---------------------------------------------------------------------------
+# ml_minmax_scale — exact min-max feature scaling
+# ---------------------------------------------------------------------------
+
+def ml_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN-MAX FEATURE SCALING of the numeric lineitem columns — the
+    ML-prep normalization step, kept EXACT: values lift to int64
+    cents, per-column min/max come from one unpivoted aggregate (the
+    profile_unpivot shape: N columns in one scan), and the scaled
+    value is the pure rational (v - min)·1e6 div (max - min) — no
+    float subtraction/division drift, bit-identical across engines.
+    The boundary table broadcasts back onto the long stream, so
+    scaling is map-side; constant columns (max = min) are guarded to
+    NULL. Output is the long (row key, column, scaled) format a
+    feature-store write expects."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = ", ".join(
+        f"'{c}', CAST(round({c} * 100) AS BIGINT)" for c in _PROFILE_COLS
+    )
+    long = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"stack({len(_PROFILE_COLS)}, {pairs}) AS (col_name, v)"),
+    )
+    bounds = long.groupBy("col_name").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    return (
+        long.join(F.broadcast(bounds), "col_name")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "col_name",
+            "v",
+            F.expr(
+                "CASE WHEN hi = lo THEN NULL"
+                " ELSE ((v - lo) * 1000000) div (hi - lo) END"
+            ).alias("scaled_ppm"),
+        )
+    )
+
+
+def _minmax_sql() -> str:
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT l_orderkey, l_linenumber, '{c}' AS col_name,"
+        f" CAST(round({c} * 100) AS BIGINT) AS v FROM lineitem"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+WITH long AS (
+{unions}
+), bounds AS (
+  SELECT col_name, CAST(MIN(v) AS BIGINT) AS lo,
+         CAST(MAX(v) AS BIGINT) AS hi
+  FROM long GROUP BY col_name
+)
+SELECT l.l_orderkey, l.l_linenumber, l.col_name, l.v,
+       CASE WHEN b.hi = b.lo THEN NULL
+            ELSE ((l.v - b.lo) * 1000000) // (b.hi - b.lo) END
+         AS scaled_ppm
+FROM long l JOIN bounds b ON l.col_name = b.col_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_outlier_repair — MAD fence + neighbor-mean repair
+# ---------------------------------------------------------------------------
+
+def ts_outlier_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERIES REPAIR: daily totals per event type pass through the
+    pre-doubled MAD fence, and each flagged outlier is REPLACED by
+    the truncated mean of its nearest CLEAN neighbors (previous and
+    next non-outlier day; one-sided at series edges; the raw value
+    survives in v_raw for audit) — the imputation step between
+    anomaly DETECTION (ts_anomaly_decomposed stops there) and any
+    downstream model that cannot ingest spikes. Neighbor lookup is
+    two as-of aggregates (max_by below / min_by above) of each
+    outlier against the clean subset — grid x grid work, bounded
+    because both sides are the (types x days) aggregate, never
+    events — then a union puts repaired rows back. All int64."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("d"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.expr("abs(2 * v - med2)")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier", F.expr("2 * dev2 > 3 * mad4")
+    )
+    clean = flagged.where(~F.col("is_outlier"))
+    out = flagged.where(F.col("is_outlier")).select(
+        "event_type", "d", F.col("v").alias("v_raw")
+    )
+    cjoin = out.join(
+        clean.select("event_type", F.col("d").alias("cd"), F.col("v").alias("cv")),
+        "event_type",
+    )
+    prev_n = (
+        cjoin.where(F.col("cd") < F.col("d"))
+        .groupBy("event_type", "d")
+        .agg(F.max_by("cv", "cd").alias("prev_v"))
+    )
+    next_n = (
+        cjoin.where(F.col("cd") > F.col("d"))
+        .groupBy("event_type", "d")
+        .agg(F.min_by("cv", "cd").alias("next_v"))
+    )
+    repaired_out = (
+        out.join(prev_n, ["event_type", "d"], "left")
+        .join(next_n, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "v_raw",
+            F.lit(True).alias("was_repaired"),
+            F.expr(
+                "CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL"
+                " THEN (prev_v + next_v) div 2"
+                " ELSE coalesce(prev_v, next_v, v_raw) END"
+            ).alias("v_repaired"),
+        )
+    )
+    kept = clean.select(
+        "event_type",
+        "d",
+        F.col("v").alias("v_raw"),
+        F.lit(False).alias("was_repaired"),
+        F.col("v").alias("v_repaired"),
+    )
+    return kept.unionByName(repaired_out)
+
+
+_TS_OUTLIER_REPAIR_SQL = """
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, CAST(quantile_cont(2 * v, 0.5) AS BIGINT) AS med2
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d2.event_type, d2.d, d2.v, abs(2 * d2.v - m.med2) AS dev2
+  FROM daily d2 JOIN med m ON d2.event_type = m.event_type
+), mad AS (
+  SELECT event_type, CAST(quantile_cont(2 * dev2, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY event_type
+), flagged AS (
+  SELECT v.event_type, v.d, v.v, 2 * v.dev2 > 3 * m.mad4 AS is_outlier
+  FROM dev v JOIN mad m ON v.event_type = m.event_type
+), clean AS (
+  SELECT event_type, d, v FROM flagged WHERE NOT is_outlier
+), outl AS (
+  SELECT event_type, d, v AS v_raw FROM flagged WHERE is_outlier
+), prev_n AS (
+  SELECT o.event_type, o.d, arg_max(c.v, c.d) AS prev_v
+  FROM outl o JOIN clean c
+    ON o.event_type = c.event_type AND c.d < o.d
+  GROUP BY o.event_type, o.d
+), next_n AS (
+  SELECT o.event_type, o.d, arg_min(c.v, c.d) AS next_v
+  FROM outl o JOIN clean c
+    ON o.event_type = c.event_type AND c.d > o.d
+  GROUP BY o.event_type, o.d
+)
+SELECT event_type, d, v AS v_raw, FALSE AS was_repaired,
+       v AS v_repaired
+FROM clean
+UNION ALL
+SELECT o.event_type, o.d, o.v_raw, TRUE AS was_repaired,
+       CAST(CASE WHEN p.prev_v IS NOT NULL AND n.next_v IS NOT NULL
+                 THEN (p.prev_v + n.next_v) // 2
+                 ELSE COALESCE(p.prev_v, n.next_v, o.v_raw) END AS BIGINT)
+         AS v_repaired
+FROM outl o
+LEFT JOIN prev_n p ON o.event_type = p.event_type AND o.d = p.d
+LEFT JOIN next_n n ON o.event_type = n.event_type AND o.d = n.d
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_recency_score — power-of-two time-decayed engagement
 # ---------------------------------------------------------------------------
 
@@ -3070,5 +3262,13 @@ QUERIES = {
         ts_forecast_snaive,
         _TS_FORECAST_SNAIVE_SQL,
         ("timeseries", "forecast"),
+    ),
+    "ml_minmax_scale": QuerySpec(
+        ml_minmax_scale, _minmax_sql(), ("ml", "scaling")
+    ),
+    "ts_outlier_repair": QuerySpec(
+        ts_outlier_repair,
+        _TS_OUTLIER_REPAIR_SQL,
+        ("timeseries", "repair", "anomaly"),
     ),
 }

@@ -1614,6 +1614,107 @@ LIMIT {_PMI_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_extractive_summary — corpus-TF extractive summarization
+# ---------------------------------------------------------------------------
+
+_SUM_MARK = "\x01"
+_SUM_TOP = 2
+
+
+def txt_extractive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACTIVE SUMMARIZATION: each document keeps its _SUM_TOP
+    most salient sentences, where salience is the integer mean
+    corpus-TF of the sentence's tokens — the TextRank-lite shape of
+    cheap summarization for preview generation and context-window
+    budgeting. Sentence boundaries use the chunker's replace-then-
+    split idiom (RE2 has no lookbehind); salience joins the sentence
+    tokens against ONE corpus-level TF aggregate (partial-
+    aggregable; the shuffle carries distinct tokens), and the top-2
+    pick is a per-doc window rank with (score desc, position asc)
+    determinism — earlier sentences win ties, the editorial
+    convention. Exact int64 end to end."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents_expr = (
+        f"split(replace(text, '. ', concat('.', '{_SUM_MARK}')), "
+        f"'{_SUM_MARK}')"
+    )
+    sents = d.select(
+        "doc_id", F.posexplode(F.expr(sents_expr)).alias("sent_idx", "sentence")
+    ).where(F.length("sentence") > 0)
+    stoks = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.explode(
+            F.expr(r"regexp_extract_all(sentence, '\\S+', 0)")
+        ).alias("tok"),
+    )
+    tf = (
+        d.select(F.explode(F.expr(_TOKENS)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    scored = (
+        stoks.join(tf, "tok")
+        .groupBy("doc_id", "sent_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.expr("sum(tf) div count(1)").alias("salience"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("sent_idx")
+    )
+    picked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _SUM_TOP)
+    )
+    return picked.join(sents, ["doc_id", "sent_idx"]).select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "sent_idx",
+        "salience",
+        "sentence",
+    )
+
+
+_TXT_EXTRACTIVE_SUMMARY_SQL = f"""
+WITH sents0 AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, '. ', '.' || chr(1)), chr(1)))
+           AS sentence,
+         generate_subscripts(
+           string_split(replace(text, '. ', '.' || chr(1)), chr(1)), 1) - 1
+           AS sent_idx
+  FROM documents
+), sents AS (
+  SELECT * FROM sents0 WHERE length(sentence) > 0
+), stoks AS (
+  SELECT doc_id, sent_idx,
+         unnest(regexp_extract_all(sentence, '\\S+')) AS tok
+  FROM sents
+), tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+    SELECT unnest({_TOKENS_DUCK}) AS tok FROM documents
+  ) GROUP BY tok
+), scored AS (
+  SELECT s.doc_id, s.sent_idx, CAST(COUNT(*) AS BIGINT) AS n_toks,
+         CAST(SUM(t.tf) // COUNT(*) AS BIGINT) AS salience
+  FROM stoks s JOIN tf t ON s.tok = t.tok
+  GROUP BY s.doc_id, s.sent_idx
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY salience DESC, sent_idx) AS rank
+  FROM scored
+)
+SELECT p.doc_id, CAST(p.rank AS BIGINT) AS rank, p.sent_idx, p.salience,
+       s.sentence
+FROM picked p JOIN sents s
+  ON p.doc_id = s.doc_id AND p.sent_idx = s.sent_idx
+WHERE p.rank <= {_SUM_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_code_detect — code-vs-prose heuristic classifier
 # ---------------------------------------------------------------------------
 
@@ -1910,6 +2011,11 @@ QUERIES = {
     ),
     "txt_code_detect": QuerySpec(
         txt_code_detect, _TXT_CODE_DETECT_SQL, ("text", "router", "quality")
+    ),
+    "txt_extractive_summary": QuerySpec(
+        txt_extractive_summary,
+        _TXT_EXTRACTIVE_SUMMARY_SQL,
+        ("text", "summarize"),
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

