@@ -181,6 +181,8 @@ HEADLINE = [
     "txt_extractive_summary",
     "ml_minmax_scale",
     "ts_outlier_repair",
+    "evt_survival_km",
+    "ml_cluster_medoid",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -2565,6 +2565,127 @@ FROM dau JOIN wau ON dau.d = wau.d
 
 
 # ---------------------------------------------------------------------------
+# evt_survival_km — Kaplan-Meier survival with right-censoring
+# ---------------------------------------------------------------------------
+
+def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimate of customer lifetime (weeks
+    between first and last order), WITH right-censoring: customers
+    still ordering within the final 4 observed weeks are censored,
+    not churned — ignoring
+    that (the naive empirical survival curve) biases churn low, which
+    is exactly why KM exists. The product-limit estimator's chained
+    rational products cannot be exact in floats, so each step is the
+    INTEGER truncation acc' = acc·(n_k − d_k) div n_k from seed 1e6,
+    evaluated by the SAME fold on both engines: Spark `aggregate`
+    over the packed per-week (n_k, d_k) steps, DuckDB `list_reduce`
+    with the seed prepended (its first element IS the accumulator).
+    Steps pack as n·1e6 + d in one int64 so the fold list stays
+    primitive. All grid-sized work after one user-level rollup."""
+    uw = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr("unix_date(CAST(o_orderdate AS DATE)) div 7").alias(
+                "week"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("week").alias("w0"), F.max("week").alias("w1"))
+    )
+    horizon = uw.agg(F.max("w1").alias("maxw"))
+    life = uw.crossJoin(F.broadcast(horizon)).select(
+        F.expr("w1 - w0").alias("k"),
+        F.expr("CAST(w1 >= maxw - 4 AS INT)").alias("censored"),
+    )
+    per_k = life.groupBy("k").agg(
+        F.sum(F.expr("1 - censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    wk = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    risk = (
+        per_k.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            F.expr("n_total")
+            - F.coalesce(F.sum(F.expr("d + c")).over(wk), F.lit(0)),
+        )
+    )
+    packed = risk.select(
+        "k",
+        "d",
+        "c",
+        "n_at_risk",
+        F.expr("n_at_risk * 1000000 + d").alias("step"),
+    )
+    folded = packed.groupBy().agg(
+        F.expr(
+            "array_sort(collect_list(struct(k, step)))"
+        ).alias("steps")
+    )
+    return (
+        packed.crossJoin(F.broadcast(folded))
+        .select(
+            "k",
+            "n_at_risk",
+            "d",
+            "c",
+            F.expr(
+                "aggregate(filter(steps, s -> s.k <= k), 1000000L,"
+                " (acc, s) -> CASE WHEN s.step div 1000000 = 0 THEN acc"
+                " ELSE acc * (s.step div 1000000 - s.step % 1000000)"
+                " div (s.step div 1000000) END)"
+            ).alias("survival_ppm"),
+        )
+    )
+
+
+_EVT_SURVIVAL_KM_SQL = """
+WITH uw AS (
+  SELECT o_custkey,
+         MIN((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w0,
+         MAX((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7) AS w1
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT MAX(w1) AS maxw FROM uw
+), life AS (
+  SELECT w1 - w0 AS k, CAST(w1 >= maxw - 4 AS INT) AS censored
+  FROM uw CROSS JOIN horizon
+), per_k AS (
+  SELECT k, CAST(SUM(1 - censored) AS BIGINT) AS d,
+         CAST(SUM(censored) AS BIGINT) AS c
+  FROM life GROUP BY k
+), total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM life
+), risk AS (
+  SELECT k, d, c,
+         n_total - COALESCE(CAST(SUM(d + c) OVER (ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS n_at_risk
+  FROM per_k CROSS JOIN total
+), packed AS (
+  SELECT k, d, c, n_at_risk, n_at_risk * 1000000 + d AS step
+  FROM risk
+), folded AS (
+  SELECT list(step ORDER BY k) AS steps, list(k ORDER BY k) AS ks
+  FROM packed
+)
+SELECT p.k, p.n_at_risk, p.d, p.c,
+       list_reduce(
+         list_prepend(CAST(1000000 AS BIGINT),
+           list_transform(
+             list_filter(f.ks, (x, i) -> x <= p.k),
+             (x, i) -> f.steps[i])),
+         (acc, s) -> CASE WHEN s // 1000000 = 0 THEN acc
+                          ELSE acc * (s // 1000000 - s % 1000000)
+                               // (s // 1000000) END
+       ) AS survival_ppm
+FROM packed p CROSS JOIN folded f
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_minmax_scale — exact min-max feature scaling
 # ---------------------------------------------------------------------------
 
@@ -3270,5 +3391,8 @@ QUERIES = {
         ts_outlier_repair,
         _TS_OUTLIER_REPAIR_SQL,
         ("timeseries", "repair", "anomaly"),
+    ),
+    "evt_survival_km": QuerySpec(
+        evt_survival_km, _EVT_SURVIVAL_KM_SQL, ("events", "survival")
     ),
 }

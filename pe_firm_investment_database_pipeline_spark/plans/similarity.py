@@ -1497,6 +1497,98 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# ml_cluster_medoid — SemDeDup-style cluster representatives
+# ---------------------------------------------------------------------------
+
+def ml_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER REPRESENTATIVES over the k-means partition — the
+    SemDeDup shape of semantic dataset pruning: each cluster elects
+    its MEDOID (member closest to the centroid; ties to the lowest
+    id via a two-step exact argmin — no packed keys, no floats), and
+    members that sit much closer to the medoid than the cluster's
+    average (2·d²·n < Σd², a data-adaptive integer rule) are marked
+    PRUNE as semantic near-duplicates of the representative. All
+    distances are int64 squared-L2 on the fixed-point grid; the
+    K-row medoid table broadcasts. This is the curation step between
+    clustering and training-set assembly at 100 TB — keep the
+    medoid, drop its redundant orbit."""
+    asg = ml_kmeans_fixed(spark, sf_dir)
+    vecs = _emb_q(spark, sf_dir).select("vec_id", "q")
+    m1 = asg.groupBy("cluster_id").agg(F.min("dist").alias("mind"))
+    medoid = (
+        asg.join(m1, "cluster_id")
+        .where(F.col("dist") == F.col("mind"))
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("medoid_id"))
+    )
+    medvec = medoid.join(
+        vecs.select(F.col("vec_id").alias("medoid_id"), F.col("q").alias("mq")),
+        "medoid_id",
+    )
+    d2m = F.expr(_KM_DIST.format(a="q", b="mq"))
+    members = (
+        asg.join(vecs, "vec_id")
+        .join(F.broadcast(medvec), "cluster_id")
+        .withColumn("d2_medoid", d2m)
+    )
+    stats = members.groupBy(F.col("cluster_id").alias("sc")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2_medoid").alias("sum_d2"),
+    )
+    return (
+        members.join(
+            F.broadcast(stats), members["cluster_id"] == stats["sc"]
+        )
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.col("vec_id") == F.col("medoid_id")).alias("is_medoid"),
+            "d2_medoid",
+            "n_members",
+            F.expr(
+                "CASE WHEN vec_id = medoid_id THEN FALSE"
+                " ELSE 2 * d2_medoid * n_members < sum_d2 END"
+            ).alias("prune"),
+        )
+    )
+
+
+def _medoid_sql() -> str:
+    return f"""
+WITH asg AS MATERIALIZED (
+  SELECT * FROM ({_kmeans_sql()})
+), vecs AS (
+  SELECT vec_id, {_QUANT_DUCK} AS q FROM embeddings
+), m1 AS (
+  SELECT cluster_id, MIN(dist) AS mind FROM asg GROUP BY cluster_id
+), medoid AS (
+  SELECT a.cluster_id, MIN(a.vec_id) AS medoid_id
+  FROM asg a JOIN m1 ON a.cluster_id = m1.cluster_id
+  WHERE a.dist = m1.mind
+  GROUP BY a.cluster_id
+), medvec AS (
+  SELECT m.cluster_id, m.medoid_id, v.q AS mq
+  FROM medoid m JOIN vecs v ON v.vec_id = m.medoid_id
+), members AS (
+  SELECT a.vec_id, a.cluster_id, mv.medoid_id,
+         {_KM_DIST_DUCK.format(a="v.q", b="mv.mq")} AS d2_medoid
+  FROM asg a
+  JOIN vecs v ON v.vec_id = a.vec_id
+  JOIN medvec mv ON mv.cluster_id = a.cluster_id
+), stats AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d2_medoid) AS BIGINT) AS sum_d2
+  FROM members GROUP BY cluster_id
+)
+SELECT m.vec_id, m.cluster_id, m.vec_id = m.medoid_id AS is_medoid,
+       m.d2_medoid, s.n_members,
+       CASE WHEN m.vec_id = m.medoid_id THEN FALSE
+            ELSE 2 * m.d2_medoid * s.n_members < s.sum_d2 END AS prune
+FROM members m JOIN stats s ON m.cluster_id = s.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_eval_confusion — confusion matrix + per-class metrics
 # ---------------------------------------------------------------------------
 
@@ -1597,6 +1689,9 @@ QUERIES = {
     ),
     "ml_eval_confusion": QuerySpec(
         ml_eval_confusion, _ML_EVAL_CONFUSION_SQL, ("ml", "eval")
+    ),
+    "ml_cluster_medoid": QuerySpec(
+        ml_cluster_medoid, _medoid_sql(), ("ml", "dedup", "semantic")
     ),
     "sim_range_search": QuerySpec(
         sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")

@@ -1350,3 +1350,59 @@ def test_outlier_repair_covers_grid_and_bounds(spark, sf_dir):
                 assert r["v_repaired"] == (prevs[-1] + nexts[0]) // 2
             elif prevs or nexts:
                 assert r["v_repaired"] == (prevs[-1] if prevs else nexts[0])
+
+
+def test_survival_km_monotone_and_replayed(spark, sf_dir):
+    """Survival is monotone non-increasing in k, starts <= 1e6, at-
+    risk counts telescope (n_{k+1} = n_k - d_k - c_k along present
+    ks), and a pure-Python fold over the same steps reproduces every
+    survival value exactly."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_survival_km,
+    )
+
+    rows = sorted(evt_survival_km(spark, sf_dir).collect(), key=lambda r: r["k"])
+    assert len(rows) > 5
+    surv = [r["survival_ppm"] for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert surv[0] <= 1_000_000
+
+    acc_steps = []
+    for r in rows:
+        acc_steps.append((r["k"], r["n_at_risk"], r["d"]))
+    for r in rows:
+        acc = 1_000_000
+        for k, n, d in acc_steps:
+            if k <= r["k"] and n > 0:
+                acc = acc * (n - d) // n
+        assert acc == r["survival_ppm"], r
+    # telescoping at-risk along consecutive entries
+    for a, b in zip(rows, rows[1:]):
+        if b["k"] == a["k"] + 1:
+            assert b["n_at_risk"] == a["n_at_risk"] - a["d"] - a["c"]
+
+
+def test_cluster_medoid_election_and_prune(spark, sf_dir):
+    """Exactly one medoid per cluster, the medoid has d2=0 to itself,
+    every member's prune flag replays from the cluster stats, and
+    medoids are never pruned."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        ml_cluster_medoid,
+    )
+
+    rows = ml_cluster_medoid(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        medoids = [r for r in rs if r["is_medoid"]]
+        assert len(medoids) == 1, cid
+        assert medoids[0]["d2_medoid"] == 0
+        assert not medoids[0]["prune"]
+        n = len(rs)
+        s = sum(r["d2_medoid"] for r in rs)
+        for r in rs:
+            assert r["n_members"] == n
+            if not r["is_medoid"]:
+                assert r["prune"] == (2 * r["d2_medoid"] * n < s)
