@@ -183,6 +183,8 @@ HEADLINE = [
     "ts_outlier_repair",
     "evt_survival_km",
     "ml_cluster_medoid",
+    "ml_pca_power",
+    "evt_ab_srm_check",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -352,6 +352,66 @@ FROM orders"""
 
 
 # ---------------------------------------------------------------------------
+# evt_ab_srm_check — sample-ratio-mismatch guardrail
+# ---------------------------------------------------------------------------
+
+# chi-square(1df) critical value 3.841459 at alpha=0.05, in ppm
+_SRM_CHI2_CRIT_PPM = 3_841_459
+
+
+def evt_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-RATIO-MISMATCH check for the A/B assignment — the
+    guardrail that must run BEFORE any experiment readout (a biased
+    split invalidates evt_ab_test's z-statistic entirely): with an
+    expected 50/50 split, the one-degree chi-square statistic
+    reduces to (n_a − n_b)² / (n_a + n_b), computed here in exact
+    integer ppm and compared against the 3.84 critical value. Arms
+    use the same deterministic user-parity hash as evt_ab_test so
+    the two entries describe the same experiment. One distinct-user
+    aggregate; everything after is a 2-row reduction."""
+    arms = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(F.expr("user_id % 2").alias("arm"))
+        .groupBy("arm")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wide = arms.groupBy().agg(
+        F.sum(F.expr("CASE WHEN arm = 0 THEN n ELSE 0 END")).alias("n_a"),
+        F.sum(F.expr("CASE WHEN arm = 1 THEN n ELSE 0 END")).alias("n_b"),
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.expr(
+            "((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)"
+        ).alias("chi2_ppm"),
+        F.expr(
+            "((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)"
+            f" > {_SRM_CHI2_CRIT_PPM}"
+        ).alias("srm_detected"),
+    )
+
+
+_EVT_AB_SRM_CHECK_SQL = f"""
+WITH arms AS (
+  SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT user_id FROM events) GROUP BY 1
+), wide AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+  FROM arms
+)
+SELECT n_a, n_b,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_ppm,
+       ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+         > {_SRM_CHI2_CRIT_PPM} AS srm_detected
+FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
 # sec_row_mask_policy — row-level security + column masking
 # ---------------------------------------------------------------------------
 
@@ -407,6 +467,9 @@ QUERIES = {
         sec_row_mask_policy,
         _SEC_ROW_MASK_POLICY_SQL,
         ("security", "governance", "mask"),
+    ),
+    "evt_ab_srm_check": QuerySpec(
+        evt_ab_srm_check, _EVT_AB_SRM_CHECK_SQL, ("events", "ab", "srm")
     ),
     "dq_constraint_check": QuerySpec(
         dq_constraint_check, _DQ_CONSTRAINT_CHECK_SQL, ("quality",)

@@ -1497,6 +1497,107 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# ml_pca_power — top principal direction by exact power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 3
+_PCA_SCALE = 1_000_000
+
+
+def ml_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP PRINCIPAL DIRECTION of the embedding cloud by POWER
+    ITERATION — distributed linear algebra as joins: the 64x64 Gram
+    matrix comes from ONE self-join of the position-exploded
+    coordinates (the classic X^T X shuffle — work is rows x dim^2,
+    never rows^2), then each iteration is a broadcast matvec
+    (join + keyed sum) followed by max-abs renormalization. Floats
+    would make the iterate engine-divergent, so everything is
+    integer: Gram entries are exact int64, the matvec accumulates in
+    DECIMAL(38,0)/HUGEINT (terms reach ~1e22), and renormalization
+    is the truncating v' = w·1e6 div max|w| — bit-identical on both
+    engines at every step. The entry's DEFINED output is the iterate
+    after a FIXED 3 steps from the all-ones seed (mirrored by the
+    unrolled SQL); convergence to the top eigendirection depends on
+    the spectral gap — production raises the iteration count, the
+    per-step plan is identical. At 100 TB only the Gram pass touches
+    data; iterations run on a 64-vector."""
+    vecs = _emb_q(spark, sf_dir).select("vec_id", "q")
+    coords = vecs.select(
+        "vec_id", F.posexplode("q").alias("pos", "val")
+    )
+    a = coords.select("vec_id", F.col("pos").alias("i"), F.col("val").alias("vi"))
+    b = coords.select(
+        F.col("vec_id").alias("vec_id2"),
+        F.col("pos").alias("j"),
+        F.col("val").alias("vj"),
+    )
+    gram = (
+        a.join(b, F.col("vec_id") == F.col("vec_id2"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.expr("vi * vj")).alias("c"))
+    ).localCheckpoint(eager=True)
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(_PCA_SCALE).cast("long").alias("vj"),
+    )
+    for _ in range(_PCA_ITERS):
+        w = (
+            gram.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr("CAST(c AS DECIMAL(38,0)) * vj")
+                ).alias("w")
+            )
+        )
+        mx = w.agg(F.max(F.expr("abs(w)")).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(
+                    f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)"
+                ).alias("vj"),
+            )
+        )
+    return v.select(F.col("j").alias("pos"), F.col("vj").alias("coord"))
+
+
+def _pca_sql() -> str:
+    sql = f"""
+WITH vecs AS (
+  SELECT vec_id, {_QUANT_DUCK} AS q FROM embeddings
+), coords AS (
+  SELECT vec_id, t.pos - 1 AS pos, q[t.pos] AS val
+  FROM vecs CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) t
+), gram AS (
+  SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS c
+  FROM coords a JOIN coords b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+), v0 AS (
+  SELECT pos AS j, CAST({_PCA_SCALE} AS BIGINT) AS vj
+  FROM (SELECT unnest(range(0, 64)) AS pos)
+)"""
+    prev = "v0"
+    for it in range(1, _PCA_ITERS + 1):
+        sql += f""", w{it} AS (
+  SELECT g.i, SUM(CAST(g.c AS HUGEINT) * v.vj) AS w
+  FROM gram g JOIN {prev} v ON g.j = v.j
+  GROUP BY g.i
+), v{it} AS (
+  SELECT w.i AS j,
+         CAST((w.w * {_PCA_SCALE}) // (SELECT MAX(abs(w)) FROM w{it})
+              AS BIGINT) AS vj
+  FROM w{it} w
+)"""
+        prev = f"v{it}"
+    sql += f"""
+SELECT j AS pos, vj AS coord FROM {prev}
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # ml_cluster_medoid — SemDeDup-style cluster representatives
 # ---------------------------------------------------------------------------
 
@@ -1692,6 +1793,9 @@ QUERIES = {
     ),
     "ml_cluster_medoid": QuerySpec(
         ml_cluster_medoid, _medoid_sql(), ("ml", "dedup", "semantic")
+    ),
+    "ml_pca_power": QuerySpec(
+        ml_pca_power, _pca_sql(), ("ml", "linalg", "iterative")
     ),
     "sim_range_search": QuerySpec(
         sim_range_search, _SIM_RANGE_SEARCH_SQL, ("similarity", "range")

@@ -1406,3 +1406,76 @@ def test_cluster_medoid_election_and_prune(spark, sf_dir):
             assert r["n_members"] == n
             if not r["is_medoid"]:
                 assert r["prune"] == (2 * r["d2_medoid"] * n < s)
+
+
+def test_pca_power_exact_integer_replay(spark, sf_dir):
+    """Replay the WHOLE integer power iteration in pure-Python big
+    ints (exact Gram, DECIMAL-free matvec, truncating max-abs
+    renormalization) and require bit-exact equality — plus the
+    renormalization contract max |coord| == 1e6, and that the
+    iterate's Rayleigh quotient grew vs the all-ones seed (each
+    power step is non-decreasing in the quotient)."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _PCA_ITERS,
+        _PCA_SCALE,
+        _emb_q,
+        ml_pca_power,
+    )
+
+    rows = sorted(ml_pca_power(spark, sf_dir).collect(), key=lambda r: r["pos"])
+    got = [r["coord"] for r in rows]
+    assert len(got) == 64
+    assert max(abs(c) for c in got) == _PCA_SCALE
+
+    q = [r["q"] for r in _emb_q(spark, sf_dir).select("q").collect()]
+    gram = [[0] * 64 for _ in range(64)]
+    for vec in q:
+        for i in range(64):
+            vi = vec[i]
+            if vi:
+                gi = gram[i]
+                for j in range(64):
+                    gi[j] += vi * vec[j]
+    v = [_PCA_SCALE] * 64
+    for _ in range(_PCA_ITERS):
+        w = [sum(gram[i][j] * v[j] for j in range(64)) for i in range(64)]
+        mx = max(abs(x) for x in w)
+        v = [
+            (abs(x) * _PCA_SCALE) // mx * (1 if x >= 0 else -1) for x in w
+        ]  # truncation toward zero, as both engines do
+    assert got == v
+
+    def rayleigh(u):
+        num = sum(
+            u[i] * gram[i][j] * u[j] for i in range(64) for j in range(64)
+        )
+        den = sum(x * x for x in u)
+        return num / den
+
+    assert rayleigh(got) >= rayleigh([_PCA_SCALE] * 64)
+
+
+def test_srm_check_replays_from_user_counts(spark, sf_dir):
+    """Replay the chi-square from the distinct-user parity split."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _SRM_CHI2_CRIT_PPM,
+        evt_ab_srm_check,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    r = evt_ab_srm_check(spark, sf_dir).collect()[0]
+    users = {
+        u[0]
+        for u in load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    n_a = sum(1 for u in users if u % 2 == 0)
+    n_b = len(users) - n_a
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    chi2 = (n_a - n_b) ** 2 * 1_000_000 // (n_a + n_b)
+    assert r["chi2_ppm"] == chi2
+    assert r["srm_detected"] == (chi2 > _SRM_CHI2_CRIT_PPM)
