@@ -185,6 +185,7 @@ HEADLINE = [
     "ml_cluster_medoid",
     "ml_pca_power",
     "evt_ab_srm_check",
+    "evt_ltv_expected",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

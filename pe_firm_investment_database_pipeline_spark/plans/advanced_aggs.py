@@ -2686,6 +2686,79 @@ FROM packed p CROSS JOIN folded f
 
 
 # ---------------------------------------------------------------------------
+# evt_ltv_expected — survival-weighted lifetime value projection
+# ---------------------------------------------------------------------------
+
+def evt_ltv_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPECTED LIFETIME VALUE per customer — the composition the
+    survival curve exists FOR: observed spend becomes a weekly rate
+    (exact cents div observed weeks), and the Kaplan-Meier curve
+    integrates into the expected lifetime EW = Σ_k S(k) (in
+    ppm-weeks — summing a ppm curve over weeks IS the discrete
+    integral), so projected LTV = rate · EW div 1e6 stays a pure
+    int64 chain end to end. The curve is ONE broadcast scalar; the
+    per-customer pass is a single keyed aggregate over orders. The
+    honest caveat is in the name: this is expectation under the
+    population curve, not a per-customer hazard model — exactly what
+    a first LTV dashboard ships."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            cents("o_totalprice").alias("price_c"),
+            F.expr("unix_date(CAST(o_orderdate AS DATE)) div 7").alias(
+                "week"
+            ),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("price_c").alias("spend_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("max(week) - min(week) + 1").alias("observed_weeks"),
+        )
+    )
+    ew = evt_survival_km(spark, sf_dir).agg(
+        F.sum("survival_ppm").alias("ew_ppm_weeks")
+    )
+    return (
+        spend.crossJoin(F.broadcast(ew))
+        .select(
+            "o_custkey",
+            "spend_c",
+            "n_orders",
+            "observed_weeks",
+            F.expr("spend_c div observed_weeks").alias("weekly_rate_c"),
+            F.expr(
+                "((spend_c div observed_weeks) * ew_ppm_weeks)"
+                " div 1000000"
+            ).alias("ltv_expected_c"),
+        )
+    )
+
+
+_EVT_LTV_EXPECTED_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MAX((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7)
+           - MIN((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7)
+           + 1 AS observed_weeks
+  FROM orders GROUP BY o_custkey
+), ew AS (
+  SELECT CAST(SUM(survival_ppm) AS BIGINT) AS ew_ppm_weeks
+  FROM ({_EVT_SURVIVAL_KM_SQL})
+)
+SELECT o_custkey, spend_c, n_orders, observed_weeks,
+       spend_c // observed_weeks AS weekly_rate_c,
+       ((spend_c // observed_weeks) * ew_ppm_weeks) // 1000000
+         AS ltv_expected_c
+FROM spend CROSS JOIN ew
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_minmax_scale — exact min-max feature scaling
 # ---------------------------------------------------------------------------
 
@@ -3394,5 +3467,8 @@ QUERIES = {
     ),
     "evt_survival_km": QuerySpec(
         evt_survival_km, _EVT_SURVIVAL_KM_SQL, ("events", "survival")
+    ),
+    "evt_ltv_expected": QuerySpec(
+        evt_ltv_expected, _EVT_LTV_EXPECTED_SQL, ("events", "ltv")
     ),
 }

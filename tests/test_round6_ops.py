@@ -1479,3 +1479,32 @@ def test_srm_check_replays_from_user_counts(spark, sf_dir):
     chi2 = (n_a - n_b) ** 2 * 1_000_000 // (n_a + n_b)
     assert r["chi2_ppm"] == chi2
     assert r["srm_detected"] == (chi2 > _SRM_CHI2_CRIT_PPM)
+
+
+def test_ltv_projection_scales_with_rate(spark, sf_dir):
+    """LTV = rate * EW/1e6 exactly, one row per ordering customer,
+    and the expected-lifetime scalar equals the survival curve's
+    sum."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_ltv_expected,
+        evt_survival_km,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ew = sum(
+        r["survival_ppm"] for r in evt_survival_km(spark, sf_dir).collect()
+    )
+    rows = evt_ltv_expected(spark, sf_dir).collect()
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cust
+    for r in rows:
+        assert r["weekly_rate_c"] == r["spend_c"] // r["observed_weeks"]
+        assert r["ltv_expected_c"] == r["weekly_rate_c"] * ew // 1_000_000
+        assert r["observed_weeks"] >= 1
