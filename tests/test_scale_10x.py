@@ -75,6 +75,9 @@ HEAVY = [
     "sketch_freq_heavy",
     "snk_bucketed_join",
     "txt_bigram_prob",
+    "agg_market_basket",
+    "ml_pca_power",
+    "txt_pmi_pairs",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
