@@ -186,6 +186,9 @@ HEADLINE = [
     "ml_pca_power",
     "evt_ab_srm_check",
     "evt_ltv_expected",
+    "agg_metric_decompose",
+    "txt_novelty_share",
+    "stream_distinct_users",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

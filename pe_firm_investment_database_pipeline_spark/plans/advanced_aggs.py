@@ -2686,6 +2686,90 @@ FROM packed p CROSS JOIN folded f
 
 
 # ---------------------------------------------------------------------------
+# agg_metric_decompose — volume/price attribution of a metric delta
+# ---------------------------------------------------------------------------
+
+def agg_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METRIC-DELTA ATTRIBUTION: month-over-month revenue change per
+    brand decomposed into a VOLUME effect (quantity moved at the old
+    average price) and a PRICE/MIX effect (the remainder) — the
+    \"why did the number move\" drill-down every revenue review runs.
+    The decomposition is EXACT BY CONSTRUCTION: volume_effect =
+    Δqty · (rev_old div qty_old) uses the truncated old unit price,
+    and price_effect is defined as Δrev − volume_effect, so the two
+    effects always sum to the delta — no float residue to explain
+    away. Grid work after one partial-aggregable (brand, month)
+    rollup; the month self-join is calendar-exact (month index m−1,
+    the ts_pct_change_wow discipline)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .select(
+            "p_brand",
+            F.expr(
+                "year(CAST(l_shipdate AS DATE)) * 12"
+                " + month(CAST(l_shipdate AS DATE)) - 1"
+            ).alias("m"),
+            qty_int("l_quantity").alias("qty"),
+            cents("l_extendedprice").alias("rev_c"),
+        )
+        .groupBy("p_brand", "m")
+        .agg(F.sum("qty").alias("qty"), F.sum("rev_c").alias("rev_c"))
+    )
+    prev = monthly.select(
+        F.col("p_brand").alias("pb"),
+        F.col("m").alias("pm"),
+        F.col("qty").alias("qty_old"),
+        F.col("rev_c").alias("rev_old"),
+    )
+    return (
+        monthly.join(
+            prev,
+            (F.col("p_brand") == F.col("pb")) & (F.col("m") - 1 == F.col("pm")),
+        )
+        .where(F.col("qty_old") > 0)
+        .select(
+            "p_brand",
+            "m",
+            F.expr("rev_c - rev_old").alias("delta_rev_c"),
+            F.expr("(qty - qty_old) * (rev_old div qty_old)").alias(
+                "volume_effect_c"
+            ),
+            F.expr(
+                "(rev_c - rev_old)"
+                " - (qty - qty_old) * (rev_old div qty_old)"
+            ).alias("price_effect_c"),
+            "qty",
+            "qty_old",
+        )
+    )
+
+
+_AGG_METRIC_DECOMPOSE_SQL = """
+WITH monthly AS (
+  SELECT p.p_brand,
+         year(CAST(l.l_shipdate AS DATE)) * 12
+           + month(CAST(l.l_shipdate AS DATE)) - 1 AS m,
+         CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT a.p_brand, a.m,
+       a.rev_c - b.rev_c AS delta_rev_c,
+       (a.qty - b.qty) * (b.rev_c // b.qty) AS volume_effect_c,
+       (a.rev_c - b.rev_c)
+         - (a.qty - b.qty) * (b.rev_c // b.qty) AS price_effect_c,
+       a.qty, b.qty AS qty_old
+FROM monthly a
+JOIN monthly b ON a.p_brand = b.p_brand AND a.m - 1 = b.m
+WHERE b.qty > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_ltv_expected — survival-weighted lifetime value projection
 # ---------------------------------------------------------------------------
 
@@ -3470,5 +3554,10 @@ QUERIES = {
     ),
     "evt_ltv_expected": QuerySpec(
         evt_ltv_expected, _EVT_LTV_EXPECTED_SQL, ("events", "ltv")
+    ),
+    "agg_metric_decompose": QuerySpec(
+        agg_metric_decompose,
+        _AGG_METRIC_DECOMPOSE_SQL,
+        ("agg", "attribution"),
     ),
 }

@@ -1614,6 +1614,67 @@ LIMIT {_PMI_TOP}
 
 
 # ---------------------------------------------------------------------------
+# txt_novelty_share — first-occurrence n-gram novelty
+# ---------------------------------------------------------------------------
+
+def txt_novelty_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY SHARE per document: the fraction (exact ppm) of its
+    distinct trigram shingles whose FIRST corpus occurrence (lowest
+    doc_id — the ingest-order convention) is this document — the
+    marginal-contribution signal dedup-aware curation ranks by (a
+    doc that introduces nothing new is a deletion candidate even
+    when no single pair crosses the near-dup threshold). Reuses the
+    48-bit hashed shingle front shared by the dedup family; one
+    grouped MIN over (shingle) and one join back — shuffles carry
+    int64 shingle hashes only. Docs with fewer than 3 tokens have no
+    shingles and are excluded in both twins."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(F.expr(_SH_HASH)).alias("sh"))
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.expr("CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_shingles").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+_TXT_NOVELTY_SHARE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+  WHERE len({_TOKENS_DUCK}) >= 3
+), sh AS (
+  SELECT doc_id, unnest({_SH_HASH_DUCK}) AS sh FROM toks
+), first AS (
+  SELECT sh, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM sh GROUP BY sh
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       (CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) * 1000000) // COUNT(*) AS novelty_ppm
+FROM sh s JOIN first f ON s.sh = f.sh
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_extractive_summary — corpus-TF extractive summarization
 # ---------------------------------------------------------------------------
 
@@ -2016,6 +2077,9 @@ QUERIES = {
         txt_extractive_summary,
         _TXT_EXTRACTIVE_SUMMARY_SQL,
         ("text", "summarize"),
+    ),
+    "txt_novelty_share": QuerySpec(
+        txt_novelty_share, _TXT_NOVELTY_SHARE_SQL, ("text", "novelty")
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -938,6 +938,44 @@ FROM keyed GROUP BY win_start_s, event_type
 
 
 # ---------------------------------------------------------------------------
+# stream_distinct_users — exact streaming distinct per window
+# ---------------------------------------------------------------------------
+
+def stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-day DISTINCT USERS on the stream — the streaming DAU
+    counter, built the only way exact streaming distinct composes:
+    dropDuplicates on (day, user) FIRST (state = one row per active
+    user-day — the compressed grid, not the event stream), then an
+    ordinary streaming count over the deduplicated rows. A naive
+    countDistinct inside a streaming agg is unsupported; approx
+    sketches lose exactness — this two-stage shape is the production
+    answer and it keeps state bounded by the true user-day
+    cardinality. Day derives tz-free from the epoch axis before the
+    dedup so state keys are integers."""
+    path = _prepare_input(spark, sf_dir)
+    ev = _read_stream(spark, path)
+    per_day = (
+        ev.select(
+            F.expr(f"CAST(unix_micros(ts) div {DAY_S * 1000000} AS BIGINT)")
+            .alias("day_idx"),
+            "user_id",
+        )
+        .dropDuplicates(["day_idx", "user_id"])
+        .groupBy("day_idx")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+    )
+    return _run(per_day, "complete")
+
+
+_STREAM_DISTINCT_USERS_SQL = f"""
+SELECT epoch_us(ts::TIMESTAMP) // {DAY_S * 1000000} AS day_idx,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # stream_topk_windowed — streaming agg table + top-k serving query
 # ---------------------------------------------------------------------------
 
@@ -1001,6 +1039,11 @@ QUERIES = {
         stream_topk_windowed,
         _STREAM_TOPK_WINDOWED_SQL,
         ("streaming", "topk"),
+    ),
+    "stream_distinct_users": QuerySpec(
+        stream_distinct_users,
+        _STREAM_DISTINCT_USERS_SQL,
+        ("streaming", "distinct"),
     ),
     "stream_ohlc_bars": QuerySpec(
         stream_ohlc_bars, _STREAM_OHLC_BARS_SQL, ("streaming", "window", "ohlc")

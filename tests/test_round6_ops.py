@@ -1508,3 +1508,60 @@ def test_ltv_projection_scales_with_rate(spark, sf_dir):
         assert r["weekly_rate_c"] == r["spend_c"] // r["observed_weeks"]
         assert r["ltv_expected_c"] == r["weekly_rate_c"] * ew // 1_000_000
         assert r["observed_weeks"] >= 1
+
+
+def test_metric_decompose_effects_sum(spark, sf_dir):
+    """The two effects must sum to the revenue delta on EVERY row
+    (the decomposition's defining identity), and the volume effect
+    replays from qty delta times truncated old unit price."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        agg_metric_decompose,
+    )
+
+    rows = agg_metric_decompose(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["volume_effect_c"] + r["price_effect_c"] == r["delta_rev_c"]
+        assert r["qty_old"] > 0
+
+
+def test_novelty_share_first_doc_semantics(spark, sf_dir):
+    """The lowest doc_id carrying shingles is 100% novel; shares live
+    in [0, 1e6]; totals tie out against the shared shingle front."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        txt_novelty_share,
+    )
+
+    rows = sorted(
+        txt_novelty_share(spark, sf_dir).collect(), key=lambda r: r["doc_id"]
+    )
+    assert rows
+    assert rows[0]["novelty_ppm"] == 1_000_000
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0 <= r["novelty_ppm"] <= 1_000_000
+    # novelty must decay on average as the corpus grows: the last
+    # decile of docs can't be MORE novel than the first decile
+    k = max(1, len(rows) // 10)
+    first = sum(r["novelty_ppm"] for r in rows[:k]) / k
+    last = sum(r["novelty_ppm"] for r in rows[-k:]) / k
+    assert last <= first
+
+
+def test_stream_distinct_users_matches_batch(spark, sf_dir):
+    """The streaming distinct equals batch COUNT(DISTINCT) per day."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        evt_active_users,
+    )
+    from pe_firm_investment_database_pipeline_spark.streaming.windows import (
+        stream_distinct_users,
+    )
+
+    got = {
+        r["day_idx"]: r["distinct_users"]
+        for r in stream_distinct_users(spark, sf_dir).collect()
+    }
+    batch = {
+        r["day"]: r["dau"] for r in evt_active_users(spark, sf_dir).collect()
+    }
+    assert got == batch
