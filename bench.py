@@ -189,6 +189,8 @@ HEADLINE = [
     "agg_metric_decompose",
     "txt_novelty_share",
     "stream_distinct_users",
+    "dq_benford_check",
+    "evt_peak_concurrency",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -29,6 +29,7 @@ without any side files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import QuerySpec
@@ -352,6 +353,103 @@ FROM orders"""
 
 
 # ---------------------------------------------------------------------------
+# dq_benford_check — first-digit distribution fraud screen
+# ---------------------------------------------------------------------------
+
+# Benford expected first-digit shares, ppm (floor of log10(1+1/d);
+# public constants, sum exactly 1e6)
+_BENFORD_PPM = {
+    1: 301_030, 2: 176_091, 3: 124_939, 4: 96_910, 5: 79_181,
+    6: 66_947, 7: 57_992, 8: 51_153, 9: 45_757,
+}
+# chi-square critical value, 8 df, alpha=0.05, ppm
+_BENFORD_CHI2_CRIT_PPM = 15_507_000
+
+
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW screen on order totals — the forensic-accounting
+    primitive (fabricated amounts drift from the logarithmic
+    first-digit distribution). The leading digit comes from the
+    int64-cents string (scale shifts don't move leading digits), the
+    expected shares are public ppm constants folded in as a literal
+    map, and the chi-square accumulates in DECIMAL(38,0)/HUGEINT —
+    (obs·1e6 − n·exp)² overflows int64 — with the per-digit
+    contribution and the 8-df critical-value flag both exact. One
+    digit-grouped aggregate over one scan; the 9-row grid carries
+    everything after."""
+    digit_expr = (
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)"
+        " AS STRING), 1, 1) AS INT)"
+    )
+    exp_map = (
+        "map(" + ", ".join(f"{d}, {p}" for d, p in _BENFORD_PPM.items()) + ")"
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.expr(digit_expr).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    total = obs.agg(F.sum("observed").alias("n_total"))
+    base = (
+        obs.crossJoin(F.broadcast(total))
+        .withColumn("expected_ppm", F.expr(f"{exp_map}[digit]"))
+        .withColumn(
+            "contrib_ppm",
+            F.expr(
+                "CAST((CAST(observed * 1000000 - n_total * expected_ppm"
+                " AS DECIMAL(38,0))"
+                " * (observed * 1000000 - n_total * expected_ppm))"
+                " div (n_total * expected_ppm) AS BIGINT)"
+            ),
+        )
+    )
+    wtot = W.partitionBy()
+    return base.select(
+        "digit",
+        "observed",
+        "expected_ppm",
+        "contrib_ppm",
+        F.sum("contrib_ppm").over(wtot).alias("chi2_total_ppm"),
+        (
+            F.sum("contrib_ppm").over(wtot) > F.lit(_BENFORD_CHI2_CRIT_PPM)
+        ).alias("benford_violated"),
+    )
+
+
+def _benford_sql() -> str:
+    cases = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH obs AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS observed
+  FROM orders GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(observed) AS BIGINT) AS n_total FROM obs
+), base AS (
+  SELECT o.digit, o.observed,
+         CAST(CASE o.digit {cases} END AS BIGINT) AS expected_ppm,
+         CAST((CAST(o.observed * 1000000
+                    - t.n_total * (CASE o.digit {cases} END)
+               AS HUGEINT)
+               * (o.observed * 1000000
+                  - t.n_total * (CASE o.digit {cases} END)))
+              // (t.n_total * (CASE o.digit {cases} END)) AS BIGINT)
+           AS contrib_ppm
+  FROM obs o CROSS JOIN total t
+)
+SELECT digit, observed, expected_ppm, contrib_ppm,
+       CAST(SUM(contrib_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
+       SUM(contrib_ppm) OVER () > {_BENFORD_CHI2_CRIT_PPM}
+         AS benford_violated
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_ab_srm_check — sample-ratio-mismatch guardrail
 # ---------------------------------------------------------------------------
 
@@ -470,6 +568,9 @@ QUERIES = {
     ),
     "evt_ab_srm_check": QuerySpec(
         evt_ab_srm_check, _EVT_AB_SRM_CHECK_SQL, ("events", "ab", "srm")
+    ),
+    "dq_benford_check": QuerySpec(
+        dq_benford_check, _benford_sql(), ("quality", "benford", "fraud")
     ),
     "dq_constraint_check": QuerySpec(
         dq_constraint_check, _DQ_CONSTRAINT_CHECK_SQL, ("quality",)

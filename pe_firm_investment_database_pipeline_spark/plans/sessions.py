@@ -901,7 +901,76 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_peak_concurrency — interval-sweep maximum concurrent sessions
+# ---------------------------------------------------------------------------
+
+_CONC_TOP = 10
+
+
+def evt_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY over the sessionized intervals — the capacity
+    question (\"how many sessions were open at once, and when\") via
+    the classic SWEEP: +1 at each session start, −1 at each
+    (exclusive) end, running sum over the fully deterministic
+    (time, delta, user_id) order — ends before starts at the same
+    second, so back-to-back sessions never double-count. Emits the
+    top-10 concurrency moments. The sweep's global order runs on
+    session BOUNDARIES (2 rows per session — orders of magnitude
+    under events); at 100 TB the same sweep partitions by day with
+    per-day offsets carried forward, identical per-partition plan."""
+    s = win_sessionize_batch(spark, sf_dir)
+    deltas = s.select(
+        F.col("session_start_s").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+    ).unionByName(
+        s.select(
+            F.col("session_end_s").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+        )
+    )
+    w = W.orderBy("t", "delta", "user_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    swept = deltas.withColumn("concurrency", F.sum("delta").over(w))
+    return (
+        swept.where(F.col("delta") == 1)
+        .select("t", "user_id", "concurrency")
+        .orderBy(F.desc("concurrency"), F.asc("t"), F.asc("user_id"))
+        .limit(_CONC_TOP)
+    )
+
+
+def _peak_concurrency_sql() -> str:
+    return f"""
+WITH s AS (
+{_WIN_SESSIONIZE_BATCH_SQL}
+), deltas AS (
+  SELECT session_start_s AS t, 1 AS delta, user_id FROM s
+  UNION ALL
+  SELECT session_end_s, -1, user_id FROM s
+), swept AS (
+  SELECT t, delta, user_id,
+         CAST(SUM(delta) OVER (ORDER BY t, delta, user_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS concurrency
+  FROM deltas
+)
+SELECT t, user_id, concurrency
+FROM swept WHERE delta = 1
+ORDER BY concurrency DESC, t, user_id
+LIMIT {_CONC_TOP}
+"""
+
+
 QUERIES = {
+    "evt_peak_concurrency": QuerySpec(
+        evt_peak_concurrency,
+        _peak_concurrency_sql(),
+        ("events", "concurrency", "sweep"),
+    ),
     "evt_transition_matrix": QuerySpec(
         evt_transition_matrix,
         _EVT_TRANSITION_MATRIX_SQL,

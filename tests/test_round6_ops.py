@@ -1565,3 +1565,55 @@ def test_stream_distinct_users_matches_batch(spark, sf_dir):
         r["day"]: r["dau"] for r in evt_active_users(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_benford_constants_and_chi2(spark, sf_dir):
+    """Expected ppm constants sum to exactly 1e6, observed counts
+    cover all orders, and the chi-square total is the sum of
+    contributions with a consistent flag."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _BENFORD_CHI2_CRIT_PPM,
+        _BENFORD_PPM,
+        dq_benford_check,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    assert sum(_BENFORD_PPM.values()) == 1_000_000
+    rows = dq_benford_check(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert sum(r["observed"] for r in rows) == load_table(
+        spark, sf_dir, "orders"
+    ).count()
+    total = sum(r["contrib_ppm"] for r in rows)
+    for r in rows:
+        assert r["chi2_total_ppm"] == total
+        assert r["benford_violated"] == (total > _BENFORD_CHI2_CRIT_PPM)
+        assert r["expected_ppm"] == _BENFORD_PPM[r["digit"]]
+
+
+def test_peak_concurrency_replay(spark, sf_dir):
+    """Replay the sweep in pure Python from the session intervals and
+    confirm the global maximum matches the top row."""
+    from pe_firm_investment_database_pipeline_spark.plans.sessions import (
+        evt_peak_concurrency,
+        win_sessionize_batch,
+    )
+
+    rows = evt_peak_concurrency(spark, sf_dir).collect()
+    assert rows
+    top = max(r["concurrency"] for r in rows)
+    assert rows[0]["concurrency"] == top
+
+    sessions = win_sessionize_batch(spark, sf_dir).collect()
+    deltas = []
+    for s in sessions:
+        deltas.append((s["session_start_s"], 1, s["user_id"]))
+        deltas.append((s["session_end_s"], -1, s["user_id"]))
+    deltas.sort()
+    cur = peak = 0
+    for _, d, _ in deltas:
+        cur += d
+        peak = max(peak, cur)
+    assert peak == top
