@@ -191,6 +191,8 @@ HEADLINE = [
     "stream_distinct_users",
     "dq_benford_check",
     "evt_peak_concurrency",
+    "dedup_method_compare",
+    "win_ratio_to_report",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

@@ -1336,6 +1336,75 @@ def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# win_ratio_to_report — share-of-parent analytic
+# ---------------------------------------------------------------------------
+
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO-TO-REPORT (Oracle's name for it): each nation's exact
+    ppm share of its region's revenue — the share-of-parent analytic
+    every hierarchy rollup report carries next to the absolute
+    number. Revenue aggregates to the 25-nation grid first (the only
+    event-sized shuffle); the share is a window SUM over the tiny
+    region partition with integer division. Also emits the nation's
+    in-region rank for the 'top contributor' column."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", cents("o_totalprice").alias("price_c")
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("price_c").alias("rev_c"))
+    )
+    wr = W.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.expr("rev_c * 1000000").alias("pre"),
+        F.sum("rev_c").over(wr).alias("region_rev_c"),
+        F.row_number()
+        .over(wr.orderBy(F.desc("rev_c"), F.asc("n_name")))
+        .cast("long")
+        .alias("rank_in_region"),
+    ).select(
+        "r_name",
+        "n_name",
+        "rev_c",
+        F.expr("pre div region_rev_c").alias("share_ppm"),
+        "rank_in_region",
+    )
+
+
+_WIN_RATIO_TO_REPORT_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, rev_c,
+       (rev_c * 1000000)
+         // CAST(SUM(rev_c) OVER (PARTITION BY r_name) AS BIGINT)
+         AS share_ppm,
+       CAST(row_number() OVER (PARTITION BY r_name
+                               ORDER BY rev_c DESC, n_name) AS BIGINT)
+         AS rank_in_region
+FROM rev
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_runtime_filter — runtime bloom-filter join pruning
 # ---------------------------------------------------------------------------
 
@@ -1463,6 +1532,9 @@ QUERIES = {
     ),
     "join_runtime_filter": QuerySpec(
         join_runtime_filter, _JOIN_RUNTIME_FILTER_SQL, ("join", "runtime-filter")
+    ),
+    "win_ratio_to_report": QuerySpec(
+        win_ratio_to_report, _WIN_RATIO_TO_REPORT_SQL, ("window", "share")
     ),
     "proj_select": QuerySpec(
         proj_select,

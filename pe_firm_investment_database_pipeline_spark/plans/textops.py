@@ -1614,6 +1614,95 @@ LIMIT {_PMI_TOP}
 
 
 # ---------------------------------------------------------------------------
+# dedup_method_compare — cross-method dedup yield report
+# ---------------------------------------------------------------------------
+
+def dedup_method_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP METHOD COMPARISON: the candidate-pair sets of the three
+    production detectors — exact digest, MinHash-LSH (est Jaccard >=
+    0.5), and SimHash (hamming <= 3) — partitioned by MEMBERSHIP
+    COMBINATION, with one count per non-empty combination. This is
+    the calibration report a dedup rollout runs before picking
+    thresholds: exact-only mass means near-dup recall gaps, simhash-
+    only mass means its radius is too loose, three-way agreement is
+    the safe-to-delete core. Pairs canonicalize as (least, greatest);
+    the three sets union with one-hot flags and ONE grouped max
+    resolves membership — no pairwise joins between methods. Output
+    is at most 7 rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    a = d.select(F.col("doc_id").alias("x"), "h")
+    b = d.select(F.col("doc_id").alias("y"), F.col("h").alias("h2"))
+    exact = (
+        a.join(b, (F.col("h") == F.col("h2")) & (F.col("x") < F.col("y")))
+        .select(
+            F.col("x").alias("doc1"),
+            F.col("y").alias("doc2"),
+        )
+    )
+    mh = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    sh = dedup_simhash(spark, sf_dir)
+
+    def canon(df: DataFrame, fa: int, fb: int, fc: int) -> DataFrame:
+        return df.select(
+            F.least("doc1", "doc2").alias("a"),
+            F.greatest("doc1", "doc2").alias("b"),
+            F.lit(fa).alias("f_exact"),
+            F.lit(fb).alias("f_minhash"),
+            F.lit(fc).alias("f_simhash"),
+        )
+
+    tagged = (
+        canon(exact, 1, 0, 0)
+        .unionByName(canon(mh, 0, 1, 0))
+        .unionByName(canon(sh, 0, 0, 1))
+    )
+    membership = tagged.groupBy("a", "b").agg(
+        F.max("f_exact").alias("in_exact"),
+        F.max("f_minhash").alias("in_minhash"),
+        F.max("f_simhash").alias("in_simhash"),
+    )
+    return membership.groupBy(
+        "in_exact", "in_minhash", "in_simhash"
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _dedup_method_compare_sql() -> str:
+    return f"""
+WITH exact AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM (SELECT doc_id, md5(text) AS h FROM documents) a
+  JOIN (SELECT doc_id, md5(text) AS h FROM documents) b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+), mh AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL})
+  WHERE est_jaccard >= 0.5
+), sh AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_SIMHASH_SQL})
+), tagged AS (
+  SELECT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b,
+         1 AS f_exact, 0 AS f_minhash, 0 AS f_simhash FROM exact
+  UNION ALL
+  SELECT LEAST(doc1, doc2), GREATEST(doc1, doc2), 0, 1, 0 FROM mh
+  UNION ALL
+  SELECT LEAST(doc1, doc2), GREATEST(doc1, doc2), 0, 0, 1 FROM sh
+), membership AS (
+  SELECT a, b,
+         CAST(MAX(f_exact) AS INT) AS in_exact,
+         CAST(MAX(f_minhash) AS INT) AS in_minhash,
+         CAST(MAX(f_simhash) AS INT) AS in_simhash
+  FROM tagged GROUP BY a, b
+)
+SELECT in_exact, in_minhash, in_simhash,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM membership GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_novelty_share — first-occurrence n-gram novelty
 # ---------------------------------------------------------------------------
 
@@ -2080,6 +2169,11 @@ QUERIES = {
     ),
     "txt_novelty_share": QuerySpec(
         txt_novelty_share, _TXT_NOVELTY_SHARE_SQL, ("text", "novelty")
+    ),
+    "dedup_method_compare": QuerySpec(
+        dedup_method_compare,
+        _dedup_method_compare_sql(),
+        ("dedup", "report"),
     ),
     "txt_token_count": QuerySpec(txt_token_count, _TXT_TOKEN_COUNT_SQL, ("text",)),
     "txt_ngram_stats": QuerySpec(

@@ -1617,3 +1617,70 @@ def test_peak_concurrency_replay(spark, sf_dir):
         cur += d
         peak = max(peak, cur)
     assert peak == top
+
+
+def test_dedup_method_compare_membership_partition(spark, sf_dir):
+    """Combinations are disjoint non-empty partitions of the union of
+    pair sets; per-method totals replay from the underlying
+    detectors."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_method_compare,
+        dedup_minhash_lsh,
+        dedup_simhash,
+    )
+
+    rows = dedup_method_compare(spark, sf_dir).collect()
+    assert rows
+    combos = {
+        (r["in_exact"], r["in_minhash"], r["in_simhash"]): r["n_pairs"]
+        for r in rows
+    }
+    assert (0, 0, 0) not in combos
+    mh_total = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select(
+            F.least("doc1", "doc2").alias("a"),
+            F.greatest("doc1", "doc2").alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert (
+        sum(n for (e, m, s), n in combos.items() if m == 1) == mh_total
+    )
+    sh_total = (
+        dedup_simhash(spark, sf_dir)
+        .select(
+            F.least("doc1", "doc2").alias("a"),
+            F.greatest("doc1", "doc2").alias("b"),
+        )
+        .distinct()
+        .count()
+    )
+    assert (
+        sum(n for (e, m, s), n in combos.items() if s == 1) == sh_total
+    )
+
+
+def test_ratio_to_report_shares_sum_per_region(spark, sf_dir):
+    """Within each region: shares sum to ~1e6 (truncation loss < #
+    nations), ranks are 1..n by revenue desc."""
+    from pe_firm_investment_database_pipeline_spark.plans.relational import (
+        win_ratio_to_report,
+    )
+
+    rows = win_ratio_to_report(spark, sf_dir).collect()
+    by_region: dict[str, list] = {}
+    for r in rows:
+        by_region.setdefault(r["r_name"], []).append(r)
+    assert by_region
+    for rg, rs in by_region.items():
+        total = sum(r["share_ppm"] for r in rs)
+        assert 1_000_000 - len(rs) <= total <= 1_000_000
+        rs.sort(key=lambda r: r["rank_in_region"])
+        assert [r["rank_in_region"] for r in rs] == list(
+            range(1, len(rs) + 1)
+        )
+        revs = [r["rev_c"] for r in rs]
+        assert revs == sorted(revs, reverse=True)
