@@ -193,6 +193,8 @@ HEADLINE = [
     "evt_peak_concurrency",
     "dedup_method_compare",
     "win_ratio_to_report",
+    "flt_sargable_dates",
+    "agg_weighted_median",
     # after the graph family so its minhash-pair front is warm
     "graph_common_neighbors",
     # runs after graph_pagerank/graph_triangles so the minhash pair

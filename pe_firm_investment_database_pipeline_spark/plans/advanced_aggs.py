@@ -2686,6 +2686,69 @@ FROM packed p CROSS JOIN folded f
 
 
 # ---------------------------------------------------------------------------
+# agg_weighted_median — exact quantity-weighted median price
+# ---------------------------------------------------------------------------
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTITY-WEIGHTED MEDIAN price per return flag — the robust
+    \"typical unit price\" where every line item counts per unit
+    moved, not per row (one 50-unit line outweighs ten 1-unit
+    lines). Exact integer definition: the smallest price whose
+    cumulative weight reaches half the total (2·cumw >= tot — no
+    interpolation, no floats). The price axis pre-aggregates to
+    (flag, price, weight-sum) FIRST, so the ordering window runs on
+    distinct prices per flag — bounded by price cardinality, not row
+    count — and tie order is irrelevant by construction. At 100 TB
+    the same shape runs on a quantized price grid."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        cents("l_extendedprice").alias("v"),
+        qty_int("l_quantity").alias("wgt"),
+    )
+    pv = li.groupBy("l_returnflag", "v").agg(F.sum("wgt").alias("wsum"))
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wt = W.partitionBy("l_returnflag")
+    cum = pv.select(
+        "l_returnflag",
+        "v",
+        F.sum("wsum").over(w).alias("cumw"),
+        F.sum("wsum").over(wt).alias("tot"),
+    )
+    return (
+        cum.where(F.expr("2 * cumw >= tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median_c"),
+            F.max("tot").alias("total_weight"),
+        )
+    )
+
+
+_AGG_WEIGHTED_MEDIAN_SQL = """
+WITH pv AS (
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wsum
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, v,
+         CAST(SUM(wsum) OVER (PARTITION BY l_returnflag ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS cumw,
+         CAST(SUM(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+  FROM pv
+)
+SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS weighted_median_c,
+       CAST(MAX(tot) AS BIGINT) AS total_weight
+FROM cum WHERE 2 * cumw >= tot
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_metric_decompose — volume/price attribution of a metric delta
 # ---------------------------------------------------------------------------
 
@@ -3559,5 +3622,10 @@ QUERIES = {
         agg_metric_decompose,
         _AGG_METRIC_DECOMPOSE_SQL,
         ("agg", "attribution"),
+    ),
+    "agg_weighted_median": QuerySpec(
+        agg_weighted_median,
+        _AGG_WEIGHTED_MEDIAN_SQL,
+        ("agg", "median", "weighted"),
     ),
 }

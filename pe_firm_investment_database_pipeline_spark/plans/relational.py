@@ -1336,6 +1336,44 @@ def str_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# flt_sargable_dates — sargable rewrite of a calendar predicate
+# ---------------------------------------------------------------------------
+
+def flt_sargable_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SARGABLE REWRITE: the calendar predicate 'orders of 1995' is
+    written as the RANGE o_orderdate >= '1995-01-01' AND <
+    '1996-01-01' instead of year(o_orderdate) = 1995 — the function
+    form wraps the column and CANNOT reach the parquet scan (no
+    min/max pruning, no row-group skipping), while the range form
+    pushes down whole (plan-pinned in tests/test_round6_ops.py).
+    At 100 TB on date-partitioned data this is the difference
+    between scanning one year and scanning everything. The oracle
+    uses the function form — proving the rewrite is equivalent."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / 100.0).alias("total"),
+        )
+    )
+
+
+_FLT_SARGABLE_DATES_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS total
+FROM orders
+WHERE year(CAST(o_orderdate AS DATE)) = 1995
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
 # win_ratio_to_report — share-of-parent analytic
 # ---------------------------------------------------------------------------
 
@@ -1535,6 +1573,9 @@ QUERIES = {
     ),
     "win_ratio_to_report": QuerySpec(
         win_ratio_to_report, _WIN_RATIO_TO_REPORT_SQL, ("window", "share")
+    ),
+    "flt_sargable_dates": QuerySpec(
+        flt_sargable_dates, _FLT_SARGABLE_DATES_SQL, ("filter", "pushdown")
     ),
     "proj_select": QuerySpec(
         proj_select,

@@ -1684,3 +1684,64 @@ def test_ratio_to_report_shares_sum_per_region(spark, sf_dir):
         )
         revs = [r["rev_c"] for r in rs]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_sargable_rewrite_pushes_down(spark, sf_dir):
+    """The range form must reach the scan as pushed filters — the
+    whole point of the rewrite."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.relational import (
+        flt_sargable_dates,
+    )
+
+    df = flt_sargable_dates(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_weighted_median_replay(spark, sf_dir):
+    """Replay the half-weight definition per flag from raw rows and
+    confirm the weighted median differs from the unweighted one for
+    at least one flag (the weighting must matter)."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        agg_weighted_median,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["l_returnflag"]: r for r in agg_weighted_median(spark, sf_dir).collect()}
+    assert rows
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(round(l_extendedprice*100) AS BIGINT)").alias("v"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("w"),
+        )
+        .collect()
+    )
+    import collections
+
+    per_flag = collections.defaultdict(list)
+    for r in li:
+        per_flag[r["l_returnflag"]].append((r["v"], r["w"]))
+    for flag, vw in per_flag.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cum = 0
+        med = None
+        for v, w in vw:
+            cum += w
+            if 2 * cum >= tot:
+                med = v
+                break
+        r = rows[flag]
+        assert (r["weighted_median_c"], r["total_weight"]) == (med, tot)
