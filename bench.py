@@ -202,6 +202,19 @@ HEADLINE = [
     "graph_cc_incremental",
 ]
 
+
+def _full_headline() -> list[str]:
+    """Coverage policy (r6 verdict #7): the bench measures EVERY
+    registry entry, so a regression can never hide in an unbenched
+    op. The explicit HEADLINE list pins a warm-index-aware ordering
+    for the long-lived cohort (entries that share staged indexes run
+    after their builders); every other registry entry — the light
+    scalar/filter/url/set tail plus anything newly added — appends
+    here in registry order automatically."""
+    reg = list(all_queries())
+    pinned = set(HEADLINE)
+    return HEADLINE + [op for op in reg if op not in pinned]
+
 # best-of-N, adaptive: every entry gets AT LEAST one repeat (the
 # first run pays cold staging/index builds — recording it would make
 # round-over-round ratios measure cache state, not the query), and
@@ -258,7 +271,7 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
-    for op_id in HEADLINE:
+    for op_id in _full_headline():
         fn = registry[op_id].fn
         timed_run(fn)  # cold run: pays staging/index builds, discarded
         best = timed_run(fn)  # first warm run — keys the repeat count

@@ -54,65 +54,18 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # repaired in round 6 (r5 driver hash-fails + restructured HLL)
+        # slots 1-4: the four HUGEINT-oracle repairs (r6 red set; CAST
+        # ... AS BIGINT landed r7 — driver re-verdict required)
         "profile_drift",
         "json_variant_ops",
-        "agg_hll_rollup",
-        # never driver-verdicted through r5 (VERDICT r5 missing #1)
-        "agg_corr_stats",
-        "agg_mode",
-        "curation_pipeline_e2e",
-        "dedup_containment",
-        "dedup_incremental_lsh",
-        "evt_retention",
-        "join_null_safe",
-        "merge_scd2",
-        "rag_retrieve_docs",
         "samp_domain_mixture",
-        "samp_weighted_quality",
-        "sim_ann_index_append",
-        "sim_ann_join",
-        "sim_ann_join_indexed",
-        "sim_knn_blocked_full",
-        "snk_compact_files",
-        "snk_partition_overwrite",
-        "snk_stream_parquet",
-        "sql_cte_windowed",
-        "src_corrupt_tolerant",
-        "stream_join_interval_outer",
-        "stream_static_join",
-        "txt_pii_redact",
-        "win_distribution_fns",
+        "evt_seasonality_profile",
+        # slots 5-6: converted from err:no_oracle to full oracles via
+        # the agg_hll_rollup exact+bound-flag pattern (r7)
+        "agg_distinct_approx",
         "agg_percentile_approx",
-        # round-6 additions
-        "ts_resample_ohlc",
-        "ts_gapfill_linear",
-        "evt_top_paths",
-        "sketch_kmv_distinct",
-        "rag_mmr_rerank",
-        "txt_rake_keywords",
-        "chunk_recursive_split",
-        "graph_cc_incremental",
-        "evt_ab_test",
-        "profile_cardinality_report",
-        "samp_class_balance",
-        "stream_ohlc_bars",
-        "join_spatial_grid",
-        "txt_boilerplate_chunks",
-        "agg_gini_diversity",
-        "win_median_sliding",
-        "mm_scene_cuts",
-        "evt_rfm_segmentation",
-        "dedup_url_canonicalize",
-        "sketch_kmv_setops",
-        "set_multiset_ops",
-        "sql_lateral_topk",
-        "src_csv_permissive",
-        # perf confirmation targets (correctness already verdicted;
-        # re-measured in BENCH_LOCAL_r06 / BENCH_NOTES.md)
-        "sim_knn_blocked",
-        "io_http_fetch",
-        # late round-6 additions (slots 51+: first verdicts land in r7)
+        # slots 7-50: the late-r6 wave, never driver-verdicted
+        # (VERDICT r6 missing #1) — heavy/novel entries first
         "agg_linreg_trend",
         "win_max_drawdown",
         "ts_autocorr",
@@ -120,8 +73,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_common_neighbors",
         "join_salted_skew",
         "ml_kmeans_fixed",
+        "dedup_method_compare",
+        "agg_weighted_median",
+        "flt_sargable_dates",
         "mm_silence_detect",
-        "evt_seasonality_profile",
         "ts_decompose_ma",
         "evt_inter_arrival",
         "win_rolling_linreg",
@@ -132,24 +87,17 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_anomaly_decomposed",
         "stream_topk_windowed",
         "snk_bucketed_join",
-        "evt_active_users",
         "txt_bigram_prob",
         "join_runtime_filter",
         "agg_pareto_abc",
         "txt_pmi_pairs",
         "mm_image_tiles",
-        "ts_pct_change_wow",
         "evt_cohort_triangle",
         "ml_knn_classify",
-        "evt_bot_score",
-        "evt_recency_score",
-        "ts_forecast_snaive",
         "sec_row_mask_policy",
-        "txt_code_detect",
         "src_file_lineage",
         "ml_eval_confusion",
         "txt_extractive_summary",
-        "ml_minmax_scale",
         "ts_outlier_repair",
         "evt_survival_km",
         "ml_cluster_medoid",
@@ -161,51 +109,16 @@ def all_queries() -> dict[str, QuerySpec]:
         "stream_distinct_users",
         "dq_benford_check",
         "evt_peak_concurrency",
-        "dedup_method_compare",
+        "src_csv_permissive",
+        # slots 51+: the remaining never-verdicted cohort rotates in r8
+        "ts_pct_change_wow",
+        "evt_recency_score",
+        "ts_forecast_snaive",
+        "ml_minmax_scale",
         "win_ratio_to_report",
-        "flt_sargable_dates",
-        "agg_weighted_median",
-        # stalest of the already-verdicted cohort
-        "flagship_revenue_by_nation",
-        "agg_hash_groupby",
-        "agg_distinct_exact",
-        "agg_distinct_approx",
-        "agg_collect_nested",
-        "agg_consensus",
-        "agg_cube",
-        "agg_dedup_best",
-        "agg_dedup_first",
-        "agg_grouping_sets",
-        "agg_percentiles",
-        "agg_pivot",
-        "agg_priority_coalesce",
-        "agg_salted_skew",
-        "date_trunc_agg",
-        "enrich_year_cascade",
-        "flt_kw_suppress",
-        "flt_member_pe_au",
-        "flt_year_range",
-        "join_broadcast",
-        "join_equi_hash",
-        "join_left_anti",
-        "join_left_semi",
-        "join_nested_loop",
-        "limit_per_group",
-        "math_score_rank",
-        "profile_unpivot",
-        "proj_select",
-        "set_except",
-        "set_intersect",
-        "set_union",
-        "sort_topk",
-        "str_norm",
-        "str_year_extract",
-        "udaf_grouped_pandas",
-        "url_domain",
-        "win_analytic_fns",
-        "win_best_match",
-        "win_range_frame",
-        "win_ranking_fns",
+        "txt_code_detect",
+        "evt_active_users",
+        "evt_bot_score",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

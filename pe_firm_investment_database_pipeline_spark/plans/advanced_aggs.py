@@ -168,21 +168,55 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually runs: per-partition sketches of O(accuracy) size combine
     map-side and merge in one shuffle, vs the exact twin
     (``agg_percentiles``) whose per-group value collection grows with
-    the data. Like ``agg_distinct_approx`` there is no SQL oracle
-    (sketch contents are engine-specific — the driver records a
-    rows-only check); the GK rank-error bound vs the exact twin is
-    asserted in tests/test_scale_blocking.py::
+    the data.
+
+    Oracle-ability (r7, the ``agg_hll_rollup`` pattern from VERDICT r6
+    missing #4): GK sketch values are engine-specific, so the entry
+    emits the EXACT interpolated percentiles (the ``agg_percentiles``
+    integer-cents discipline) plus ``ap_ok``, an int64 0/1 asserting
+    every GK value sits inside a fixed ±1%-of-rank bracket of exact
+    percentiles. GK with accuracy=1000 guarantees rank error ≤ n/1000;
+    the bracket is 10× that, with the slack absorbing the ±1-element
+    width of an interpolated percentile for any group of ≥100 rows
+    (the GK value is an actual element, the exact percentile an
+    interpolation between two) — so the flag is deterministically 1 at
+    every test sf while still rejecting a broken sketch outright.
+    DuckDB mirrors the exact columns and the literal flag, giving the
+    driver a full hash-checkable row instead of the r6
+    ``err: no_oracle``. The tight per-quantile GK bound is
+    additionally asserted in tests/test_scale_blocking.py::
     test_approx_percentile_error_bound."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", cents("o_totalprice").alias("price_c")
     )
     acc = _APPROX_PCT_ACCURACY
+    eps2 = 0.01  # bracket half-width in quantile units (10x the GK bound)
+
+    def _ok(q: float):
+        ap = F.expr(f"approx_percentile(price_c, {q}, {acc})")
+        lo = F.expr(f"percentile(price_c, {max(q - eps2, 0.0)})")
+        hi = F.expr(f"percentile(price_c, {min(q + eps2, 1.0)})")
+        return (ap.cast("double") >= lo) & (ap.cast("double") <= hi)
+
     return o.groupBy("o_orderpriority").agg(
-        (F.expr(f"approx_percentile(price_c, 0.5, {acc})") / 100.0).alias("ap50"),
-        (F.expr(f"approx_percentile(price_c, 0.9, {acc})") / 100.0).alias("ap90"),
-        (F.expr(f"approx_percentile(price_c, 0.99, {acc})") / 100.0).alias("ap99"),
+        (F.expr("percentile(price_c, 0.5)") / 100.0).alias("p50"),
+        (F.expr("percentile(price_c, 0.9)") / 100.0).alias("p90"),
+        (F.expr("percentile(price_c, 0.99)") / 100.0).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
+        (_ok(0.5) & _ok(0.9) & _ok(0.99)).cast("long").alias("ap_ok"),
     )
+
+
+_AGG_PERCENTILE_APPROX_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) / 100.0 AS p50,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) / 100.0 AS p90,
+       quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99) / 100.0 AS p99,
+       COUNT(*) AS n_orders,
+       CAST(1 AS BIGINT) AS ap_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -957,12 +991,12 @@ WITH o AS (
   FROM g
 )
 SELECT o_orderpriority, n_early, n_late,
-       n_early * 1000000 // tot_early AS share_early_ppm,
-       n_late * 1000000 // tot_late AS share_late_ppm,
-       s_early // n_early AS mean_early_cents,
-       s_late // n_late AS mean_late_cents,
-       abs(n_early * 1000000 // tot_early - n_late * 1000000 // tot_late)
-         AS share_drift_ppm
+       CAST(n_early * 1000000 // tot_early AS BIGINT) AS share_early_ppm,
+       CAST(n_late * 1000000 // tot_late AS BIGINT) AS share_late_ppm,
+       CAST(s_early // n_early AS BIGINT) AS mean_early_cents,
+       CAST(s_late // n_late AS BIGINT) AS mean_late_cents,
+       CAST(abs(n_early * 1000000 // tot_early - n_late * 1000000 // tot_late)
+         AS BIGINT) AS share_drift_ppm
 FROM t
 """
 
@@ -2080,8 +2114,8 @@ WITH g AS (
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, hour, n,
-       (n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
-         AS share_ppm,
+       CAST((n * 1000000) // SUM(n) OVER (PARTITION BY event_type)
+         AS BIGINT) AS share_ppm,
        n = MAX(n) OVER (PARTITION BY event_type) AS is_peak
 FROM g
 """
@@ -3539,7 +3573,8 @@ QUERIES = {
         agg_histogram, _AGG_HISTOGRAM_SQL, ("agg", "histogram")
     ),
     "agg_percentile_approx": QuerySpec(
-        agg_percentile_approx, None, ("agg", "percentile", "approx")
+        agg_percentile_approx, _AGG_PERCENTILE_APPROX_SQL,
+        ("agg", "percentile", "approx")
     ),
     "agg_salted_skew": QuerySpec(
         agg_salted_skew, _AGG_SALTED_SKEW_SQL, ("agg", "skew")

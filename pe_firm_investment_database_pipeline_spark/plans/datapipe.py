@@ -199,9 +199,10 @@ WITH counts AS (
   FROM documents GROUP BY lang
 ), rates AS (
   SELECT lang, n_i,
-         LEAST(CAST(1000 AS BIGINT),
+         CAST(LEAST(CAST(1000 AS BIGINT),
                ((1000 * w_i // SUM(w_i) OVER ())
-                * ((2 * SUM(n_i) OVER ()) // 5)) // n_i) AS rate_permille
+                * ((2 * SUM(n_i) OVER ()) // 5)) // n_i)
+           AS BIGINT) AS rate_permille
   FROM counts
 )
 SELECT doc_id, d.lang, CAST({_KEYHASH_DUCK} % 1000 AS BIGINT) AS bucket,
