@@ -58,14 +58,22 @@ def _spread(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
+    """``spread=False`` opts out of the parallelism floor for plans
+    whose only map work is a cheap narrow projection (e.g. a digest):
+    there the round-robin exchange would shuffle the FULL payload
+    column just to parallelize work the single scan task finishes
+    faster than the shuffle costs. At real scale ``_spread`` is a
+    no-op either way, so the flag only affects under-split inputs."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
-    if name in _NO_SPREAD:
+    if not spread or name in _NO_SPREAD:
         return df
     return _spread(spark, df, path)
 
