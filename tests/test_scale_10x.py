@@ -78,6 +78,12 @@ HEAVY = [
     "agg_market_basket",
     "ml_pca_power",
     "txt_pmi_pairs",
+    # r7 additions (VERDICT r6 #6): newest heavies not yet measured
+    "dedup_method_compare",
+    "agg_weighted_median",
+    "evt_ltv_expected",
+    "ml_cluster_medoid",
+    "stream_join_interval_outer",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
