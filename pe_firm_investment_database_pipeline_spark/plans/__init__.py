@@ -119,6 +119,17 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_code_detect",
         "evt_active_users",
         "evt_bot_score",
+        # round-7 additions (first verdicts r8)
+        "join_dpp_prune",
+        "graph_bfs_distance",
+        "dedup_savings_report",
+        "ml_auc_rank",
+        "ml_feature_hashing",
+        "ml_calibration_bins",
+        "ts_cross_correlation",
+        "win_cumsum_reset",
+        "sec_col_tokenize",
+        "txt_readability",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

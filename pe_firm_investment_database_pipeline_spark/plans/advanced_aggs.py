@@ -3505,9 +3505,273 @@ FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_auc_rank — exact AUC via the rank-sum identity, grouped
+# ---------------------------------------------------------------------------
+
+_AUC_HASH = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+_AUC_HASH_DUCK = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+
+
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT AUC (Mann-Whitney U) of a score against a binary label,
+    per language — the ranking-model eval primitive. The distributed
+    shape is the one that survives 100 TB: NEVER a global sort of raw
+    rows — the stream first compresses to the per-(group, score)
+    pos/neg counts (one partial-aggregable shuffle), then a window
+    over the DISTINCT score values (orders of magnitude smaller)
+    accumulates negatives-below, and the U statistic is
+    Σ np(s)·(2·cumneg(<s) + nn(s)) — the midrank tie correction is
+    exact because ties contribute nn(s)/2 each, kept integral by the
+    factor 2. Sums accumulate as DECIMAL(38,0)/HUGEINT (the
+    agg_corr_stats discipline) so auc_ppm is exact int64 at any
+    scale. Label here is a deterministic doc_id hash bit (fixture
+    labels carry no signal — the entry tests the mechanism, AUC~0.5);
+    score is n_chars."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+    )
+    per_score = d.groupBy("lang", "score").agg(
+        F.sum("is_pos").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("is_pos")).alias("nn_s"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = per_score.withColumn(
+        "cumneg", F.coalesce(F.sum("nn_s").over(w), F.lit(0))
+    )
+    agg = scored.groupBy("lang").agg(
+        F.sum(
+            (F.col("np_s") * (2 * F.col("cumneg") + F.col("nn_s"))).cast(
+                "decimal(38,0)"
+            )
+        ).alias("two_u"),
+        F.sum("np_s").alias("n_pos"),
+        F.sum("nn_s").alias("n_neg"),
+    )
+    return agg.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CASE WHEN n_pos > 0 AND n_neg > 0 THEN"
+            " CAST((two_u * 1000000) div"
+            "      (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            " END"
+        ).alias("auc_ppm"),
+    )
+
+
+_ML_AUC_RANK_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars AS score,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_score AS (
+  SELECT lang, score,
+         CAST(SUM(is_pos) AS BIGINT) AS np_s,
+         CAST(COUNT(*) - SUM(is_pos) AS BIGINT) AS nn_s
+  FROM d GROUP BY lang, score
+), scored AS (
+  SELECT lang, np_s, nn_s,
+         CAST(COALESCE(SUM(nn_s) OVER (
+           PARTITION BY lang ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cumneg
+  FROM per_score
+), agg AS (
+  SELECT lang,
+         SUM(CAST(np_s AS HUGEINT) * (2 * cumneg + nn_s)) AS two_u,
+         CAST(SUM(np_s) AS BIGINT) AS n_pos,
+         CAST(SUM(nn_s) AS BIGINT) AS n_neg
+  FROM scored GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         CAST((two_u * 1000000) // (2 * CAST(n_pos AS HUGEINT) * n_neg)
+              AS BIGINT) END AS auc_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_calibration_bins — reliability-diagram counts, exact permille
+# ---------------------------------------------------------------------------
+
+
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability diagram) — bin predictions by decile,
+    compare mean predicted rate to observed positive rate, the eval
+    table behind every 'is the model calibrated' plot. Prediction is
+    a deterministic hash permille of doc_id, outcome an independent
+    hash bit (the fixture carries no model — the entry pins the
+    mechanism: binning, exact permille means, partial-aggregable
+    single shuffle on a 10-value key). abs gap in permille is the
+    per-bin calibration error; everything is truncating integer
+    division on identical integers — engine-identical."""
+    pred = F.expr(_AUC_HASH) % 1000
+    outcome = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id + 7 AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 2
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        (pred / 100).cast("long").alias("bin"),
+        pred.alias("pred_permille"),
+        outcome.cast("long").alias("is_pos"),
+    )
+    return (
+        d.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pred_permille").alias("sp"),
+            F.sum("is_pos").alias("npos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("sp div n").alias("mean_pred_permille"),
+            F.expr("(npos * 1000) div n").alias("obs_pos_permille"),
+            F.expr(
+                "abs(sp div n - (npos * 1000) div n)"
+            ).alias("gap_permille"),
+        )
+    )
+
+
+_ML_CALIBRATION_BINS_SQL = f"""
+WITH d AS (
+  SELECT ({_AUC_HASH_DUCK} % 1000) // 100 AS bin,
+         {_AUC_HASH_DUCK} % 1000 AS pred_permille,
+         CAST(('0x' || substr(md5(CAST(doc_id + 7 AS VARCHAR)), 1, 12))
+              AS BIGINT) % 2 AS is_pos
+  FROM documents
+), g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pred_permille) AS BIGINT) AS sp,
+         CAST(SUM(is_pos) AS BIGINT) AS npos
+  FROM d GROUP BY bin
+)
+SELECT bin, n,
+       CAST(sp // n AS BIGINT) AS mean_pred_permille,
+       CAST((npos * 1000) // n AS BIGINT) AS obs_pos_permille,
+       CAST(abs(sp // n - (npos * 1000) // n) AS BIGINT) AS gap_permille
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_cross_correlation — lagged cross-correlation of two event series
+# ---------------------------------------------------------------------------
+
+_XCORR_LAGS = 3
+
+
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED CROSS-CORRELATION between two daily event series
+    (purchases vs errors): does yesterday's error spike predict
+    today's purchase dip? The lead-lag diagnostic behind incident
+    impact analysis. Scale shape: the event stream compresses to the
+    per-day count grid FIRST (the only event-sized shuffle — at
+    100 TB the grid is ~days, not events); the ±3-day lag fan-out is
+    a bounded 7× explode of the tiny grid joined back on the shifted
+    day; Pearson r per lag comes from DECIMAL(38,0)/HUGEINT
+    sufficient statistics (the agg_corr_stats discipline) so the
+    double output is computed from identical integers on both
+    engines — bit-identical."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.expr("unix_date(ts_date)").alias("day")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+    )
+    lags = daily.select(
+        "day",
+        "x",
+        F.explode(
+            F.sequence(F.lit(-_XCORR_LAGS), F.lit(_XCORR_LAGS))
+        ).alias("lag"),
+    )
+    yd = daily.select(F.col("day").alias("yday"), F.col("y").alias("y_l"))
+    pairs = lags.join(
+        yd, F.col("yday") == F.col("day") + F.col("lag")
+    ).select("lag", "x", "y_l")
+    sums = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y_l").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y_l")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y_l") * F.col("y_l")).cast("decimal(38,0)")).alias(
+            "syy"
+        ),
+    )
+    num = "CAST(CAST(n_days AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)"
+    denx = "CAST(CAST(n_days AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)"
+    deny = "CAST(CAST(n_days AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)"
+    return sums.select(
+        "lag",
+        "n_days",
+        F.expr(
+            f"CASE WHEN {denx} > 0 AND {deny} > 0"
+            f" THEN {num} / (sqrt({denx}) * sqrt({deny})) END"
+        ).alias("xcorr"),
+    ).orderBy("lag")
+
+
+_TS_CROSS_CORRELATION_SQL = f"""
+WITH daily AS (
+  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT d.day, d.x, l.lag
+  FROM daily d CROSS JOIN
+       (SELECT unnest(range(-{_XCORR_LAGS}, {_XCORR_LAGS} + 1)) AS lag) l
+), pairs AS (
+  SELECT la.lag, la.x, yd.y AS y_l
+  FROM lags la JOIN daily yd ON yd.day = la.day + la.lag
+), sums AS (
+  SELECT lag, COUNT(*) AS n_days,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y_l AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y_l) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y_l AS HUGEINT) * y_l) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+       CASE WHEN CAST(n_days * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n_days * syy - sy * sy AS DOUBLE) > 0
+         THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+              / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                 * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))) END
+         AS xcorr
+FROM sums
+ORDER BY lag
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
+    ),
+    "ml_auc_rank": QuerySpec(
+        ml_auc_rank, _ML_AUC_RANK_SQL, ("ml", "eval", "auc")
+    ),
+    "ml_calibration_bins": QuerySpec(
+        ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")
+    ),
+    "ts_cross_correlation": QuerySpec(
+        ts_cross_correlation, _TS_CROSS_CORRELATION_SQL, ("ts", "stats")
     ),
     "profile_unpivot": QuerySpec(
         profile_unpivot, _PROFILE_UNPIVOT_SQL, ("profile", "unpivot")

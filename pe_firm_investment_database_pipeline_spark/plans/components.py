@@ -644,11 +644,178 @@ JOIN deg d2 ON d2.v = n.y
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_bfs_distance — multi-source bounded BFS over the near-dup graph
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+_BFS_SEED_MOD = 5  # seeds = graph vertices with doc_id % 5 == 0
+
+
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-SOURCE BOUNDED BFS — hop distance from a seed set (here
+    every 5th document id that appears in the near-dup graph) out to
+    3 hops: the 'blast radius' query behind takedown propagation
+    ('everything within N dup-hops of a flagged doc') and
+    label-spreading QA. Each round is ONE equi-join frontier
+    expansion + ONE min-aggregate, the textbook distributed BFS — no
+    per-vertex recursion, state is a (vertex, dist) table keyed by
+    vertex, lineage kept flat with eager localCheckpoints (the CC
+    discipline). The round count is a CONSTANT unrolled identically
+    in the oracle so results compare exactly; production loops to
+    frontier-empty with the same per-round plan. At 100 TB both
+    joins are vertex-id equi-joins over the LSH pair graph — orders
+    of magnitude smaller than the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    sym = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        sym.select("v")
+        .distinct()
+        .where(F.col("v") % _BFS_SEED_MOD == 0)
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        hop = (
+            dist.join(sym, "v")
+            .select(F.col("n").alias("v"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.union(hop)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("v").alias("doc_id"), "dist")
+
+
+_GRAPH_BFS_DISTANCE_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), d0 AS (
+  SELECT DISTINCT v, CAST(0 AS BIGINT) AS dist FROM sym
+  WHERE v % {_BFS_SEED_MOD} = 0
+), d1 AS (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d0
+    UNION ALL
+    SELECT s.n, d.dist + 1 FROM d0 d JOIN sym s ON s.v = d.v
+  ) GROUP BY v
+), d2 AS (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d1
+    UNION ALL
+    SELECT s.n, d.dist + 1 FROM d1 d JOIN sym s ON s.v = d.v
+  ) GROUP BY v
+), d3 AS (
+  SELECT v, MIN(dist) AS dist FROM (
+    SELECT v, dist FROM d2
+    UNION ALL
+    SELECT s.n, d.dist + 1 FROM d2 d JOIN sym s ON s.v = d.v
+  ) GROUP BY v
+)
+SELECT v AS doc_id, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_savings_report — what deduplication buys, by cluster size
+# ---------------------------------------------------------------------------
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT REPORT — the 'what does deduplication buy us'
+    table a curation review reads before committing a dedup pass:
+    per duplicate-cluster SIZE, how many clusters, how many
+    documents, total characters, characters KEPT (the longest member
+    survives, the dedup_canonical_pick policy), and characters SAVED.
+    Reuses the memoized connected-components labels (no second
+    fixpoint walk); the labels map — only docs that appeared in a
+    candidate pair — BROADCASTS onto the corpus, singletons label
+    themselves, and the report is two partial-aggregable aggregates
+    (cluster rollup, then size rollup). At 100 TB nothing here
+    shuffles the corpus more than once."""
+    comps = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("cid")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = d.join(F.broadcast(comps), "doc_id", "left").select(
+        F.coalesce(F.col("cid"), F.col("doc_id")).alias("cluster"),
+        "n_chars",
+    )
+    per_cluster = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sum("n_chars").alias("chars"),
+        F.max("n_chars").alias("kept"),
+    )
+    return per_cluster.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("kept").alias("kept_chars"),
+        (F.sum("chars") - F.sum("kept")).alias("saved_chars"),
+    )
+
+
+_DEDUP_SAVINGS_REPORT_SQL = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+), labels AS (
+  SELECT v AS doc_id, MIN(r) AS cid FROM reach GROUP BY v
+), labeled AS (
+  SELECT COALESCE(l.cid, d.doc_id) AS cluster, d.n_chars
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+), per_cluster AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(MAX(n_chars) AS BIGINT) AS kept
+  FROM labeled GROUP BY cluster
+)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS total_chars,
+       CAST(SUM(kept) AS BIGINT) AS kept_chars,
+       CAST(SUM(chars) - SUM(kept) AS BIGINT) AS saved_chars
+FROM per_cluster GROUP BY sz
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_bfs_distance": QuerySpec(
+        graph_bfs_distance,
+        _GRAPH_BFS_DISTANCE_SQL,
+        ("graph", "bfs", "iterative"),
+    ),
+    "dedup_savings_report": QuerySpec(
+        dedup_savings_report,
+        _DEDUP_SAVINGS_REPORT_SQL,
+        ("dedup", "report"),
     ),
     "dedup_canonical_pick": QuerySpec(
         dedup_canonical_pick,

@@ -1369,9 +1369,89 @@ GROUP BY o.o_orderpriority
 """
 
 
+_DPP_CACHE: dict = register_cache({})
+_DPP_ERA_START = 1999  # 'recent era' rule, mirrored literally in the oracle
+
+
+def _dpp_fact_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Orders landed as a year-partitioned parquet layout, memoized
+    per (app, dataset) — the partitioned-fact side of the DPP demo."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir, "dpp")
+    cached = _DPP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    slot = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"pe_dpp_{slot}_{app}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    _DPP_CACHE[key] = path
+    return path
+
+
+def join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the 100 TB star-join scan killer:
+    the fact table is laid out partitioned by year, the (tiny,
+    broadcast) era dimension is filtered at runtime, and Catalyst
+    injects the dim's surviving join keys as a partition filter ON
+    THE FACT SCAN (`dynamicpruningexpression` in PartitionFilters —
+    pinned by tests/test_round7_ops.py), so non-matching partitions
+    are never read. That skip is the whole economics of partitioned
+    lakehouse layouts: a 3-of-7-years query reads 3/7 of the bytes.
+    The dim here is built from spark.range so its filter is evaluated
+    at runtime like a real dimension table, not constant-folded.
+    Results equal the plain predicate join (the oracle) by
+    construction."""
+    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir)).select(
+        F.col("o_year").cast("long").alias("o_year"),
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+    )
+    era = (
+        spark.range(1990, 2010)
+        .select(
+            F.col("id").alias("dim_year"),
+            F.when(F.col("id") >= _DPP_ERA_START, F.lit("recent"))
+            .otherwise(F.lit("legacy"))
+            .alias("era"),
+        )
+        .where(F.col("era") == "recent")
+    )
+    j = fact.join(
+        F.broadcast(era), fact["o_year"] == era["dim_year"]
+    )
+    return j.groupBy("o_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price_c").alias("revenue_cents"),
+    )
+
+
+_JOIN_DPP_PRUNE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE year(o_orderdate) >= {_DPP_ERA_START}
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "snk_bucketed_join": QuerySpec(
         snk_bucketed_join, _SNK_BUCKETED_JOIN_SQL, ("sink", "bucketing", "join")
+    ),
+    "join_dpp_prune": QuerySpec(
+        join_dpp_prune, _JOIN_DPP_PRUNE_SQL, ("join", "dpp", "pruning")
     ),
     "src_file_lineage": QuerySpec(
         src_file_lineage, _SRC_FILE_LINEAGE_SQL, ("source", "lineage")

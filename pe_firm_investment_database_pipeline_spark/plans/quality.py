@@ -560,11 +560,80 @@ WHERE user_id % 4 != {_BLOCKED_TENANT}
 """
 
 
+_KANON_MIN = 5  # k-anonymity floor: suppress token groups below k
+
+
+def sec_col_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-PRESERVING TOKENIZATION + k-ANONYMITY suppression — the
+    pseudonymization shape governed pipelines apply before data
+    leaves the trust boundary: the raw identifier is replaced by a
+    deterministic keyed digest (same user → same token, so joins,
+    groupBys, and distinct counts still work downstream — here
+    md5 over a salted rendering; production swaps in HMAC with a
+    managed key, same plan), and token groups with fewer than k=5
+    rows are SUPPRESSED into a '<rare>' bucket so no
+    quasi-identifier singleton survives (k-anonymity). Tokenization
+    is a pure scan-side projection (whole-stage codegen, zero extra
+    shuffles); suppression is one token-keyed aggregate. Output is
+    the per-(type, token) activity profile a consumer would get —
+    with the rare tail rolled up."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.md5(F.concat(F.lit("pepper:"), F.col("user_id").cast("string")))
+        .alias("token"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    counted = e.groupBy("event_type", "token").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("cents")
+    )
+    return (
+        counted.withColumn(
+            "token_out",
+            F.when(F.col("n_rows") >= _KANON_MIN, F.col("token")).otherwise(
+                F.lit("<rare>")
+            ),
+        )
+        .groupBy("event_type", F.col("token_out").alias("token"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("cents").alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_merged_tokens"),
+        )
+    )
+
+
+_SEC_COL_TOKENIZE_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         md5('pepper:' || CAST(user_id AS VARCHAR)) AS token,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), counted AS (
+  SELECT event_type, token, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(v) AS BIGINT) AS cents
+  FROM e GROUP BY event_type, token
+)
+SELECT event_type,
+       CASE WHEN n_rows >= {_KANON_MIN} THEN token
+            ELSE '<rare>' END AS token,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n_merged_tokens
+FROM counted
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "sec_row_mask_policy": QuerySpec(
         sec_row_mask_policy,
         _SEC_ROW_MASK_POLICY_SQL,
         ("security", "governance", "mask"),
+    ),
+    "sec_col_tokenize": QuerySpec(
+        sec_col_tokenize,
+        _SEC_COL_TOKENIZE_SQL,
+        ("security", "governance", "tokenize"),
     ),
     "evt_ab_srm_check": QuerySpec(
         evt_ab_srm_check, _EVT_AB_SRM_CHECK_SQL, ("events", "ab", "srm")

@@ -606,6 +606,68 @@ FROM flagged
 """
 
 
+def win_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONDITIONAL-RESET running total per user: spend accumulated
+    since the last purchase, resetting AFTER each purchase — the
+    'basket since last checkout' / 'errors since last deploy' shape
+    no plain cumulative window expresses. The exact two-pass trick
+    (same family as win_running_distinct): segment id = running count
+    of purchases over rows STRICTLY BEFORE current (so the purchase
+    row itself closes its own segment), then the running sum
+    restarts by partitioning on (user, segment). Both passes share
+    the one user_id-keyed shuffle — the second window only refines
+    the key in-partition. Exact integer cents throughout."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        cents("value").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    w_seg = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seg = ev.withColumn(
+        "segment", F.coalesce(F.sum("is_p").over(w_seg), F.lit(0))
+    )
+    w_run = (
+        W.partitionBy("user_id", "segment")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return seg.select(
+        "event_id",
+        "user_id",
+        "segment",
+        F.sum("v").over(w_run).alias("cents_since_reset"),
+    )
+
+
+_WIN_CUMSUM_RESET_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), seg AS (
+  SELECT event_id, user_id, ts_us, v,
+         CAST(COALESCE(SUM(is_p) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS segment
+  FROM ev
+)
+SELECT event_id, user_id, segment,
+       CAST(SUM(v) OVER (PARTITION BY user_id, segment
+                         ORDER BY ts_us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cents_since_reset
+FROM seg
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -1748,6 +1810,9 @@ QUERIES = {
     ),
     "win_running_distinct": QuerySpec(
         win_running_distinct, _WIN_RUNNING_DISTINCT_SQL, ("window", "distinct")
+    ),
+    "win_cumsum_reset": QuerySpec(
+        win_cumsum_reset, _WIN_CUMSUM_RESET_SQL, ("window", "reset")
     ),
     "join_range_asof": QuerySpec(
         join_range_asof,

@@ -2147,9 +2147,131 @@ HAVING CAST(COUNT(*) AS BIGINT) * {_HH_K} > MAX(t.n_total)
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_readability — integer Flesch-Kincaid-style grade per language
+# ---------------------------------------------------------------------------
+
+
+def txt_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY profiling — the classic Flesch-Kincaid grade as a
+    per-language corpus report, a standard quality gate alongside
+    ``txt_quality_score`` (reference behavior class: corpus quality
+    scoring, /root/reference/pipeline/step3_attempt1.py's per-page
+    content filters). Words / sentences / syllable-proxy (vowel
+    groups) are regexp counts evaluated IN the scan task (one pass,
+    no UDF — Java regex and RE2 agree on these character-class
+    patterns); the rollup is one partial-aggregable groupBy. The
+    grade is exact fixed-point centi-units
+    (39·W//S + 1180·V//W − 1559): truncating integer division on
+    identical integers is engine-identical, so the driver hash-checks
+    it. Zero-word languages (CJK has no latin words) emit NULL grade
+    via the guards instead of a division error under ANSI mode."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+    sents = F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    vgrps = F.size(F.expr("regexp_extract_all(text, '[aeiouAEIOU]+', 0)"))
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(words.cast("long")).alias("total_words"),
+        F.sum(F.greatest(sents, F.lit(1)).cast("long")).alias("total_sentences"),
+        F.sum(vgrps.cast("long")).alias("total_vowel_groups"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_sentences",
+        "total_vowel_groups",
+        F.expr(
+            "CASE WHEN total_words > 0 THEN"
+            " (39 * total_words) div total_sentences"
+            " + (1180 * total_vowel_groups) div total_words - 1559 END"
+        ).alias("fk_grade_centi"),
+    )
+
+
+_TXT_READABILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS vgrps
+  FROM documents
+), agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(words) AS BIGINT) AS total_words,
+         CAST(SUM(sents) AS BIGINT) AS total_sentences,
+         CAST(SUM(vgrps) AS BIGINT) AS total_vowel_groups
+  FROM per_doc GROUP BY lang
+)
+SELECT lang, n_docs, total_words, total_sentences, total_vowel_groups,
+       CASE WHEN total_words > 0 THEN
+         CAST((39 * total_words) // total_sentences
+              + (1180 * total_vowel_groups) // total_words - 1559
+              AS BIGINT) END AS fk_grade_centi
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_feature_hashing — hashing-trick featurization of the token stream
+# ---------------------------------------------------------------------------
+
+_FH_BUCKETS = 64
+# Engine-identical string hash: md5 hex prefix → int64 (the
+# samp_stratified_hash discipline, applied to the token itself).
+_FH_HASH = "CAST(conv(substring(md5(token), 1, 12), 16, 10) AS BIGINT)"
+_FH_HASH_DUCK = "CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT)"
+
+
+def ml_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK featurization — the fixed-width sparse encoding
+    (Weinberger et al.) every large-scale text model's preprocessing
+    uses when the vocabulary won't fit a dictionary: bucket =
+    hash(token) mod 64, no vocab build, no second pass. The hash is
+    the engine-portable md5-prefix int (deterministic, re-partition
+    stable); the report is the per-bucket load profile (total hits,
+    distinct tokens, docs touched) — exactly what you inspect to size
+    the width and spot hot buckets before training. One explode + one
+    partial-aggregable groupBy on a 64-value key; at 100 TB the
+    shuffle carries 64 rows per partition after map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    return (
+        toks.withColumn("bucket", F.expr(_FH_HASH) % _FH_BUCKETS)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("token").alias("n_distinct_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+_ML_FEATURE_HASHING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_DUCK}) AS token FROM documents
+)
+SELECT {_FH_HASH_DUCK} % {_FH_BUCKETS} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "txt_rake_keywords": QuerySpec(
         txt_rake_keywords, _TXT_RAKE_KEYWORDS_SQL, ("text", "keywords", "rake")
+    ),
+    "txt_readability": QuerySpec(
+        txt_readability, _TXT_READABILITY_SQL, ("text", "quality")
+    ),
+    "ml_feature_hashing": QuerySpec(
+        ml_feature_hashing, _ML_FEATURE_HASHING_SQL, ("ml", "text", "hashing")
     ),
     "sketch_freq_heavy": QuerySpec(
         sketch_freq_heavy, _SKETCH_FREQ_HEAVY_SQL, ("sketch", "heavy-hitters")

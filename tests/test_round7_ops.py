@@ -1,0 +1,211 @@
+"""Behavioral pins for the round-7 operators — properties their
+DuckDB oracles can NOT express (value parity is covered for every
+entry by tests/test_parity.py and the driver sweep): the DPP entry's
+partition filter actually being dynamic, BFS distances being valid
+shortest-path witnesses, the reset window restarting exactly at
+purchases, and k-anonymity suppression holding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.plans import all_queries
+
+_Q = all_queries()
+
+
+def test_join_dpp_prune_partition_filter_is_dynamic(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression partition
+    filter — the entire point of the entry. A static IN-list would
+    still be value-correct (the oracle can't tell), so the plan is
+    the only witness."""
+    df = _Q["join_dpp_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_join_dpp_prune_skips_legacy_partitions(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        _DPP_ERA_START,
+    )
+
+    years = {
+        r["o_year"]
+        for r in _Q["join_dpp_prune"].fn(spark, sf_dir).collect()
+    }
+    assert years and min(years) >= _DPP_ERA_START
+
+
+def test_graph_bfs_distances_are_shortest_path_witnesses(spark, sf_dir):
+    """Every dist-0 vertex is a seed; every dist d>0 vertex has a
+    neighbor at d-1 (a valid BFS parent) and no neighbor closer than
+    d-1 (else d wouldn't be minimal)."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        _BFS_SEED_MOD,
+        graph_bfs_distance,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    dist = {
+        r["doc_id"]: r["dist"]
+        for r in graph_bfs_distance(spark, sf_dir).collect()
+    }
+    assert dist, "BFS reached nothing — seed modulus matches no vertex"
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc1", "doc2")
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in pairs:
+        adj.setdefault(r["doc1"], set()).add(r["doc2"])
+        adj.setdefault(r["doc2"], set()).add(r["doc1"])
+    for v, d in dist.items():
+        assert 0 <= d <= 3
+        if d == 0:
+            assert v % _BFS_SEED_MOD == 0
+        else:
+            nbr_dists = [dist[n] for n in adj[v] if n in dist]
+            assert min(nbr_dists) == d - 1, (v, d, nbr_dists)
+
+
+def test_win_cumsum_reset_restarts_after_purchase(spark, sf_dir):
+    """Within each user, the segment id is non-decreasing in event
+    time, increments by exactly 1 right after a purchase row, and
+    the running total equals the sum of values since the segment
+    started."""
+    from pe_firm_investment_database_pipeline_spark.plans.relational import (
+        win_cumsum_reset,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+            (F.col("event_type") == "purchase").alias("is_p"),
+        )
+        .collect()
+    )
+    out = {
+        r["event_id"]: (r["segment"], r["cents_since_reset"])
+        for r in win_cumsum_reset(spark, sf_dir).collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts_us"], r["event_id"]))
+        seg_prev, run = -1, 0
+        expect_seg = 0
+        for r in rows:
+            seg, cum = out[r["event_id"]]
+            assert seg == expect_seg
+            if seg != seg_prev:
+                run = 0
+                seg_prev = seg
+            run += r["v"]
+            assert cum == run, (r["event_id"], cum, run)
+            if r["is_p"]:
+                expect_seg += 1
+
+
+def test_sec_col_tokenize_k_anonymity_holds(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _KANON_MIN,
+        sec_col_tokenize,
+    )
+
+    rows = sec_col_tokenize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["token"] == "<rare>":
+            continue
+        assert len(r["token"]) == 32 and int(r["token"], 16) >= 0
+        assert r["n_rows"] >= _KANON_MIN
+        assert r["n_merged_tokens"] == 1
+
+
+def test_ml_feature_hashing_partitions_the_token_stream(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _FH_BUCKETS,
+        _TOKENS,
+        ml_feature_hashing,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = ml_feature_hashing(spark, sf_dir).collect()
+    assert all(0 <= r["bucket"] < _FH_BUCKETS for r in rows)
+    total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("t"))
+        .count()
+    )
+    assert sum(r["n_hits"] for r in rows) == total
+
+
+def test_ml_auc_rank_bounds_and_degenerates(spark, sf_dir):
+    rows = _Q["ml_auc_rank"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_pos"] > 0 and r["n_neg"] > 0:
+            assert 0 <= r["auc_ppm"] <= 1_000_000
+        else:
+            assert r["auc_ppm"] is None
+
+
+def test_dedup_savings_report_accounting_closes(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = _Q["dedup_savings_report"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["saved_chars"] == r["total_chars"] - r["kept_chars"]
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        if r["cluster_size"] == 1:
+            assert r["saved_chars"] == 0
+
+
+def test_ts_cross_correlation_symmetric_window(spark, sf_dir):
+    rows = {
+        r["lag"]: r for r in _Q["ts_cross_correlation"].fn(spark, sf_dir).collect()
+    }
+    assert 0 in rows
+    for r in rows.values():
+        if r["xcorr"] is not None:
+            assert -1.0 <= r["xcorr"] <= 1.0
+
+
+def test_ml_calibration_bins_cover_the_corpus(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = _Q["ml_calibration_bins"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert {r["bin"] for r in rows} <= set(range(10))
+    for r in rows:
+        assert r["gap_permille"] == abs(
+            r["mean_pred_permille"] - r["obs_pos_permille"]
+        )
+
+
+def test_txt_readability_grades_latin_langs(spark, sf_dir):
+    rows = {r["lang"]: r for r in _Q["txt_readability"].fn(spark, sf_dir).collect()}
+    assert rows["en"]["fk_grade_centi"] is not None
+    for r in rows.values():
+        assert r["total_sentences"] >= r["n_docs"]  # floor of 1/doc
