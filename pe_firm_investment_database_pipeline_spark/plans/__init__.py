@@ -130,6 +130,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "win_cumsum_reset",
         "sec_col_tokenize",
         "txt_readability",
+        "ml_ndcg_at_k",
+        "samp_kcenter_coreset",
+        "dq_fk_orphans",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

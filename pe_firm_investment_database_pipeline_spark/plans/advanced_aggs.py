@@ -3760,9 +3760,121 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_ndcg_at_k — exact integer NDCG@10 with a literal discount table
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# floor(1e6 / log2(rank+1)) for ranks 1..10, precomputed ONCE in
+# Python and embedded as literals in BOTH engines' expressions — so
+# no engine's libm log2 (not required to be correctly rounded by
+# IEEE 754, unlike sqrt) ever touches the comparison surface.
+_NDCG_DISC = (
+    1000000, 630929, 500000, 430676, 386852,
+    356207, 333333, 315464, 301029, 289064,
+)
+_NDCG_IDCG = tuple(
+    sum(_NDCG_DISC[: i + 1]) for i in range(len(_NDCG_DISC))
+)
+
+
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT NDCG@10 per language — the ranking-eval companion to
+    ml_auc_rank. The ranking is deterministic (n_chars desc, doc_id
+    asc); relevance is a doc_id hash bit (mechanism test, like the
+    AUC entry). The whole metric is integer: the log2 discount table
+    is PRECOMPUTED as ppm literals shared by both engines (libm log2
+    is not correctly-rounded, so it never runs inside either query),
+    DCG = Σ rel·disc[rank] over the top-10 window rows, ideal DCG is
+    the literal prefix-sum indexed at min(10, total relevant), and
+    ndcg_ppm is one truncating division. Distributed shape: one
+    (lang)-keyed window for ranks (per-group top-k, no global sort)
+    + one aggregate; at 100 TB the rank window runs per group and
+    only k rows per group survive into the DCG sum."""
+    rel = (F.expr(_AUC_HASH) % 2 == 0).cast("long")
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", rel.alias("rel")
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = d.withColumn("rnk", F.row_number().over(w))
+    disc = F.element_at(
+        F.array(*[F.lit(v) for v in _NDCG_DISC]), F.col("rnk")
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.sum(
+            F.when(F.col("rnk") <= _NDCG_K, F.col("rel") * disc).otherwise(
+                F.lit(0)
+            )
+        ).alias("dcg_ppm"),
+        F.sum("rel").alias("n_rel"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(v) for v in _NDCG_IDCG]),
+        F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_rel",
+        "dcg_ppm",
+        F.when(F.col("n_rel") > 0, idcg).otherwise(F.lit(None)).alias(
+            "idcg_ppm"
+        ),
+        F.expr(
+            "CASE WHEN n_rel > 0 THEN (dcg_ppm * 1000000) div "
+            f"element_at(array{_NDCG_IDCG}, "
+            f"CAST(least(n_rel, {_NDCG_K}) AS INT)) END"
+        ).alias("ndcg_ppm"),
+    )
+
+
+def _ndcg_sql() -> str:
+    disc_cases = " ".join(
+        f"WHEN {r + 1} THEN {v}" for r, v in enumerate(_NDCG_DISC)
+    )
+    idcg_cases = " ".join(
+        f"WHEN {i + 1} THEN {v}" for i, v in enumerate(_NDCG_IDCG)
+    )
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+), ranked AS (
+  SELECT lang, rel,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM d
+), agg AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN rnk <= {_NDCG_K}
+                       THEN rel * (CASE rnk {disc_cases} END)
+                       ELSE 0 END) AS BIGINT) AS dcg_ppm,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n_docs, n_rel, dcg_ppm,
+       CASE WHEN n_rel > 0 THEN
+         CAST(CASE LEAST(n_rel, {_NDCG_K}) {idcg_cases} END AS BIGINT)
+       END AS idcg_ppm,
+       CASE WHEN n_rel > 0 THEN
+         CAST((dcg_ppm * 1000000)
+              // (CASE LEAST(n_rel, {_NDCG_K}) {idcg_cases} END)
+              AS BIGINT) END AS ndcg_ppm
+FROM agg
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
+    ),
+    "ml_ndcg_at_k": QuerySpec(
+        ml_ndcg_at_k, _ndcg_sql(), ("ml", "eval", "ndcg")
     ),
     "ml_auc_rank": QuerySpec(
         ml_auc_rank, _ML_AUC_RANK_SQL, ("ml", "eval", "auc")

@@ -624,11 +624,120 @@ GROUP BY 1, 2
 """
 
 
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY AUDIT — orphan counts for every foreign
+    key edge of the star schema, the broken-ingest detector run
+    after every load. Scale shape: each CHILD table is scanned ONCE
+    no matter how many of its FKs are audited (lineitem's three
+    edges are three left joins against DISTINCT parent key sets
+    hanging off one scan, unpivoted with stack()) — never one scan
+    per edge; parent key sets are distinct-compressed before the
+    join so the build side is keys, not rows; counts are
+    partial-aggregable conditional sums. Fixture integrity is clean
+    by construction, so the interesting column — orphan_ppm — is the
+    zero every healthy load shows; the mechanism (child-count
+    reconciliation per edge, clean-audit zeros) is pinned in
+    tests/test_round7_ops.py."""
+
+    def keyset(tbl: str, col: str, alias: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, tbl)
+            .select(F.col(col).alias(alias))
+            .distinct()
+            .withColumn(f"hit_{alias}", F.lit(1))
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    li_audit = (
+        li.join(keyset("orders", "o_orderkey", "ok"), li.l_orderkey == F.col("ok"), "left")
+        .join(keyset("part", "p_partkey", "pk"), li.l_partkey == F.col("pk"), "left")
+        .join(keyset("supplier", "s_suppkey", "sk"), li.l_suppkey == F.col("sk"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("hit_ok").isNull()).alias("orph_o"),
+            F.count_if(F.col("hit_pk").isNull()).alias("orph_p"),
+            F.count_if(F.col("hit_sk").isNull()).alias("orph_s"),
+        )
+        .select(
+            F.expr(
+                "stack(3,"
+                " 'lineitem.l_orderkey->orders', n, orph_o,"
+                " 'lineitem.l_partkey->part', n, orph_p,"
+                " 'lineitem.l_suppkey->supplier', n, orph_s)"
+                " AS (fk_edge, n_child, n_orphans)"
+            )
+        )
+    )
+
+    def single(child: str, ckey: str, parent: str, pkey: str) -> DataFrame:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = keyset(parent, pkey, "pk2")
+        return (
+            c.join(p, c.k == F.col("pk2"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count_if(F.col("hit_pk2").isNull()).alias("n_orphans"),
+            )
+            .select(
+                F.lit(f"{child}.{ckey}->{parent}").alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    out = li_audit
+    for args in (
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ):
+        out = out.union(single(*args))
+    return out.select(
+        "fk_edge",
+        "n_child",
+        "n_orphans",
+        F.expr("(n_orphans * 1000000) div n_child").alias("orphan_ppm"),
+    )
+
+
+def _fk_orphans_sql() -> str:
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    selects = [
+        f"""SELECT '{c}.{ck}->{p}' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(COUNT(*) - COUNT(pk.k) AS BIGINT) AS n_orphans
+FROM {c} ch LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {p}) pk
+  ON ch.{ck} = pk.k"""
+        for c, ck, p, pk in edges
+    ]
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH audit AS (
+{body}
+)
+SELECT fk_edge, n_child, n_orphans,
+       CAST((n_orphans * 1000000) // n_child AS BIGINT) AS orphan_ppm
+FROM audit
+"""
+
+
 QUERIES = {
     "sec_row_mask_policy": QuerySpec(
         sec_row_mask_policy,
         _SEC_ROW_MASK_POLICY_SQL,
         ("security", "governance", "mask"),
+    ),
+    "dq_fk_orphans": QuerySpec(
+        dq_fk_orphans, _fk_orphans_sql(), ("quality", "integrity")
     ),
     "sec_col_tokenize": QuerySpec(
         sec_col_tokenize,

@@ -1778,9 +1778,120 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# samp_kcenter_coreset — farthest-point (k-center) coverage sampling
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 5
+
+
+def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CENTER CORESET (farthest-point traversal) — the coverage-
+    maximizing sample selection used to pick a diverse training
+    subset / eval slate from an embedding corpus (the Gonzalez 2-apx
+    to k-center; SemDeDup's complement: instead of dropping
+    near-dups, PICK the spread). Greedy by definition: seed = vec 0,
+    then k-1 rounds of 'farthest remaining point from the selected
+    set' (ties to the smallest vec_id). Every round is ONE
+    distributed job over the corpus — join against the ≤k-row
+    broadcast selected set, per-vector MIN of the exact int64
+    squared L2 (na + nb − 2·dot over the ppm-quantized vectors, the
+    similarity-stack discipline), TakeOrdered(1) argmax — so the
+    corpus is never all-paired and each round's shuffle carries one
+    row. The selected frame is an eager localCheckpoint per round
+    (flat lineage). The DuckDB twin unrolls the same rounds as
+    chained CTEs; d2_at_pick is the pick's coverage radius (the
+    k-center objective value as the rounds proceed)."""
+    emb = _emb_q(spark, sf_dir).localCheckpoint(eager=True)
+    seed = (
+        emb.where(F.col("vec_id") == 0)
+        .select(
+            F.lit(1).cast("long").alias("pick_rank"),
+            "vec_id",
+            F.lit(None).cast("long").alias("d2_at_pick"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = [seed]
+    sel_ids = seed.select("vec_id")
+    d2 = (
+        F.col("nrm")
+        + F.col("s_nrm")
+        - 2 * F.expr(_DOT.format(a="q", b="s_q"))
+    )
+    for r in range(2, _KCENTER_K + 1):
+        sel = emb.join(sel_ids, "vec_id", "left_semi").select(
+            F.col("q").alias("s_q"), F.col("nrm").alias("s_nrm")
+        )
+        far = (
+            emb.join(sel_ids, "vec_id", "left_anti")
+            .join(F.broadcast(sel))
+            .select("vec_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("pick_rank"),
+                "vec_id",
+                F.col("dmin").alias("d2_at_pick"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        picks.append(far)
+        sel_ids = sel_ids.union(far.select("vec_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.union(p)
+    return out
+
+
+def _kcenter_sql() -> str:
+    dot = _DOT_DUCK.format(a="v.q", b="s.q")
+    rounds = []
+    for r in range(2, _KCENTER_K + 1):
+        prev = f"sel{r - 1}"
+        rounds.append(
+            f"""c{r} AS (
+  SELECT v.vec_id, MIN(v.nrm + s.nrm - 2 * ({dot})) AS dmin
+  FROM eq v JOIN eq s ON s.vec_id IN (SELECT vec_id FROM {prev})
+  WHERE v.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY v.vec_id
+), p{r} AS (
+  SELECT CAST({r} AS BIGINT) AS pick_rank, vec_id,
+         CAST(dmin AS BIGINT) AS d2_at_pick
+  FROM c{r} ORDER BY dmin DESC, vec_id LIMIT 1
+), sel{r} AS (
+  SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM p{r}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT * FROM p{r}" for r in range(2, _KCENTER_K + 1)
+    )
+    return f"""
+WITH eq AS MATERIALIZED (
+  SELECT vec_id, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), sel1 AS (
+  SELECT vec_id FROM eq WHERE vec_id = 0
+), {", ".join(rounds)}
+SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id,
+       CAST(NULL AS BIGINT) AS d2_at_pick
+FROM sel1
+UNION ALL
+{unions}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
+    ),
+    "samp_kcenter_coreset": QuerySpec(
+        samp_kcenter_coreset,
+        _kcenter_sql(),
+        ("sampling", "coreset", "iterative"),
     ),
     "ml_kmeans_fixed": QuerySpec(
         ml_kmeans_fixed, _kmeans_sql(), ("ml", "clustering", "iterative")

@@ -209,3 +209,49 @@ def test_txt_readability_grades_latin_langs(spark, sf_dir):
     assert rows["en"]["fk_grade_centi"] is not None
     for r in rows.values():
         assert r["total_sentences"] >= r["n_docs"]  # floor of 1/doc
+
+
+def test_ml_ndcg_bounds_and_ideal_dominance(spark, sf_dir):
+    rows = _Q["ml_ndcg_at_k"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["n_rel"] > 0:
+            assert 0 <= r["dcg_ppm"] <= r["idcg_ppm"]
+            assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        else:
+            assert r["ndcg_ppm"] is None
+
+
+def test_kcenter_coverage_radius_is_non_increasing(spark, sf_dir):
+    """The defining property of greedy farthest-point traversal: each
+    successive pick's distance-to-selected-set is <= the previous
+    pick's (the coverage radius shrinks monotonically), picks are
+    distinct, and the seed is vec 0."""
+    rows = sorted(
+        _Q["samp_kcenter_coreset"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _KCENTER_K,
+    )
+
+    assert len(rows) == _KCENTER_K
+    assert rows[0]["vec_id"] == 0 and rows[0]["d2_at_pick"] is None
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == _KCENTER_K
+    d2s = [r["d2_at_pick"] for r in rows[1:]]
+    assert all(d2s[i] >= d2s[i + 1] for i in range(len(d2s) - 1)), d2s
+
+
+def test_fk_orphans_clean_fixture_and_reconciled_counts(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["fk_edge"]: r for r in _Q["dq_fk_orphans"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    for edge, r in rows.items():
+        assert r["n_orphans"] == 0 and r["orphan_ppm"] == 0, edge
+        if edge.startswith("lineitem."):
+            assert r["n_child"] == li_n

@@ -233,21 +233,22 @@ def test_prefix_filter_recall_is_exact(spark):
 
 
 def test_approx_distinct_accuracy(spark, sf_dir):
-    """agg_distinct_approx (rows-only at the driver gate) gets its
-    value-level check here: HLL++ at rsd=0.02 must land within 3x the
-    target rsd of the exact per-group distinct count (slack because
-    rsd is a standard deviation, not a hard bound)."""
+    """agg_distinct_approx's r7 shape emits the exact count + est_ok
+    bound flag (full oracle); the raw HLL++ estimate's accuracy is
+    checked HERE: at rsd=0.02 it must land within 3x the target rsd
+    of the exact per-group distinct count (slack because rsd is a
+    standard deviation, not a hard bound), and the entry's own flag
+    must report 1 everywhere."""
     from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
 
+    rows = _Q["agg_distinct_approx"].fn(spark, sf_dir).collect()
+    assert rows and all(r["est_ok"] == 1 for r in rows)
+    exact = {r["l_returnflag"]: r["exact_distinct_parts"] for r in rows}
     approx = {
         r["l_returnflag"]: r["approx_parts"]
-        for r in _Q["agg_distinct_approx"].fn(spark, sf_dir).collect()
-    }
-    exact = {
-        r["l_returnflag"]: r["n"]
         for r in load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"))
         .collect()
     }
     assert set(approx) == set(exact)
@@ -359,9 +360,28 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     from pe_firm_investment_database_pipeline_spark.plans import advanced_aggs as A
     from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
 
+    entry_rows = _Q["agg_percentile_approx"].fn(spark, sf_dir).collect()
+    assert entry_rows and all(r["ap_ok"] == 1 for r in entry_rows)
+    acc = A._APPROX_PCT_ACCURACY
     approx = {
-        r["o_orderpriority"]: {"0.5": r["ap50"], "0.9": r["ap90"], "0.99": r["ap99"]}
-        for r in _Q["agg_percentile_approx"].fn(spark, sf_dir).collect()
+        r["o_orderpriority"]: {
+            "0.5": r["ap50"], "0.9": r["ap90"], "0.99": r["ap99"]
+        }
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            *[
+                (
+                    F.expr(
+                        "approx_percentile(CAST(round(o_totalprice * 100)"
+                        f" AS BIGINT), {q}, {acc})"
+                    )
+                    / 100.0
+                ).alias(f"ap{int(q * 100)}")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+        .collect()
     }
     exact_vals: dict[str, list[float]] = {}
     for r in (
