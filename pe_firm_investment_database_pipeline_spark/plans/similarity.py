@@ -1848,20 +1848,31 @@ def samp_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcenter_sql() -> str:
     dot = _DOT_DUCK.format(a="v.q", b="s.q")
+    # Two DuckDB-planner disciplines, both load-bearing at 10x scale:
+    # (1) every chain CTE is AS MATERIALIZED — plain CTEs inline at
+    # each reference and the sel{r} -> p{r} -> c{r} -> sel{r-1} chain
+    # re-expands its whole prefix per reference; (2) the selected set
+    # joins eq BEFORE the cross join, so the corpus x selected
+    # product is N x (r-1) rows — written as `JOIN eq s ON s.vec_id
+    # IN (subq)` the planner kept the condition on the cross product
+    # and evaluated the 64-term dot lambda for all N^2 pairs
+    # (~minutes at 5k vectors, instant in this form).
     rounds = []
     for r in range(2, _KCENTER_K + 1):
         prev = f"sel{r - 1}"
         rounds.append(
-            f"""c{r} AS (
+            f"""c{r} AS MATERIALIZED (
   SELECT v.vec_id, MIN(v.nrm + s.nrm - 2 * ({dot})) AS dmin
-  FROM eq v JOIN eq s ON s.vec_id IN (SELECT vec_id FROM {prev})
+  FROM eq v CROSS JOIN (
+    SELECT e.q, e.nrm FROM eq e JOIN {prev} sl ON e.vec_id = sl.vec_id
+  ) s
   WHERE v.vec_id NOT IN (SELECT vec_id FROM {prev})
   GROUP BY v.vec_id
-), p{r} AS (
+), p{r} AS MATERIALIZED (
   SELECT CAST({r} AS BIGINT) AS pick_rank, vec_id,
          CAST(dmin AS BIGINT) AS d2_at_pick
   FROM c{r} ORDER BY dmin DESC, vec_id LIMIT 1
-), sel{r} AS (
+), sel{r} AS MATERIALIZED (
   SELECT vec_id FROM {prev} UNION ALL SELECT vec_id FROM p{r}
 )"""
         )

@@ -84,6 +84,12 @@ HEAVY = [
     "evt_ltv_expected",
     "ml_cluster_medoid",
     "stream_join_interval_outer",
+    # r7 wave entries with at-scale claims of their own
+    "graph_bfs_distance",
+    "dq_fk_orphans",
+    "samp_kcenter_coreset",
+    "join_dpp_prune",
+    "ml_auc_rank",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
