@@ -230,15 +230,19 @@ def agg_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy is additionally asserted in
     tests/test_scale_blocking.py::test_approx_distinct_accuracy."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_distinct_parts"),
         F.count(F.lit(1)).alias("n_items"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("est"),
+    )
+    # flag from the aliased aggregates (each computed exactly once)
+    return g.select(
+        "l_returnflag",
+        "exact_distinct_parts",
+        "n_items",
         (
-            F.abs(
-                F.approx_count_distinct("l_partkey", 0.02)
-                - F.countDistinct("l_partkey")
-            ).cast("double")
-            <= 0.05 * F.countDistinct("l_partkey").cast("double")
+            F.abs(F.col("est") - F.col("exact_distinct_parts")).cast("double")
+            <= 0.05 * F.col("exact_distinct_parts").cast("double")
         )
         .cast("long")
         .alias("est_ok"),
