@@ -133,6 +133,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_ndcg_at_k",
         "samp_kcenter_coreset",
         "dq_fk_orphans",
+        "sql_pipe_syntax",
+        "sql_udf_scalar",
+        "evt_window_funnel",
+        "ts_backtest_wape",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

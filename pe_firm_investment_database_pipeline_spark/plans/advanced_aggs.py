@@ -3897,9 +3897,182 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_window_funnel — windowFunnel-style max step depth per user
+# ---------------------------------------------------------------------------
+
+_WF_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def evt_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW FUNNEL (the ClickHouse ``windowFunnel`` shape): per
+    user, the deepest prefix of signup → view → purchase reachable
+    through a strictly-increasing event chain whose LAST step falls
+    within 1 h of the chain's FIRST step. Event order is the total
+    order (ts_us, event_id) on both engines.
+
+    The oracle is the definitional 3-way EXISTS self-join (fine at
+    oracle scale); the Spark side is the 100 TB shape — ONE user_id
+    shuffle and two carry-forward windows, no events self-join:
+    every view carries the latest signup before it (for level 2 the
+    latest anchor minimizes the gap, so existence is decided
+    exactly), and every purchase carries the latest anchored view
+    TOGETHER WITH its signup (max-of-struct; anchor times are
+    monotone in view order, so the carried chain minimizes
+    p.ts − s.ts — again an exact existence test). Level per event,
+    max per user, zero-level users kept (they exist in the stream
+    but never started the funnel)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    s_before = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    ).over(w_prev)
+    anchored = ev.withColumn("s_ts", s_before).withColumn(
+        "v_anchor",
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & F.col("s_ts").isNotNull(),
+                F.struct(F.col("ts_us").alias("v_ts"), F.col("s_ts").alias("vs_ts")),
+            )
+        ).over(w_prev),
+    )
+    lvl = (
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("v_anchor").isNotNull()
+            & (F.col("ts_us") - F.col("v_anchor.vs_ts") <= _WF_WINDOW_US),
+            F.lit(3),
+        )
+        .when(
+            (F.col("event_type") == "view")
+            & F.col("s_ts").isNotNull()
+            & (F.col("ts_us") - F.col("s_ts") <= _WF_WINDOW_US),
+            F.lit(2),
+        )
+        .when(F.col("event_type") == "signup", F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        anchored.withColumn("lvl", lvl)
+        .groupBy("user_id")
+        .agg(F.max("lvl").cast("long").alias("funnel_level"))
+    )
+
+
+_EVT_WINDOW_FUNNEL_SQL = f"""
+WITH ev AS MATERIALIZED (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events
+), l1 AS (
+  SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'
+), l2 AS (
+  SELECT DISTINCT s.user_id
+  FROM ev s JOIN ev v ON v.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND v.event_type = 'view'
+    AND (v.ts_us > s.ts_us
+         OR (v.ts_us = s.ts_us AND v.event_id > s.event_id))
+    AND v.ts_us - s.ts_us <= {_WF_WINDOW_US}
+), l3 AS (
+  SELECT DISTINCT s.user_id
+  FROM ev s
+  JOIN ev v ON v.user_id = s.user_id
+  JOIN ev p ON p.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND v.event_type = 'view'
+    AND p.event_type = 'purchase'
+    AND (v.ts_us > s.ts_us
+         OR (v.ts_us = s.ts_us AND v.event_id > s.event_id))
+    AND (p.ts_us > v.ts_us
+         OR (p.ts_us = v.ts_us AND p.event_id > v.event_id))
+    AND p.ts_us - s.ts_us <= {_WF_WINDOW_US}
+)
+SELECT u.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN l1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_level
+FROM (SELECT DISTINCT user_id FROM ev) u
+LEFT JOIN l1 ON u.user_id = l1.user_id
+LEFT JOIN l2 ON u.user_id = l2.user_id
+LEFT JOIN l3 ON u.user_id = l3.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_backtest_wape — seasonal-naive backtest error, exact integer WAPE
+# ---------------------------------------------------------------------------
+
+
+def ts_backtest_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORECAST BACKTEST for the seasonal-naive model
+    (``ts_forecast_snaive``'s companion): replay 'forecast(day) =
+    actual(day − 7)' over the whole history and score it per event
+    type with WAPE — Σ|err| / Σ actual — the deployment gate every
+    forecasting pipeline runs before trusting a model. WAPE (not
+    MAPE) because it aggregates as a ratio of two integer sums —
+    exact in ppm with no per-day division. Shape: the event stream
+    compresses to the per-(type, day) count grid first (the only
+    event-sized shuffle), the lag-7 join runs on the tiny grid, and
+    the score is one partial-aggregable rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lagged = daily.alias("a").join(
+        daily.alias("f"),
+        (F.col("a.event_type") == F.col("f.event_type"))
+        & (F.col("a.day") == F.col("f.day") + 7),
+    )
+    return (
+        lagged.select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("actual"),
+            F.abs(F.col("a.n") - F.col("f.n")).alias("abs_err"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_days"),
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.sum("actual").alias("sum_actual"),
+        )
+        .withColumn(
+            "wape_ppm",
+            F.expr("(sum_abs_err * 1000000) div sum_actual"),
+        )
+    )
+
+
+_TS_BACKTEST_WAPE_SQL = """
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_eval_days,
+       CAST(SUM(abs(a.n - f.n)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(a.n) AS BIGINT) AS sum_actual,
+       CAST((CAST(SUM(abs(a.n - f.n)) AS BIGINT) * 1000000)
+            // CAST(SUM(a.n) AS BIGINT) AS BIGINT) AS wape_ppm
+FROM daily a JOIN daily f
+  ON a.event_type = f.event_type AND a.day = f.day + 7
+GROUP BY a.event_type
+"""
+
+
 QUERIES = {
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
+    ),
+    "evt_window_funnel": QuerySpec(
+        evt_window_funnel, _EVT_WINDOW_FUNNEL_SQL, ("events", "funnel")
+    ),
+    "ts_backtest_wape": QuerySpec(
+        ts_backtest_wape, _TS_BACKTEST_WAPE_SQL, ("ts", "forecast", "eval")
     ),
     "ml_ndcg_at_k": QuerySpec(
         ml_ndcg_at_k, _ndcg_sql(), ("ml", "eval", "ndcg")

@@ -725,6 +725,85 @@ def sql_cte_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4.0's `|>` operator chain) — the
+    linear authoring surface for the same Catalyst plans: each stage
+    (WHERE, EXTEND, AGGREGATE, SELECT, ORDER BY) pipes into the
+    next, in execution order, instead of inside-out nesting. The
+    entry proves the surface is semantics-identical to classic SQL
+    (the oracle is the nested form): same pushdown, same exact-cents
+    aggregation, same plan pipeline — pipes are parse-time sugar,
+    not a different engine."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_ps")
+    return spark.sql(
+        """
+        FROM v_lineitem_ps
+        |> WHERE l_quantity >= 10
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |> AGGREGATE COUNT(*) AS n_items, SUM(price_c) AS cents
+           GROUP BY l_returnflag, l_linestatus
+        |> EXTEND CAST(cents AS DOUBLE) / 100.0 AS revenue
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue
+        """
+    )
+
+
+_SQL_PIPE_SYNTAX_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCALAR UDF (Spark 4.0 `CREATE FUNCTION ... RETURN expr`) —
+    user-defined logic that stays INSIDE Catalyst: the body is
+    inlined into the plan at analysis time, so it participates in
+    whole-stage codegen and constant folding like any built-in (no
+    serialization boundary, unlike Python/pandas UDFs — the
+    plan-level absence of any UDF eval node is pinned in
+    tests/test_round7_ops.py). The function computes exact net cents
+    (price − discount + tax, each independently cent-rounded); the
+    oracle inlines the same expression."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_uf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+            price DOUBLE, disc DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(round(price * 100) AS BIGINT)
+             - CAST(round(price * disc * 100) AS BIGINT)
+             + CAST(round(price * tax * 100) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(net_cents(l_extendedprice, l_discount, l_tax))
+                 AS net_cents_total
+        FROM v_lineitem_uf
+        GROUP BY l_returnflag
+        """
+    )
+
+
+_SQL_UDF_SCALAR_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                - CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)
+                + CAST(round(l_extendedprice * l_tax * 100) AS BIGINT))
+            AS BIGINT) AS net_cents_total
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 _SQL_CTE_WINDOWED_SQL = """
 WITH spend AS (
   SELECT c_custkey, c_mktsegment,
@@ -1838,6 +1917,12 @@ QUERIES = {
     ),
     "win_distribution_fns": QuerySpec(
         win_distribution_fns, _WIN_DISTRIBUTION_FNS_SQL, ("window", "distribution")
+    ),
+    "sql_pipe_syntax": QuerySpec(
+        sql_pipe_syntax, _SQL_PIPE_SYNTAX_SQL, ("sql", "pipe")
+    ),
+    "sql_udf_scalar": QuerySpec(
+        sql_udf_scalar, _SQL_UDF_SCALAR_SQL, ("sql", "udf")
     ),
     "sql_cte_windowed": QuerySpec(
         sql_cte_windowed, _SQL_CTE_WINDOWED_SQL, ("sql", "cte", "window")

@@ -255,3 +255,83 @@ def test_fk_orphans_clean_fixture_and_reconciled_counts(spark, sf_dir):
         assert r["n_orphans"] == 0 and r["orphan_ppm"] == 0, edge
         if edge.startswith("lineitem."):
             assert r["n_child"] == li_n
+
+
+def test_sql_udf_scalar_inlines_into_codegen(spark, sf_dir):
+    """The SQL UDF body must be inlined by Catalyst — no UDF eval
+    node (python or JVM) may survive into the physical plan; that
+    inlining is the entry's whole point vs a Python UDF."""
+    df = _Q["sql_udf_scalar"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UDF" not in plan and "PythonEval" not in plan, plan[:1500]
+
+
+def test_sql_pipe_syntax_is_sugar_not_a_different_plan(spark, sf_dir):
+    """The pipe-syntax chain must optimize to the same plan shape as
+    the classic nested form: one aggregate pair (partial+final), one
+    exchange, same pushed filter."""
+    df = _Q["sql_pipe_syntax"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly one hash exchange (the aggregate's); the only other
+    # exchange is load_table's round-robin parallelism floor
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+    assert "partial_count" in plan  # map-side combine survived the sugar
+    # the piped WHERE reached the parquet scan as a pushed filter
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in plan, plan[:1500]
+
+
+def test_evt_window_funnel_matches_definitional_semantics(spark, sf_dir):
+    """Replay the definition in Python: level k iff a strictly
+    (ts, event_id)-increasing chain signup -> view -> purchase of
+    depth k exists with last.ts - first.ts <= 1h."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _WF_WINDOW_US,
+        evt_window_funnel,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r["user_id"]: r["funnel_level"]
+        for r in evt_window_funnel(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts_us"], r["event_id"], r["event_type"])
+        )
+    assert set(got) == set(by_user)
+    for u, rows in by_user.items():
+        rows.sort()
+        sign = [(t, e) for t, e, ty in rows if ty == "signup"]
+        views = [(t, e) for t, e, ty in rows if ty == "view"]
+        purch = [(t, e) for t, e, ty in rows if ty == "purchase"]
+        lvl = 1 if sign else 0
+        if lvl and any(
+            s < v and v[0] - s[0] <= _WF_WINDOW_US
+            for s in sign
+            for v in views
+        ):
+            lvl = 2
+        if lvl == 2 and any(
+            s < v < p and p[0] - s[0] <= _WF_WINDOW_US
+            for s in sign
+            for v in views
+            for p in purch
+        ):
+            lvl = 3
+        assert got[u] == lvl, (u, got[u], lvl)
+
+
+def test_ts_backtest_wape_identity(spark, sf_dir):
+    rows = _Q["ts_backtest_wape"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["wape_ppm"] == r["sum_abs_err"] * 1_000_000 // r["sum_actual"]
+        assert r["n_eval_days"] > 0 and r["sum_actual"] > 0
