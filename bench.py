@@ -352,6 +352,33 @@ def _load_prev_bench() -> dict | None:
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         return int(m.group(1)) if m else -1
 
+    # Prefer the in-repo full per-entry records (BENCH_LOCAL_r{K}) of
+    # every round BEFORE the current one: the driver's BENCH_r{N}
+    # files keep only a 2000-char stdout tail, which truncates the
+    # JSON head once the sweep passed ~50 entries — resolving prev
+    # through them silently fell back to the last SMALL round (26
+    # queries), so the pin band and prev-scope totals compared
+    # against a years-stale scope.
+    def local_round_no(p: str) -> int:
+        m = re.search(r"BENCH_LOCAL_r(\d+)\.json$", p)
+        return int(m.group(1)) if m else -1
+
+    cur = _next_round()
+    local = sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(REPO_ROOT, "BENCH_LOCAL_r*.json"))
+            if 0 <= local_round_no(p) < cur
+        ),
+        key=local_round_no,
+    )
+    for path in reversed(local):
+        try:
+            doc = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "queries" in doc:
+            return doc
     # numeric sort: lexicographic would put r10 before r2; walk back
     # from the newest round until one actually parsed (a crashed bench
     # round records no numbers — r03 — and must not mask r02's).
