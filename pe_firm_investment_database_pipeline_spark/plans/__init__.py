@@ -137,6 +137,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_udf_scalar",
         "evt_window_funnel",
         "ts_backtest_wape",
+        "sim_reciprocal_nn",
+        "profile_describe_stats",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -730,6 +730,69 @@ FROM audit
 """
 
 
+# numeric lineitem columns profiled by describe; all are exact at
+# 2 decimal places in the fixture, so x*100 rounds to exact int64
+_DESCRIBE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_describe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-SCAN `describe()` — n/min/max/mean/std for every numeric
+    column of lineitem, the table-profiling report ANALYZE-style
+    tooling emits. All 4x5 aggregates compute in a SINGLE pass over
+    one scan (partial-aggregable; never one scan per column) and
+    unpivot via stack(). Exactness discipline: values quantize to
+    integer centi-units; mean is truncating integer division;
+    std (population) is the only double — computed from the
+    DECIMAL(38,0)/HUGEINT sufficient statistics with an identical
+    expression tree on both engines (sqrt is IEEE-correctly-rounded,
+    so identical integers give bit-identical doubles)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.expr(f"CAST(round({c} * 100) AS BIGINT)").alias(c)
+            for c in _DESCRIBE_COLS
+        ]
+    )
+    aggs = []
+    for c in _DESCRIBE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).cast("decimal(38,0)")).alias(f"sx_{c}"),
+            F.sum((F.col(c) * F.col(c)).cast("decimal(38,0)")).alias(
+                f"sxx_{c}"
+            ),
+        ]
+    g = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, min_{c}, max_{c}, "
+        f"CAST(sx_{c} div n_{c} AS BIGINT), "
+        f"sqrt(CAST(CAST(n_{c} AS DECIMAL(38,0)) * sxx_{c} - sx_{c} * sx_{c}"
+        f" AS DOUBLE)) / CAST(n_{c} AS DOUBLE)"
+        for c in _DESCRIBE_COLS
+    )
+    return g.select(
+        F.expr(
+            f"stack({len(_DESCRIBE_COLS)}, {stack_args})"
+            " AS (column, n, min_c, max_c, mean_c, std_c)"
+        )
+    )
+
+
+def _describe_stats_sql() -> str:
+    selects = [
+        f"""SELECT '{c}' AS "column", CAST(COUNT(v) AS BIGINT) AS n,
+       CAST(MIN(v) AS BIGINT) AS min_c, CAST(MAX(v) AS BIGINT) AS max_c,
+       CAST(SUM(CAST(v AS HUGEINT)) // COUNT(v) AS BIGINT) AS mean_c,
+       sqrt(CAST(COUNT(v) * SUM(CAST(v AS HUGEINT) * v)
+                 - SUM(CAST(v AS HUGEINT)) * SUM(CAST(v AS HUGEINT))
+            AS DOUBLE)) / CAST(COUNT(v) AS DOUBLE) AS std_c
+FROM (SELECT CAST(round({c} * 100) AS BIGINT) AS v FROM lineitem)"""
+        for c in _DESCRIBE_COLS
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES = {
     "sec_row_mask_policy": QuerySpec(
         sec_row_mask_policy,
@@ -738,6 +801,11 @@ QUERIES = {
     ),
     "dq_fk_orphans": QuerySpec(
         dq_fk_orphans, _fk_orphans_sql(), ("quality", "integrity")
+    ),
+    "profile_describe_stats": QuerySpec(
+        profile_describe_stats,
+        _describe_stats_sql(),
+        ("profile", "describe"),
     ),
     "sec_col_tokenize": QuerySpec(
         sec_col_tokenize,

@@ -491,6 +491,48 @@ WHERE nn_rank <= 3
 """
 
 
+def sim_reciprocal_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL NEAREST NEIGHBORS — pairs where each vector sits in
+    the OTHER's top-3: the high-precision subset of the kNN graph
+    that SemDeDup-style semantic dedup and self-supervised pair
+    mining treat as 'true' duplicates/positives (one-directional
+    neighbors are often hub artifacts; mutuality filters hubs out).
+    Pure composition over the staged blocked-kNN entry — the kNN
+    frame is computed once (memoized signature index, ~32·N pair
+    work), and mutuality is ONE self-equi-join on the (vec, nbr)
+    key pair with a canonical a<b orientation. Emits both ranks so
+    consumers can tighten to rank-1-mutual."""
+    knn = sim_knn_blocked_full(spark, sf_dir)
+    k1 = knn.select(
+        F.col("vec_id").alias("a"),
+        F.col("nbr_id").alias("b"),
+        F.col("cosine").alias("cosine"),
+        F.col("nn_rank").alias("rank_ab"),
+    ).where(F.col("a") < F.col("b"))
+    k2 = knn.select(
+        F.col("nbr_id").alias("a"),
+        F.col("vec_id").alias("b"),
+        F.col("nn_rank").alias("rank_ba"),
+    ).where(F.col("a") < F.col("b"))
+    return k1.join(k2, ["a", "b"]).select(
+        F.col("a").alias("vec1"),
+        F.col("b").alias("vec2"),
+        "cosine",
+        "rank_ab",
+        "rank_ba",
+    )
+
+
+_SIM_RECIPROCAL_NN_SQL = f"""
+WITH knn AS MATERIALIZED ({_SIM_KNN_BLOCKED_FULL_SQL})
+SELECT k1.vec_id AS vec1, k1.nbr_id AS vec2, k1.cosine,
+       k1.nn_rank AS rank_ab, k2.nn_rank AS rank_ba
+FROM knn k1 JOIN knn k2
+  ON k1.vec_id = k2.nbr_id AND k1.nbr_id = k2.vec_id
+WHERE k1.vec_id < k1.nbr_id
+"""
+
+
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (norm distribution) — the
     aggregate shape used to size IVF cells."""
@@ -1903,6 +1945,11 @@ QUERIES = {
         samp_kcenter_coreset,
         _kcenter_sql(),
         ("sampling", "coreset", "iterative"),
+    ),
+    "sim_reciprocal_nn": QuerySpec(
+        sim_reciprocal_nn,
+        _SIM_RECIPROCAL_NN_SQL,
+        ("similarity", "knn", "mutual"),
     ),
     "ml_kmeans_fixed": QuerySpec(
         ml_kmeans_fixed, _kmeans_sql(), ("ml", "clustering", "iterative")

@@ -335,3 +335,43 @@ def test_ts_backtest_wape_identity(spark, sf_dir):
     for r in rows:
         assert r["wape_ppm"] == r["sum_abs_err"] * 1_000_000 // r["sum_actual"]
         assert r["n_eval_days"] > 0 and r["sum_actual"] > 0
+
+
+def test_sim_reciprocal_nn_pairs_are_mutual(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        sim_knn_blocked_full,
+    )
+
+    knn = {
+        (r["vec_id"], r["nbr_id"]): r["nn_rank"]
+        for r in sim_knn_blocked_full(spark, sf_dir).collect()
+    }
+    pairs = _Q["sim_reciprocal_nn"].fn(spark, sf_dir).collect()
+    assert pairs
+    for r in pairs:
+        a, b = r["vec1"], r["vec2"]
+        assert a < b
+        assert knn[(a, b)] == r["rank_ab"]
+        assert knn[(b, a)] == r["rank_ba"]
+    # completeness: every mutual top-3 pair is reported
+    expect = {
+        (a, b) for (a, b) in knn if a < b and (b, a) in knn
+    }
+    assert {(r["vec1"], r["vec2"]) for r in pairs} == expect
+
+
+def test_profile_describe_stats_sanity(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _DESCRIBE_COLS,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = {r["column"]: r for r in _Q["profile_describe_stats"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(_DESCRIBE_COLS)
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    for r in rows.values():
+        assert r["n"] == n_li
+        assert r["min_c"] <= r["mean_c"] <= r["max_c"]
+        assert r["std_c"] >= 0.0
