@@ -444,13 +444,17 @@ def sim_knn_blocked_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     it, and the pair count stays ~32·N because the cell count grows
     with COUNT(*) in-plan. At 100 TB this is the same plan with more
     cells: signature map-side, one shuffle on cell (AQE skew-split),
-    one window shuffle on vec_id."""
-    emb = _celled(
-        _emb_q(spark, sf_dir),
-        _NBITS_PAIR,
-        stage_key=(sf_dir, "knn_full_sigs"),
-    )
-    return _knn_pairs_topk(emb)
+    one window shuffle on vec_id. The top-k RESULT frame (N·3 rows —
+    tiny relative to the ~32·N pair work that built it) is staged
+    too: `sim_reciprocal_nn` self-joins it, and without staging each
+    join side would re-run the whole pair join + rank window."""
+    src = _emb_q(spark, sf_dir)
+
+    def build() -> DataFrame:
+        emb = _celled(src, _NBITS_PAIR, stage_key=(sf_dir, "knn_full_sigs"))
+        return _knn_pairs_topk(emb)
+
+    return _staged(spark, (sf_dir, "knn_full_topk"), build, src)
 
 
 _SIM_KNN_BLOCKED_SQL = f"""
