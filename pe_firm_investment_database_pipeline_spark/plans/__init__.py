@@ -139,6 +139,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_backtest_wape",
         "sim_reciprocal_nn",
         "profile_describe_stats",
+        "ml_pr_curve",
+        "txt_boilerplate_strip",
+        "sim_threshold_sweep",
+        "ml_quantize_int8",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

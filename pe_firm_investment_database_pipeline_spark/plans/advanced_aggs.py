@@ -3628,6 +3628,96 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# ml_pr_curve — precision/recall/F1 at every score threshold, exact ppm
+# ---------------------------------------------------------------------------
+
+
+def ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL CURVE — P/R/F1 at EVERY distinct score
+    threshold (predict positive when score >= t), per language: the
+    threshold-tuning table behind every classifier cutoff decision
+    (`sklearn.precision_recall_curve` shape). Same distributed
+    discipline as `ml_auc_rank` (reference parity: the engine's eval
+    suite pairs AUC with the PR table): NEVER a global row sort —
+    rows first compress to per-(lang, score) pos/neg counts (one
+    partial-aggregable shuffle), then a descending cumulative window
+    over the DISTINCT scores yields TP/FP at each cut, and recall's
+    denominator comes from the same window run to the full partition
+    (no second shuffle, no join). All ratios are exact int64 ppm via
+    truncating division — identical in both engines (tp*1e6 stays
+    within int64 up to ~9e12 positives per group)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+    )
+    per_score = d.groupBy("lang", "score").agg(
+        F.sum("is_pos").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("is_pos")).alias("nn_s"),
+    )
+    w_desc = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    scored = per_score.select(
+        "lang",
+        "score",
+        F.sum("np_s").over(w_desc).alias("tp"),
+        F.sum("nn_s").over(w_desc).alias("fp"),
+        F.sum("np_s").over(w_all).alias("n_pos"),
+    )
+    return scored.select(
+        "lang",
+        "score",
+        "tp",
+        "fp",
+        F.expr("CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp) END").alias(
+            "precision_ppm"
+        ),
+        F.expr("CASE WHEN n_pos > 0 THEN (tp * 1000000) div n_pos END").alias(
+            "recall_ppm"
+        ),
+        F.expr(
+            "CASE WHEN 2 * tp + fp + (n_pos - tp) > 0 THEN"
+            " (2 * tp * 1000000) div (2 * tp + fp + (n_pos - tp)) END"
+        ).alias("f1_ppm"),
+    )
+
+
+_ML_PR_CURVE_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars AS score,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_score AS (
+  SELECT lang, score,
+         CAST(SUM(is_pos) AS BIGINT) AS np_s,
+         CAST(COUNT(*) - SUM(is_pos) AS BIGINT) AS nn_s
+  FROM d GROUP BY lang, score
+), scored AS (
+  SELECT lang, score,
+         CAST(SUM(np_s) OVER (PARTITION BY lang ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         CAST(SUM(nn_s) OVER (PARTITION BY lang ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp,
+         CAST(SUM(np_s) OVER (PARTITION BY lang) AS BIGINT) AS n_pos
+  FROM per_score
+)
+SELECT lang, score, tp, fp,
+       CASE WHEN tp + fp > 0 THEN
+         CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_ppm,
+       CASE WHEN n_pos > 0 THEN
+         CAST((tp * 1000000) // n_pos AS BIGINT) END AS recall_ppm,
+       CASE WHEN 2 * tp + fp + (n_pos - tp) > 0 THEN
+         CAST((2 * tp * 1000000) // (2 * tp + fp + (n_pos - tp))
+              AS BIGINT) END AS f1_ppm
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_calibration_bins — reliability-diagram counts, exact permille
 # ---------------------------------------------------------------------------
 
@@ -4079,6 +4169,9 @@ QUERIES = {
     ),
     "ml_auc_rank": QuerySpec(
         ml_auc_rank, _ML_AUC_RANK_SQL, ("ml", "eval", "auc")
+    ),
+    "ml_pr_curve": QuerySpec(
+        ml_pr_curve, _ML_PR_CURVE_SQL, ("ml", "eval", "pr-curve")
     ),
     "ml_calibration_bins": QuerySpec(
         ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")

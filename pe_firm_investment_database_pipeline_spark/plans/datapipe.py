@@ -298,6 +298,78 @@ LIMIT {_BOILER_TOP}
 """
 
 
+def txt_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate STRIP — the transformation step downstream of
+    `txt_boilerplate_chunks`' detection: rewrite every document with
+    its cross-doc-repeated chunks removed and report the per-doc
+    retention ledger (kept/removed chunk and char counts plus a
+    position-weighted fingerprint checksum of the SURVIVING chunk
+    sequence, so the oracle pins content AND order of what remains —
+    exactly what a curation pipeline audits before dropping bytes).
+    Scale shape: the repeated-fingerprint set is the output of one
+    grouped aggregate and is SMALL by construction (bounded by corpus
+    boilerplate, not corpus size), so it broadcasts; the flagging
+    join is map-side and the per-doc ledger is one partial-aggregable
+    shuffle on doc_id. The checksum term (chunk_idx+1)*chunk_fp is
+    < 2^63 (48-bit fp x small index) and is reduced mod 1e9+7 per
+    chunk BEFORE summing, so the aggregate stays in int64 in both
+    engines."""
+    ch = chunk_recursive_split(spark, sf_dir)
+    boiler = (
+        ch.groupBy("chunk_fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("chunk_fp", F.lit(1).alias("is_boiler"))
+    )
+    flagged = ch.join(F.broadcast(boiler), "chunk_fp", "left").select(
+        "doc_id",
+        "chunk_idx",
+        "n_chars",
+        "chunk_fp",
+        F.coalesce(F.col("is_boiler"), F.lit(0)).alias("is_boiler"),
+    )
+    kept = F.col("is_boiler") == 0
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept.cast("long")).alias("kept_chunks"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0)).alias(
+            "removed_chars"
+        ),
+        F.expr(
+            "pmod(COALESCE(SUM(CASE WHEN is_boiler = 0 THEN"
+            " ((chunk_idx + 1) * chunk_fp) % 1000000007 END), 0),"
+            " 1000000007)"
+        ).alias("kept_checksum"),
+    )
+
+
+def _txt_boilerplate_strip_sql() -> str:
+    return f"""
+WITH chunks AS MATERIALIZED ({_CHUNK_RECURSIVE_SPLIT_SQL}),
+boiler AS (
+  SELECT chunk_fp FROM chunks
+  GROUP BY chunk_fp HAVING COUNT(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+), flagged AS (
+  SELECT c.doc_id, c.chunk_idx, c.n_chars, c.chunk_fp,
+         CASE WHEN b.chunk_fp IS NULL THEN 0 ELSE 1 END AS is_boiler
+  FROM chunks c LEFT JOIN boiler b ON c.chunk_fp = b.chunk_fp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_boiler = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_chunks,
+       CAST(SUM(CASE WHEN is_boiler = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       CAST(SUM(CASE WHEN is_boiler = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS removed_chars,
+       CAST(COALESCE(SUM(CASE WHEN is_boiler = 0 THEN
+              ((chunk_idx + 1) * chunk_fp) % 1000000007 END), 0)
+            % 1000000007 AS BIGINT) AS kept_checksum
+FROM flagged GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # samp_class_balance — downsample every class to the minority count
 # ---------------------------------------------------------------------------
@@ -1043,6 +1115,11 @@ QUERIES = {
         txt_boilerplate_chunks,
         _txt_boilerplate_chunks_sql(),
         ("text", "dedup", "boilerplate"),
+    ),
+    "txt_boilerplate_strip": QuerySpec(
+        txt_boilerplate_strip,
+        _txt_boilerplate_strip_sql(),
+        ("text", "curation", "boilerplate"),
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")

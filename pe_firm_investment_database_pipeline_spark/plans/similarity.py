@@ -537,6 +537,142 @@ WHERE k1.vec_id < k1.nbr_id
 """
 
 
+# dedup-threshold ladder swept by sim_threshold_sweep (cosine ppm);
+# fixture top-3 cosines span ~0.12-0.47, so every rung is non-trivial
+_SWEEP_TAUS = (150000, 200000, 250000, 300000, 350000, 400000, 450000)
+
+
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP THRESHOLD SWEEP — for each cosine cutoff in a ppm
+    ladder, how many near-dup pairs fire, how many documents are
+    touched, and how many would be dropped under the keep-lowest-id
+    survivor policy (count of distinct greater-side members). This is
+    the tuning table every dedup rollout reads before committing to a
+    tau — produced from the STAGED blocked-kNN frame (N·3 rows), so
+    the whole sweep costs two tiny aggregates over an
+    already-persisted index, never a rescan of the corpus. The
+    threshold compare is double-vs-double with identical expression
+    trees in both engines (tau_ppm/1e6 and the cosine are derived
+    from identical integers), so it sits safely on the hash surface.
+    n_removed upper-bounds true transitive-closure removals
+    (`dedup_savings_report` refines via CC labels); the sweep is the
+    cheap first pass."""
+    knn = sim_knn_blocked_full(spark, sf_dir)
+    pairs = knn.select(
+        F.least("vec_id", "nbr_id").alias("a"),
+        F.greatest("vec_id", "nbr_id").alias("b"),
+        "cosine",
+    ).distinct()
+    hit = pairs.select(
+        "a",
+        "b",
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in _SWEEP_TAUS])
+        ).alias("tau_ppm"),
+    ).where(F.col("cosine") >= F.col("tau_ppm") / F.lit(1000000.0))
+    agg = hit.groupBy("tau_ppm").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("b").alias("n_removed"),
+    )
+    docs = (
+        hit.select("tau_ppm", F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("tau_ppm")
+        .agg(F.countDistinct("v").alias("n_docs"))
+    )
+    return agg.join(docs, "tau_ppm")
+
+
+_SIM_THRESHOLD_SWEEP_SQL = f"""
+WITH knn AS MATERIALIZED ({_SIM_KNN_BLOCKED_FULL_SQL}),
+pairs AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b,
+         cosine
+  FROM knn
+), taus AS (
+  SELECT CAST(unnest([{", ".join(str(t) for t in _SWEEP_TAUS)}]) AS BIGINT)
+    AS tau_ppm
+), hit AS (
+  SELECT t.tau_ppm, p.a, p.b
+  FROM pairs p CROSS JOIN taus t
+  WHERE p.cosine >= CAST(t.tau_ppm AS DOUBLE) / 1000000.0
+), agg AS (
+  SELECT tau_ppm, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_removed
+  FROM hit GROUP BY tau_ppm
+), docs AS (
+  SELECT tau_ppm, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_docs
+  FROM (SELECT tau_ppm, unnest([a, b]) AS v FROM hit) GROUP BY tau_ppm
+)
+SELECT agg.tau_ppm, agg.n_pairs, agg.n_removed, docs.n_docs
+FROM agg JOIN docs USING (tau_ppm)
+"""
+
+
+def ml_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 EMBEDDING QUANTIZATION ledger — per-vector symmetric
+    (max-abs) int8 compression of the embedding column with an EXACT
+    reconstruction-error report: the 4x memory/bandwidth reduction
+    every large ANN index takes, audited before flipping the index
+    over. Entirely array-native higher-order functions over the ppm
+    integer grid (`transform`/`zip_with`/`aggregate` — JVM-side, no
+    UDF): maxabs scale, truncating toward-zero int division applied
+    to |x| with the sign re-applied (identical trees in both engines
+    — DuckDB `//` floors, so the sign-split is what keeps negative
+    lanes exact), error e_i = x_i*127 - q8_i*maxabs bounded by
+    maxabs, so sse <= 64*maxabs^2 stays in int64. Zero shuffles —
+    runs at scan speed at any corpus size."""
+    e = _emb_q(spark, sf_dir).select("vec_id", "label", "q")
+    m = e.withColumn("maxabs", F.expr("array_max(transform(q, x -> abs(x)))"))
+    q8 = m.withColumn(
+        "q8",
+        F.expr(
+            "transform(q, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)"
+            " WHEN x < 0 THEN -((-x * 127) div maxabs)"
+            " ELSE (x * 127) div maxabs END)"
+        ),
+    )
+    return q8.select(
+        "vec_id",
+        "label",
+        F.col("maxabs").alias("maxabs_q"),
+        F.expr(
+            "aggregate(zip_with(q, q8, (x, y) ->"
+            " (x * 127 - y * maxabs) * (x * 127 - y * maxabs)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("sse"),
+        F.expr(
+            "array_max(zip_with(q, q8, (x, y) -> abs(x * 127 - y * maxabs)))"
+        ).alias("max_abs_err"),
+        F.expr("CAST(size(filter(q8, y -> y != 0)) AS BIGINT)").alias("nnz8"),
+    )
+
+
+_ML_QUANTIZE_INT8_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q FROM embeddings
+), m AS (
+  SELECT vec_id, label, q,
+         list_max(list_transform(q, x -> abs(x))) AS maxabs
+  FROM eq
+), q8t AS (
+  SELECT vec_id, label, q, maxabs,
+         list_transform(q, x -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+           WHEN x < 0 THEN -((-x * 127) // maxabs)
+           ELSE (x * 127) // maxabs END) AS q8
+  FROM m
+)
+SELECT vec_id, label, CAST(maxabs AS BIGINT) AS maxabs_q,
+       CAST(list_sum(list_transform(range(1, 65), i ->
+         (q[i] * 127 - q8[i] * maxabs) * (q[i] * 127 - q8[i] * maxabs)))
+         AS BIGINT) AS sse,
+       CAST(list_max(list_transform(range(1, 65), i ->
+         abs(q[i] * 127 - q8[i] * maxabs))) AS BIGINT) AS max_abs_err,
+       CAST(len(list_filter(q8, y -> y != 0)) AS BIGINT) AS nnz8
+FROM q8t
+"""
+
+
 def sim_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding statistics (norm distribution) — the
     aggregate shape used to size IVF cells."""
@@ -1954,6 +2090,16 @@ QUERIES = {
         sim_reciprocal_nn,
         _SIM_RECIPROCAL_NN_SQL,
         ("similarity", "knn", "mutual"),
+    ),
+    "sim_threshold_sweep": QuerySpec(
+        sim_threshold_sweep,
+        _SIM_THRESHOLD_SWEEP_SQL,
+        ("similarity", "dedup", "tuning"),
+    ),
+    "ml_quantize_int8": QuerySpec(
+        ml_quantize_int8,
+        _ML_QUANTIZE_INT8_SQL,
+        ("ml", "quantization", "embedding"),
     ),
     "ml_kmeans_fixed": QuerySpec(
         ml_kmeans_fixed, _kmeans_sql(), ("ml", "clustering", "iterative")

@@ -375,3 +375,120 @@ def test_profile_describe_stats_sanity(spark, sf_dir):
         assert r["n"] == n_li
         assert r["min_c"] <= r["mean_c"] <= r["max_c"]
         assert r["std_c"] >= 0.0
+
+
+def test_ml_pr_curve_monotone_and_identities(spark, sf_dir):
+    """Recall is non-decreasing as the threshold drops; the endpoint
+    where every row is predicted positive has recall = 1e6; P/R/F1
+    satisfy their defining identities row by row."""
+    rows = _Q["ml_pr_curve"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: -r["score"])  # thresholds high -> low
+        prev_recall = -1
+        for r in rs:
+            assert r["precision_ppm"] == r["tp"] * 1_000_000 // (r["tp"] + r["fp"])
+            assert r["recall_ppm"] >= prev_recall
+            prev_recall = r["recall_ppm"]
+        assert rs[-1]["recall_ppm"] == 1_000_000  # lowest cut catches all
+
+
+def test_txt_boilerplate_strip_ledger_consistency(spark, sf_dir):
+    """The per-doc ledger must agree with a direct recompute from the
+    chunk frame: kept + removed partitions every chunk, and at least
+    one document actually loses boilerplate in the fixture."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _BOILER_MIN_DOCS,
+        chunk_recursive_split,
+    )
+
+    ch = chunk_recursive_split(spark, sf_dir).collect()
+    docs_per_fp: dict[int, set] = {}
+    for c in ch:
+        docs_per_fp.setdefault(c["chunk_fp"], set()).add(c["doc_id"])
+    boiler = {fp for fp, ds in docs_per_fp.items() if len(ds) >= _BOILER_MIN_DOCS}
+    assert boiler, "fixture has no cross-doc repeated chunks"
+
+    exp: dict[int, list] = {}
+    for c in ch:
+        e = exp.setdefault(c["doc_id"], [0, 0, 0, 0, 0])
+        e[0] += 1
+        if c["chunk_fp"] in boiler:
+            e[3] += c["n_chars"]
+        else:
+            e[1] += 1
+            e[2] += c["n_chars"]
+            e[4] = (e[4] + (c["chunk_idx"] + 1) * c["chunk_fp"]) % 1_000_000_007
+    got = {r["doc_id"]: r for r in _Q["txt_boilerplate_strip"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    removed_total = 0
+    for doc_id, e in exp.items():
+        r = got[doc_id]
+        assert (r["n_chunks"], r["kept_chunks"], r["kept_chars"],
+                r["removed_chars"], r["kept_checksum"]) == tuple(e)
+        removed_total += e[0] - e[1]
+    assert removed_total > 0
+
+
+def test_sim_threshold_sweep_is_monotone_and_exact(spark, sf_dir):
+    """Every counter is non-increasing in tau, and each rung matches
+    a Python recompute over the canonical pair set."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _SWEEP_TAUS,
+        sim_knn_blocked_full,
+    )
+
+    pairs = {
+        (min(r["vec_id"], r["nbr_id"]), max(r["vec_id"], r["nbr_id"]), r["cosine"])
+        for r in sim_knn_blocked_full(spark, sf_dir).collect()
+    }
+    got = {r["tau_ppm"]: r for r in _Q["sim_threshold_sweep"].fn(spark, sf_dir).collect()}
+    prev = None
+    for tau in sorted(_SWEEP_TAUS):
+        hit = [(a, b) for a, b, c in pairs if c >= tau / 1_000_000.0]
+        if not hit:
+            assert tau not in got
+            continue
+        r = got[tau]
+        assert r["n_pairs"] == len(hit)
+        assert r["n_removed"] == len({b for _, b in hit})
+        assert r["n_docs"] == len({v for p in hit for v in p})
+        if prev is not None:
+            assert r["n_pairs"] <= prev["n_pairs"]
+            assert r["n_docs"] <= prev["n_docs"]
+            assert r["n_removed"] <= prev["n_removed"]
+        prev = r
+
+
+def test_ml_quantize_int8_error_bounds(spark, sf_dir):
+    """|reconstruction error| < maxabs per lane (truncating int8
+    scale), sse <= 64 * max_abs_err^2, and a direct Python recompute
+    matches on every row."""
+    rows = _Q["ml_quantize_int8"].fn(spark, sf_dir).collect()
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+    import math
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    for r in rows[:50]:
+        q = [int(math.floor(float(x) * 1_000_000.0)) for x in emb[r["vec_id"]]]
+        maxabs = max(abs(x) for x in q)
+        assert r["maxabs_q"] == maxabs
+        if maxabs == 0:
+            assert r["sse"] == 0 and r["nnz8"] == 0
+            continue
+        q8 = [
+            -((-x * 127) // maxabs) if x < 0 else (x * 127) // maxabs
+            for x in q
+        ]
+        errs = [x * 127 - y * maxabs for x, y in zip(q, q8)]
+        assert r["sse"] == sum(e * e for e in errs)
+        assert r["max_abs_err"] == max(abs(e) for e in errs)
+        assert r["max_abs_err"] < maxabs
+        assert r["nnz8"] == sum(1 for y in q8 if y != 0)
