@@ -143,6 +143,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_boilerplate_strip",
         "sim_threshold_sweep",
         "ml_quantize_int8",
+        "graph_label_propagation",
+        "samp_neyman_alloc",
+        "sec_l_diversity",
+        "evt_hhi_concentration",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -3718,6 +3718,57 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# evt_hhi_concentration — user-concentration index per event type
+# ---------------------------------------------------------------------------
+
+
+def evt_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration of activity per event type
+    — 'is this traffic a broad base or three whales?': HHI =
+    sum over users of (user share)^2, the antitrust-grade
+    concentration index, plus the single largest user's share. Both
+    are EXACT integer ppm: the per-user share squares sum as
+    sum(n_u^2) * 1e6 // total^2 with the squares accumulated in
+    DECIMAL(38,0)/HUGEINT (n_u^2 overflows int64 once a user passes
+    ~3e9 events; the total^2 denominator always needs it). Two
+    partial-aggregable shuffles — (type, user) compression first, so
+    the second rollup sees one row per active user, never raw
+    events."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_u")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n_u").alias("n_events"),
+        F.expr(
+            "CAST((SUM(CAST(n_u AS DECIMAL(38,0)) * n_u) * 1000000) div"
+            " (CAST(SUM(n_u) AS DECIMAL(38,0)) * SUM(n_u)) AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST((MAX(n_u) * CAST(1000000 AS DECIMAL(38,0))) div SUM(n_u)"
+            " AS BIGINT)"
+        ).alias("top_share_ppm"),
+    )
+
+
+_EVT_HHI_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_u
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(n_u) AS BIGINT) AS n_events,
+       CAST((SUM(CAST(n_u AS HUGEINT) * n_u) * 1000000)
+            // (CAST(SUM(n_u) AS HUGEINT) * SUM(n_u)) AS BIGINT) AS hhi_ppm,
+       CAST((MAX(n_u) * CAST(1000000 AS HUGEINT)) // SUM(n_u) AS BIGINT)
+         AS top_share_ppm
+FROM per_user GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_calibration_bins — reliability-diagram counts, exact permille
 # ---------------------------------------------------------------------------
 
@@ -4172,6 +4223,11 @@ QUERIES = {
     ),
     "ml_pr_curve": QuerySpec(
         ml_pr_curve, _ML_PR_CURVE_SQL, ("ml", "eval", "pr-curve")
+    ),
+    "evt_hhi_concentration": QuerySpec(
+        evt_hhi_concentration,
+        _EVT_HHI_CONCENTRATION_SQL,
+        ("events", "concentration"),
     ),
     "ml_calibration_bins": QuerySpec(
         ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")

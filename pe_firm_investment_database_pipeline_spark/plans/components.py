@@ -801,11 +801,136 @@ FROM per_cluster GROUP BY sz
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_label_propagation — semi-supervised label spreading, unrolled
+# ---------------------------------------------------------------------------
+
+_LPA_SEED_MOD = 4  # seeds = graph vertices with doc_id % 4 == 0
+_LPA_ROUNDS = 2
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-SUPERVISED LABEL PROPAGATION over the near-dup graph —
+    spread a known attribute (here the document language) from a
+    seed subset to unlabeled neighbors: the node-classification
+    primitive behind 'label the whole dup-cluster from its one
+    moderated member'. Synchronous frontier rounds, a CONSTANT count
+    unrolled identically in the oracle (the BFS discipline): each
+    round every still-unlabeled vertex adopts the MAJORITY label of
+    its already-labeled neighbors (ties -> lexicographically
+    smallest label), then freezes — first assignment wins, so the
+    fixed-round output is fully deterministic. Each round is one
+    vertex-id equi-join + one grouped count + one argmax (min over a
+    (-cnt, label) struct; the oracle's row_number ORDER BY cnt DESC,
+    label is the same total order). State is a (vertex, label)
+    table, lineage flattened with eager localCheckpoints; at 100 TB
+    the graph is the LSH pair output — corpus-scale never shuffles."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    sym = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("v"), "lang"
+    )
+    labels = (
+        sym.select("v")
+        .distinct()
+        .where(F.col("v") % _LPA_SEED_MOD == 0)
+        .join(lang, "v")
+        .select(
+            "v",
+            F.col("lang").alias("label"),
+            F.lit(0).cast("long").alias("rnd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, _LPA_ROUNDS + 1):
+        cand = (
+            sym.join(labels.select(F.col("v").alias("n"), "label"), "n")
+            .join(labels.select("v"), "v", "left_anti")
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pick = (
+            cand.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("label").alias("label"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "v",
+                F.col("m.label").alias("label"),
+                F.lit(r).cast("long").alias("rnd"),
+            )
+        )
+        labels = labels.union(pick).localCheckpoint(eager=True)
+    return labels.select(F.col("v").alias("doc_id"), "label", "rnd")
+
+
+_GRAPH_LABEL_PROPAGATION_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), l0 AS (
+  SELECT vv.v, d.lang AS label, CAST(0 AS BIGINT) AS rnd
+  FROM (SELECT DISTINCT v FROM sym) vv JOIN documents d ON d.doc_id = vv.v
+  WHERE vv.v % {_LPA_SEED_MOD} = 0
+), c1 AS (
+  SELECT s.v, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN l0 l ON l.v = s.n
+  WHERE s.v NOT IN (SELECT v FROM l0)
+  GROUP BY s.v, l.label
+), p1 AS (
+  SELECT v, label, CAST(1 AS BIGINT) AS rnd FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rn
+    FROM c1)
+  WHERE rn = 1
+), l1 AS (
+  SELECT * FROM l0 UNION ALL SELECT * FROM p1
+), c2 AS (
+  SELECT s.v, l.label, COUNT(*) AS cnt
+  FROM sym s JOIN l1 l ON l.v = s.n
+  WHERE s.v NOT IN (SELECT v FROM l1)
+  GROUP BY s.v, l.label
+), p2 AS (
+  SELECT v, label, CAST(2 AS BIGINT) AS rnd FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label) AS rn
+    FROM c2)
+  WHERE rn = 1
+), l2 AS (
+  SELECT * FROM l1 UNION ALL SELECT * FROM p2
+)
+SELECT v AS doc_id, label, rnd FROM l2
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_label_propagation": QuerySpec(
+        graph_label_propagation,
+        _GRAPH_LABEL_PROPAGATION_SQL,
+        ("graph", "label-propagation", "iterative"),
     ),
     "graph_bfs_distance": QuerySpec(
         graph_bfs_distance,

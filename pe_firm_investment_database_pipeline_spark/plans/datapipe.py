@@ -370,6 +370,121 @@ FROM flagged GROUP BY doc_id
 """
 
 
+_NEYMAN_BUDGET = 100  # total sample rows allocated across strata
+
+
+def samp_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION — split a fixed sampling budget across
+    strata proportionally to N_h * S_h (stratum size x std of the
+    target variable): the survey-sampling optimum that a naive
+    proportional split ignores, and the first table any stratified
+    data-collection plan computes. One partial-aggregable pass
+    collects per-stratum sufficient statistics (count / sum / sum of
+    squares in DECIMAL(38,0)-HUGEINT, the agg_corr_stats
+    discipline); the std enters as an INTEGER milli-unit
+    (floor(sqrt(n*sxx - sx^2)*1000/n) — sqrt is IEEE
+    correctly-rounded, so identical integers give identical doubles
+    and an identical floor), which keeps the cross-stratum weight
+    total an exact integer sum — never a cross-row double sum, whose
+    order the engines would not agree on. Seats are dealt by
+    largest-remainder (floor division + ranked remainders, ties to
+    the smaller stratum name), so allocations always sum exactly to
+    the budget. The global window runs over the ~|strata| aggregate
+    rows, never the corpus (the partitionBy()-less pattern)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").alias("y")
+    )
+    g = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("y").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias(
+                "sxx"
+            ),
+        )
+        .withColumn(
+            "s_milli",
+            F.expr(
+                "CAST(floor(sqrt(CAST(CAST(n_rows AS DECIMAL(38,0)) * sxx"
+                " - sx * sx AS DOUBLE)) * 1000.0 / CAST(n_rows AS DOUBLE))"
+                " AS BIGINT)"
+            ),
+        )
+        .withColumn("weight", F.expr("n_rows * s_milli"))
+    )
+    wtot = W.partitionBy()
+    g = g.select(
+        "lang",
+        "n_rows",
+        "s_milli",
+        "weight",
+        F.sum("weight").over(wtot).alias("tot_w"),
+    ).select(
+        "lang",
+        "n_rows",
+        "s_milli",
+        "weight",
+        F.expr(f"({_NEYMAN_BUDGET} * weight) div tot_w").alias("base"),
+        F.expr(f"({_NEYMAN_BUDGET} * weight) % tot_w").alias("rem"),
+    )
+    ranked = g.select(
+        "lang",
+        "n_rows",
+        "s_milli",
+        "weight",
+        "base",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.desc("rem"), F.asc("lang")))
+        .alias("rn"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("base").over(wtot)).alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "n_rows",
+        "s_milli",
+        "weight",
+        (
+            F.col("base")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc"),
+    )
+
+
+_SAMP_NEYMAN_ALLOC_SQL = f"""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         SUM(CAST(n_chars AS HUGEINT)) AS sx,
+         SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+  FROM documents GROUP BY lang
+), s AS (
+  SELECT lang, n_rows,
+         CAST(floor(sqrt(CAST(n_rows * sxx - sx * sx AS DOUBLE)) * 1000.0
+              / CAST(n_rows AS DOUBLE)) AS BIGINT) AS s_milli
+  FROM g
+), w AS (
+  SELECT lang, n_rows, s_milli,
+         CAST(n_rows * s_milli AS BIGINT) AS weight,
+         CAST(SUM(n_rows * s_milli) OVER () AS BIGINT) AS tot_w
+  FROM s
+), b AS (
+  SELECT lang, n_rows, s_milli, weight,
+         CAST(({_NEYMAN_BUDGET} * weight) // tot_w AS BIGINT) AS base,
+         CAST(({_NEYMAN_BUDGET} * weight) % tot_w AS BIGINT) AS rem
+  FROM w
+), r AS (
+  SELECT lang, n_rows, s_milli, weight, base,
+         CAST(row_number() OVER (ORDER BY rem DESC, lang) AS BIGINT) AS rn,
+         CAST({_NEYMAN_BUDGET} - SUM(base) OVER () AS BIGINT) AS leftover
+  FROM b
+)
+SELECT lang, n_rows, s_milli, weight,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # samp_class_balance — downsample every class to the minority count
 # ---------------------------------------------------------------------------
@@ -1120,6 +1235,11 @@ QUERIES = {
         txt_boilerplate_strip,
         _txt_boilerplate_strip_sql(),
         ("text", "curation", "boilerplate"),
+    ),
+    "samp_neyman_alloc": QuerySpec(
+        samp_neyman_alloc,
+        _SAMP_NEYMAN_ALLOC_SQL,
+        ("sampling", "stratified", "design"),
     ),
     "contamination_ngram": QuerySpec(
         contamination_ngram, _CONTAMINATION_NGRAM_SQL, ("dedup", "contamination")

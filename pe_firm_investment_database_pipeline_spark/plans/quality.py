@@ -563,6 +563,50 @@ WHERE user_id % 4 != {_BLOCKED_TENANT}
 _KANON_MIN = 5  # k-anonymity floor: suppress token groups below k
 
 
+_LDIV_L = 3  # minimum distinct sensitive values per QI class
+_LDIV_BAND_C = 250000  # sensitive attribute banded to $2500 cents
+
+
+def sec_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY AUDIT — the release gate one step past
+    k-anonymity (`sec_col_tokenize`): a quasi-identifier class can
+    be large (k-anonymous) yet still leak if everyone in it shares
+    the same SENSITIVE value, so each (nation, market-segment) class
+    must contain >= l distinct account-balance bands before the
+    class is releasable. One grouped aggregate over the dimension
+    table: per-class size, distinct-band count, and the release
+    flag. The band uses (cents + 100000) div 250000 — the shift
+    keeps the dividend strictly positive so truncating (Spark div)
+    and flooring (DuckDB //) division agree; raw negative cents
+    would silently band differently across engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+            f" div {_LDIV_BAND_C}"
+        ).alias("band"),
+    )
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("band").alias("n_bands"),
+        (F.countDistinct("band") >= _LDIV_L).cast("long").alias("l_ok"),
+    )
+
+
+_SEC_L_DIVERSITY_SQL = f"""
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+                  // {_LDIV_BAND_C}) AS BIGINT) AS n_bands,
+       CAST(CASE WHEN COUNT(DISTINCT
+              (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+              // {_LDIV_BAND_C}) >= {_LDIV_L} THEN 1 ELSE 0 END AS BIGINT)
+         AS l_ok
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 def sec_col_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JOIN-PRESERVING TOKENIZATION + k-ANONYMITY suppression — the
     pseudonymization shape governed pipelines apply before data
@@ -806,6 +850,11 @@ QUERIES = {
         profile_describe_stats,
         _describe_stats_sql(),
         ("profile", "describe"),
+    ),
+    "sec_l_diversity": QuerySpec(
+        sec_l_diversity,
+        _SEC_L_DIVERSITY_SQL,
+        ("security", "privacy", "l-diversity"),
     ),
     "sec_col_tokenize": QuerySpec(
         sec_col_tokenize,

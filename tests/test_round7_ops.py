@@ -492,3 +492,99 @@ def test_ml_quantize_int8_error_bounds(spark, sf_dir):
         assert r["max_abs_err"] == max(abs(e) for e in errs)
         assert r["max_abs_err"] < maxabs
         assert r["nnz8"] == sum(1 for y in q8 if y != 0)
+
+
+def test_graph_label_propagation_replay(spark, sf_dir):
+    """Python replay of the 2-round frozen-frontier majority spread:
+    seeds carry their own lang at round 0; each later round labels
+    exactly the unlabeled vertices with a labeled neighbor, by
+    (count desc, label asc) majority."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        _LPA_ROUNDS,
+        _LPA_SEED_MOD,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    nbrs: dict[int, set] = {}
+    for r in pairs.collect():
+        nbrs.setdefault(r["doc1"], set()).add(r["doc2"])
+        nbrs.setdefault(r["doc2"], set()).add(r["doc1"])
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    labels = {
+        v: (lang[v], 0) for v in nbrs if v % _LPA_SEED_MOD == 0
+    }
+    for rnd in range(1, _LPA_ROUNDS + 1):
+        new = {}
+        for v in nbrs:
+            if v in labels:
+                continue
+            counts: dict[str, int] = {}
+            for n in nbrs[v]:
+                if n in labels and labels[n][1] < rnd:
+                    counts[labels[n][0]] = counts.get(labels[n][0], 0) + 1
+            if counts:
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[v] = (best[0], rnd)
+        labels.update(new)
+    got = {
+        r["doc_id"]: (r["label"], r["rnd"])
+        for r in _Q["graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == labels
+    assert any(rnd > 0 for _, rnd in got.values()), "nothing propagated"
+
+
+def test_samp_neyman_alloc_exhausts_budget(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _NEYMAN_BUDGET,
+    )
+
+    rows = _Q["samp_neyman_alloc"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["alloc"] for r in rows) == _NEYMAN_BUDGET
+    tot_w = sum(r["weight"] for r in rows)
+    for r in rows:
+        base = _NEYMAN_BUDGET * r["weight"] // tot_w
+        assert r["alloc"] in (base, base + 1)
+        assert r["weight"] == r["n_rows"] * r["s_milli"]
+
+
+def test_sec_l_diversity_matches_recompute(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _LDIV_BAND_C,
+        _LDIV_L,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").collect()
+    exp: dict[tuple, set] = {}
+    for c in cust:
+        band = (round(c["c_acctbal"] * 100) + 100000) // _LDIV_BAND_C
+        exp.setdefault((c["c_nationkey"], c["c_mktsegment"]), set()).add(band)
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in _Q["sec_l_diversity"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k, bands in exp.items():
+        assert got[k]["n_bands"] == len(bands)
+        assert got[k]["l_ok"] == int(len(bands) >= _LDIV_L)
+
+
+def test_evt_hhi_concentration_bounds(spark, sf_dir):
+    """1/n_users <= HHI <= 1 (in ppm, up to floor), and HHI >= the
+    largest single share squared."""
+    rows = _Q["evt_hhi_concentration"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+        assert r["hhi_ppm"] >= 1_000_000 // r["n_users"] - 1
+        assert r["hhi_ppm"] >= r["top_share_ppm"] ** 2 // 1_000_000 - 1
+        assert r["top_share_ppm"] * r["n_users"] >= 1_000_000 - r["n_users"]
