@@ -147,6 +147,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_neyman_alloc",
         "sec_l_diversity",
         "evt_hhi_concentration",
+        "dq_freshness_sla",
+        "agg_wilson_rank",
+        "graph_clustering_coeff",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

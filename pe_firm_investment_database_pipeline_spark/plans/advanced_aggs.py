@@ -3718,6 +3718,81 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# agg_wilson_rank — confidence-adjusted rate ranking (Wilson lower bound)
+# ---------------------------------------------------------------------------
+
+
+def agg_wilson_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON LOWER-BOUND RANKING — rank part brands by return rate
+    the statistically honest way: a brand with 2/2 returns must NOT
+    outrank one with 90/100, so the sort key is the Wilson score
+    interval's lower bound, not the raw rate (the 'how not to sort
+    by average rating' fix). z = 2 keeps the closed form rational up
+    to ONE sqrt: lb = (s + 2 - 2*sqrt(s/n*(n-s) + 1)) / (n + 4),
+    evaluated with an identical IEEE expression tree in both engines
+    (double multiply/divide/sqrt are correctly rounded; the
+    s*(n-s) product is formed in doubles so it cannot overflow at
+    any n) and floored to exact int64 ppm. One partial-aggregable
+    rollup + a global window over the ~|brands| aggregate (the
+    partitionBy()-less pattern)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("long").alias("ret")
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    g = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ret").alias("s"))
+    )
+    lb = (
+        "CAST(floor(1000000.0 * (CAST(s AS DOUBLE) + 2.0"
+        " - 2.0 * sqrt(CAST(s AS DOUBLE) * CAST(n - s AS DOUBLE)"
+        " / CAST(n AS DOUBLE) + 1.0)) / CAST(n + 4 AS DOUBLE))"
+        " AS BIGINT)"
+    )
+    scored = g.select(
+        "p_brand",
+        "n",
+        "s",
+        F.expr("(s * 1000000) div n").alias("raw_ppm"),
+        F.expr(lb).alias("wilson_lb_ppm"),
+    )
+    return scored.withColumn(
+        "rank",
+        F.row_number()
+        .over(
+            W.partitionBy().orderBy(
+                F.desc("wilson_lb_ppm"), F.asc("p_brand")
+            )
+        )
+        .cast("long"),
+    )
+
+
+_AGG_WILSON_RANK_SQL = """
+WITH g AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+), scored AS (
+  SELECT p_brand, n, s,
+         CAST((s * 1000000) // n AS BIGINT) AS raw_ppm,
+         CAST(floor(1000000.0 * (CAST(s AS DOUBLE) + 2.0
+           - 2.0 * sqrt(CAST(s AS DOUBLE) * CAST(n - s AS DOUBLE)
+           / CAST(n AS DOUBLE) + 1.0)) / CAST(n + 4 AS DOUBLE))
+           AS BIGINT) AS wilson_lb_ppm
+  FROM g
+)
+SELECT p_brand, n, s, raw_ppm, wilson_lb_ppm,
+       CAST(row_number() OVER (ORDER BY wilson_lb_ppm DESC, p_brand)
+            AS BIGINT) AS rank
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_hhi_concentration — user-concentration index per event type
 # ---------------------------------------------------------------------------
 
@@ -4228,6 +4303,11 @@ QUERIES = {
         evt_hhi_concentration,
         _EVT_HHI_CONCENTRATION_SQL,
         ("events", "concentration"),
+    ),
+    "agg_wilson_rank": QuerySpec(
+        agg_wilson_rank,
+        _AGG_WILSON_RANK_SQL,
+        ("aggregation", "ranking", "wilson"),
     ),
     "ml_calibration_bins": QuerySpec(
         ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")

@@ -921,11 +921,99 @@ SELECT v AS doc_id, label, rnd FROM l2
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_clustering_coeff — local clustering coefficient per vertex
+# ---------------------------------------------------------------------------
+
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per vertex of the near-dup graph
+    — C_v = closed neighbor pairs / (deg choose 2), the 'is this dup
+    neighborhood one dense template family or a hub of unrelated
+    coincidences' signal (high C_v => the cluster is real; low C_v
+    on a high-degree vertex is the classic LSH false-positive hub).
+    The distributed shape is the oriented triangle-counting join
+    (`graph_triangles`' discipline): wedges enumerate each
+    neighbor PAIR once (n1 < n2 through a self-join of the adjacency
+    list), a single equi-join against the canonical edge list counts
+    the closed ones, and degrees come from one grouped count — per
+    vertex exact integer ppm, no per-vertex iteration. At 100 TB the
+    graph is the LSH pair output; wedge count is sum(deg^2), the
+    quantity the adaptive cell sizing already bounds."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    sym = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .union(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    s1 = sym.select("v", F.col("n").alias("n1"))
+    s2 = sym.select("v", F.col("n").alias("n2"))
+    wedges = s1.join(s2, "v").where(F.col("n1") < F.col("n2"))
+    tri = (
+        wedges.join(
+            e, (wedges.n1 == e.a) & (wedges.n2 == e.b)
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).alias("tri"),
+            F.expr(
+                "CASE WHEN deg >= 2 THEN"
+                " (2 * coalesce(tri, 0) * 1000000) div (deg * (deg - 1))"
+                " END"
+            ).alias("coeff_ppm"),
+        )
+    )
+
+
+_GRAPH_CLUSTERING_COEFF_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY v
+), wedges AS (
+  SELECT s1.v, s1.n AS n1, s2.n AS n2
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.v AND s1.n < s2.n
+), tri AS (
+  SELECT w.v, CAST(COUNT(*) AS BIGINT) AS tri
+  FROM wedges w JOIN e ON w.n1 = e.a AND w.n2 = e.b
+  GROUP BY w.v
+)
+SELECT deg.v AS doc_id, deg.deg,
+       CAST(COALESCE(tri.tri, 0) AS BIGINT) AS tri,
+       CASE WHEN deg.deg >= 2 THEN
+         CAST((2 * COALESCE(tri.tri, 0) * 1000000)
+              // (deg.deg * (deg.deg - 1)) AS BIGINT) END AS coeff_ppm
+FROM deg LEFT JOIN tri ON deg.v = tri.v
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_clustering_coeff": QuerySpec(
+        graph_clustering_coeff,
+        _GRAPH_CLUSTERING_COEFF_SQL,
+        ("graph", "triangles", "clustering"),
     ),
     "graph_label_propagation": QuerySpec(
         graph_label_propagation,

@@ -563,6 +563,65 @@ WHERE user_id % 4 != {_BLOCKED_TENANT}
 _KANON_MIN = 5  # k-anonymity floor: suppress token groups below k
 
 
+_FRESH_SLA_DAYS = 1  # a feed is "fresh" if its last event is <= 1 day old
+_FRESH_RECENT_DAYS = 7
+
+
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEED FRESHNESS AUDIT — per event type: when did it last emit,
+    how stale is it relative to the newest data in the corpus, does
+    it meet the freshness SLA, and what share of its volume landed
+    in the trailing week — the ops dashboard behind 'is this
+    upstream dead or just quiet'. The scan compresses to (type, day)
+    counts FIRST (one partial-aggregable shuffle; the day grid is
+    |types| x |days|, thousands of rows at any corpus size), the
+    corpus high-water mark comes from a partitionBy()-less window
+    over that tiny grid, and the rollup is conditional aggregation —
+    the staleness reference never requires a second scan or a
+    self-join. Day axis is tz-free epoch days (the `_load_events`
+    discipline)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    pd_ = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("cnt"))
+    m = pd_.withColumn(
+        "corpus_last", F.max("day").over(W.partitionBy())
+    )
+    return m.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.max("day").cast("long").alias("last_day"),
+        (F.max("corpus_last") - F.max("day")).cast("long").alias("lag_days"),
+        (F.max("corpus_last") - F.max("day") <= _FRESH_SLA_DAYS)
+        .cast("long")
+        .alias("fresh_ok"),
+        F.expr(
+            f"(SUM(CASE WHEN day > corpus_last - {_FRESH_RECENT_DAYS}"
+            " THEN cnt ELSE 0 END) * 1000000) div SUM(cnt)"
+        ).alias("recent_share_ppm"),
+    )
+
+
+_DQ_FRESHNESS_SLA_SQL = f"""
+WITH pd AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, day
+), m AS (
+  SELECT event_type, day, cnt, MAX(day) OVER () AS corpus_last FROM pd
+)
+SELECT event_type,
+       CAST(SUM(cnt) AS BIGINT) AS n_events,
+       CAST(MAX(day) AS BIGINT) AS last_day,
+       CAST(MAX(corpus_last) - MAX(day) AS BIGINT) AS lag_days,
+       CAST(CASE WHEN MAX(corpus_last) - MAX(day) <= {_FRESH_SLA_DAYS}
+            THEN 1 ELSE 0 END AS BIGINT) AS fresh_ok,
+       CAST((SUM(CASE WHEN day > corpus_last - {_FRESH_RECENT_DAYS}
+                 THEN cnt ELSE 0 END) * 1000000) // SUM(cnt) AS BIGINT)
+         AS recent_share_ppm
+FROM m GROUP BY event_type
+"""
+
+
 _LDIV_L = 3  # minimum distinct sensitive values per QI class
 _LDIV_BAND_C = 250000  # sensitive attribute banded to $2500 cents
 
@@ -855,6 +914,11 @@ QUERIES = {
         sec_l_diversity,
         _SEC_L_DIVERSITY_SQL,
         ("security", "privacy", "l-diversity"),
+    ),
+    "dq_freshness_sla": QuerySpec(
+        dq_freshness_sla,
+        _DQ_FRESHNESS_SLA_SQL,
+        ("quality", "freshness", "sla"),
     ),
     "sec_col_tokenize": QuerySpec(
         sec_col_tokenize,

@@ -588,3 +588,89 @@ def test_evt_hhi_concentration_bounds(spark, sf_dir):
         assert r["hhi_ppm"] >= 1_000_000 // r["n_users"] - 1
         assert r["hhi_ppm"] >= r["top_share_ppm"] ** 2 // 1_000_000 - 1
         assert r["top_share_ppm"] * r["n_users"] >= 1_000_000 - r["n_users"]
+
+
+def test_dq_freshness_sla_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _FRESH_RECENT_DAYS,
+        _FRESH_SLA_DAYS,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .collect()
+    )
+    corpus_last = max(r["day"] for r in ev)
+    per: dict[str, list] = {}
+    for r in ev:
+        per.setdefault(r["event_type"], []).append(r["day"])
+    got = {r["event_type"]: r for r in _Q["dq_freshness_sla"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(per)
+    for t, days in per.items():
+        r = got[t]
+        assert r["n_events"] == len(days)
+        assert r["last_day"] == max(days)
+        assert r["lag_days"] == corpus_last - max(days)
+        assert r["fresh_ok"] == int(r["lag_days"] <= _FRESH_SLA_DAYS)
+        recent = sum(1 for d in days if d > corpus_last - _FRESH_RECENT_DAYS)
+        assert r["recent_share_ppm"] == recent * 1_000_000 // len(days)
+    assert any(r["lag_days"] == 0 for r in got.values())
+
+
+def test_agg_wilson_rank_is_conservative(spark, sf_dir):
+    """The lower bound never exceeds the raw rate, shrinks toward it
+    as n grows (same rate), and the rank column is a permutation
+    ordered by (lb desc, brand)."""
+    rows = _Q["agg_wilson_rank"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["wilson_lb_ppm"] <= r["raw_ppm"] + 2_000_000 // r["n"] + 1
+        assert r["wilson_lb_ppm"] <= 1_000_000
+    ordered = sorted(rows, key=lambda r: (-r["wilson_lb_ppm"], r["p_brand"]))
+    assert [r["rank"] for r in ordered] == list(range(1, len(rows) + 1))
+    # 2-of-2 must rank below 90-of-100 in lb terms (the motivating case)
+    import math
+
+    def lb(s, n):
+        return math.floor(
+            1e6 * (s + 2.0 - 2.0 * math.sqrt(s * float(n - s) / n + 1.0)) / (n + 4.0)
+        )
+
+    assert lb(2, 2) < lb(90, 100)
+
+
+def test_graph_clustering_coeff_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    edges = set()
+    for r in pairs.collect():
+        edges.add((min(r["doc1"], r["doc2"]), max(r["doc1"], r["doc2"])))
+    nbrs: dict[int, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    got = {r["doc_id"]: r for r in _Q["graph_clustering_coeff"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(nbrs)
+    saw_closed = False
+    for v, ns in nbrs.items():
+        r = got[v]
+        assert r["deg"] == len(ns)
+        ns_sorted = sorted(ns)
+        tri = sum(
+            1
+            for i, x in enumerate(ns_sorted)
+            for y in ns_sorted[i + 1 :]
+            if (x, y) in edges
+        )
+        assert r["tri"] == tri
+        if len(ns) >= 2:
+            assert r["coeff_ppm"] == 2 * tri * 1_000_000 // (len(ns) * (len(ns) - 1))
+            saw_closed = saw_closed or tri > 0
+        else:
+            assert r["coeff_ppm"] is None
+    assert saw_closed, "no closed wedge in fixture graph"
