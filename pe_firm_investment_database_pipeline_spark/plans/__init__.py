@@ -150,6 +150,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "dq_freshness_sla",
         "agg_wilson_rank",
         "graph_clustering_coeff",
+        "win_interval_merge",
+        "txt_vocab_coverage",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

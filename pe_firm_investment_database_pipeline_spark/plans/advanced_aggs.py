@@ -3718,6 +3718,97 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# win_interval_merge — interval union / activity coverage per user
+# ---------------------------------------------------------------------------
+
+_IVM_HOLD_US = 3_600_000_000  # each event holds the user "active" for 1 h
+
+
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION (coverage merge) — collapse each user's
+    overlapping activity intervals ([event, event + 1 h hold]) into
+    their union and report the coverage ledger: merged-interval
+    count, total covered time, and the longest contiguous stretch.
+    This is the uptime/SLA-coverage operator (union of alert
+    windows, billing for concurrent holds) that naive SUM(end-start)
+    gets wrong whenever intervals overlap. Gaps-and-islands with a
+    RUNNING-MAX end: an interval starts a new island iff its start
+    exceeds the max end seen so far (strictly — touching intervals
+    merge), island id = prefix sum of those flags; ONE user shuffle,
+    two window passes over it, exact epoch-us int64 throughout. At
+    100 TB this is the per-key linear-scan merge — no self-join, no
+    explode of the time axis."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + F.lit(_IVM_HOLD_US)).alias("t"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("t").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    per_island = flagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.min("s").alias("a"),
+        F.max("t").alias("b"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.sum("n_ev").alias("n_events"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("b") - F.col("a")).alias("covered_us"),
+        F.max(F.col("b") - F.col("a")).alias("longest_us"),
+    )
+
+
+_WIN_INTERVAL_MERGE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS s,
+         epoch_us(ts::TIMESTAMP) + {_IVM_HOLD_US} AS t
+  FROM events
+), flagged AS (
+  SELECT user_id, s, t,
+         CASE WHEN s > COALESCE(MAX(t) OVER (
+                PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island,
+         event_id
+  FROM e
+), islanded AS (
+  SELECT user_id, s, t,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+), per_island AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         MIN(s) AS a, MAX(t) AS b
+  FROM islanded GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(n_ev) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(b - a) AS BIGINT) AS covered_us,
+       CAST(MAX(b - a) AS BIGINT) AS longest_us
+FROM per_island GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_wilson_rank — confidence-adjusted rate ranking (Wilson lower bound)
 # ---------------------------------------------------------------------------
 
@@ -4308,6 +4399,11 @@ QUERIES = {
         agg_wilson_rank,
         _AGG_WILSON_RANK_SQL,
         ("aggregation", "ranking", "wilson"),
+    ),
+    "win_interval_merge": QuerySpec(
+        win_interval_merge,
+        _WIN_INTERVAL_MERGE_SQL,
+        ("window", "intervals", "coverage"),
     ),
     "ml_calibration_bins": QuerySpec(
         ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")

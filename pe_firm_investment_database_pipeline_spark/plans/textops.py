@@ -2013,6 +2013,72 @@ GROUP BY bg.doc_id
 # txt_hapax_stats — vocabulary profile per source
 # ---------------------------------------------------------------------------
 
+_VOCAB_LADDER = (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+def txt_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE CURVE — what share of all token
+    OCCURRENCES the top-k most frequent types cover, at
+    power-of-two k rungs: the tokenizer/vocab-sizing table ('how
+    big a vocab before OOV mass is negligible'). The occurrence
+    stream compresses to per-type counts first (one
+    partial-aggregable shuffle); ranking and the running coverage
+    sum are a window over the DISTINCT-type table — vocab-sized,
+    orders of magnitude below corpus-sized — with ties broken by
+    token text so the curve is deterministic. Output keeps the
+    boundary token at each rung so the curve is auditable. Exact
+    int64 ppm; rungs beyond the vocabulary are absent rather than
+    padded."""
+    d = load_table(spark, sf_dir, "documents").select("text")
+    tok = d.select(F.explode(F.expr(_TOKENS)).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w_rank = W.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
+    w_run = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.partitionBy()
+    ranked = counts.select(
+        "token",
+        "cnt",
+        F.row_number().over(w_rank).cast("long").alias("k"),
+        F.sum("cnt").over(w_run).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total_cnt"),
+        F.count(F.lit(1)).over(w_all).alias("vocab_size"),
+    )
+    return ranked.where(
+        F.col("k").isin(*[F.lit(k) for k in _VOCAB_LADDER])
+    ).select(
+        "k",
+        F.col("token").alias("boundary_token"),
+        "cnt",
+        "cum_cnt",
+        F.expr("(cum_cnt * 1000000) div total_cnt").alias("coverage_ppm"),
+        "vocab_size",
+        F.col("total_cnt").alias("total_tokens"),
+    )
+
+
+_TXT_VOCAB_COVERAGE_SQL = f"""
+WITH counts AS (
+  SELECT t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents) t
+  GROUP BY t.token
+), ranked AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS k,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_cnt,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS total_cnt,
+         CAST(COUNT(*) OVER () AS BIGINT) AS vocab_size
+  FROM counts
+)
+SELECT k, token AS boundary_token, cnt, cum_cnt,
+       CAST((cum_cnt * 1000000) // total_cnt AS BIGINT) AS coverage_ppm,
+       vocab_size, total_cnt AS total_tokens
+FROM ranked
+WHERE k IN ({", ".join(str(k) for k in _VOCAB_LADDER)})
+"""
+
+
 def txt_hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VOCABULARY profile per document source: token count, vocabulary
     size, HAPAX LEGOMENA count (tokens seen exactly once — the
@@ -2278,6 +2344,11 @@ QUERIES = {
     ),
     "txt_hapax_stats": QuerySpec(
         txt_hapax_stats, _TXT_HAPAX_STATS_SQL, ("text", "vocabulary")
+    ),
+    "txt_vocab_coverage": QuerySpec(
+        txt_vocab_coverage,
+        _TXT_VOCAB_COVERAGE_SQL,
+        ("text", "vocabulary", "tokenizer"),
     ),
     "txt_bigram_prob": QuerySpec(
         txt_bigram_prob, _TXT_BIGRAM_PROB_SQL, ("text", "lm", "quality")

@@ -674,3 +674,74 @@ def test_graph_clustering_coeff_replay(spark, sf_dir):
         else:
             assert r["coeff_ppm"] is None
     assert saw_closed, "no closed wedge in fixture graph"
+
+
+def test_win_interval_merge_replay(spark, sf_dir):
+    """Python replay of the 1-h-hold interval union per user: merged
+    count, covered time, and longest stretch all match, and merging
+    actually collapses overlaps somewhere in the fixture."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _IVM_HOLD_US,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"]))
+    got = {r["user_id"]: r for r in _Q["win_interval_merge"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_user)
+    merged_somewhere = False
+    for u, evs in by_user.items():
+        evs.sort()
+        islands = []
+        for s, _ in evs:
+            t = s + _IVM_HOLD_US
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], t)
+            else:
+                islands.append([s, t])
+        r = got[u]
+        assert r["n_events"] == len(evs)
+        assert r["n_intervals"] == len(islands)
+        assert r["covered_us"] == sum(b - a for a, b in islands)
+        assert r["longest_us"] == max(b - a for a, b in islands)
+        merged_somewhere = merged_somewhere or len(islands) < len(evs)
+    assert merged_somewhere
+
+
+def test_txt_vocab_coverage_curve_properties(spark, sf_dir):
+    from collections import Counter
+
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _VOCAB_LADDER,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    import re as _re
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    counts = Counter(t for doc in texts for t in _re.findall(r"\S+", doc))
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    rows = {r["k"]: r for r in _Q["txt_vocab_coverage"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {k for k in _VOCAB_LADDER if k <= len(order)}
+    prev_cov = 0
+    for k in sorted(rows):
+        r = rows[k]
+        assert r["vocab_size"] == len(order)
+        assert r["total_tokens"] == total
+        assert r["boundary_token"] == order[k - 1][0]
+        assert r["cnt"] == order[k - 1][1]
+        assert r["cum_cnt"] == sum(c for _, c in order[:k])
+        assert r["coverage_ppm"] == r["cum_cnt"] * 1_000_000 // total
+        assert r["coverage_ppm"] >= prev_cov
+        prev_cov = r["coverage_ppm"]
+    assert prev_cov <= 1_000_000
