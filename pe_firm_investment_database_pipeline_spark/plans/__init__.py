@@ -152,6 +152,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_clustering_coeff",
         "win_interval_merge",
         "txt_vocab_coverage",
+        "graph_assortativity",
+        "ts_holt_linear",
+        "evt_error_budget_burn",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -3718,6 +3718,199 @@ FROM scored
 
 
 # ---------------------------------------------------------------------------
+# ts_holt_linear — double-exponential smoothing as an exact array fold
+# ---------------------------------------------------------------------------
+
+_HOLT_H = 7  # forecast horizon (days)
+
+# truncating-toward-zero halving — the ONE recursion step both engines
+# must agree on for negative trends (Spark div truncates, DuckDB //
+# floors, so the sign-split is mandatory)
+_TDIV2 = "(CASE WHEN ({a}) < 0 THEN -((-({a})) div 2) ELSE ({a}) div 2 END)"
+_TDIV2_DUCK = (
+    "(CASE WHEN ({a}) < 0 THEN -((-({a})) // 2) ELSE ({a}) // 2 END)"
+)
+
+
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR (double-exponential) SMOOTHING of per-type daily
+    volumes with alpha = beta = 1/2 — level l' = (x + l + b)/2,
+    trend b' = ((l' - l) + b)/2, forecast l + 7b: the
+    trend-aware successor to seasonal-naive (`ts_forecast_snaive`)
+    and the classic 'genuinely recursive operator' Spark can still
+    run WITHOUT a driver loop — the recursion is an `aggregate()`
+    fold over each type's day-ordered array (the `evt_survival_km`
+    discipline), computed entirely inside one row after a
+    vocab-sized collect_list. Powers-of-two smoothing keeps every
+    state integral; the halving is sign-split so truncation agrees
+    across engines; seeds are l0 = x0, b0 = x1 - x0. At 100 TB the
+    fold length is the DAY-GRID length per type, not the event
+    count — the (type, day) compression shuffle dominates and is
+    partial-aggregable."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day AS day, x AS x)))"
+            ).alias("s")
+        )
+        .where(F.size("s") >= 2)
+    )
+    lp = _TDIV2.format(a="e.l + acc.l + acc.b")
+    step = (
+        "named_struct("
+        f"'l', {lp}, "
+        "'b', " + _TDIV2.format(a=f"{lp} - acc.l + acc.b") + ")"
+    )
+    fold = (
+        "aggregate("
+        " transform(slice(s, 3, greatest(size(s) - 2, 0)),"
+        "           p -> named_struct('l', p.x, 'b', CAST(0 AS BIGINT))),"
+        " named_struct('l', element_at(s, 1).x,"
+        "              'b', element_at(s, 2).x - element_at(s, 1).x),"
+        f" (acc, e) -> {step})"
+    )
+    return ser.select(
+        "event_type",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
+        F.expr(f"{fold}.l").alias("level"),
+        F.expr(f"{fold}.b").alias("trend"),
+        F.expr(f"{fold}.l + {_HOLT_H} * {fold}.b").alias("forecast_7d"),
+    )
+
+
+def _ts_holt_linear_sql() -> str:
+    # The recursion runs as a RECURSIVE CTE over (type, step) rather
+    # than a list_reduce lambda: DuckDB's vectorized lambda path
+    # mis-evaluates the repeated sub-expression in the trend update
+    # (the same fold over the same values is correct on a literal
+    # list and in scalar SQL — probed while building this entry), so
+    # the oracle stays on the scalar path the rest of the repo's
+    # iterative oracles already use.
+    x_next = "n.s[CAST(r.i + 1 AS INT)].x"
+    lp = _TDIV2_DUCK.format(a=f"{x_next} + r.l + r.b")
+    bp = _TDIV2_DUCK.format(a=f"{lp} - r.l + r.b")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), ser AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(day := day, x := x))) AS s
+  FROM daily GROUP BY event_type
+), n AS (
+  SELECT event_type, CAST(len(s) AS BIGINT) AS n_days, s
+  FROM ser WHERE len(s) >= 2
+), rec(event_type, i, l, b) AS (
+  SELECT event_type, CAST(2 AS BIGINT), s[1].x, s[2].x - s[1].x FROM n
+  UNION ALL
+  SELECT r.event_type, r.i + 1, {lp}, {bp}
+  FROM rec r JOIN n ON n.event_type = r.event_type
+  WHERE r.i < n.n_days
+)
+SELECT r.event_type, n.n_days,
+       CAST(r.l AS BIGINT) AS level,
+       CAST(r.b AS BIGINT) AS trend,
+       CAST(r.l + {_HOLT_H} * r.b AS BIGINT) AS forecast_7d
+FROM rec r JOIN n ON n.event_type = r.event_type
+WHERE r.i = n.n_days
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_error_budget_burn — SRE burn-rate table over the day grid
+# ---------------------------------------------------------------------------
+
+_SLO_ERR_PPM = 200000  # error-budget SLO: 20% of events may be errors
+_BURN_WINDOW_D = 7
+
+
+def evt_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-BUDGET BURN RATE — the SRE table behind multi-window
+    burn alerts: per day, the error share of all events (exact ppm),
+    the 1-day and trailing-7-day burn rates as permille of the SLO
+    (1000 = burning budget exactly as fast as allowed), and the
+    alert flag on the slow window. Events compress to the (day,
+    errors, total) grid first — one partial-aggregable shuffle; the
+    trailing window runs over the day grid (30 rows here, ~thousands
+    at any scale), and the 7-day share is the RATIO OF SUMS (sum
+    errors / sum totals), not an average of daily ratios — exact and
+    day-volume-weighted. ROWS framing over observed days: a fully
+    absent day contributes neither errors nor budget."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_date(ts_date)").alias("day"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    daily = e.groupBy("day").agg(
+        F.sum("is_err").alias("errors"), F.count(F.lit(1)).alias("total")
+    )
+    w7 = (
+        W.partitionBy()
+        .orderBy("day")
+        .rowsBetween(-(_BURN_WINDOW_D - 1), W.currentRow)
+    )
+    g = daily.select(
+        F.col("day").cast("long").alias("day"),
+        "errors",
+        "total",
+        F.sum("errors").over(w7).alias("err7"),
+        F.sum("total").over(w7).alias("tot7"),
+    )
+    return g.select(
+        "day",
+        "errors",
+        "total",
+        F.expr("(errors * 1000000) div total").alias("err_ppm"),
+        F.expr(
+            f"((errors * 1000000) div total) * 1000 div {_SLO_ERR_PPM}"
+        ).alias("burn_1d_permille"),
+        F.expr(
+            f"((err7 * 1000000) div tot7) * 1000 div {_SLO_ERR_PPM}"
+        ).alias("burn_7d_permille"),
+        F.expr(
+            f"CAST(((err7 * 1000000) div tot7) * 1000 div {_SLO_ERR_PPM}"
+            " > 1000 AS BIGINT)"
+        ).alias("alert"),
+    )
+
+
+_EVT_ERROR_BUDGET_BURN_SQL = f"""
+WITH daily AS (
+  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS errors,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM events GROUP BY day
+), g AS (
+  SELECT CAST(day AS BIGINT) AS day, errors, total,
+         CAST(SUM(errors) OVER (ORDER BY day
+           ROWS BETWEEN {_BURN_WINDOW_D - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS err7,
+         CAST(SUM(total) OVER (ORDER BY day
+           ROWS BETWEEN {_BURN_WINDOW_D - 1} PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS tot7
+  FROM daily
+)
+SELECT day, errors, total,
+       CAST((errors * 1000000) // total AS BIGINT) AS err_ppm,
+       CAST(((errors * 1000000) // total) * 1000 // {_SLO_ERR_PPM}
+            AS BIGINT) AS burn_1d_permille,
+       CAST(((err7 * 1000000) // tot7) * 1000 // {_SLO_ERR_PPM}
+            AS BIGINT) AS burn_7d_permille,
+       CAST(CASE WHEN ((err7 * 1000000) // tot7) * 1000 // {_SLO_ERR_PPM}
+            > 1000 THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # win_interval_merge — interval union / activity coverage per user
 # ---------------------------------------------------------------------------
 
@@ -4404,6 +4597,16 @@ QUERIES = {
         win_interval_merge,
         _WIN_INTERVAL_MERGE_SQL,
         ("window", "intervals", "coverage"),
+    ),
+    "ts_holt_linear": QuerySpec(
+        ts_holt_linear,
+        _ts_holt_linear_sql(),
+        ("timeseries", "forecast", "iterative"),
+    ),
+    "evt_error_budget_burn": QuerySpec(
+        evt_error_budget_burn,
+        _EVT_ERROR_BUDGET_BURN_SQL,
+        ("events", "sre", "burn-rate"),
     ),
     "ml_calibration_bins": QuerySpec(
         ml_calibration_bins, _ML_CALIBRATION_BINS_SQL, ("ml", "eval")

@@ -1004,11 +1004,98 @@ FROM deg LEFT JOIN tri ON deg.v = tri.v
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_assortativity — degree-degree correlation, exact rational
+# ---------------------------------------------------------------------------
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY of the near-dup graph — the Pearson
+    correlation of endpoint degrees over edges: positive means dups
+    cluster among similarly-connected documents (template families),
+    strongly negative flags a hub-and-spoke shape (one boilerplate
+    page paired with everything — the LSH pathology worth alerting
+    on). On the SYMMETRIC edge list the x- and y-degree marginals
+    are identical, so Pearson's denominator sqrt((nSxx-Sx^2)(nSyy-
+    Sy^2)) collapses to the single rational term (nSxx - Sx^2) — the
+    coefficient needs NO sqrt at all and lands as an exact signed
+    ppm via the DECIMAL(38,0)/HUGEINT sufficient-statistic
+    discipline (`agg_corr_stats`). One degree aggregate, one
+    edge-to-degree join each side, one global rollup."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    sym = e.select(
+        F.col("a").alias("u"), F.col("b").alias("w")
+    ).union(e.select(F.col("b").alias("u"), F.col("a").alias("w")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("su"), F.col("deg").alias("dx"))
+    dw = deg.select(F.col("u").alias("sw"), F.col("deg").alias("dy"))
+    ends = (
+        sym.join(du, sym.u == du.su)
+        .join(dw, sym.w == dw.sw)
+        .select("dx", "dy")
+    )
+    g = ends.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("dx") * F.col("dx")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("dx") * F.col("dy")).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return g.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_edge_ends"),
+        F.expr("CAST(sx AS BIGINT)").alias("sum_deg"),
+        F.expr(
+            "CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0 THEN"
+            " CAST(((CAST(n AS DECIMAL(38,0)) * sxy - sx * sx) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * sxx - sx * sx) AS BIGINT)"
+            " END"
+        ).alias("assortativity_ppm"),
+    )
+
+
+_GRAPH_ASSORTATIVITY_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+), ends AS (
+  SELECT du.deg AS dx, dw.deg AS dy
+  FROM sym JOIN deg du ON sym.u = du.u JOIN deg dw ON sym.w = dw.u
+), g AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(dx AS HUGEINT)) AS sx,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM ends
+)
+SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         CAST(((n * sxy - sx * sx) * 1000000) // (n * sxx - sx * sx)
+              AS BIGINT) END AS assortativity_ppm
+FROM g
+"""
+
+
 QUERIES = {
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_assortativity": QuerySpec(
+        graph_assortativity,
+        _GRAPH_ASSORTATIVITY_SQL,
+        ("graph", "statistics", "correlation"),
     ),
     "graph_clustering_coeff": QuerySpec(
         graph_clustering_coeff,

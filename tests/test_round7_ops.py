@@ -745,3 +745,101 @@ def test_txt_vocab_coverage_curve_properties(spark, sf_dir):
         assert r["coverage_ppm"] >= prev_cov
         prev_cov = r["coverage_ppm"]
     assert prev_cov <= 1_000_000
+
+
+def test_graph_assortativity_matches_rational_recompute(spark, sf_dir):
+    from fractions import Fraction
+
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    edges = set()
+    for r in dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5).collect():
+        edges.add((min(r["doc1"], r["doc2"]), max(r["doc1"], r["doc2"])))
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ends = [(deg[a], deg[b]) for a, b in edges] + [(deg[b], deg[a]) for a, b in edges]
+    n = len(ends)
+    sx = sum(x for x, _ in ends)
+    sxx = sum(x * x for x, _ in ends)
+    sxy = sum(x * y for x, y in ends)
+    [row] = _Q["graph_assortativity"].fn(spark, sf_dir).collect()
+    assert row["n_edge_ends"] == n
+    assert row["sum_deg"] == sx
+    den = n * sxx - sx * sx
+    if den > 0:
+        # truncating (div) semantics on a possibly negative numerator
+        num = (n * sxy - sx * sx) * 1_000_000
+        expect = abs(num) // den * (1 if num >= 0 else -1)
+        assert row["assortativity_ppm"] == expect
+        assert -1_000_000 <= row["assortativity_ppm"] <= 1_000_000
+    else:
+        assert row["assortativity_ppm"] is None
+
+
+def test_ts_holt_linear_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _HOLT_H,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .count()
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["count"]))
+
+    def tdiv2(a):
+        return -((-a) // 2) if a < 0 else a // 2
+
+    got = {r["event_type"]: r for r in _Q["ts_holt_linear"].fn(spark, sf_dir).collect()}
+    assert set(got) == {t for t, s in series.items() if len(s) >= 2}
+    for t, s in series.items():
+        if len(s) < 2:
+            continue
+        xs = [x for _, x in sorted(s)]
+        l, b = xs[0], xs[1] - xs[0]
+        for x in xs[2:]:
+            lp = tdiv2(x + l + b)
+            b = tdiv2(lp - l + b)
+            l = lp
+        r = got[t]
+        assert (r["n_days"], r["level"], r["trend"]) == (len(xs), l, b)
+        assert r["forecast_7d"] == l + _HOLT_H * b
+
+
+def test_evt_error_budget_burn_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _BURN_WINDOW_D,
+        _SLO_ERR_PPM,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("unix_date(ts_date)").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+            F.count(F.lit(1)).alias("t"),
+        )
+        .collect()
+    )
+    grid = sorted((r["day"], r["e"], r["t"]) for r in daily)
+    got = {r["day"]: r for r in _Q["evt_error_budget_burn"].fn(spark, sf_dir).collect()}
+    assert set(got) == {d for d, _, _ in grid}
+    for i, (d, e, t) in enumerate(grid):
+        r = got[d]
+        w = grid[max(0, i - _BURN_WINDOW_D + 1) : i + 1]
+        e7, t7 = sum(x[1] for x in w), sum(x[2] for x in w)
+        assert r["err_ppm"] == e * 1_000_000 // t
+        assert r["burn_1d_permille"] == (e * 1_000_000 // t) * 1000 // _SLO_ERR_PPM
+        assert r["burn_7d_permille"] == (e7 * 1_000_000 // t7) * 1000 // _SLO_ERR_PPM
+        assert r["alert"] == int(r["burn_7d_permille"] > 1000)
+    assert {r["alert"] for r in got.values()} == {0, 1}
