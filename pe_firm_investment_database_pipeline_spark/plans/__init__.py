@@ -155,6 +155,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_assortativity",
         "ts_holt_linear",
         "evt_error_budget_burn",
+        "rag_context_packing",
+        "dedup_cluster_purity",
+        "join_star_q5_local",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

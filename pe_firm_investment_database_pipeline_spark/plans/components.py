@@ -1005,6 +1005,83 @@ FROM deg LEFT JOIN tri ON deg.v = tri.v
 
 
 # ---------------------------------------------------------------------------
+# dedup_cluster_purity — attribute homogeneity of duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-CLUSTER PURITY — per dup cluster, how homogeneous
+    its members' language attribute is: majority label, its exact
+    ppm share, and a pure flag. The QA gate on the dedup graph
+    itself — a 'duplicate' cluster mixing languages is almost
+    always an LSH false merge (shingle collisions across
+    translations/templates), and purity is the cheapest detector
+    that doesn't re-read any text. Reuses the MEMOIZED
+    connected-components labels (no second fixpoint walk); the
+    labels map broadcasts onto the dimension join, and the majority
+    pick is the (count desc, label asc) min-struct argmax over the
+    per-(cluster, lang) rollup — the `graph_label_propagation` tie
+    order. Singleton clusters are excluded (purity is trivially 1)."""
+    comps = dedup_connected_components(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        lang.join(F.broadcast(comps), "doc_id")
+        .groupBy("cluster_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per.groupBy("cluster_id").agg(
+        F.sum("n").alias("sz"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min(
+            F.struct((-F.col("n")).alias("nn"), F.col("lang").alias("lang"))
+        ).alias("m"),
+    )
+    return agg.where(F.col("sz") >= 2).select(
+        "cluster_id",
+        "sz",
+        "n_langs",
+        F.col("m.lang").alias("top_lang"),
+        F.expr("((-m.nn) * 1000000) div sz").alias("top_share_ppm"),
+        (F.col("n_langs") == 1).cast("long").alias("is_pure"),
+    )
+
+
+_DEDUP_CLUSTER_PURITY_SQL = f"""
+WITH RECURSIVE mh_pairs AS (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), reach(v, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+), labels AS (
+  SELECT v AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY v
+), per AS (
+  SELECT l.cluster_id, d.lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+  GROUP BY l.cluster_id, d.lang
+), picked AS (
+  SELECT cluster_id, lang, n,
+         CAST(SUM(n) OVER (PARTITION BY cluster_id) AS BIGINT) AS sz,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_langs,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, lang) AS rn
+  FROM per
+)
+SELECT cluster_id, sz, n_langs, lang AS top_lang,
+       CAST((n * 1000000) // sz AS BIGINT) AS top_share_ppm,
+       CAST(CASE WHEN n_langs = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_pure
+FROM picked WHERE rn = 1 AND sz >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_assortativity — degree-degree correlation, exact rational
 # ---------------------------------------------------------------------------
 
@@ -1096,6 +1173,11 @@ QUERIES = {
         graph_assortativity,
         _GRAPH_ASSORTATIVITY_SQL,
         ("graph", "statistics", "correlation"),
+    ),
+    "dedup_cluster_purity": QuerySpec(
+        dedup_cluster_purity,
+        _DEDUP_CLUSTER_PURITY_SQL,
+        ("dedup", "quality", "purity"),
     ),
     "graph_clustering_coeff": QuerySpec(
         graph_clustering_coeff,

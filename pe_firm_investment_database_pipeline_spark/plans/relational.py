@@ -1732,7 +1732,69 @@ GROUP BY p.p_brand
 """
 
 
+def join_star_q5_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL STAR DENORMALIZATION (TPC-H Q5 shape, 'local supplier
+    volume'): revenue by customer nation and order year where the
+    SUPPLIER sits in the customer's nation — five joins whose
+    broadcast/shuffle split is the whole point at 100 TB: lineitem ⋈
+    orders is the ONLY big-big join (one shuffle pair); customer,
+    supplier, and nation are dimension-sized and broadcast, so the
+    same-nation constraint (the join predicate connecting two
+    different dimension FKs) costs no extra exchange. The plan pin
+    in tests counts exactly one non-broadcast join. Exact cents
+    revenue; year from the raw date so the scan keeps its pushed
+    range filter."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev_c().alias("rev_c")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("year(CAST(o_orderdate AS DATE))").cast("long").alias(
+            "o_year"
+        ),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_year")
+        .agg(
+            F.sum("rev_c").alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+_JOIN_STAR_Q5_LOCAL_SQL = f"""
+SELECT n_name, CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+       CAST(SUM({_REV_SQL}) AS BIGINT) AS revenue_c,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, o_year
+"""
+
+
 QUERIES = {
+    "join_star_q5_local": QuerySpec(
+        join_star_q5_local,
+        _JOIN_STAR_Q5_LOCAL_SQL,
+        ("join", "star", "broadcast"),
+    ),
     "flagship_revenue_by_nation": QuerySpec(
         flagship_revenue_by_nation, _FLAGSHIP_SQL, ("join", "agg", "flagship")
     ),

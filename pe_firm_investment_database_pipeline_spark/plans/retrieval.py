@@ -188,6 +188,38 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BUDGET_TOKENS = 1000  # context-window token budget for packing
+
+
+def rag_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTEXT-WINDOW PACKING — fill a fixed token budget with the
+    BM25 ranking's prefix: documents enter in relevance order and
+    packing STOPS at the first one that would overflow the budget
+    (prefix semantics — deterministic, and what an inference server
+    actually sends; greedy skip-and-continue would reorder context
+    against relevance). Composes the exact-int64 BM25 top-10 with
+    per-doc token counts: the 10-row slate BROADCASTS onto the
+    corpus scan for its lengths, and the running total is a window
+    over those 10 rows — the corpus is scanned once, never sorted.
+    Emits rank, token count, and the running total so the consumer
+    can audit the cut."""
+    top = rag_bm25_topk(spark, sf_dir)
+    dl = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("dl")
+    )
+    j = dl.join(F.broadcast(top), "doc_id")
+    w = W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = j.select(
+        "rank",
+        "doc_id",
+        "dl",
+        F.sum("dl").over(w).alias("cum_tokens"),
+    )
+    return packed.where(F.col("cum_tokens") <= _PACK_BUDGET_TOKENS)
+
+
+# defined after _RAG_BM25_TOPK_SQL below (f-string needs it); see
+# module tail for the assembled oracle
 _RAG_BM25_TOPK_SQL = f"""
 WITH dl AS (
   SELECT doc_id, {_TOKENS_DUCK} AS toks,
@@ -221,6 +253,22 @@ SELECT * FROM (
          doc_id, bm25_scaled
   FROM scored
 ) WHERE rank <= 10
+"""
+
+
+_RAG_CONTEXT_PACKING_SQL = f"""
+WITH top AS ({_RAG_BM25_TOPK_SQL}),
+dl AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS dl FROM documents
+), packed AS (
+  SELECT t.rank, t.doc_id, d.dl,
+         CAST(SUM(d.dl) OVER (ORDER BY t.rank
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM top t JOIN dl d USING (doc_id)
+)
+SELECT rank, doc_id, dl, cum_tokens
+FROM packed WHERE cum_tokens <= {_PACK_BUDGET_TOKENS}
 """
 
 
@@ -470,6 +518,11 @@ QUERIES = {
     ),
     "rag_bm25_topk": QuerySpec(
         rag_bm25_topk, _RAG_BM25_TOPK_SQL, ("retrieval", "ranking")
+    ),
+    "rag_context_packing": QuerySpec(
+        rag_context_packing,
+        _RAG_CONTEXT_PACKING_SQL,
+        ("retrieval", "packing", "budget"),
     ),
     "rag_hybrid_rrf": QuerySpec(
         rag_hybrid_rrf, _rag_hybrid_rrf_sql(), ("retrieval", "fusion")

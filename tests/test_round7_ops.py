@@ -843,3 +843,85 @@ def test_evt_error_budget_burn_replay(spark, sf_dir):
         assert r["burn_7d_permille"] == (e7 * 1_000_000 // t7) * 1000 // _SLO_ERR_PPM
         assert r["alert"] == int(r["burn_7d_permille"] > 1000)
     assert {r["alert"] for r in got.values()} == {0, 1}
+
+
+def test_rag_context_packing_is_budgeted_prefix(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.retrieval import (
+        _PACK_BUDGET_TOKENS,
+        rag_bm25_topk,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.textops import _TOKENS
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    top = sorted(
+        rag_bm25_topk(spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    dl = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("n"))
+        .collect()
+    }
+    packed = sorted(
+        _Q["rag_context_packing"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert packed, "budget admits nothing — raise _PACK_BUDGET_TOKENS"
+    assert [r["rank"] for r in packed] == list(range(1, len(packed) + 1))
+    cum = 0
+    for r in packed:
+        cum += dl[r["doc_id"]]
+        assert r["dl"] == dl[r["doc_id"]]
+        assert r["cum_tokens"] == cum <= _PACK_BUDGET_TOKENS
+    if len(packed) < len(top):  # the cut is tight: next doc overflows
+        nxt = top[len(packed)]["doc_id"]
+        assert cum + dl[nxt] > _PACK_BUDGET_TOKENS
+
+
+def test_dedup_cluster_purity_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        dedup_connected_components,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_connected_components(spark, sf_dir).collect()
+    }
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    }
+    clusters: dict[int, list] = {}
+    for d, c in labels.items():
+        clusters.setdefault(c, []).append(lang[d])
+    got = {r["cluster_id"]: r for r in _Q["dedup_cluster_purity"].fn(spark, sf_dir).collect()}
+    expect_ids = {c for c, members in clusters.items() if len(members) >= 2}
+    assert set(got) == expect_ids
+    for c in expect_ids:
+        members = clusters[c]
+        counts: dict[str, int] = {}
+        for lg in members:
+            counts[lg] = counts.get(lg, 0) + 1
+        top_lang, top_n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0], max(counts.values())
+        r = got[c]
+        assert r["sz"] == len(members)
+        assert r["n_langs"] == len(counts)
+        assert r["top_lang"] == top_lang
+        assert r["top_share_ppm"] == top_n * 1_000_000 // len(members)
+        assert r["is_pure"] == int(len(counts) == 1)
+
+
+def test_join_star_q5_plan_is_one_shuffle_join(spark, sf_dir):
+    """Exactly one non-broadcast join (lineitem x orders); customer,
+    supplier, and nation all broadcast — the 100 TB star shape."""
+    df = _Q["join_star_q5_local"].fn(spark, sf_dir)
+    rows = df.collect()  # run first: AQE finalizes join strategies lazily
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_bcast = plan.count("BroadcastHashJoin")
+    n_shuffle_join = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert n_bcast >= 3, plan[:3000]
+    assert n_shuffle_join <= 1, plan[:3000]
+    assert rows and all(r["revenue_c"] > 0 and r["n_items"] > 0 for r in rows)

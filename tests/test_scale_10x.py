@@ -90,6 +90,16 @@ HEAVY = [
     "samp_kcenter_coreset",
     "join_dpp_prune",
     "ml_auc_rank",
+    # r7 wave 4-9 entries with at-scale claims: the wedge join
+    # (sum deg^2), the LPA frontier joins, the staged-kNN self-join
+    # composition, the per-user interval merge, and the chunk-
+    # fingerprint anti-join all carry explicit 100 TB shape claims
+    "graph_clustering_coeff",
+    "graph_label_propagation",
+    "graph_assortativity",
+    "sim_reciprocal_nn",
+    "win_interval_merge",
+    "txt_boilerplate_strip",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
