@@ -645,6 +645,88 @@ JOIN deg d2 ON d2.v = n.y
 
 
 # ---------------------------------------------------------------------------
+# graph_resource_alloc — resource-allocation link-prediction index
+# ---------------------------------------------------------------------------
+
+
+def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE-ALLOCATION link-prediction index over the near-dup
+    graph: RA(x,y) = Σ_z 1/deg(z) over shared neighbors z — the
+    degree-weighted upgrade of `graph_common_neighbors` (Zhou/Lü/
+    Zhang 2009): a pair connected only through a promiscuous hub
+    scores near 0, a pair sharing a degree-2 bridge scores 500000.
+    Each 1/deg term floors to EXACT ppm before summing, so the score
+    is an associative int64 sum — no float accumulation order to
+    disagree on. Distributed shape: the per-middle weight joins the
+    adjacency BEFORE the wedge self-join (deg is vertex-count sized
+    → broadcast), the wedge join is the same sum-of-deg² equi-join
+    as triangles/common-neighbors, and the groupBy is partial-
+    aggregable. Existing edges come out flagged is_edge (there RA is
+    embeddedness support), mirroring common_neighbors."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    w_mid = deg.select(
+        F.col("v").alias("mid"), F.expr("1000000 div deg").alias("w_ppm")
+    )
+    adjw = adj.join(
+        F.broadcast(w_mid), adj["n"] == w_mid["mid"]
+    ).select(F.col("n").alias("m"), F.col("v").alias("x"), "w_ppm")
+    right = adj.select(F.col("n").alias("m2"), F.col("v").alias("y"))
+    ra = (
+        adjw.join(right, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum("w_ppm").alias("ra_ppm"),
+        )
+    )
+    return ra.join(
+        e.select("a", "b", F.lit(True).alias("is_edge")),
+        (ra["x"] == e["a"]) & (ra["y"] == e["b"]),
+        "left",
+    ).select(
+        F.col("x").alias("doc1"),
+        F.col("y").alias("doc2"),
+        "common_neighbors",
+        "ra_ppm",
+        F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+    )
+
+
+_GRAPH_RESOURCE_ALLOC_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v
+), w AS (
+  SELECT v AS mid, CAST(1000000 // deg AS BIGINT) AS w_ppm FROM deg
+), ra AS (
+  SELECT l.v AS x, r.v AS y,
+         CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         CAST(SUM(w.w_ppm) AS BIGINT) AS ra_ppm
+  FROM adj l
+  JOIN w ON w.mid = l.n
+  JOIN adj r ON l.n = r.n AND l.v < r.v
+  GROUP BY l.v, r.v
+)
+SELECT x AS doc1, y AS doc2, common_neighbors, ra_ppm,
+       EXISTS (SELECT 1 FROM e WHERE e.a = x AND e.b = y) AS is_edge
+FROM ra
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_bfs_distance — multi-source bounded BFS over the near-dup graph
 # ---------------------------------------------------------------------------
 
@@ -1193,6 +1275,11 @@ QUERIES = {
         graph_bfs_distance,
         _GRAPH_BFS_DISTANCE_SQL,
         ("graph", "bfs", "iterative"),
+    ),
+    "graph_resource_alloc": QuerySpec(
+        graph_resource_alloc,
+        _GRAPH_RESOURCE_ALLOC_SQL,
+        ("graph", "link-prediction", "rational"),
     ),
     "dedup_savings_report": QuerySpec(
         dedup_savings_report,
