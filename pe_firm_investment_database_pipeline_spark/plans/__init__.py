@@ -54,63 +54,13 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # slots 1-4: the four HUGEINT-oracle repairs (r6 red set; CAST
-        # ... AS BIGINT landed r7 — driver re-verdict required)
-        "profile_drift",
-        "json_variant_ops",
-        "samp_domain_mixture",
-        "evt_seasonality_profile",
-        # slots 5-6: converted from err:no_oracle to full oracles via
-        # the agg_hll_rollup exact+bound-flag pattern (r7)
-        "agg_distinct_approx",
-        "agg_percentile_approx",
-        # slots 7-50: the late-r6 wave, never driver-verdicted
-        # (VERDICT r6 missing #1) — heavy/novel entries first
-        "agg_linreg_trend",
-        "win_max_drawdown",
-        "ts_autocorr",
-        "sketch_freq_heavy",
-        "graph_common_neighbors",
-        "join_salted_skew",
-        "ml_kmeans_fixed",
-        "dedup_method_compare",
-        "agg_weighted_median",
-        "flt_sargable_dates",
-        "mm_silence_detect",
-        "ts_decompose_ma",
-        "evt_inter_arrival",
-        "win_rolling_linreg",
-        "agg_market_basket",
-        "graph_kcore_peel",
-        "txt_hapax_stats",
-        "evt_time_to_convert",
-        "ts_anomaly_decomposed",
-        "stream_topk_windowed",
-        "snk_bucketed_join",
-        "txt_bigram_prob",
-        "join_runtime_filter",
-        "agg_pareto_abc",
-        "txt_pmi_pairs",
-        "mm_image_tiles",
-        "evt_cohort_triangle",
-        "ml_knn_classify",
-        "sec_row_mask_policy",
-        "src_file_lineage",
-        "ml_eval_confusion",
-        "txt_extractive_summary",
-        "ts_outlier_repair",
-        "evt_survival_km",
-        "ml_cluster_medoid",
-        "ml_pca_power",
-        "evt_ab_srm_check",
-        "evt_ltv_expected",
-        "agg_metric_decompose",
-        "txt_novelty_share",
-        "stream_distinct_users",
-        "dq_benford_check",
-        "evt_peak_concurrency",
-        "src_csv_permissive",
-        # slots 51+: the remaining never-verdicted cohort rotates in r8
+        # Round-8 rotation: ALL 47 entries never driver-verdicted in
+        # r1-r7 go first (8 pre-r7 stragglers, then the full r7 wave,
+        # then graph_resource_alloc — orphaned from the rotation in
+        # r7, ADVICE r7 #1), so after this round every registry entry
+        # has at least one official verdict. Round-8's new ops follow
+        # at slots 48+; the first ~3 get verdicted this round, the
+        # rest rotate in r9.
         "ts_pct_change_wow",
         "evt_recency_score",
         "ts_forecast_snaive",
@@ -119,7 +69,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_code_detect",
         "evt_active_users",
         "evt_bot_score",
-        # round-7 additions (first verdicts r8)
         "join_dpp_prune",
         "graph_bfs_distance",
         "dedup_savings_report",
@@ -158,6 +107,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "rag_context_packing",
         "dedup_cluster_purity",
         "join_star_q5_local",
+        "graph_resource_alloc",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

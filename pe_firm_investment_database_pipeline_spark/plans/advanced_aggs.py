@@ -3575,9 +3575,8 @@ def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = scored.groupBy("lang").agg(
         F.sum(
-            (F.col("np_s") * (2 * F.col("cumneg") + F.col("nn_s"))).cast(
-                "decimal(38,0)"
-            )
+            F.col("np_s").cast("decimal(38,0)")
+            * (2 * F.col("cumneg") + F.col("nn_s"))
         ).alias("two_u"),
         F.sum("np_s").alias("n_pos"),
         F.sum("nn_s").alias("n_neg"),
@@ -4234,9 +4233,9 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
         F.sum(F.col("y_l").cast("decimal(38,0)")).alias("sy"),
-        F.sum((F.col("x") * F.col("y_l")).cast("decimal(38,0)")).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
-        F.sum((F.col("y_l") * F.col("y_l")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y_l")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y_l").cast("decimal(38,0)") * F.col("y_l")).alias(
             "syy"
         ),
     )

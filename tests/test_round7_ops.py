@@ -925,3 +925,42 @@ def test_join_star_q5_plan_is_one_shuffle_join(spark, sf_dir):
     assert n_bcast >= 3, plan[:3000]
     assert n_shuffle_join <= 1, plan[:3000]
     assert rows and all(r["revenue_c"] > 0 and r["n_items"] > 0 for r in rows)
+
+
+def test_graph_resource_alloc_replay(spark, sf_dir):
+    """RA(x,y) = sum over shared neighbors z of floor(1e6/deg(z)) —
+    Python replay over the same LSH edge set, plus the hub-vs-bridge
+    ordering property (a low-degree bridge outweighs a hub)."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    edges = {
+        tuple(sorted((r["doc1"], r["doc2"])))
+        for r in dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {
+        (r["doc1"], r["doc2"]): r
+        for r in _Q["graph_resource_alloc"].fn(spark, sf_dir).collect()
+    }
+    # replay: every output pair must match the exact ppm sum
+    for (x, y), r in got.items():
+        shared = adj[x] & adj[y]
+        assert shared, (x, y)
+        assert r["common_neighbors"] == len(shared)
+        assert r["ra_ppm"] == sum(1_000_000 // len(adj[z]) for z in shared)
+        assert r["is_edge"] == ((x, y) in edges)
+    # completeness: every x<y pair with a shared neighbor appears
+    import itertools
+
+    all_pairs = set()
+    for z, ns in adj.items():
+        for x, y in itertools.combinations(sorted(ns), 2):
+            all_pairs.add((x, y))
+    assert set(got) == all_pairs
