@@ -108,6 +108,11 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_cluster_purity",
         "join_star_q5_local",
         "graph_resource_alloc",
+        # round-8 new ops (first verdicts r8/r9)
+        "dq_order_totals_recon",
+        "graph_neighbor_jaccard",
+        "ts_theil_sen",
+        "ml_chi2_feature_select",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -4563,7 +4563,95 @@ GROUP BY a.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_theil_sen — robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND — the median of all pairwise slopes of
+    the daily event-count series, per event type: the outlier-immune
+    alternative to OLS (`agg_linreg_trend`) — one corrupted day
+    shifts the OLS line but moves the pairwise-slope median not at
+    all (29% breakdown point). Exactness: each pairwise slope is an
+    integer ppm/day via SIGN-SPLIT truncating division (Spark `div`
+    truncates toward zero, DuckDB `//` floors — negatives diverge
+    unless split, the ml_quantize_int8 lesson), and the median is
+    emitted DOUBLED (slope_ppm_x2) so the even-count midpoint stays
+    integer (the win_median_sliding trick). Scale shape: events
+    compress to the (type, day) count grid FIRST — the only
+    event-sized shuffle; the O(days²) pair self-join runs on the
+    grid (~10⁴ pairs per type for a year), independent of raw event
+    count, and the ranking window partitions by type over the pair
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(
+        "event_type", F.col("day").alias("d1"), F.col("y").alias("y1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("d2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b, (a["event_type"] == b["et2"]) & (a["d1"] < b["d2"])
+    ).select(
+        "event_type",
+        F.expr(
+            "CASE WHEN y2 >= y1"
+            " THEN ((y2 - y1) * 1000000) div (d2 - d1)"
+            " ELSE -(((y1 - y2) * 1000000) div (d2 - d1)) END"
+        ).alias("slope_ppm"),
+    )
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("slope_ppm"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("event_type")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "slope_ppm * (CASE WHEN rn = (n + 1) div 2 THEN 1 ELSE 0 END"
+                " + CASE WHEN rn = n div 2 + 1 THEN 1 ELSE 0 END)"
+            )
+        ).alias("slope_ppm_x2"),
+    )
+
+
+_TS_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y >= a.y
+           THEN CAST(((b.y - a.y) * 1000000) // (b.day - a.day) AS BIGINT)
+           ELSE -CAST(((a.y - b.y) * 1000000) // (b.day - a.day) AS BIGINT)
+         END AS slope_ppm
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope_ppm,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope_ppm) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(SUM(slope_ppm * (CASE WHEN rn = (n + 1) // 2 THEN 1 ELSE 0 END
+                           + CASE WHEN rn = n // 2 + 1 THEN 1 ELSE 0 END))
+            AS BIGINT) AS slope_ppm_x2
+FROM ranked GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "ts_theil_sen": QuerySpec(
+        ts_theil_sen, _TS_THEIL_SEN_SQL, ("timeseries", "robust", "trend")
+    ),
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")
     ),

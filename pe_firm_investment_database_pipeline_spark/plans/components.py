@@ -1245,7 +1245,89 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_neighbor_jaccard — neighborhood-overlap structural similarity
+# ---------------------------------------------------------------------------
+
+
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD JACCARD — structural similarity of two vertices in
+    the near-dup graph: J(x,y) = |N(x)∩N(y)| / |N(x)∪N(y)|, the
+    degree-normalized sibling of `graph_common_neighbors` (raw
+    overlap favors hubs; Jaccard is the link-prediction / role-
+    equivalence baseline). Fully rational: the union size is
+    deg(x)+deg(y)−inter by inclusion-exclusion — no set materialized
+    — so jaccard_ppm is one exact integer division. Distributed
+    shape: intersection counts come from the same oriented wedge
+    equi-join as triangles/common-neighbors (cost Σ deg², the LSH
+    pair graph is corpus-tiny), and the deg table is vertex-count
+    sized → broadcast twice. Extends the reference's pairwise-overlap
+    surface (the same graph the CC/canonical-pick operators walk) to
+    the standard structural-similarity score."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    adj = e.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    left = adj.select(F.col("n").alias("m"), F.col("v").alias("x"))
+    right = adj.select(F.col("n").alias("m2"), F.col("v").alias("y"))
+    inter = (
+        left.join(right, (F.col("m") == F.col("m2")) & (F.col("x") < F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    dx = deg.select(F.col("v").alias("xv"), F.col("deg").alias("deg1"))
+    dy = deg.select(F.col("v").alias("yv"), F.col("deg").alias("deg2"))
+    return (
+        inter.join(F.broadcast(dx), inter["x"] == dx["xv"])
+        .join(F.broadcast(dy), inter["y"] == dy["yv"])
+        .select(
+            F.col("x").alias("doc1"),
+            F.col("y").alias("doc2"),
+            "inter",
+            "deg1",
+            "deg2",
+            F.expr(
+                "(inter * 1000000) div (deg1 + deg2 - inter)"
+            ).alias("jaccard_ppm"),
+        )
+    )
+
+
+_GRAPH_NEIGHBOR_JACCARD_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), adj AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY v
+), inter AS (
+  SELECT l.v AS x, r.v AS y, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM adj l JOIN adj r ON l.n = r.n AND l.v < r.v
+  GROUP BY l.v, r.v
+)
+SELECT i.x AS doc1, i.y AS doc2, i.inter,
+       dx.deg AS deg1, dy.deg AS deg2,
+       CAST((i.inter * 1000000) // (dx.deg + dy.deg - i.inter)
+            AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN deg dx ON dx.v = i.x
+JOIN deg dy ON dy.v = i.y
+"""
+
+
 QUERIES = {
+    "graph_neighbor_jaccard": QuerySpec(
+        graph_neighbor_jaccard,
+        _GRAPH_NEIGHBOR_JACCARD_SQL,
+        ("graph", "link-prediction", "rational"),
+    ),
     "dedup_connected_components": QuerySpec(
         dedup_connected_components,
         _DEDUP_CONNECTED_COMPONENTS_SQL,

@@ -896,7 +896,82 @@ FROM (SELECT CAST(round({c} * 100) AS BIGINT) AS v FROM lineitem)"""
     return "\nUNION ALL\n".join(selects)
 
 
+def dq_order_totals_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE TOTALS RECONCILIATION — does the order header's
+    total agree with the sum of its line items? The classic
+    fact-vs-fact financial audit (billing vs ledger, header vs
+    detail), reported per order priority: order counts, childless
+    headers, exact-match counts, and the absolute / net delta in
+    exact integer cents. The fixture's totals are synthetic so the
+    deltas are nonzero — the AUDIT MECHANISM is the operator, and
+    every column is a deterministic integer. Scale shape: lineitem
+    compresses to per-order sums FIRST (map-side partial agg — the
+    shuffle carries one row per order, never per line), then ONE
+    key-co-partitioned fact-fact join against headers; at 100 TB
+    both sides bucket by orderkey and the join is shuffle-free. A
+    LEFT join keeps childless headers visible — they are the audit's
+    loudest signal."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
+            "line_c"
+        ),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("line_c").alias("items_c"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("total_c"),
+    )
+    j = o.join(per_order, o["o_orderkey"] == per_order["l_orderkey"], "left")
+    delta = F.coalesce(F.col("items_c"), F.lit(0)) - F.col("total_c")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("items_c").isNull()).alias("n_childless"),
+        F.sum(F.coalesce(F.col("n_items"), F.lit(0))).alias("n_items"),
+        F.count_if(delta == 0).alias("n_exact"),
+        F.sum(F.abs(delta)).alias("abs_delta_c"),
+        F.sum(delta).alias("net_delta_c"),
+    )
+
+
+_DQ_ORDER_TOTALS_RECON_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS items_c,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+), o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+  FROM orders
+), j AS (
+  SELECT o.o_orderpriority, p.n_items, p.items_c,
+         COALESCE(p.items_c, 0) - o.total_c AS delta
+  FROM o LEFT JOIN per_order p ON o.o_orderkey = p.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN items_c IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_childless,
+       CAST(SUM(COALESCE(n_items, 0)) AS BIGINT) AS n_items,
+       CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(ABS(delta)) AS BIGINT) AS abs_delta_c,
+       CAST(SUM(delta) AS BIGINT) AS net_delta_c
+FROM j GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "dq_order_totals_recon": QuerySpec(
+        dq_order_totals_recon,
+        _DQ_ORDER_TOTALS_RECON_SQL,
+        ("quality", "reconciliation", "audit"),
+    ),
     "sec_row_mask_policy": QuerySpec(
         sec_row_mask_policy,
         _SEC_ROW_MASK_POLICY_SQL,

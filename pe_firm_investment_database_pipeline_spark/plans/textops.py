@@ -2329,7 +2329,121 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_chi2_feature_select — chi-square token/class association ranking
+# ---------------------------------------------------------------------------
+
+_CHI2_TOP_K = 5
+
+
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE FEATURE SELECTION — the top-5 most
+    class-discriminative tokens per language by the χ² statistic of
+    the 2×2 (token-presence × class) contingency table (sklearn
+    `chi2`/`SelectKBest` shape): the classic pre-training vocabulary
+    pruning step. Exact integer discipline: all four cells A/B/C/D
+    are doc counts from inclusion-exclusion on three partial-
+    aggregable count surfaces (per-(class,token) doc presence,
+    per-token totals, per-class totals — NEVER a docs×vocab dense
+    grid), and χ²·1000 = 1000·N·(AD−BC)² / (t·(N−t)·c·(N−c)) forms
+    in DECIMAL(38,0)/HUGEINT — numerator and denominator are exact,
+    the quotient is non-negative so trunc==floor, and it fits int64
+    because χ² ≤ N. (The N⁵-sized intermediate bounds exact operation
+    to N < ~10⁷ docs per decimal(38) — beyond that, divide each
+    factor through by N first; the ranking is scale-invariant.)
+    Ranking ties break on the token string, pinned identically in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dt = d.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("token")
+    ).distinct()
+    a = dt.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("a_docs"))
+    t_tot = dt.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("t_tot")
+    )
+    c_tot = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c_tot"))
+    n_tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    full = (
+        a.join(t_tot, "token")
+        .join(F.broadcast(c_tot), "lang")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    chi2 = full.select(
+        "lang",
+        "token",
+        "a_docs",
+        F.expr(
+            "CASE WHEN t_tot < n_tot AND c_tot < n_tot THEN"
+            " CAST((1000 * CAST(n_tot AS DECIMAL(38,0))"
+            "  * (CAST(a_docs AS DECIMAL(38,0)) * (n_tot - t_tot - c_tot + a_docs)"
+            "     - CAST(t_tot - a_docs AS DECIMAL(38,0)) * (c_tot - a_docs))"
+            "  * (CAST(a_docs AS DECIMAL(38,0)) * (n_tot - t_tot - c_tot + a_docs)"
+            "     - CAST(t_tot - a_docs AS DECIMAL(38,0)) * (c_tot - a_docs)))"
+            " div (CAST(t_tot AS DECIMAL(38,0)) * (n_tot - t_tot)"
+            "      * c_tot * (n_tot - c_tot)) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("chi2_milli"),
+    )
+    ranked = chi2.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                F.col("chi2_milli").desc(), F.col("token")
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= _CHI2_TOP_K).select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "a_docs",
+        "chi2_milli",
+    )
+
+
+_ML_CHI2_FEATURE_SELECT_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, lang, unnest({_TOKENS_DUCK}) AS token
+  FROM documents
+), a AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS a_docs
+  FROM dt GROUP BY lang, token
+), t_tot AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS t_tot
+  FROM dt GROUP BY token
+), c_tot AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c_tot FROM documents GROUP BY lang
+), n_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents
+), chi2 AS (
+  SELECT a.lang, a.token, a.a_docs,
+         CASE WHEN t_tot < n_tot AND c_tot < n_tot THEN
+           CAST((1000 * CAST(n_tot AS HUGEINT)
+              * (CAST(a_docs AS HUGEINT) * (n_tot - t_tot - c_tot + a_docs)
+                 - CAST(t_tot - a_docs AS HUGEINT) * (c_tot - a_docs))
+              * (CAST(a_docs AS HUGEINT) * (n_tot - t_tot - c_tot + a_docs)
+                 - CAST(t_tot - a_docs AS HUGEINT) * (c_tot - a_docs)))
+             // (CAST(t_tot AS HUGEINT) * (n_tot - t_tot)
+                 * c_tot * (n_tot - c_tot)) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS chi2_milli
+  FROM a JOIN t_tot USING (token) JOIN c_tot USING (lang) CROSS JOIN n_tot
+), ranked AS (
+  SELECT lang, token, a_docs, chi2_milli,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY chi2_milli DESC, token) AS rank
+  FROM chi2
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, token, a_docs, chi2_milli
+FROM ranked WHERE rank <= {_CHI2_TOP_K}
+"""
+
+
 QUERIES = {
+    "ml_chi2_feature_select": QuerySpec(
+        ml_chi2_feature_select,
+        _ML_CHI2_FEATURE_SELECT_SQL,
+        ("ml", "text", "feature-selection"),
+    ),
     "txt_rake_keywords": QuerySpec(
         txt_rake_keywords, _TXT_RAKE_KEYWORDS_SQL, ("text", "keywords", "rake")
     ),
