@@ -113,6 +113,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_neighbor_jaccard",
         "ts_theil_sen",
         "ml_chi2_feature_select",
+        "sec_t_closeness",
+        "ml_lift_gains",
+        "ml_target_encode",
+        "txt_zipf_check",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -4648,9 +4648,181 @@ FROM ranked GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_lift_gains — decile lift & cumulative gains table
+# ---------------------------------------------------------------------------
+
+
+def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECILE LIFT / CUMULATIVE GAINS — the campaign-targeting eval
+    table: rank the corpus by model score, split into 10 score bands,
+    and report each band's positive concentration vs the base rate
+    (lift) and the running share of all positives captured (gains).
+    NO GLOBAL ROW SORT: rows compress to per-score (count, positives)
+    cells first, deciles are assigned on the DISTINCT-score grid via
+    the cumulative-count prefix — decile(s) = 10·cum_before(s) div N
+    — so a score cell is never split across bands (ties can't
+    straddle a boundary, which also kills the ntile tie-order
+    nondeterminism) and the ordering window runs on score
+    cardinality, not row count. Lift numerators n_pos·N·10⁶ form in
+    DECIMAL(38,0)/HUGEINT. Label is the `ml_auc_rank` deterministic
+    hash bit (fixture labels carry no signal — lift ≈ 10⁶); score is
+    n_chars."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+    )
+    per_score = d.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos")
+    )
+    w_desc = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    w_all = W.partitionBy()
+    cells = per_score.select(
+        "score",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_desc), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(w_all).alias("n_tot"),
+        F.sum("pos").over(w_all).alias("p_tot"),
+    ).withColumn("decile", F.expr("(cum_before * 10) div n_tot"))
+    per_decile = cells.groupBy("decile").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("p_tot").alias("p_tot"),
+    )
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_decile.withColumn("cum_pos", F.sum("n_pos").over(w_cum))
+    return cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_pos",
+        F.expr(
+            "CAST((CAST(cum_pos AS DECIMAL(38,0)) * 1000000)"
+            " div p_tot AS BIGINT)"
+        ).alias("gain_ppm"),
+        F.expr(
+            "CAST((CAST(n_pos AS DECIMAL(38,0)) * n_tot * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * p_tot) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+_ML_LIFT_GAINS_SQL = f"""
+WITH d AS (
+  SELECT n_chars AS score,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_score AS (
+  SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is_pos) AS BIGINT) AS pos
+  FROM d GROUP BY score
+), cells AS (
+  SELECT score, cnt, pos,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+         CAST(SUM(cnt) OVER () AS BIGINT) AS n_tot,
+         CAST(SUM(pos) OVER () AS BIGINT) AS p_tot
+  FROM per_score
+), per_decile AS (
+  SELECT (cum_before * 10) // n_tot AS decile,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         MAX(n_tot) AS n_tot, MAX(p_tot) AS p_tot
+  FROM cells GROUP BY 1
+)
+SELECT CAST(decile AS BIGINT) AS decile, n, n_pos,
+       CAST(SUM(n_pos) OVER (ORDER BY decile
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cum_pos,
+       CAST((CAST(SUM(n_pos) OVER (ORDER BY decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+          * 1000000) // p_tot AS BIGINT) AS gain_ppm,
+       CAST((CAST(n_pos AS HUGEINT) * n_tot * 1000000)
+            // (CAST(n AS HUGEINT) * p_tot) AS BIGINT) AS lift_ppm
+FROM per_decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_target_encode — smoothed mean target encoding
+# ---------------------------------------------------------------------------
+
+_TENC_M = 20  # smoothing pseudo-count
+
+
+def ml_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMOOTHED TARGET ENCODING — replace a categorical feature by the
+    shrunk mean of the target (CatBoost/vtreat shape): enc =
+    (Σ target + m·global_mean) / (n + m), so rare categories pull to
+    the corpus mean instead of memorizing noise. Exact integer
+    discipline: targets are cents, per-category sums accumulate in
+    DECIMAL(38,0)/HUGEINT, the global mean is one truncating division
+    applied IDENTICALLY in both engines before smoothing, and the
+    encoded value is a final integer division — no float path at any
+    scale. One partial-aggregable groupBy + one broadcast of the
+    2-value global row. Raw sums stay internal (they outgrow int64 at
+    cluster scale); the surfaced columns are counts and means."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("t_c"),
+    )
+    per_cat = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t_c").cast("decimal(38,0)")).alias("sum_c"),
+    )
+    g = o.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum(F.col("t_c").cast("decimal(38,0)")).alias("gsum_c"),
+    )
+    return per_cat.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        "n",
+        F.expr("CAST(sum_c div n AS BIGINT)").alias("raw_mean_c"),
+        F.expr(
+            f"CAST((sum_c + {_TENC_M} * (gsum_c div n_tot))"
+            f" div (n + {_TENC_M}) AS BIGINT)"
+        ).alias("enc_c"),
+    )
+
+
+_ML_TARGET_ENCODE_SQL = f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS t_c
+  FROM orders
+), per_cat AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(t_c AS HUGEINT)) AS sum_c
+  FROM o GROUP BY o_orderpriority
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+         SUM(CAST(t_c AS HUGEINT)) AS gsum_c
+  FROM o
+)
+SELECT o_orderpriority, n,
+       CAST(sum_c // n AS BIGINT) AS raw_mean_c,
+       CAST((sum_c + {_TENC_M} * (gsum_c // n_tot))
+            // (n + {_TENC_M}) AS BIGINT) AS enc_c
+FROM per_cat CROSS JOIN g
+"""
+
+
 QUERIES = {
     "ts_theil_sen": QuerySpec(
         ts_theil_sen, _TS_THEIL_SEN_SQL, ("timeseries", "robust", "trend")
+    ),
+    "ml_lift_gains": QuerySpec(
+        ml_lift_gains, _ML_LIFT_GAINS_SQL, ("ml", "eval", "lift")
+    ),
+    "ml_target_encode": QuerySpec(
+        ml_target_encode,
+        _ML_TARGET_ENCODE_SQL,
+        ("ml", "feature-engineering", "encoding"),
     ),
     "udaf_grouped_pandas": QuerySpec(
         udaf_grouped_pandas, _UDAF_GROUPED_PANDAS_SQL, ("udaf", "pandas")

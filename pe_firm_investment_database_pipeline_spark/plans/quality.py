@@ -966,7 +966,118 @@ FROM j GROUP BY o_orderpriority
 """
 
 
+_TCLOSE_T_PPM = 300_000  # release gate: TVD <= 0.3
+
+
+def sec_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS AUDIT — the release gate one step past l-diversity
+    (`sec_l_diversity`): a class can hold l distinct sensitive values
+    yet still leak if its DISTRIBUTION over them diverges from the
+    corpus (e.g. 95% of one band where the population holds 20%).
+    Distance is the total variation distance (the categorical-domain
+    EMD that defines t-closeness) between each (nation, segment)
+    class's account-balance-band distribution and the global one,
+    in exact ppm: TVD = ½ Σ_b |p_b − q_b|. Absent bands are never
+    materialized — their Σ_b q_b contribution folds in via
+    inclusion-exclusion (Σ_all g_b = N), so the only joined grid is
+    the OBSERVED (class, band) cells. Cross-products n_cb·N form in
+    DECIMAL(38,0)/HUGEINT; the quotient is ≤ 10⁶ so Spark's long
+    `div` is safe. Global band counts broadcast (band cardinality is
+    tiny by construction)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+            f" div {_LDIV_BAND_C}"
+        ).alias("band"),
+    )
+    cb = c.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n_cb")
+    )
+    g = c.groupBy("band").agg(F.count(F.lit(1)).alias("g_b"))
+    n = c.agg(F.count(F.lit(1)).alias("n_tot"))
+    cb2 = cb.withColumn(
+        "cls_n",
+        F.sum("n_cb").over(W.partitionBy("c_nationkey", "c_mktsegment")),
+    )
+    per_class = (
+        cb2.join(F.broadcast(g), "band")
+        .crossJoin(F.broadcast(n))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.max("cls_n").alias("n_rows"),
+            F.sum(
+                F.abs(
+                    F.col("n_cb").cast("decimal(38,0)") * F.col("n_tot")
+                    - F.col("g_b").cast("decimal(38,0)") * F.col("cls_n")
+                )
+                - F.col("g_b").cast("decimal(38,0)") * F.col("cls_n")
+            ).alias("part_num"),
+            F.max("n_tot").alias("n_tot"),
+        )
+    )
+    return per_class.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_rows",
+        F.expr(
+            "CAST(((part_num + CAST(n_rows AS DECIMAL(38,0)) * n_tot)"
+            " * 1000000) div (2 * CAST(n_rows AS DECIMAL(38,0)) * n_tot)"
+            " AS BIGINT)"
+        ).alias("tvd_ppm"),
+    ).withColumn(
+        "t_ok", (F.col("tvd_ppm") <= _TCLOSE_T_PPM).cast("long")
+    )
+
+
+_SEC_T_CLOSENESS_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+           // {_LDIV_BAND_C} AS band
+  FROM customer
+), cb AS (
+  SELECT c_nationkey, c_mktsegment, band,
+         CAST(COUNT(*) AS BIGINT) AS n_cb
+  FROM c GROUP BY 1, 2, 3
+), g AS (
+  SELECT band, CAST(COUNT(*) AS BIGINT) AS g_b FROM c GROUP BY band
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM c
+), cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(SUM(n_cb) AS BIGINT) AS n_rows
+  FROM cb GROUP BY 1, 2
+), per_class AS (
+  SELECT cb.c_nationkey, cb.c_mktsegment, cls.n_rows, n.n_tot,
+         SUM(ABS(CAST(n_cb AS HUGEINT) * n_tot
+                 - CAST(g_b AS HUGEINT) * cls.n_rows)
+             - CAST(g_b AS HUGEINT) * cls.n_rows) AS part_num
+  FROM cb
+  JOIN g USING (band)
+  JOIN cls ON cls.c_nationkey = cb.c_nationkey
+          AND cls.c_mktsegment = cb.c_mktsegment
+  CROSS JOIN n
+  GROUP BY 1, 2, 3, 4
+)
+SELECT c_nationkey, c_mktsegment, n_rows,
+       CAST(((part_num + CAST(n_rows AS HUGEINT) * n_tot) * 1000000)
+            // (2 * CAST(n_rows AS HUGEINT) * n_tot) AS BIGINT) AS tvd_ppm,
+       CAST(CASE WHEN ((part_num + CAST(n_rows AS HUGEINT) * n_tot)
+                       * 1000000)
+                      // (2 * CAST(n_rows AS HUGEINT) * n_tot)
+                 <= {_TCLOSE_T_PPM} THEN 1 ELSE 0 END AS BIGINT) AS t_ok
+FROM per_class
+"""
+
+
 QUERIES = {
+    "sec_t_closeness": QuerySpec(
+        sec_t_closeness,
+        _SEC_T_CLOSENESS_SQL,
+        ("security", "privacy", "t-closeness"),
+    ),
     "dq_order_totals_recon": QuerySpec(
         dq_order_totals_recon,
         _DQ_ORDER_TOTALS_RECON_SQL,

@@ -2438,7 +2438,70 @@ FROM ranked WHERE rank <= {_CHI2_TOP_K}
 """
 
 
+_ZIPF_TOP_K = 20
+
+
+def txt_zipf_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF'S-LAW CONFORMANCE — for the top-20 corpus tokens, the
+    rank·frequency product and its ratio to the rank-1 frequency in
+    exact ppm: Zipf predicts r·f(r) ≈ f(1), so a flat ratio column
+    near 10⁶ is a natural corpus, collapse or spikes flag templated /
+    synthetic text (the corpus-forensics sibling of
+    `txt_vocab_coverage` and `txt_hapax_stats` — those measure mass
+    coverage, this one measures the SHAPE of the head). Exact and
+    log-free (never libm inside a hash-compared query): the ratio is
+    one integer division with the r·f·10⁶ product in
+    DECIMAL(38,0)/HUGEINT. Token occurrences compress to the
+    vocab-sized count table first; the ranking window and the rank-1
+    broadcast both run on vocab cardinality, never on occurrences.
+    Tie order pinned (freq desc, token asc) identically in both
+    engines."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = W.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = counts.select(
+        "token",
+        "freq",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.max("freq").over(W.partitionBy()).alias("f1"),
+    ).where(F.col("rank") <= _ZIPF_TOP_K)
+    return ranked.select(
+        "rank",
+        "token",
+        "freq",
+        (F.col("rank") * F.col("freq")).alias("rf"),
+        F.expr(
+            "CAST((CAST(rank AS DECIMAL(38,0)) * freq * 1000000)"
+            " div f1 AS BIGINT)"
+        ).alias("zipf_ratio_ppm"),
+    )
+
+
+_TXT_ZIPF_CHECK_SQL = f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT token, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+              AS BIGINT) AS rank,
+         CAST(MAX(freq) OVER () AS BIGINT) AS f1
+  FROM counts
+)
+SELECT rank, token, freq, CAST(rank * freq AS BIGINT) AS rf,
+       CAST((CAST(rank AS HUGEINT) * freq * 1000000) // f1
+            AS BIGINT) AS zipf_ratio_ppm
+FROM ranked WHERE rank <= {_ZIPF_TOP_K}
+"""
+
+
 QUERIES = {
+    "txt_zipf_check": QuerySpec(
+        txt_zipf_check, _TXT_ZIPF_CHECK_SQL, ("text", "statistics", "zipf")
+    ),
     "ml_chi2_feature_select": QuerySpec(
         ml_chi2_feature_select,
         _ML_CHI2_FEATURE_SELECT_SQL,

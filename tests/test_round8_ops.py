@@ -159,3 +159,139 @@ def test_ml_chi2_feature_select_contingency_replay(spark, sf_dir):
             assert r["token"] == tok
             assert r["chi2_milli"] == -neg_chi2
             assert r["a_docs"] == a
+
+
+def test_sec_t_closeness_tvd_replay(spark, sf_dir):
+    """TVD recomputed in Python from raw band histograms, including
+    the inclusion-exclusion fold for bands absent from a class."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _LDIV_BAND_C,
+        _TCLOSE_T_PPM,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+                f" div {_LDIV_BAND_C}"
+            ).alias("band"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    g = Counter(r["band"] for r in rows)
+    n_tot = len(rows)
+    cls: dict = {}
+    for r in rows:
+        cls.setdefault((r["c_nationkey"], r["c_mktsegment"]), Counter())[
+            r["band"]
+        ] += 1
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): r
+        for r in _Q["sec_t_closeness"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(cls)
+    for key, hist in cls.items():
+        n_c = sum(hist.values())
+        num = sum(
+            abs(hist.get(b, 0) * n_tot - gb * n_c) for b, gb in g.items()
+        )
+        tvd = num * 1_000_000 // (2 * n_c * n_tot)
+        r = got[key]
+        assert r["n_rows"] == n_c
+        assert r["tvd_ppm"] == tvd
+        assert r["t_ok"] == int(tvd <= _TCLOSE_T_PPM)
+
+
+def test_ml_lift_gains_partitions_and_monotone_gains(spark, sf_dir):
+    """Deciles partition the corpus, gains are monotone to 1e6, and
+    no score cell straddles a band (grid-decile invariant)."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = sorted(
+        _Q["ml_lift_gains"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    assert all(0 <= r["decile"] <= 9 for r in rows)
+    gains = [r["gain_ppm"] for r in rows]
+    assert gains == sorted(gains)
+    assert gains[-1] == 1_000_000
+    assert rows[-1]["cum_pos"] == sum(r["n_pos"] for r in rows)
+
+
+def test_ml_target_encode_shrinks_toward_global_mean(spark, sf_dir):
+    """Encoded means sit strictly between the raw category mean and
+    the global mean (shrinkage), replayed exactly in Python."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _TENC_M,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    raw = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("t_c"),
+        )
+        .collect()
+    )
+    sums: dict = {}
+    for r in raw:
+        s, n = sums.get(r["o_orderpriority"], (0, 0))
+        sums[r["o_orderpriority"]] = (s + r["t_c"], n + 1)
+    gsum = sum(s for s, _ in sums.values())
+    n_tot = sum(n for _, n in sums.values())
+    gmean = gsum // n_tot
+    got = {
+        r["o_orderpriority"]: r
+        for r in _Q["ml_target_encode"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(sums)
+    for cat, (s, n) in sums.items():
+        r = got[cat]
+        assert r["n"] == n
+        assert r["raw_mean_c"] == s // n
+        assert r["enc_c"] == (s + _TENC_M * gmean) // (n + _TENC_M)
+        lo, hi = sorted((r["raw_mean_c"], gmean))
+        assert lo - 1 <= r["enc_c"] <= hi + 1  # integer-division slack
+
+
+def test_txt_zipf_check_head_replay(spark, sf_dir):
+    """Top-20 head replayed from raw token counts with the pinned
+    (freq desc, token asc) tie order."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    import re
+    from collections import Counter
+
+    texts = (
+        load_table(spark, sf_dir, "documents").select("text").collect()
+    )
+    counts = Counter()
+    for r in texts:
+        counts.update(re.findall(r"\S+", r["text"]))
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = sorted(
+        _Q["txt_zipf_check"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    f1 = head[0][1]
+    assert [r["token"] for r in rows] == [t for t, _ in head]
+    for i, (r, (tok, f)) in enumerate(zip(rows, head), start=1):
+        assert r["rank"] == i and r["freq"] == f
+        assert r["rf"] == i * f
+        assert r["zipf_ratio_ppm"] == i * f * 1_000_000 // f1
