@@ -117,6 +117,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_lift_gains",
         "ml_target_encode",
         "txt_zipf_check",
+        "evt_stickiness_dau_mau",
+        "evt_calendar_heatmap",
+        "sketch_cms_heavy",
+        "ml_cv_folds",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -4812,7 +4812,177 @@ FROM per_cat CROSS JOIN g
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_stickiness_dau_mau — DAU/MAU stickiness without a day×user explode
+# ---------------------------------------------------------------------------
+
+_MAU_WINDOW_D = 30
+
+
+def evt_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS — per observed day: daily actives, trailing
+    30-day actives, and their ratio in exact ppm (the engagement
+    metric every growth dashboard leads with). The naive plan
+    explodes each active user across 30 days (30× the activity
+    table) or runs a 30-day range self-join; this one never does
+    either: per user, activity days merge into coverage intervals
+    [day, day+29] (gaps-and-islands with a running-max end — the
+    `win_interval_merge` shape, one user-keyed shuffle), intervals
+    emit +1/−1 BOUNDARY rows, and MAU(d) is a prefix sum over the
+    day-grid-sized boundary table. State after the first distinct is
+    (user, activity-day), then intervals, then ~days rows — at
+    100 TB the global cumsum window runs over a few thousand rows.
+    MAU ≥ DAU > 0 on every observed day by construction."""
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    isl = (
+        ud.withColumn(
+            "prev_end",
+            F.max(F.col("day") + (_MAU_WINDOW_D - 1)).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "new_isl",
+            (
+                F.col("prev_end").isNull()
+                | (F.col("day") > F.col("prev_end"))
+            ).cast("int"),
+        )
+        .withColumn(
+            "isl", F.sum("new_isl").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    ivals = isl.groupBy("user_id", "isl").agg(
+        F.min("day").alias("s"),
+        (F.max("day") + (_MAU_WINDOW_D - 1)).alias("e"),
+    )
+    bounds = ivals.select(
+        F.col("s").alias("day"), F.lit(1).alias("delta")
+    ).union(ivals.select(F.col("e") + 1, F.lit(-1)))
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    allb = bounds.union(dau.select("day", F.lit(0).alias("delta")))
+    deltas = allb.groupBy("day").agg(F.sum("delta").alias("delta"))
+    cum = deltas.withColumn(
+        "mau",
+        F.sum("delta").over(
+            W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        dau.join(cum.select("day", "mau"), "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("(dau * 1000000) div mau").alias("stickiness_ppm"),
+        )
+    )
+
+
+_EVT_STICKINESS_DAU_MAU_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         CASE WHEN MAX(day + {_MAU_WINDOW_D - 1}) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR day > MAX(day + {_MAU_WINDOW_D - 1}) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           THEN 1 ELSE 0 END AS new_isl
+  FROM ud
+), isl2 AS (
+  SELECT user_id, day,
+         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM isl
+), ivals AS (
+  SELECT user_id, isl, MIN(day) AS s,
+         MAX(day) + {_MAU_WINDOW_D - 1} AS e
+  FROM isl2 GROUP BY 1, 2
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+), allb AS (
+  SELECT s AS day, 1 AS delta FROM ivals
+  UNION ALL SELECT e + 1, -1 FROM ivals
+  UNION ALL SELECT day, 0 FROM dau
+), deltas AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM allb GROUP BY day
+), cum AS (
+  SELECT day,
+         CAST(SUM(delta) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS mau
+  FROM deltas
+)
+SELECT d.day, d.dau, c.mau,
+       CAST((d.dau * 1000000) // c.mau AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN cum c USING (day)
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_calendar_heatmap — day-of-week × hour activity grid
+# ---------------------------------------------------------------------------
+
+
+def evt_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR HEATMAP — event volume on the (day-of-week, hour)
+    grid with the corpus share in exact ppm: the load-profile /
+    staffing view behind every ops dashboard, and the axis most
+    schedulers batch by. Timezone-free by the `_load_events`
+    discipline: dow derives from the epoch-day integer ((day+4)%7,
+    0=Sunday — 1970-01-01 was a Thursday) and hour from tz-free
+    epoch-micros, identical integer formulas in both engines — no
+    engine datetime formatting on the hash surface. One
+    partial-aggregable groupBy; the 168-cell grid then shares one
+    broadcast total."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("(unix_date(ts_date) + 4) % 7").alias("dow"),
+        F.expr("(ts_us div 3600000000) % 24").alias("hour"),
+    )
+    grid = e.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n"))
+    return grid.withColumn(
+        "share_ppm",
+        F.expr("(n * 1000000) div sum(n) over ()"),
+    )
+
+
+_EVT_CALENDAR_HEATMAP_SQL = """
+WITH e AS (
+  SELECT ((CAST(ts AS DATE) - DATE '1970-01-01') + 4) % 7 AS dow,
+         (epoch_us(ts::TIMESTAMP) // 3600000000) % 24 AS hour
+  FROM events
+), grid AS (
+  SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT dow, hour, n,
+       CAST((n * 1000000) // SUM(n) OVER () AS BIGINT) AS share_ppm
+FROM grid
+"""
+
+
 QUERIES = {
+    "evt_stickiness_dau_mau": QuerySpec(
+        evt_stickiness_dau_mau,
+        _EVT_STICKINESS_DAU_MAU_SQL,
+        ("events", "engagement", "interval-sweep"),
+    ),
+    "evt_calendar_heatmap": QuerySpec(
+        evt_calendar_heatmap,
+        _EVT_CALENDAR_HEATMAP_SQL,
+        ("events", "profile", "calendar"),
+    ),
     "ts_theil_sen": QuerySpec(
         ts_theil_sen, _TS_THEIL_SEN_SQL, ("timeseries", "robust", "trend")
     ),

@@ -1189,7 +1189,72 @@ GROUP BY shard
 """
 
 
+_CV_K = 5
+
+
+def ml_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED K-FOLD ASSIGNMENT — deterministic 5-fold
+    cross-validation folds balanced WITHIN each language stratum:
+    fold = (rank of the doc's content-order hash within its stratum)
+    mod k, so every (lang, fold) cell holds ⌊n/k⌋ or ⌈n/k⌉ docs by
+    construction — the property plain hash-mod-k only has in
+    expectation and id-keyed splits violate under skew. The hash
+    (md5 of doc_id, doc_id tiebreak) makes assignment reproducible
+    across runs and engines; the ranking window partitions by
+    stratum (never global). Output is the per-(lang, fold) manifest
+    plus the exact-balance flag a training harness asserts before
+    burning GPU hours. Sibling of `samp_train_split` (content-keyed
+    90/5/5) — folds need the rank, not the bucket, hence the window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("md5(CAST(doc_id AS STRING))").alias("h")
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    folds = d.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % _CV_K).cast("long")
+    )
+    per_cell = folds.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per_lang = folds.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return per_cell.join(F.broadcast(per_lang), "lang").select(
+        "lang",
+        "fold",
+        "n_docs",
+        "n_lang",
+        F.expr(
+            f"CAST(CASE WHEN n_docs = n_lang div {_CV_K}"
+            f" OR n_docs = (n_lang + {_CV_K} - 1) div {_CV_K}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("balanced_ok"),
+    )
+
+
+_ML_CV_FOLDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), folds AS (
+  SELECT lang,
+         CAST((ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+               - 1) % {_CV_K} AS BIGINT) AS fold
+  FROM d
+), per_cell AS (
+  SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM folds GROUP BY 1, 2
+), per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM folds GROUP BY lang
+)
+SELECT c.lang, c.fold, c.n_docs, l.n_lang,
+       CAST(CASE WHEN c.n_docs = l.n_lang // {_CV_K}
+                 OR c.n_docs = (l.n_lang + {_CV_K} - 1) // {_CV_K}
+            THEN 1 ELSE 0 END AS BIGINT) AS balanced_ok
+FROM per_cell c JOIN per_lang l USING (lang)
+"""
+
+
 QUERIES = {
+    "ml_cv_folds": QuerySpec(
+        ml_cv_folds, _ML_CV_FOLDS_SQL, ("ml", "sampling", "cv")
+    ),
     "samp_hard_negatives": QuerySpec(
         samp_hard_negatives,
         _samp_hard_negatives_sql(),

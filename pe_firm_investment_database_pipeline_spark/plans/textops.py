@@ -2498,7 +2498,122 @@ FROM ranked WHERE rank <= {_ZIPF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# sketch_cms_heavy — count-min sketch estimates with exact-twin audit
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 16  # buckets per row (deliberately small → visible collisions)
+
+
+def _cms_bucket_spark(salt: int) -> str:
+    return (
+        f"CAST(conv(substring(md5(concat('{salt}', ':', token)), 1, 12),"
+        f" 16, 10) AS BIGINT) % {_CMS_W}"
+    )
+
+
+def _cms_bucket_duck(salt: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || ':' || token), 1, 12))"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+def sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH frequency estimates for every corpus token,
+    audited against the exact count — the streaming-frequency sketch
+    whose one-sided error (est ≥ true, overshoot from bucket
+    collisions only) this entry makes VISIBLE: d=4 md5-salted hash
+    rows × w=16 buckets, est = min over rows of the bucket sum, plus
+    the exact twin count, the overestimate, and the ≥-guarantee flag
+    the oracle mirrors literally (the `agg_hll_rollup` exact+flag
+    pattern — sketch internals are engine-specific in general, but
+    THIS sketch is deterministic md5 arithmetic, so even est is
+    hash-compared). Scale shape: occurrences compress to the
+    vocab-sized count table FIRST; the d×w sketch build is a 4-way
+    explode of that table into 64 cells, and the probe is a
+    vocab-sized join against the broadcast sketch — the raw stream
+    is never touched twice."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.expr(_TOKENS)).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    cells = None
+    for r in range(_CMS_D):
+        c = counts.select(
+            F.lit(r).alias("row_id"),
+            F.expr(_cms_bucket_spark(r)).alias("bucket"),
+            "freq",
+        )
+        cells = c if cells is None else cells.union(c)
+    cms = cells.groupBy("row_id", "bucket").agg(
+        F.sum("freq").alias("cell_sum")
+    )
+    probes = None
+    for r in range(_CMS_D):
+        p = counts.select(
+            "token",
+            "freq",
+            F.lit(r).alias("row_id"),
+            F.expr(_cms_bucket_spark(r)).alias("bucket"),
+        )
+        probes = p if probes is None else probes.union(p)
+    est = (
+        probes.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("freq").alias("freq"),
+            F.min("cell_sum").alias("est"),
+        )
+    )
+    return est.select(
+        "token",
+        "freq",
+        "est",
+        (F.col("est") - F.col("freq")).alias("overcount"),
+        (F.col("est") >= F.col("freq")).cast("long").alias("bound_ok"),
+    )
+
+
+def _cms_sql() -> str:
+    cell_selects = "\nUNION ALL\n".join(
+        f"SELECT {r} AS row_id, {_cms_bucket_duck(r)} AS bucket, freq"
+        " FROM counts"
+        for r in range(_CMS_D)
+    )
+    probe_selects = "\nUNION ALL\n".join(
+        f"SELECT token, freq, {r} AS row_id, {_cms_bucket_duck(r)} AS bucket"
+        " FROM counts"
+        for r in range(_CMS_D)
+    )
+    return f"""
+WITH counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest({_TOKENS_DUCK}) AS token FROM documents)
+  GROUP BY token
+), cells AS (
+{cell_selects}
+), cms AS (
+  SELECT row_id, bucket, CAST(SUM(freq) AS BIGINT) AS cell_sum
+  FROM cells GROUP BY 1, 2
+), probes AS (
+{probe_selects}
+)
+SELECT p.token, CAST(MAX(p.freq) AS BIGINT) AS freq,
+       CAST(MIN(c.cell_sum) AS BIGINT) AS est,
+       CAST(MIN(c.cell_sum) - MAX(p.freq) AS BIGINT) AS overcount,
+       CAST(CASE WHEN MIN(c.cell_sum) >= MAX(p.freq) THEN 1 ELSE 0 END
+            AS BIGINT) AS bound_ok
+FROM probes p JOIN cms c USING (row_id, bucket)
+GROUP BY p.token
+"""
+
+
 QUERIES = {
+    "sketch_cms_heavy": QuerySpec(
+        sketch_cms_heavy, _cms_sql(), ("sketch", "frequency", "cms")
+    ),
     "txt_zipf_check": QuerySpec(
         txt_zipf_check, _TXT_ZIPF_CHECK_SQL, ("text", "statistics", "zipf")
     ),

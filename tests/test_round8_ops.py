@@ -295,3 +295,89 @@ def test_txt_zipf_check_head_replay(spark, sf_dir):
         assert r["rank"] == i and r["freq"] == f
         assert r["rf"] == i * f
         assert r["zipf_ratio_ppm"] == i * f * 1_000_000 // f1
+
+
+def test_evt_stickiness_dau_mau_replay(spark, sf_dir):
+    """MAU replayed brute-force in Python: for every observed day,
+    count users active in the trailing 30-day window — the interval
+    sweep must match the naive definition exactly."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _MAU_WINDOW_D,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    days = set()
+    for r in ud:
+        by_user.setdefault(r["user_id"], set()).add(r["day"])
+        days.add(r["day"])
+    got = {
+        r["day"]: r
+        for r in _Q["evt_stickiness_dau_mau"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == days
+    for d in days:
+        dau = sum(1 for s in by_user.values() if d in s)
+        mau = sum(
+            1
+            for s in by_user.values()
+            if any(d - _MAU_WINDOW_D + 1 <= a <= d for a in s)
+        )
+        r = got[d]
+        assert r["dau"] == dau
+        assert r["mau"] == mau
+        assert r["mau"] >= r["dau"] > 0
+        assert r["stickiness_ppm"] == dau * 1_000_000 // mau
+
+
+def test_evt_calendar_heatmap_partitions(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = _Q["evt_calendar_heatmap"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour"] <= 23 for r in rows)
+    for r in rows:
+        assert r["share_ppm"] == r["n"] * 1_000_000 // total
+
+
+def test_sketch_cms_heavy_one_sided_error(spark, sf_dir):
+    """CMS guarantee: est >= exact for every token; with a 16-bucket
+    table and 31-token vocab at least one bucket collides, so SOME
+    token must show a strictly positive overcount."""
+    rows = _Q["sketch_cms_heavy"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["bound_ok"] == 1 for r in rows)
+    assert all(r["est"] >= r["freq"] for r in rows)
+    assert all(r["overcount"] == r["est"] - r["freq"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows)
+
+
+def test_ml_cv_folds_exact_balance(spark, sf_dir):
+    """Every (lang, fold) cell holds floor(n/k) or ceil(n/k) docs —
+    the exact-balance property the stratified rank-mod gives."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _CV_K,
+    )
+
+    rows = _Q["ml_cv_folds"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, cells in by_lang.items():
+        n_lang = cells[0]["n_lang"]
+        assert sum(c["n_docs"] for c in cells) == n_lang
+        for c in cells:
+            assert c["n_docs"] in (n_lang // _CV_K, -(-n_lang // _CV_K))
+            assert c["balanced_ok"] == 1
