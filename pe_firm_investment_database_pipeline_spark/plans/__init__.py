@@ -121,6 +121,18 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_calendar_heatmap",
         "sketch_cms_heavy",
         "ml_cv_folds",
+        "profile_wasserstein_drift",
+        "graph_modularity",
+        "sec_k_anonymity",
+        "evt_cuped_adjust",
+        "dq_gap_inventory",
+        "ml_bootstrap_ci",
+        "ml_linreg_multivar",
+        "ts_periodogram_peaks",
+        "profile_embedding_drift",
+        "ml_gini_split_gain",
+        "stream_cdc_changelog",
+        "txt_keyphrase_textrank",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -4972,7 +4972,637 @@ FROM grid
 """
 
 
+# ---------------------------------------------------------------------------
+# profile_wasserstein_drift — exact 1-D earth-mover's drift distance
+# ---------------------------------------------------------------------------
+
+_W1_DRIFT_MC = 50_000  # alert when W1 >= 50 cents (in milli-cents)
+
+
+def profile_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WASSERSTEIN-1 (earth mover's) drift per event type between the
+    early and late halves of the time axis — the magnitude-aware
+    companion to `profile_ks_drift`: KS reports the LARGEST CDF gap
+    (shape change anywhere), W1 integrates |CDF_a - CDF_b| over the
+    value axis, so it weighs drift by HOW FAR the mass moved in
+    cents — the number a cost model can threshold on. Exact integer
+    formulation on the discrete cents grid:
+    W1 = sum_i |ca_i*nb - cb_i*na| * gap_i / (na*nb), emitted as
+    milli-cents via one DECIMAL(38,0)/HUGEINT division (the
+    |..|*gap product overflows int64 at cluster counts; the quotient
+    <= 1000x the value range, safely long). Same scale shape as KS:
+    the corpus compresses to the per-(type, value) count grid before
+    any window, so the ordered cumsum runs over value cardinality,
+    never raw rows, and the split epoch is one broadcast scalar."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_us", cents("value").alias("v")
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    d = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("event_type", "v")
+        .agg(
+            F.count(F.when(F.col("ts_us") < F.col("mid_us"), 1)).alias("da"),
+            F.count(F.when(F.col("ts_us") >= F.col("mid_us"), 1)).alias("db"),
+        )
+    )
+    wc = W.partitionBy("event_type").orderBy("v").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("event_type")
+    c = (
+        d.withColumn("ca", F.sum("da").over(wc))
+        .withColumn("cb", F.sum("db").over(wc))
+        .withColumn("na", F.sum("da").over(wt))
+        .withColumn("nb", F.sum("db").over(wt))
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.lead("v").over(W.partitionBy("event_type").orderBy("v"))
+                - F.col("v"),
+                F.lit(0),
+            ),
+        )
+    )
+    agg = c.groupBy("event_type").agg(
+        F.max("na").alias("n_early"),
+        F.max("nb").alias("n_late"),
+        F.sum(
+            F.expr(
+                "CAST(abs(ca * nb - cb * na) AS DECIMAL(38,0)) * gap"
+            )
+        ).alias("num"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_early").cast("long").alias("n_early"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.expr(
+            "CASE WHEN n_early > 0 AND n_late > 0 THEN"
+            " CAST((num * 1000) div (CAST(n_early AS DECIMAL(38,0)) * n_late)"
+            " AS BIGINT) END"
+        ).alias("w1_mc"),
+    ).withColumn(
+        "drift_flag",
+        (F.coalesce(F.col("w1_mc"), F.lit(0)) >= _W1_DRIFT_MC).cast("long"),
+    )
+
+
+_PROFILE_WASSERSTEIN_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), d AS (
+  SELECT event_type, v,
+         COUNT(*) FILTER (WHERE ts_us < mid_us) AS da,
+         COUNT(*) FILTER (WHERE ts_us >= mid_us) AS db
+  FROM ev CROSS JOIN lim GROUP BY event_type, v
+), c AS (
+  SELECT event_type,
+         CAST(SUM(da) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (PARTITION BY event_type ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb,
+         CAST(SUM(da) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+         CAST(SUM(db) OVER (PARTITION BY event_type) AS BIGINT) AS nb,
+         COALESCE(LEAD(v) OVER (PARTITION BY event_type ORDER BY v) - v,
+                  0) AS gap
+  FROM d
+), agg AS (
+  SELECT event_type,
+         CAST(MAX(na) AS BIGINT) AS n_early,
+         CAST(MAX(nb) AS BIGINT) AS n_late,
+         SUM(CAST(abs(ca * nb - cb * na) AS HUGEINT) * gap) AS num
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n_early, n_late,
+       CASE WHEN n_early > 0 AND n_late > 0 THEN
+         CAST((num * 1000) // (CAST(n_early AS HUGEINT) * n_late)
+              AS BIGINT) END AS w1_mc,
+       CAST(CASE WHEN COALESCE(CASE WHEN n_early > 0 AND n_late > 0 THEN
+                   CAST((num * 1000) // (CAST(n_early AS HUGEINT) * n_late)
+                        AS BIGINT) END, 0) >= {_W1_DRIFT_MC}
+            THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_bootstrap_ci — deterministic Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 20
+# cumulative Poisson(1) thresholds in permille: P(W<=k) for k=0..4;
+# a draw u ~ U[0,1000) maps to weight 0..5. This is the distributed
+# ("Poissonized") bootstrap — the only bootstrap that works without
+# materializing resamples, because each row draws its replicate
+# weights independently (no global N needed at draw time).
+_BOOT_CUM = (368, 736, 920, 981, 996)
+
+
+def _boot_w(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_CUM)
+    )
+    return f"CASE {branches} ELSE 5 END"
+
+
+def ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean order value
+    — the uncertainty readout every metrics platform owes its point
+    estimates, in the only form that scales: each row draws a
+    DETERMINISTIC pseudo-Poisson(1) weight per replicate from
+    md5(orderkey:b), so all B=20 resampled sums accumulate in ONE
+    scan as conditional aggregates (map-side partials, no 20x row
+    explosion, no global N at draw time — the standard distributed
+    bootstrap). Replicate means are exact integer cents
+    (truncating div of two nonnegative longs); the 90% CI is the
+    2nd/19th order statistic picked from a sorted 20-element array
+    ON the 1-row aggregate — array_sort vs list_sort on identical
+    integers, engine-identical. Everything from hash to CI bound is
+    md5 arithmetic both engines share, so even the resampling draws
+    hash-compare."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("p")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p").alias("sp"),
+    ]
+    for b in range(_BOOT_B):
+        u = (
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)"
+            f" || ':{b}'), 1, 12), 16, 10) AS BIGINT) % 1000"
+        )
+        w = _boot_w(f"({u})")
+        aggs.append(F.sum(F.expr(w)).alias(f"n_{b}"))
+        aggs.append(F.sum(F.expr(f"({w}) * p")).alias(f"s_{b}"))
+    g = o.agg(*aggs)
+    means = ", ".join(
+        f"CASE WHEN n_{b} > 0 THEN s_{b} div n_{b} ELSE NULL END"
+        for b in range(_BOOT_B)
+    )
+    return g.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr("sp div n").alias("mean_c"),
+        F.lit(_BOOT_B).cast("long").alias("n_boot"),
+        F.expr(
+            f"element_at(array_sort(array({means})), 2)"
+        ).alias("ci_lo_c"),
+        F.expr(
+            f"element_at(array_sort(array({means})), {_BOOT_B - 1})"
+        ).alias("ci_hi_c"),
+    ).withColumn(
+        "ci_covers",
+        (
+            (F.col("ci_lo_c") <= F.col("mean_c"))
+            & (F.col("mean_c") <= F.col("ci_hi_c"))
+        ).cast("long"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    per_b = []
+    for b in range(_BOOT_B):
+        u = (
+            "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)"
+            f" || ':{b}'), 1, 12)) AS BIGINT) % 1000"
+        )
+        w = _boot_w(f"({u})")
+        per_b.append(
+            f"CAST(SUM({w}) AS BIGINT) AS n_{b},"
+            f" CAST(SUM(({w}) * p) AS BIGINT) AS s_{b}"
+        )
+    means = ", ".join(
+        f"CASE WHEN n_{b} > 0 THEN s_{b} // n_{b} ELSE NULL END"
+        for b in range(_BOOT_B)
+    )
+    cols = ",\n         ".join(per_b)
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS p
+  FROM orders
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS sp,
+         {cols}
+  FROM o
+), s AS (
+  SELECT n AS n_rows, sp // n AS mean_c,
+         CAST({_BOOT_B} AS BIGINT) AS n_boot,
+         list_sort([{means}])[2] AS ci_lo_c,
+         list_sort([{means}])[{_BOOT_B - 1}] AS ci_hi_c
+  FROM g
+)
+SELECT n_rows, mean_c, n_boot, ci_lo_c, ci_hi_c,
+       CAST(CASE WHEN ci_lo_c <= mean_c AND mean_c <= ci_hi_c
+            THEN 1 ELSE 0 END AS BIGINT) AS ci_covers
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_linreg_multivar — two-feature OLS via exact normal equations
+# ---------------------------------------------------------------------------
+
+
+def ml_linreg_multivar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-FEATURE OLS per return flag — price modeled on quantity
+    and discount points, solved EXACTLY by Cramer's rule on the
+    normal equations: betas are rationals of centered second moments
+    M_ab = n*S_ab - S_a*S_b, so one pass of nine integer sufficient
+    statistics (map-side partials) is the whole data touch and every
+    division happens on the per-group 1-row frame. Signed ppm betas
+    via sign-split truncating division; the determinant and
+    numerators form in DECIMAL(38,0)/HUGEINT (exact while per-group
+    n <= ~3e7 given these feature ranges — beyond that, shard groups
+    or demote to the doubles twin; the bound is documented, not
+    silent). Collinear groups (det = 0) surface as NULL betas, not a
+    crash."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        qty_int("l_quantity").alias("x1"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+        cents("l_extendedprice").alias("y"),
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * x1")).alias("s11"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * x2")).alias("s22"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * x2")).alias("s12"),
+        F.sum(F.expr("CAST(x1 AS DECIMAL(38,0)) * y")).alias("s1y"),
+        F.sum(F.expr("CAST(x2 AS DECIMAL(38,0)) * y")).alias("s2y"),
+    )
+    m11 = "(n * s11 - CAST(s1 AS DECIMAL(38,0)) * s1)"
+    m22 = "(n * s22 - CAST(s2 AS DECIMAL(38,0)) * s2)"
+    m12 = "(n * s12 - CAST(s1 AS DECIMAL(38,0)) * s2)"
+    m1y = "(n * s1y - CAST(s1 AS DECIMAL(38,0)) * sy)"
+    m2y = "(n * s2y - CAST(s2 AS DECIMAL(38,0)) * sy)"
+    det = f"({m11} * {m22} - {m12} * {m12})"
+    b1n = f"({m22} * {m1y} - {m12} * {m2y})"
+    b2n = f"({m11} * {m2y} - {m12} * {m1y})"
+
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000000) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000000) div ({den}) AS BIGINT) END"
+        )
+
+    b1 = f"CASE WHEN {det} = 0 THEN NULL ELSE {sdiv(b1n, det)} END"
+    b2 = f"CASE WHEN {det} = 0 THEN NULL ELSE {sdiv(b2n, det)} END"
+    icept = sdiv(
+        f"CAST(sy AS DECIMAL(38,0)) * 1000000"
+        f" - COALESCE({b1}, 0) * s1 - COALESCE({b2}, 0) * s2",
+        "CAST(n AS DECIMAL(38,0)) * 1000000",
+    )
+    return g.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.expr(b1).alias("beta_qty_ppm"),
+        F.expr(b2).alias("beta_disc_ppm"),
+        F.expr(
+            f"CASE WHEN {det} = 0 THEN NULL ELSE {icept} END"
+        ).alias("intercept_c"),
+    )
+
+
+def _linreg_multivar_sql() -> str:
+    m11 = "(n * s11 - CAST(s1 AS HUGEINT) * s1)"
+    m22 = "(n * s22 - CAST(s2 AS HUGEINT) * s2)"
+    m12 = "(n * s12 - CAST(s1 AS HUGEINT) * s2)"
+    m1y = "(n * s1y - CAST(s1 AS HUGEINT) * sy)"
+    m2y = "(n * s2y - CAST(s2 AS HUGEINT) * sy)"
+    det = f"({m11} * {m22} - {m12} * {m12})"
+    b1n = f"({m22} * {m1y} - {m12} * {m2y})"
+    b2n = f"({m11} * {m2y} - {m12} * {m1y})"
+
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000000) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000000) // ({den}) AS BIGINT) END"
+        )
+
+    b1 = f"CASE WHEN {det} = 0 THEN NULL ELSE {sdiv(b1n, det)} END"
+    b2 = f"CASE WHEN {det} = 0 THEN NULL ELSE {sdiv(b2n, det)} END"
+    icept = sdiv(
+        f"CAST(sy AS HUGEINT) * 1000000"
+        f" - COALESCE({b1}, 0) * s1 - COALESCE({b2}, 0) * s2",
+        "CAST(n AS HUGEINT) * 1000000",
+    )
+    return f"""
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+         SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+         SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+         SUM(CAST(x1 AS HUGEINT) * y) AS s1y,
+         SUM(CAST(x2 AS HUGEINT) * y) AS s2y
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       {b1} AS beta_qty_ppm,
+       {b2} AS beta_disc_ppm,
+       CASE WHEN {det} = 0 THEN NULL ELSE {icept} END AS intercept_c
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_periodogram_peaks — DFT power at candidate seasonal periods
+# ---------------------------------------------------------------------------
+
+_PGRAM_PERIODS = (7, 14, 30)
+
+
+def _pgram_tables() -> dict[int, tuple[tuple[int, ...], tuple[int, ...]]]:
+    import math
+
+    out = {}
+    for T in _PGRAM_PERIODS:
+        cos = tuple(
+            int(round(math.cos(2 * math.pi * k / T) * 1_000_000))
+            for k in range(T)
+        )
+        sin = tuple(
+            int(round(math.sin(2 * math.pi * k / T) * 1_000_000))
+            for k in range(T)
+        )
+        out[T] = (cos, sin)
+    return out
+
+
+_PGRAM = _pgram_tables()
+
+
+def _pgram_case(t_expr: str, T: int, table: tuple[int, ...]) -> str:
+    branches = " ".join(
+        f"WHEN ({t_expr}) % {T} = {k} THEN {v}" for k, v in enumerate(table)
+    )
+    return f"CASE {branches} END"
+
+
+def ts_periodogram_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM AT CANDIDATE PERIODS — DFT power of the daily
+    event-count series at 7/14/30 days per event type: the
+    seasonality DETECTOR that `evt_seasonality_profile` (which
+    assumes weekly) reads after. Exactness the `ml_ndcg_at_k` way:
+    cos/sin are ppm LITERAL TABLES precomputed once in Python and
+    baked into both engines' plans (never a libm call inside a
+    hash-compared query); the series is centered on its truncating
+    floor-mean so C = sum z*cos_ppm stays small, and power
+    normalizes as (C^2+S^2) div (n^2 * 1e6) — HUGEINT-safe while
+    n_days * daily_mean <= ~1e16, i.e. comfortably past 100 TB.
+    Scale shape: events compress to the (type, day) grid first;
+    the three period sums are SIX conditional aggregates over that
+    grid in one pass; the peak flag is a max-window over 3 rows per
+    type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = W.partitionBy("event_type")
+    z = (
+        daily.withColumn("t", F.col("day") - F.min("day").over(wt))
+        .withColumn("c0", F.sum("y").over(wt))
+        .withColumn("nd", F.count(F.lit(1)).over(wt))
+        .withColumn("z", F.expr("y - (c0 div nd)"))
+    )
+    aggs = [F.max("nd").alias("n_days")]
+    for T in _PGRAM_PERIODS:
+        cos_t, sin_t = _PGRAM[T]
+        aggs.append(
+            F.sum(
+                F.expr(f"CAST(z AS DECIMAL(38,0)) * ({_pgram_case('t', T, cos_t)})")
+            ).alias(f"c_{T}")
+        )
+        aggs.append(
+            F.sum(
+                F.expr(f"CAST(z AS DECIMAL(38,0)) * ({_pgram_case('t', T, sin_t)})")
+            ).alias(f"s_{T}")
+        )
+    g = z.groupBy("event_type").agg(*aggs)
+    powers = ", ".join(
+        f"{T}L, CAST((c_{T} * c_{T} + s_{T} * s_{T})"
+        f" div (CAST(n_days AS DECIMAL(38,0)) * n_days * 1000000)"
+        " AS BIGINT)"
+        for T in _PGRAM_PERIODS
+    )
+    rows = g.select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.expr(
+            f"stack({len(_PGRAM_PERIODS)}, {powers}) AS (period, power_ppm)"
+        ),
+    )
+    return rows.withColumn(
+        "is_peak",
+        (
+            F.col("power_ppm")
+            == F.max("power_ppm").over(W.partitionBy("event_type"))
+        ).cast("long"),
+    )
+
+
+def _periodogram_sql() -> str:
+    sums = []
+    for T in _PGRAM_PERIODS:
+        cos_t, sin_t = _PGRAM[T]
+        sums.append(
+            f"SUM(CAST(z AS HUGEINT) * ({_pgram_case('t', T, cos_t)})) AS c_{T}"
+        )
+        sums.append(
+            f"SUM(CAST(z AS HUGEINT) * ({_pgram_case('t', T, sin_t)})) AS s_{T}"
+        )
+    sum_cols = ",\n         ".join(sums)
+    arms = " UNION ALL ".join(
+        f"SELECT event_type, n_days, CAST({T} AS BIGINT) AS period,"
+        f" CAST((c_{T} * c_{T} + s_{T} * s_{T})"
+        f" // (CAST(n_days AS HUGEINT) * n_days * 1000000) AS BIGINT)"
+        " AS power_ppm FROM g"
+        for T in _PGRAM_PERIODS
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), zt AS (
+  SELECT event_type,
+         day - MIN(day) OVER (PARTITION BY event_type) AS t,
+         y - (CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT)
+              // CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT))
+           AS z,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+  FROM daily
+), g AS (
+  SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_days,
+         {sum_cols}
+  FROM zt GROUP BY event_type
+), rows_ AS (
+  {arms}
+)
+SELECT event_type, n_days, period, power_ppm,
+       CAST(CASE WHEN power_ppm = MAX(power_ppm)
+                 OVER (PARTITION BY event_type)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM rows_
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_gini_split_gain — exact decision-stump split selection
+# ---------------------------------------------------------------------------
+
+
+def ml_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP SPLIT SELECTION — the inner loop of every tree
+    learner (GBDT/random forest), run distributed and exactly: for
+    each language, scan all candidate thresholds on n_chars and pick
+    the split maximizing Gini impurity reduction against the
+    deterministic hash label. NO GLOBAL ROW SORT (the `ml_lift_gains`
+    shape): rows compress to the per-(lang, score) count grid, the
+    cumulative window runs on score cardinality, and every candidate's
+    gain is a composition of three truncating-div ppm terms —
+    parent 2p(n-p)*1e6 div n^2 minus each child's weighted impurity
+    2p_c(n_c-p_c)*1e6 div (n*n_c) — whose products form in
+    DECIMAL(38,0)/HUGEINT (HUGEINT-safe to n ~ 1e9 per class; the
+    per-term truncation <= 3 ppm is part of the defined output, not
+    noise). Argmax per language is the min-struct((-gain, score))
+    pick — the established tie order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+    )
+    grid = d.groupBy("lang", "score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos")
+    )
+    wc = W.partitionBy("lang").orderBy("score").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("lang")
+    c = (
+        grid.withColumn("nl", F.sum("cnt").over(wc))
+        .withColumn("pl", F.sum("pos").over(wc))
+        .withColumn("n", F.sum("cnt").over(wt))
+        .withColumn("p", F.sum("pos").over(wt))
+        .where(F.col("nl") < F.col("n"))
+    )
+    gain = (
+        "CAST((2 * CAST(p AS DECIMAL(38,0)) * (n - p) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        " - CAST((2 * CAST(pl AS DECIMAL(38,0)) * (nl - pl) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * nl) AS BIGINT)"
+        " - CAST((2 * CAST(p - pl AS DECIMAL(38,0)) * ((n - nl) - (p - pl))"
+        " * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - nl)) AS BIGINT)"
+    )
+    scored = c.withColumn("gain_ppm", F.expr(gain))
+    best = scored.groupBy("lang").agg(
+        F.max("n").alias("n"),
+        F.max("p").alias("n_pos"),
+        F.min(
+            F.struct(
+                (-F.col("gain_ppm")).alias("ng"),
+                F.col("score").alias("score"),
+                F.col("nl").alias("nl"),
+                F.col("pl").alias("pl"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("b.score").cast("long").alias("split_at"),
+        F.col("b.nl").cast("long").alias("n_left"),
+        F.col("b.pl").cast("long").alias("pos_left"),
+        (-F.col("b.ng")).cast("long").alias("gain_ppm"),
+    )
+
+
+_ML_GINI_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars AS score,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), grid AS (
+  SELECT lang, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is_pos) AS BIGINT) AS pos
+  FROM d GROUP BY lang, score
+), c AS (
+  SELECT lang, score,
+         CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY score
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER (PARTITION BY lang ORDER BY score
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+         CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n,
+         CAST(SUM(pos) OVER (PARTITION BY lang) AS BIGINT) AS p
+  FROM grid
+), scored AS (
+  SELECT lang, score, nl, pl, n, p,
+         CAST((2 * CAST(p AS HUGEINT) * (n - p) * 1000000)
+              // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         - CAST((2 * CAST(pl AS HUGEINT) * (nl - pl) * 1000000)
+                // (CAST(n AS HUGEINT) * nl) AS BIGINT)
+         - CAST((2 * CAST(p - pl AS HUGEINT) * ((n - nl) - (p - pl))
+                 * 1000000) // (CAST(n AS HUGEINT) * (n - nl)) AS BIGINT)
+           AS gain_ppm
+  FROM c WHERE nl < n
+), ranked AS (
+  SELECT lang, n, p, score, nl, pl, gain_ppm,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY gain_ppm DESC, score) AS rn
+  FROM scored
+)
+SELECT lang, n, p AS n_pos, score AS split_at, nl AS n_left,
+       pl AS pos_left, gain_ppm
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "ml_gini_split_gain": QuerySpec(
+        ml_gini_split_gain,
+        _ML_GINI_SPLIT_SQL,
+        ("ml", "tree", "gini"),
+    ),
+    "ml_bootstrap_ci": QuerySpec(
+        ml_bootstrap_ci,
+        _bootstrap_sql(),
+        ("ml", "bootstrap", "uncertainty"),
+    ),
+    "ml_linreg_multivar": QuerySpec(
+        ml_linreg_multivar,
+        _linreg_multivar_sql(),
+        ("ml", "regression", "cramer"),
+    ),
+    "ts_periodogram_peaks": QuerySpec(
+        ts_periodogram_peaks,
+        _periodogram_sql(),
+        ("timeseries", "seasonality", "dft"),
+    ),
+    "profile_wasserstein_drift": QuerySpec(
+        profile_wasserstein_drift,
+        _PROFILE_WASSERSTEIN_SQL,
+        ("profile", "drift", "wasserstein"),
+    ),
     "evt_stickiness_dau_mau": QuerySpec(
         evt_stickiness_dau_mau,
         _EVT_STICKINESS_DAU_MAU_SQL,

@@ -28,6 +28,7 @@ smaller than the corpus.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.session_cache import evict_stale_apps, register_cache
@@ -1322,7 +1323,149 @@ JOIN deg dy ON dy.v = i.y
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_modularity — partition quality of an attribute community
+# ---------------------------------------------------------------------------
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the LANGUAGE partition over the near-dup graph —
+    Newman's Q for communities-by-attribute: do near-duplicate edges
+    concentrate within languages (template families translated
+    per-market score Q > 0) or cross them (LSH merging translations —
+    the false-positive smell `dedup_cluster_purity` flags per
+    cluster, read here as one global number)? Using an ATTRIBUTE as
+    the community (not the CC labels — every CC edge is intra by
+    construction, which degenerates Q to a size statistic) keeps the
+    measure informative. Exact rational:
+    Q = [sum_c 4m*e_c - sum_c d_c^2] / (4m^2), per-community
+    contributions in signed ppm via sign-split truncating division
+    (|numerator| <= 4m^2, so products form in DECIMAL(38,0)/HUGEINT
+    and the ppm quotient is long-safe). Scale shape: degrees and
+    intra-edge counts are two aggregates over the LSH pair list
+    (corpus-independent); the lang dimension joins on edge endpoints
+    only; m broadcasts as a one-row scalar."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"),
+        F.greatest("doc1", "doc2").alias("b"),
+    ).distinct()
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sym = e.select(F.col("a").alias("v")).union(
+        e.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    nodelang = deg.join(
+        lang.withColumnRenamed("doc_id", "v"), "v"
+    )
+    per_lang = nodelang.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("deg_sum"),
+    )
+    la = nodelang.select(F.col("v").alias("a"), F.col("lang").alias("la"))
+    lb = nodelang.select(F.col("v").alias("b"), F.col("lang").alias("lb"))
+    intra = (
+        e.join(la, "a")
+        .join(lb, "b")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lang"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m_edges"))
+    out = (
+        per_lang.join(intra, "lang", "left")
+        .na.fill({"intra_edges": 0})
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "qnum",
+            F.expr(
+                "4 * CAST(m_edges AS DECIMAL(38,0)) * intra_edges"
+                " - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum"
+            ),
+        )
+        .withColumn(
+            "q_contrib_ppm",
+            F.expr(
+                "CASE WHEN qnum >= 0 THEN CAST((qnum * 1000000)"
+                " div (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)"
+                " AS BIGINT)"
+                " ELSE -CAST(((-qnum) * 1000000)"
+                " div (4 * CAST(m_edges AS DECIMAL(38,0)) * m_edges)"
+                " AS BIGINT) END"
+            ),
+        )
+    )
+    return out.select(
+        "lang",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("deg_sum").cast("long").alias("deg_sum"),
+        F.col("intra_edges").cast("long").alias("intra_edges"),
+        F.col("m_edges").cast("long").alias("m_edges"),
+        "q_contrib_ppm",
+    ).withColumn(
+        "q_ppm", F.sum("q_contrib_ppm").over(Window.partitionBy(F.lit(1)))
+    )
+
+
+_GRAPH_MODULARITY_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS v FROM e UNION ALL SELECT b FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY v
+), nodelang AS (
+  SELECT deg.v, deg.deg, d.lang FROM deg JOIN documents d ON d.doc_id = deg.v
+), per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg) AS BIGINT) AS deg_sum
+  FROM nodelang GROUP BY lang
+), intra AS (
+  SELECT la.lang, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM e
+  JOIN nodelang la ON la.v = e.a
+  JOIN nodelang lb ON lb.v = e.b
+  WHERE la.lang = lb.lang
+  GROUP BY la.lang
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e
+), scored AS (
+  SELECT p.lang, p.n_nodes, p.deg_sum,
+         COALESCE(i.intra_edges, 0) AS intra_edges, m.m_edges,
+         4 * CAST(m.m_edges AS HUGEINT) * COALESCE(i.intra_edges, 0)
+           - CAST(p.deg_sum AS HUGEINT) * p.deg_sum AS qnum
+  FROM per_lang p
+  LEFT JOIN intra i ON i.lang = p.lang
+  CROSS JOIN m
+)
+SELECT lang, n_nodes, deg_sum, intra_edges, m_edges,
+       CASE WHEN qnum >= 0
+         THEN CAST((qnum * 1000000)
+                   // (4 * CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT)
+         ELSE -CAST(((-qnum) * 1000000)
+                    // (4 * CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT)
+       END AS q_contrib_ppm,
+       CAST(SUM(CASE WHEN qnum >= 0
+         THEN CAST((qnum * 1000000)
+                   // (4 * CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT)
+         ELSE -CAST(((-qnum) * 1000000)
+                    // (4 * CAST(m_edges AS HUGEINT) * m_edges) AS BIGINT)
+       END) OVER () AS BIGINT) AS q_ppm
+FROM scored
+"""
+
+
 QUERIES = {
+    "graph_modularity": QuerySpec(
+        graph_modularity,
+        _GRAPH_MODULARITY_SQL,
+        ("graph", "community", "modularity"),
+    ),
     "graph_neighbor_jaccard": QuerySpec(
         graph_neighbor_jaccard,
         _GRAPH_NEIGHBOR_JACCARD_SQL,

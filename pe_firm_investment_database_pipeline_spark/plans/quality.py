@@ -1072,7 +1072,392 @@ FROM per_class
 """
 
 
+# ---------------------------------------------------------------------------
+# sec_k_anonymity — generalization-ladder k-anonymity audit
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+def sec_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY GENERALIZATION LADDER — the release audit that
+    precedes `sec_l_diversity`/`sec_t_closeness`: at each
+    generalization level of the quasi-identifier (L0 = nation x
+    segment x balance band, L1 drops the band, L2 drops the
+    segment), how many equivalence classes exist, how small is the
+    smallest, and what share of rows would survive a k>=5
+    suppression release. ONE scan computes all three levels: the
+    ladder is exactly the prefix structure of ROLLUP(nation,
+    segment, band), so Spark's Expand emits every class of every
+    level from a single shuffle (the same grouping-sets machinery as
+    `agg_grouping_sets`), and the per-level report is a tiny
+    second aggregate over class rows — no re-scan per level, which
+    is what makes the audit O(one pass) at 100 TB. grouping_id
+    bits map rollup rows to ladder levels identically in both
+    engines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000)"
+            f" div {_LDIV_BAND_C}"
+        ).alias("band"),
+    )
+    classes = (
+        c.rollup("c_nationkey", "c_mktsegment", "band")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+        .where(F.col("gid").isin(0, 1, 3))
+        .withColumn(
+            "level",
+            F.when(F.col("gid") == 0, 0)
+            .when(F.col("gid") == 1, 1)
+            .otherwise(2)
+            .cast("long"),
+        )
+    )
+    rep = classes.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cnt").alias("n_rows"),
+        F.min("cnt").alias("k_min"),
+        F.sum(F.when(F.col("cnt") < _KANON_K, F.col("cnt")).otherwise(0)).alias(
+            "rows_suppressed"
+        ),
+    )
+    return rep.select(
+        "level",
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("k_min").cast("long").alias("k_min"),
+        F.col("rows_suppressed").cast("long").alias("rows_suppressed"),
+        F.expr(
+            "CAST(((n_rows - rows_suppressed) * 1000000) div n_rows"
+            " AS BIGINT)"
+        ).alias("share_anon_ppm"),
+        (F.col("k_min") >= _KANON_K).cast("long").alias("k_ok"),
+    )
+
+
+_SEC_K_ANONYMITY_SQL = f"""
+WITH c AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000)
+           // {_LDIV_BAND_C} AS band
+  FROM customer
+), classes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         GROUPING(c_nationkey, c_mktsegment, band) AS gid
+  FROM c GROUP BY ROLLUP (c_nationkey, c_mktsegment, band)
+), leveled AS (
+  SELECT cnt,
+         CAST(CASE WHEN gid = 0 THEN 0 WHEN gid = 1 THEN 1 ELSE 2 END
+              AS BIGINT) AS level
+  FROM classes WHERE gid IN (0, 1, 3)
+), rep AS (
+  SELECT level,
+         CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MIN(cnt) AS BIGINT) AS k_min,
+         CAST(SUM(CASE WHEN cnt < {_KANON_K} THEN cnt ELSE 0 END)
+              AS BIGINT) AS rows_suppressed
+  FROM leveled GROUP BY level
+)
+SELECT level, n_classes, n_rows, k_min, rows_suppressed,
+       CAST(((n_rows - rows_suppressed) * 1000000) // n_rows
+            AS BIGINT) AS share_anon_ppm,
+       CAST(CASE WHEN k_min >= {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+         AS k_ok
+FROM rep
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_cuped_adjust — variance-reduced experiment readout (CUPED)
+# ---------------------------------------------------------------------------
+
+
+def evt_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-ADJUSTED A/B READOUT — the variance-reduction step every
+    mature experimentation platform runs on top of the plain
+    two-arm readout (`evt_ab_test`): each user's PRE-period activity
+    (purchases before the time-axis midpoint) is a covariate X for
+    the POST-period metric Y; theta = cov(X,Y)/var(X) is fit POOLED
+    across arms (the unbiased CUPED estimator), and the adjusted
+    treatment delta is (mean_Yt - mean_Yc) - theta*(mean_Xt -
+    mean_Xc). Everything is an exact integer rational over the
+    per-user count table: theta and the deltas are signed ppm via
+    sign-split truncating division; the variance-reduction factor
+    corr^2 = theta * beta_yx composes the two ppm slopes instead of
+    squaring the covariance (whose square overflows even HUGEINT at
+    cluster user counts — the `ml_auc_rank` lesson applied at design
+    time). Scale shape: ONE event scan -> per-user (pre, post)
+    counts (the only data-sized shuffle) -> a single 1-row
+    conditional aggregate; every division happens on the 1-row
+    frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    users = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), F.col("is_p")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid_us"), F.col("is_p")).otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2 == 0).cast("long"))
+    )
+    g = users.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("sx_t"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("sy_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("sx_c"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sy_c"),
+    )
+    # signed ppm ratio via sign-split truncating division (both
+    # engines apply // to the absolute value and re-apply the sign)
+    def _sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000000) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000000) div ({den}) AS BIGINT) END"
+        )
+
+    cov = "(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    varx = "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vary = "(n * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    dy = "(CAST(sy_t AS DECIMAL(38,0)) * n_c - CAST(sy_c AS DECIMAL(38,0)) * n_t)"
+    dx = "(CAST(sx_t AS DECIMAL(38,0)) * n_c - CAST(sx_c AS DECIMAL(38,0)) * n_t)"
+    nn = "(CAST(n_t AS DECIMAL(38,0)) * n_c)"
+    return g.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.expr(_sdiv(dy, nn)).alias("dy_ppm"),
+        F.expr(_sdiv(dx, nn)).alias("dx_ppm"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN NULL ELSE {_sdiv(cov, varx)} END"
+        ).alias("theta_ppm"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL ELSE "
+            + _sdiv(
+                f"CAST({_sdiv(cov, varx)} AS DECIMAL(38,0))"
+                f" * {_sdiv(cov, vary)}",
+                "1000000000000",
+            )
+            + " END"
+        ).alias("var_red_ppm"),
+        F.expr(
+            f"CASE WHEN {varx} = 0 THEN {_sdiv(dy, nn)} ELSE "
+            + _sdiv(
+                f"CAST({_sdiv(dy, nn)} AS DECIMAL(38,0)) * 1000000"
+                f" - CAST({_sdiv(cov, varx)} AS DECIMAL(38,0))"
+                f" * {_sdiv(dx, nn)}",
+                "1000000000000",
+            )
+            + " END"
+        ).alias("adj_delta_ppm"),
+    )
+
+
+def _cuped_sql() -> str:
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000000) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000000) // ({den}) AS BIGINT) END"
+        )
+
+    cov = "(n * sxy - CAST(sx AS HUGEINT) * sy)"
+    varx = "(n * sxx - CAST(sx AS HUGEINT) * sx)"
+    vary = "(n * syy - CAST(sy AS HUGEINT) * sy)"
+    dy = "(CAST(sy_t AS HUGEINT) * n_c - CAST(sy_c AS HUGEINT) * n_t)"
+    dx = "(CAST(sx_t AS HUGEINT) * n_c - CAST(sx_c AS HUGEINT) * n_t)"
+    nn = "(CAST(n_t AS HUGEINT) * n_c)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN is_p ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts_us >= mid_us THEN is_p ELSE 0 END)
+              AS BIGINT) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm
+  FROM ev CROSS JOIN lim GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c
+  FROM users
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c,
+       {sdiv(dy, nn)} AS dy_ppm,
+       {sdiv(dx, nn)} AS dx_ppm,
+       CASE WHEN {varx} = 0 THEN NULL
+            ELSE {sdiv(cov, varx)} END AS theta_ppm,
+       CASE WHEN {varx} = 0 OR {vary} = 0 THEN NULL
+            ELSE {sdiv(
+                f"CAST({sdiv(cov, varx)} AS HUGEINT)"
+                f" * {sdiv(cov, vary)}",
+                "1000000000000",
+            )} END AS var_red_ppm,
+       CASE WHEN {varx} = 0 THEN {sdiv(dy, nn)}
+            ELSE {sdiv(
+                f"CAST({sdiv(dy, nn)} AS HUGEINT) * 1000000"
+                f" - CAST({sdiv(cov, varx)} AS HUGEINT)"
+                f" * {sdiv(dx, nn)}",
+                "1000000000000",
+            )} END AS adj_delta_ppm
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# dq_gap_inventory — per-user activity-gap completeness audit
+# ---------------------------------------------------------------------------
+
+
+def dq_gap_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY-GAP INVENTORY — the ingestion-completeness audit that
+    row counts can't give: for every (user, event type), find the
+    DAYS-LONG holes in their activity timeline (gaps between
+    consecutive active days) and roll them up per type: how many
+    gaps, how many user-days are missing, the single worst gap, and
+    the coverage share of summed user spans. A feed that silently
+    drops a shard shows up here as a synchronized gap long before
+    totals drift. Scale shape: events compress to the DISTINCT
+    (type, user, day) grid first (the only event-sized shuffle);
+    the lead() window runs per (type, user) over active days — tiny
+    partitions by construction; two further aggregates shrink
+    monotonically. Pure integer day arithmetic end-to-end."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.expr("unix_date(ts_date)").alias("day")
+    )
+    grid = ev.distinct()
+    lead = grid.withColumn(
+        "nxt",
+        F.lead("day").over(
+            W.partitionBy("event_type", "user_id").orderBy("day")
+        ),
+    )
+    per_user = lead.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("active_days"),
+        (F.max("day") - F.min("day") + 1).alias("span_days"),
+        F.sum(
+            F.when(F.col("nxt") > F.col("day") + 1, 1).otherwise(0)
+        ).alias("n_gaps"),
+        F.sum(
+            F.when(
+                F.col("nxt") > F.col("day") + 1,
+                F.col("nxt") - F.col("day") - 1,
+            ).otherwise(0)
+        ).alias("missing_days"),
+        F.max(
+            F.coalesce(F.col("nxt") - F.col("day") - 1, F.lit(0))
+        ).alias("max_gap"),
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_gaps").alias("n_gaps"),
+            F.sum("missing_days").alias("missing_days"),
+            F.max("max_gap").alias("max_gap_days"),
+            F.sum("active_days").alias("active_days"),
+            F.sum("span_days").alias("span_days"),
+        )
+        .select(
+            "event_type",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("missing_days").cast("long").alias("missing_days"),
+            F.col("max_gap_days").cast("long").alias("max_gap_days"),
+            F.expr(
+                "CAST((active_days * 1000000) div span_days AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+_DQ_GAP_INVENTORY_SQL = """
+WITH grid AS (
+  SELECT DISTINCT event_type, user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') AS day
+  FROM events
+), led AS (
+  SELECT event_type, user_id, day,
+         LEAD(day) OVER (PARTITION BY event_type, user_id
+                         ORDER BY day) AS nxt
+  FROM grid
+), per_user AS (
+  SELECT event_type, user_id,
+         CAST(COUNT(*) AS BIGINT) AS active_days,
+         CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+         CAST(SUM(CASE WHEN nxt > day + 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_gaps,
+         CAST(SUM(CASE WHEN nxt > day + 1 THEN nxt - day - 1 ELSE 0 END)
+              AS BIGINT) AS missing_days,
+         CAST(MAX(COALESCE(nxt - day - 1, 0)) AS BIGINT) AS max_gap
+  FROM led GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+       CAST(SUM(missing_days) AS BIGINT) AS missing_days,
+       CAST(MAX(max_gap) AS BIGINT) AS max_gap_days,
+       CAST((SUM(active_days) * 1000000) // SUM(span_days)
+            AS BIGINT) AS coverage_ppm
+FROM per_user GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "dq_gap_inventory": QuerySpec(
+        dq_gap_inventory,
+        _DQ_GAP_INVENTORY_SQL,
+        ("quality", "completeness", "gaps"),
+    ),
+    "sec_k_anonymity": QuerySpec(
+        sec_k_anonymity,
+        _SEC_K_ANONYMITY_SQL,
+        ("security", "privacy", "k-anonymity"),
+    ),
+    "evt_cuped_adjust": QuerySpec(
+        evt_cuped_adjust,
+        _cuped_sql(),
+        ("events", "ab", "cuped", "variance-reduction"),
+    ),
     "sec_t_closeness": QuerySpec(
         sec_t_closeness,
         _SEC_T_CLOSENESS_SQL,

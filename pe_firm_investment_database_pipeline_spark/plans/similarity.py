@@ -2077,7 +2077,137 @@ UNION ALL
 """
 
 
+# ---------------------------------------------------------------------------
+# profile_embedding_drift — per-language centroid vs corpus centroid
+# ---------------------------------------------------------------------------
+
+_EMB_DRIFT_PPM = 900_000  # alert when centroid cosine < 0.9
+
+
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-SPACE DRIFT — the profile_* family extended to the
+    vector column: each language's centroid embedding compared (by
+    cosine) against the corpus centroid. A language whose centroid
+    swings away from the corpus is exactly what silently breaks a
+    shared ANN index or a monolingual-trained classifier downstream.
+    Mechanism: quantized int vectors posexplode to (lang, dim, val)
+    — 64x rows but map-side partial aggregation collapses them in
+    the scan stage; centroids are SIGN-SPLIT truncating integer
+    means per dimension (floor-vs-trunc on negatives is the usual
+    cross-engine hazard); the 64-term dot/norms are exact int64
+    (centroid values <= |q|max, so products stay < 2^53 and the
+    final floor(dot/(|a||b|)*1e6) lands on the same integer in both
+    engines — the rag_mmr_rerank fixed-point-cosine argument).
+    Corpus centroid broadcasts onto the per-lang join."""
+    emb = _emb_q(spark, sf_dir).select("vec_id", "q")
+    lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    dims = (
+        emb.join(lang, "vec_id")
+        .select("lang", F.posexplode("q").alias("dim", "val"))
+    )
+    sdiv = (
+        "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
+    )
+    per_lang = (
+        dims.groupBy("lang", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("lang", "dim", F.expr(sdiv).alias("c"))
+    )
+    global_c = (
+        dims.groupBy("dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("dim", F.expr(sdiv).alias("g"))
+    )
+    stats = (
+        per_lang.join(F.broadcast(global_c), "dim")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("c * g")).alias("dot"),
+            F.sum(F.expr("c * c")).alias("nl"),
+            F.sum(F.expr("g * g")).alias("ng"),
+        )
+    )
+    counts = (
+        emb.join(lang, "vec_id").groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_vecs")
+        )
+    )
+    return (
+        stats.join(counts, "lang")
+        .select(
+            "lang",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr(
+                "CASE WHEN nl = 0 OR ng = 0 THEN NULL ELSE"
+                " CAST(floor(CAST(dot AS DOUBLE)"
+                " / (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE)))"
+                " * 1000000.0) AS BIGINT) END"
+            ).alias("cos_corpus_ppm"),
+        )
+        .withColumn(
+            "drift_flag",
+            (
+                F.coalesce(F.col("cos_corpus_ppm"), F.lit(0))
+                < _EMB_DRIFT_PPM
+            ).cast("long"),
+        )
+    )
+
+
+_PROFILE_EMBEDDING_DRIFT_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, {_QUANT_DUCK} AS q FROM embeddings
+), dims AS (
+  SELECT d.lang,
+         generate_subscripts(eq.q, 1) AS dim,
+         unnest(eq.q) AS val
+  FROM eq JOIN documents d ON d.doc_id = eq.vec_id
+), per_lang AS (
+  SELECT lang, dim,
+         CASE WHEN SUM(val) >= 0
+           THEN CAST(SUM(val) // COUNT(*) AS BIGINT)
+           ELSE -CAST((-SUM(val)) // COUNT(*) AS BIGINT) END AS c
+  FROM dims GROUP BY lang, dim
+), global_c AS (
+  SELECT dim,
+         CASE WHEN SUM(val) >= 0
+           THEN CAST(SUM(val) // COUNT(*) AS BIGINT)
+           ELSE -CAST((-SUM(val)) // COUNT(*) AS BIGINT) END AS g
+  FROM dims GROUP BY dim
+), stats AS (
+  SELECT p.lang,
+         CAST(SUM(p.c * gc.g) AS BIGINT) AS dot,
+         CAST(SUM(p.c * p.c) AS BIGINT) AS nl,
+         CAST(SUM(gc.g * gc.g) AS BIGINT) AS ng
+  FROM per_lang p JOIN global_c gc USING (dim)
+  GROUP BY p.lang
+), counts AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  GROUP BY d.lang
+)
+SELECT s.lang, c.n_vecs,
+       CASE WHEN s.nl = 0 OR s.ng = 0 THEN NULL ELSE
+         CAST(floor(CAST(s.dot AS DOUBLE)
+              / (sqrt(CAST(s.nl AS DOUBLE)) * sqrt(CAST(s.ng AS DOUBLE)))
+              * 1000000.0) AS BIGINT) END AS cos_corpus_ppm,
+       CAST(CASE WHEN COALESCE(CASE WHEN s.nl = 0 OR s.ng = 0 THEN NULL ELSE
+              CAST(floor(CAST(s.dot AS DOUBLE)
+                   / (sqrt(CAST(s.nl AS DOUBLE)) * sqrt(CAST(s.ng AS DOUBLE)))
+                   * 1000000.0) AS BIGINT) END, 0) < {_EMB_DRIFT_PPM}
+            THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM stats s JOIN counts c USING (lang)
+"""
+
+
 QUERIES = {
+    "profile_embedding_drift": QuerySpec(
+        profile_embedding_drift,
+        _PROFILE_EMBEDDING_DRIFT_SQL,
+        ("profile", "drift", "embeddings"),
+    ),
     "sim_cosine_topk": QuerySpec(
         sim_cosine_topk, _SIM_COSINE_TOPK_SQL, ("similarity", "topk")
     ),

@@ -2610,7 +2610,133 @@ GROUP BY p.token
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_keyphrase_textrank — graph-based keyword ranking
+# ---------------------------------------------------------------------------
+
+_TR_BASE = 1_000_000
+_TR_ITERS = 3
+_TR_TOPK = 15
+
+
+def txt_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK KEYWORDS — the graph-based corpus keyworder that
+    complements RAKE's frequency/degree heuristic (`txt_rake_keywords`)
+    and TF-IDF (`txt_tfidf_topterms`): non-stopword tokens are
+    vertices, adjacency in the filtered token sequence is an edge,
+    and importance is 3 fixed iterations of WEIGHTED PageRank over
+    the co-occurrence graph — a word matters because important words
+    sit next to it, which frequency alone can't see. Integer
+    arithmetic mirrors `graph_pagerank`: scaled ranks, per-edge
+    contribution (r*wt) div wdeg in DECIMAL(38,0)/HUGEINT (the r*wt
+    product overflows int64 at corpus-scale co-occurrence counts),
+    damping as (85*sum) div 100 AFTER the associative sum. Scale
+    shape: the corpus collapses to the vocabulary-sized weighted
+    edge list in one pass (posexplode + per-doc lag window); every
+    iteration is one equi-join + one sum on that tiny graph. Top-15
+    with the (rank desc, word) tie order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "t"))
+        .select("doc_id", "pos", F.lower("t").alias("w"))
+        .where(~F.col("w").isin(*STOPWORDS))
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
+    sym = seq.select(F.col("prev").alias("a"), F.col("w").alias("b")).union(
+        seq.select(F.col("w").alias("a"), F.col("prev").alias("b"))
+    )
+    edges_w = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+    wdeg = edges_w.groupBy("a").agg(F.sum("wt").alias("wdeg"))
+    edges = edges_w.join(wdeg, "a").localCheckpoint(eager=True)
+    ranks = wdeg.select(
+        F.col("a").alias("v"), F.lit(_TR_BASE).cast("long").alias("r")
+    )
+    teleport = (15 * _TR_BASE) // 100
+    for _ in range(_TR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.a == ranks.v)
+            .select(
+                "b",
+                F.expr(
+                    "CAST((CAST(r AS DECIMAL(38,0)) * wt) div wdeg"
+                    " AS BIGINT)"
+                ).alias("c"),
+            )
+            .groupBy("b")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contrib.select(
+            F.col("b").alias("v"),
+            (F.lit(teleport) + F.expr("(85 * s) div 100"))
+            .cast("long")
+            .alias("r"),
+        )
+    top = ranks.orderBy(F.col("r").desc(), "v").limit(_TR_TOPK)
+    return top.select(
+        F.row_number()
+        .over(W.orderBy(F.col("r").desc(), "v"))
+        .cast("long")
+        .alias("rank"),
+        F.col("v").alias("word"),
+        F.col("r").alias("textrank_scaled"),
+    )
+
+
+def _textrank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, _TR_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+  SELECT e.b AS v,
+         {(15 * _TR_BASE) // 100}
+           + (85 * SUM(CAST((CAST(p.r AS HUGEINT) * e.wt) // e.wdeg
+                            AS BIGINT))) // 100 AS r
+  FROM edges e JOIN {prev} p ON p.v = e.a
+  GROUP BY e.b
+)"""
+        )
+        prev = f"r{i}"
+    chain = ", ".join(iters)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS pos, lower(unnest(ts)) AS w
+  FROM (SELECT doc_id, {_TOKENS_DUCK} AS ts FROM documents)
+), filt AS (
+  SELECT doc_id, pos, w FROM toks WHERE w NOT IN {_STOP_SQL}
+), seq AS (
+  SELECT doc_id, w,
+         LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM filt
+), pairs AS (
+  SELECT prev, w FROM seq WHERE prev IS NOT NULL AND prev != w
+), sym AS (
+  SELECT prev AS a, w AS b FROM pairs
+  UNION ALL
+  SELECT w, prev FROM pairs
+), edges AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS wt,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY a) AS BIGINT) AS wdeg
+  FROM sym GROUP BY a, b
+), r0 AS (
+  SELECT a AS v, CAST({_TR_BASE} AS BIGINT) AS r
+  FROM (SELECT DISTINCT a FROM edges)
+), {chain}
+SELECT CAST(row_number() OVER (ORDER BY r DESC, v) AS BIGINT) AS rank,
+       v AS word, CAST(r AS BIGINT) AS textrank_scaled
+FROM {prev}
+ORDER BY r DESC, v LIMIT {_TR_TOPK}
+"""
+
+
 QUERIES = {
+    "txt_keyphrase_textrank": QuerySpec(
+        txt_keyphrase_textrank,
+        _textrank_sql(),
+        ("text", "keywords", "textrank"),
+    ),
     "sketch_cms_heavy": QuerySpec(
         sketch_cms_heavy, _cms_sql(), ("sketch", "frequency", "cms")
     ),

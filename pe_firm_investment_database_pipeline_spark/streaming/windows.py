@@ -850,6 +850,107 @@ FROM ranked WHERE rn = 1
 """
 
 
+def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY WITH DELETES — the full I/U/D changelog semantics on
+    top of `stream_upsert_foreachbatch`'s upsert-only fold: 'error'
+    events are DELETE tombstones for their user, everything else
+    upserts. The invariant that makes this exactly-once under ANY
+    micro-batch file ordering: tombstones are RETAINED in state (not
+    dropped at merge time) — state keeps the per-user newest record
+    including deletes, so an out-of-order older upsert can never
+    resurrect a deleted key; the tombstone filter happens only at
+    READ time. Merge is the same associative per-key
+    max(struct(ts_us, event_id, ...)) argmax (ties impossible,
+    event_id unique), writes are versioned-by-batch_id for
+    idempotent replay. At 100 TB: bucketed state table,
+    co-partitioned merge join, per-batch cost O(batch + touched
+    keys). Oracle: per-user newest event where that newest is not a
+    tombstone."""
+    in_path = _prepare_input(spark, sf_dir)
+    slot = _slot(spark, sf_dir)
+    state_root = os.path.join(tempfile.gettempdir(), f"pe_cdc_{slot}")
+    ck = os.path.join(tempfile.gettempdir(), f"pe_cdc_ck_{slot}")
+    latest: dict[str, str | None] = {"path": None}
+
+    def _newest(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        "ts_us", "event_id", "event_type", "value_c", "is_del"
+                    )
+                ).alias("b")
+            )
+            .select(
+                "user_id", "b.ts_us", "b.event_id", "b.event_type",
+                "b.value_c", "b.is_del",
+            )
+        )
+
+    def _apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        delta = _newest(
+            batch.select(
+                "user_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_id",
+                "event_type",
+                "value_c",
+                (F.col("event_type") == "error").cast("long").alias("is_del"),
+            )
+        )
+        if latest["path"] is not None:
+            delta = _newest(
+                sess.read.parquet(latest["path"]).unionByName(delta)
+            )
+        version = os.path.join(state_root, f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(version)
+        latest["path"] = version
+
+    q = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(in_path)
+        .writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if latest["path"] is None:
+        versions = sorted(
+            (d for d in os.listdir(state_root) if d.startswith("v")),
+            key=lambda d: int(d[1:]),
+        ) if os.path.isdir(state_root) else []
+        if not versions:
+            return spark.createDataFrame(
+                [],
+                "user_id BIGINT, ts_us BIGINT, event_id BIGINT, "
+                "event_type STRING, value_c BIGINT",
+            )
+        latest["path"] = os.path.join(state_root, versions[-1])
+    return (
+        spark.read.parquet(latest["path"])
+        .where(F.col("is_del") == 0)
+        .select("user_id", "ts_us", "event_id", "event_type", "value_c")
+    )
+
+
+_STREAM_CDC_CHANGELOG_SQL = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us, event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts::TIMESTAMP) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts_us, event_id, event_type, value_c
+FROM ranked WHERE rn = 1 AND event_type != 'error'
+"""
+
+
 def _stream_dedup_lsh_sql() -> str:
     """Shares the batch twin's exact oracle: streaming the new-batch
     slice through the index in micro-batches yields exactly the
@@ -1090,5 +1191,10 @@ QUERIES = {
     ),
     "stream_late_append": QuerySpec(
         stream_late_append, _STREAM_LATE_APPEND_SQL, ("streaming", "watermark")
+    ),
+    "stream_cdc_changelog": QuerySpec(
+        stream_cdc_changelog,
+        _STREAM_CDC_CHANGELOG_SQL,
+        ("streaming", "cdc", "delete"),
     ),
 }

@@ -381,3 +381,404 @@ def test_ml_cv_folds_exact_balance(spark, sf_dir):
         for c in cells:
             assert c["n_docs"] in (n_lang // _CV_K, -(-n_lang // _CV_K))
             assert c["balanced_ok"] == 1
+
+
+def test_profile_wasserstein_replay(spark, sf_dir):
+    """Python replay of W1 between the early/late value distributions
+    on the cents grid, including the milli-cent truncation."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts_us", F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
+        .collect()
+    )
+    mid = (min(r["ts_us"] for r in ev) + max(r["ts_us"] for r in ev)) // 2
+    by_type: dict = {}
+    for r in ev:
+        a, b = by_type.setdefault(r["event_type"], ([], []))
+        (a if r["ts_us"] < mid else b).append(r["v"])
+    got = {
+        r["event_type"]: r
+        for r in _Q["profile_wasserstein_drift"].fn(spark, sf_dir).collect()
+    }
+    for et, (a, b) in by_type.items():
+        na, nb = len(a), len(b)
+        grid = sorted(set(a) | set(b))
+        num = 0
+        ca = cb = 0
+        for i, v in enumerate(grid):
+            ca += sum(1 for x in a if x == v)
+            cb += sum(1 for x in b if x == v)
+            gap = grid[i + 1] - v if i + 1 < len(grid) else 0
+            num += abs(ca * nb - cb * na) * gap
+        expect = (num * 1000) // (na * nb) if na and nb else None
+        assert got[et]["w1_mc"] == expect
+        assert got[et]["n_early"] == na and got[et]["n_late"] == nb
+
+
+def test_graph_modularity_sums_and_bounds(spark, sf_dir):
+    """Intra-edge counts must sum to <= m (cross-lang edges are the
+    remainder), degree sums to 2m, and each contribution respects the
+    modularity bound |q_c| <= 1e6."""
+    rows = _Q["graph_modularity"].fn(spark, sf_dir).collect()
+    assert rows, "modularity table empty"
+    m = rows[0]["m_edges"]
+    assert all(r["m_edges"] == m for r in rows)
+    assert sum(r["intra_edges"] for r in rows) <= m
+    assert sum(r["deg_sum"] for r in rows) == 2 * m
+    q = rows[0]["q_ppm"]
+    for r in rows:
+        assert abs(r["q_contrib_ppm"]) <= 1_000_000
+        assert r["q_ppm"] == q
+    assert q == sum(r["q_contrib_ppm"] for r in rows)
+    assert -1_000_000 <= q <= 1_000_000
+
+
+def test_sec_k_anonymity_ladder_monotone(spark, sf_dir):
+    """Generalizing can only merge classes: up the ladder, class count
+    shrinks, k_min grows, suppression shrinks; row totals constant."""
+    rows = {r["level"]: r for r in _Q["sec_k_anonymity"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1, 2}
+    n = rows[0]["n_rows"]
+    assert rows[1]["n_rows"] == n and rows[2]["n_rows"] == n
+    assert rows[0]["n_classes"] >= rows[1]["n_classes"] >= rows[2]["n_classes"]
+    assert rows[0]["k_min"] <= rows[1]["k_min"] <= rows[2]["k_min"]
+    assert (
+        rows[0]["rows_suppressed"]
+        >= rows[1]["rows_suppressed"]
+        >= rows[2]["rows_suppressed"]
+    )
+    for r in rows.values():
+        assert 0 <= r["share_anon_ppm"] <= 1_000_000
+        assert r["k_ok"] == (1 if r["k_min"] >= 5 else 0)
+
+
+def test_evt_cuped_adjust_replay(spark, sf_dir):
+    """Python replay of the pooled-theta CUPED arithmetic, including
+    every sign-split truncation step."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", (F.col("event_type") == "purchase").cast("long").alias("p"))
+        .collect()
+    )
+    mid = (min(r["ts_us"] for r in ev) + max(r["ts_us"] for r in ev)) // 2
+    xy: dict = {}
+    for r in ev:
+        x, y = xy.get(r["user_id"], (0, 0))
+        if r["ts_us"] < mid:
+            x += r["p"]
+        else:
+            y += r["p"]
+        xy[r["user_id"]] = (x, y)
+
+    def sdiv(num, den):
+        return (num * 1_000_000) // den if num >= 0 else -((-num) * 1_000_000 // den)
+
+    n = len(xy)
+    sx = sum(x for x, _ in xy.values())
+    sy = sum(y for _, y in xy.values())
+    sxy = sum(x * y for x, y in xy.values())
+    sxx = sum(x * x for x, _ in xy.values())
+    t = [(x, y) for u, (x, y) in xy.items() if u % 2 == 0]
+    c = [(x, y) for u, (x, y) in xy.items() if u % 2 == 1]
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    dy = sum(y for _, y in t) * len(c) - sum(y for _, y in c) * len(t)
+    dx = sum(x for x, _ in t) * len(c) - sum(x for x, _ in c) * len(t)
+    nn = len(t) * len(c)
+    row = _Q["evt_cuped_adjust"].fn(spark, sf_dir).collect()[0]
+    assert row["n_users"] == n
+    assert row["dy_ppm"] == sdiv(dy, nn)
+    assert row["dx_ppm"] == sdiv(dx, nn)
+    assert row["theta_ppm"] == sdiv(cov, varx)
+    assert row["adj_delta_ppm"] == sdiv(
+        sdiv(dy, nn) * 1_000_000 - sdiv(cov, varx) * sdiv(dx, nn),
+        1_000_000_000_000,
+    )
+
+
+def test_dq_gap_inventory_replay(spark, sf_dir):
+    """Brute-force replay of per-user gap statistics for one type."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], set()).add(r["day"])
+    n_gaps = missing = max_gap = active = span = 0
+    for days in by_user.values():
+        ds = sorted(days)
+        active += len(ds)
+        span += ds[-1] - ds[0] + 1
+        for a, b in zip(ds, ds[1:]):
+            if b > a + 1:
+                n_gaps += 1
+                missing += b - a - 1
+                max_gap = max(max_gap, b - a - 1)
+    got = {
+        r["event_type"]: r for r in _Q["dq_gap_inventory"].fn(spark, sf_dir).collect()
+    }["purchase"]
+    assert got["n_users"] == len(by_user)
+    assert got["n_gaps"] == n_gaps
+    assert got["missing_days"] == missing
+    assert got["max_gap_days"] == max_gap
+    assert got["coverage_ppm"] == (active * 1_000_000) // span
+
+
+def test_ml_bootstrap_ci_brackets_and_determinism(spark, sf_dir):
+    """CI must bracket the point estimate on this fixture, bounds must
+    be ordered, and a second run must reproduce bit-identically."""
+    r1 = _Q["ml_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    r2 = _Q["ml_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1["n_boot"] == 20
+    assert r1["ci_lo_c"] <= r1["ci_hi_c"]
+    # Poisson-bootstrap means of a large sample concentrate around the
+    # sample mean; the 90% CI easily covers it at fixture scale.
+    assert r1["ci_covers"] == 1
+    assert r1["ci_lo_c"] <= r1["mean_c"] <= r1["ci_hi_c"]
+
+
+def test_ml_linreg_multivar_recovers_price_structure(spark, sf_dir):
+    """numpy lstsq must agree with the exact Cramer solution to ppm
+    truncation (the synthetic fixture draws price independently of
+    quantity, so no sign structure is assumed — the pin is the
+    solver agreement itself)."""
+    import numpy as np
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("x1"),
+            F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("x2"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("y"),
+        )
+        .collect()
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in _Q["ml_linreg_multivar"].fn(spark, sf_dir).collect()
+    }
+    flags = sorted({r["l_returnflag"] for r in li})
+    for fl in flags:
+        sub = [r for r in li if r["l_returnflag"] == fl]
+        A = np.array([[1.0, r["x1"], r["x2"]] for r in sub])
+        yv = np.array([float(r["y"]) for r in sub])
+        coef, *_ = np.linalg.lstsq(A, yv, rcond=None)
+        g = got[fl]
+        assert g["beta_qty_ppm"] is not None
+        # ppm truncation + float solver: agree within 1e-3 relative
+        assert abs(g["beta_qty_ppm"] / 1e6 - coef[1]) <= max(
+            1.0, abs(coef[1]) * 1e-3
+        )
+        assert abs(g["beta_disc_ppm"] / 1e6 - coef[2]) <= max(
+            1.0, abs(coef[2]) * 1e-3
+        )
+
+
+def test_ts_periodogram_structure(spark, sf_dir):
+    """Three period rows per type, exactly one peak flag set per type
+    (modulo exact ties), and power is nonnegative."""
+    rows = _Q["ts_periodogram_peaks"].fn(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        assert sorted(r["period"] for r in rs) == [7, 14, 30]
+        assert all(r["power_ppm"] >= 0 for r in rs)
+        peaks = [r for r in rs if r["is_peak"] == 1]
+        assert len(peaks) >= 1
+        top = max(r["power_ppm"] for r in rs)
+        assert all(r["power_ppm"] == top for r in peaks)
+
+
+def test_profile_embedding_drift_replay(spark, sf_dir):
+    """numpy replay of the integer-centroid cosine, including the
+    sign-split truncating per-dimension means."""
+    import math
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(
+            load_table(spark, sf_dir, "documents").select(
+                F.col("doc_id").alias("vec_id"), "lang"
+            ),
+            "vec_id",
+        )
+        .select(
+            "lang",
+            F.expr(
+                "transform(embedding, x ->"
+                " CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            ).alias("q"),
+        )
+        .collect()
+    )
+
+    def tdiv(s, n):
+        return s // n if s >= 0 else -((-s) // n)
+
+    dim = len(rows[0]["q"])
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["q"])
+    gsum = [sum(q[i] for r in rows for q in [r["q"]]) for i in range(dim)]
+    gn = len(rows)
+    g = [tdiv(s, gn) for s in gsum]
+    got = {
+        r["lang"]: r
+        for r in _Q["profile_embedding_drift"].fn(spark, sf_dir).collect()
+    }
+    for lang, qs in by_lang.items():
+        c = [tdiv(sum(q[i] for q in qs), len(qs)) for i in range(dim)]
+        dot = sum(a * b for a, b in zip(c, g))
+        nl = sum(a * a for a in c)
+        ng = sum(b * b for b in g)
+        expect = int(
+            math.floor(dot / (math.sqrt(nl) * math.sqrt(ng)) * 1_000_000)
+        )
+        assert got[lang]["n_vecs"] == len(qs)
+        assert got[lang]["cos_corpus_ppm"] == expect
+
+
+def test_ml_gini_split_gain_replay(spark, sf_dir):
+    """Brute-force best-split replay for one language with the exact
+    per-term truncation chain."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _AUC_HASH,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").alias("score"),
+            (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+        )
+        .collect()
+    )
+    langs = sorted({r["lang"] for r in d})
+    got = {r["lang"]: r for r in _Q["ml_gini_split_gain"].fn(spark, sf_dir).collect()}
+    lang = langs[0]
+    sub = sorted(
+        (r for r in d if r["lang"] == lang), key=lambda r: r["score"]
+    )
+    n = len(sub)
+    p = sum(r["is_pos"] for r in sub)
+    best = None
+    scores = sorted({r["score"] for r in sub})
+    for s in scores:
+        left = [r for r in sub if r["score"] <= s]
+        nl, pl = len(left), sum(r["is_pos"] for r in left)
+        if nl == n:
+            continue
+        nr, pr = n - nl, p - pl
+        gain = (
+            (2 * p * (n - p) * 10**6) // (n * n)
+            - (2 * pl * (nl - pl) * 10**6) // (n * nl)
+            - (2 * pr * (nr - pr) * 10**6) // (n * nr)
+        )
+        key = (-gain, s)
+        if best is None or key < best:
+            best = key
+    assert got[lang]["gain_ppm"] == -best[0]
+    assert got[lang]["split_at"] == best[1]
+    assert got[lang]["n"] == n and got[lang]["n_pos"] == p
+
+
+def test_stream_cdc_changelog_tombstone_semantics(spark, sf_dir):
+    """The CDC state must equal the batch argmax with tombstone
+    filtering, users whose newest event is an 'error' are absent, and
+    no surviving row is an error record."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    newest = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts_us", "event_id", "event_type")
+        .collect()
+    ):
+        k = r["user_id"]
+        key = (r["ts_us"], r["event_id"])
+        if k not in newest or key > newest[k][0]:
+            newest[k] = (key, r["event_type"])
+    survivors = {u for u, (_, et) in newest.items() if et != "error"}
+    got = _Q["stream_cdc_changelog"].fn(spark, sf_dir).collect()
+    assert {r["user_id"] for r in got} == survivors
+    assert all(r["event_type"] != "error" for r in got)
+    for r in got:
+        assert (r["ts_us"], r["event_id"]) == newest[r["user_id"]][0]
+
+
+def test_txt_keyphrase_textrank_replay(spark, sf_dir):
+    """Python replay of 3 weighted-PageRank iterations over the
+    filtered-adjacency word graph, including every truncation."""
+    import re
+
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        STOPWORDS,
+        _TR_BASE,
+        _TR_ITERS,
+        _TR_TOPK,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    edges: dict = {}
+    for r in docs:
+        ws = [w.lower() for w in re.findall(r"\S+", r["text"])]
+        ws = [w for w in ws if w not in STOPWORDS]
+        for a, b in zip(ws, ws[1:]):
+            if a == b:
+                continue
+            edges[(a, b)] = edges.get((a, b), 0) + 1
+            edges[(b, a)] = edges.get((b, a), 0) + 1
+    wdeg: dict = {}
+    for (a, _), w in edges.items():
+        wdeg[a] = wdeg.get(a, 0) + w
+    ranks = {v: _TR_BASE for v in wdeg}
+    teleport = (15 * _TR_BASE) // 100
+    for _ in range(_TR_ITERS):
+        s: dict = {}
+        for (a, b), w in edges.items():
+            if a in ranks:
+                s[b] = s.get(b, 0) + (ranks[a] * w) // wdeg[a]
+        ranks = {v: teleport + (85 * x) // 100 for v, x in s.items()}
+    expect = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:_TR_TOPK]
+    got = sorted(
+        _Q["txt_keyphrase_textrank"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["word"], r["textrank_scaled"]) for r in got] == expect
+    assert [r["rank"] for r in got] == list(range(1, len(expect) + 1))

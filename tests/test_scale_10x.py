@@ -100,6 +100,18 @@ HEAVY = [
     "sim_reciprocal_nn",
     "win_interval_merge",
     "txt_boilerplate_strip",
+    # r8 wave entries with at-scale claims: the ROLLUP ladder, the
+    # 64x posexplode centroid pass, the value-grid W1 windows, the
+    # per-user gap windows, the one-scan bootstrap, and the
+    # vocab-graph TextRank iterations
+    "sec_k_anonymity",
+    "profile_embedding_drift",
+    "profile_wasserstein_drift",
+    "dq_gap_inventory",
+    "ml_bootstrap_ci",
+    "txt_keyphrase_textrank",
+    "graph_modularity",
+    "evt_cuped_adjust",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
