@@ -133,6 +133,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_gini_split_gain",
         "stream_cdc_changelog",
         "txt_keyphrase_textrank",
+        "sql_group_by_all",
+        "sql_unpivot_syntax",
+        "src_zonemap_stats",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

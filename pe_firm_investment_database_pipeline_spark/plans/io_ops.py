@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents
 from ..functions.session_cache import register_cache
 from ..registry import QuerySpec
 from ..sources.tables import load_table
@@ -1450,7 +1451,93 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# src_zonemap_stats — partition zone-map / file-skipping observability
+# ---------------------------------------------------------------------------
+
+_ZM_DATE_CUT = 10_013  # unix_date(DATE '1997-06-01'), baked literal
+_ZM_PRICE_CUT_C = 30_000_000  # $300k in cents
+
+
+def src_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP OBSERVABILITY — the report a lakehouse keeps about
+    its own PHYSICAL layout: per partition of the year-partitioned
+    orders copy (the `join_dpp_prune` staging, reused), the min/max
+    zone bounds of the two hot filter columns and, for three
+    representative predicates, whether the whole partition is
+    PRUNABLE (zone max below the cut). At 100 TB this table IS the
+    file-skipping story: a scan planner consults exactly these
+    bounds, and 'share of partitions skipped' is the first number to
+    check when a query reads too much. Stats come from one
+    column-pruned pass over the partitioned layout (min/max/count
+    partial-aggregate in the scan); the oracle recomputes them from
+    the logical table, proving the physical re-land preserved the
+    data exactly."""
+    fact = spark.read.parquet(_dpp_fact_dir(spark, sf_dir)).select(
+        F.col("o_year").cast("long").alias("o_year"),
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    zones = fact.groupBy("o_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+        F.min("price_c").alias("min_price_c"),
+        F.max("price_c").alias("max_price_c"),
+    )
+    return zones.select(
+        "o_year",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "min_day",
+        "max_day",
+        "min_price_c",
+        "max_price_c",
+        (F.col("max_day") < _ZM_DATE_CUT).cast("long").alias("prune_date"),
+        (F.col("max_price_c") < _ZM_PRICE_CUT_C)
+        .cast("long")
+        .alias("prune_price"),
+        (
+            (F.col("max_day") < _ZM_DATE_CUT)
+            | (F.col("max_price_c") < _ZM_PRICE_CUT_C)
+        )
+        .cast("long")
+        .alias("prune_any"),
+    )
+
+
+_SRC_ZONEMAP_STATS_SQL = f"""
+WITH fact AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), zones AS (
+  SELECT o_year,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(day) AS BIGINT) AS min_day,
+         CAST(MAX(day) AS BIGINT) AS max_day,
+         CAST(MIN(price_c) AS BIGINT) AS min_price_c,
+         CAST(MAX(price_c) AS BIGINT) AS max_price_c
+  FROM fact GROUP BY o_year
+)
+SELECT o_year, n_rows, min_day, max_day, min_price_c, max_price_c,
+       CAST(CASE WHEN max_day < {_ZM_DATE_CUT} THEN 1 ELSE 0 END
+            AS BIGINT) AS prune_date,
+       CAST(CASE WHEN max_price_c < {_ZM_PRICE_CUT_C} THEN 1 ELSE 0 END
+            AS BIGINT) AS prune_price,
+       CAST(CASE WHEN max_day < {_ZM_DATE_CUT}
+                   OR max_price_c < {_ZM_PRICE_CUT_C} THEN 1 ELSE 0 END
+            AS BIGINT) AS prune_any
+FROM zones
+"""
+
+
 QUERIES = {
+    "src_zonemap_stats": QuerySpec(
+        src_zonemap_stats,
+        _SRC_ZONEMAP_STATS_SQL,
+        ("source", "zonemap", "pruning"),
+    ),
     "snk_bucketed_join": QuerySpec(
         snk_bucketed_join, _SNK_BUCKETED_JOIN_SQL, ("sink", "bucketing", "join")
     ),

@@ -748,6 +748,82 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/4) — the analyst-ergonomics surface
+    where every non-aggregate select item becomes a grouping key
+    automatically. The entry proves it is parse-time sugar over the
+    explicit form (the oracle is GROUP BY 1, 2): identical grouping
+    keys, identical partial+final hash aggregate plan, identical
+    exact-cents results — so adopting the terse surface costs
+    nothing at any scale."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gba")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_c
+        FROM v_orders_gba
+        GROUP BY ALL
+        """
+    )
+
+
+_SQL_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT clause (Spark 3.4+/4 native syntax) — wide-to-long
+    reshaping INSIDE the SQL surface rather than via stack(): a
+    per-priority wide metrics row (count / total cents / max cents)
+    unpivots into (priority, metric, value) rows. The oracle is the
+    explicit UNION ALL expansion, proving the clause is plan-level
+    sugar: Spark compiles UNPIVOT to the same Expand node as
+    stack(), one pass over the aggregate, no re-scan per metric —
+    the property that matters when the wide row is a 100-column
+    profile at 100 TB."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_up")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, metric, value
+        FROM (
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS total_c,
+                 CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS max_c
+          FROM v_orders_up GROUP BY o_orderpriority
+        ) UNPIVOT (value FOR metric IN (n_orders, total_c, max_c))
+        """
+    )
+
+
+_SQL_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS max_c
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderpriority, 'total_c', total_c FROM wide
+UNION ALL
+SELECT o_orderpriority, 'max_c', max_c FROM wide
+"""
+
+
 _SQL_PIPE_SYNTAX_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -1982,6 +2058,12 @@ QUERIES = {
     ),
     "sql_pipe_syntax": QuerySpec(
         sql_pipe_syntax, _SQL_PIPE_SYNTAX_SQL, ("sql", "pipe")
+    ),
+    "sql_group_by_all": QuerySpec(
+        sql_group_by_all, _SQL_GROUP_BY_ALL_SQL, ("sql", "group-by-all")
+    ),
+    "sql_unpivot_syntax": QuerySpec(
+        sql_unpivot_syntax, _SQL_UNPIVOT_SQL, ("sql", "unpivot")
     ),
     "sql_udf_scalar": QuerySpec(
         sql_udf_scalar, _SQL_UDF_SCALAR_SQL, ("sql", "udf")

@@ -523,3 +523,57 @@ def test_seasonality_grid_shuffle_only(spark):
     plan = _plan(spark, "evt_seasonality_profile")
     assert plan.count("Arguments: hashpartitioning(event_type") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_group_by_all_same_plan_as_explicit(spark):
+    """GROUP BY ALL must compile to the same aggregate pipeline as
+    the explicit grouping — same partial+final HashAggregate pair,
+    same grouping keys in the plan text."""
+    plan = _plan(spark, "sql_group_by_all")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "o_orderpriority" in plan and "o_orderstatus" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unpivot_is_single_expand_pass(spark):
+    """The UNPIVOT clause compiles to ONE Expand over the aggregated
+    wide row — never a re-scan per metric (3 metrics, 1 scan)."""
+    import re
+
+    plan = _plan(spark, "sql_unpivot_syntax")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_bootstrap_is_one_scan_partial_agg(spark):
+    """All 20 replicate sums must accumulate in one scan with
+    map-side partial aggregation — no row explosion, no extra scans."""
+    import re
+
+    plan = _plan(spark, "ml_bootstrap_ci")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "partial" in plan.lower()
+    assert "Generate" not in plan  # no explode-based resampling
+
+
+def test_k_anonymity_ladder_is_one_expand_scan(spark):
+    """All three generalization levels come from ONE rollup Expand
+    over one customer scan — the O(one pass) audit claim."""
+    import re
+
+    plan = _plan(spark, "sec_k_anonymity")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_zonemap_scan_is_column_pruned(spark):
+    """The zone-stats pass reads only the two profiled columns (plus
+    the partition column) from the staged layout."""
+    plan = _plan(spark, "src_zonemap_stats")
+    read_schema = next(
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "o_orderdate" in line
+    )
+    assert "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema
+    assert "o_clerk" not in read_schema

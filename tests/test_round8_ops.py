@@ -782,3 +782,68 @@ def test_txt_keyphrase_textrank_replay(spark, sf_dir):
     )
     assert [(r["word"], r["textrank_scaled"]) for r in got] == expect
     assert [r["rank"] for r in got] == list(range(1, len(expect) + 1))
+
+
+def test_sql_group_by_all_matches_explicit(spark, sf_dir):
+    """GROUP BY ALL must equal the explicit grouping, row for row."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (r["n_orders"], r["total_c"])
+        for r in _Q["sql_group_by_all"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        (r["o_orderpriority"], r["o_orderstatus"]): (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sql_unpivot_reshapes_losslessly(spark, sf_dir):
+    """Every (priority, metric) cell appears exactly once and the
+    long values round-trip the wide aggregate."""
+    rows = _Q["sql_unpivot_syntax"].fn(spark, sf_dir).collect()
+    cells = {(r["o_orderpriority"], r["metric"]): r["value"] for r in rows}
+    prios = {p for p, _ in cells}
+    assert len(cells) == 3 * len(prios)
+    for p in prios:
+        assert cells[(p, "n_orders")] > 0
+        assert cells[(p, "max_c")] <= cells[(p, "total_c")]
+
+
+def test_src_zonemap_stats_prunability(spark, sf_dir):
+    """Zone bounds must bracket each partition's days, years partition
+    the table, and prune flags follow the zone rule exactly."""
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        _ZM_DATE_CUT,
+        _ZM_PRICE_CUT_C,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = _Q["src_zonemap_stats"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == total
+    for r in rows:
+        # a year partition's zone is inside that calendar year
+        assert r["min_day"] <= r["max_day"]
+        assert r["min_price_c"] <= r["max_price_c"]
+        assert r["prune_date"] == int(r["max_day"] < _ZM_DATE_CUT)
+        assert r["prune_price"] == int(r["max_price_c"] < _ZM_PRICE_CUT_C)
+        assert r["prune_any"] == int(
+            r["prune_date"] == 1 or r["prune_price"] == 1
+        )
+    # the date cut sits inside the fixture's year span, so BOTH
+    # prunable and non-prunable partitions exist — the report is
+    # non-degenerate
+    assert any(r["prune_date"] == 1 for r in rows)
+    assert any(r["prune_date"] == 0 for r in rows)
