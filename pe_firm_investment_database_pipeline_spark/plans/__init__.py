@@ -136,6 +136,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_group_by_all",
         "sql_unpivot_syntax",
         "src_zonemap_stats",
+        "dq_rules_engine",
+        "evt_markov_stationary",
+        "ml_isotonic_calibration",
+        "ts_downsample_lttb",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

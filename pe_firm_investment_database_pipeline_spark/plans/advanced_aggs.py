@@ -5577,7 +5577,358 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_isotonic_calibration — minimax isotonic fit over score bins
+# ---------------------------------------------------------------------------
+
+
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION — the monotone recalibration step after
+    the reliability diagram (`ml_calibration_bins`): fit the best
+    NONDECREASING rate curve over the 10 score bins. The iterative
+    pool-adjacent-violators algorithm is avoided entirely via the
+    closed MINIMAX identity fhat(i) = max_{j<=i} min_{k>=i}
+    mean(j..k) — weighted interval means from two cumulative sums,
+    then two nested aggregates over the bins x intervals grid. THE
+    SCALE INSIGHT: the corpus-sized work is the one binning
+    aggregate; the isotonic solve runs on B=10 rows (B^3 ~ 1000
+    combinations) no matter how many rows fed the bins, so
+    'recalibrate on 100 TB' costs one scan plus a constant. Interval
+    means are ppm-truncated BEFORE the min/max lattice (deterministic
+    both engines; the defined output)."""
+    pred = F.expr(_AUC_HASH) % 1000
+    outcome = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id + 7 AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 2
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        (pred / 100).cast("long").alias("bin"),
+        outcome.cast("long").alias("is_pos"),
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_pos").alias("npos")
+    )
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        bins.withColumn("cn", F.sum("n").over(wcum))
+        .withColumn("cp", F.sum("npos").over(wcum))
+        .localCheckpoint(eager=True)
+    )
+    jside = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_j0"),
+        (F.col("cp") - F.col("npos")).alias("cp_j0"),
+    )
+    kside = cum.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cn_k"), F.col("cp").alias("cp_k")
+    )
+    ivals = (
+        jside.crossJoin(kside)
+        .where(F.col("j") <= F.col("k"))
+        .select(
+            "j",
+            "k",
+            F.expr(
+                "((cp_k - cp_j0) * 1000000) div (cn_k - cn_j0)"
+            ).alias("mean_ppm"),
+        )
+    )
+    idx = cum.select(F.col("bin").alias("i"))
+    inner = (
+        idx.join(
+            ivals, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i"))
+        )
+        .groupBy("i", "j")
+        .agg(F.min("mean_ppm").alias("inner_min"))
+    )
+    iso = inner.groupBy("i").agg(F.max("inner_min").alias("iso_ppm"))
+    return (
+        cum.join(iso, cum.bin == iso.i)
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("npos").cast("long").alias("npos"),
+            F.expr("(npos * 1000000) div n").alias("rate_ppm"),
+            "iso_ppm",
+        )
+        .withColumn(
+            "is_pooled",
+            (F.col("iso_ppm") != F.col("rate_ppm")).cast("long"),
+        )
+    )
+
+
+_ML_ISOTONIC_SQL = f"""
+WITH d AS (
+  SELECT ({_AUC_HASH_DUCK} % 1000) // 100 AS bin,
+         CAST(('0x' || substr(md5(CAST(doc_id + 7 AS VARCHAR)), 1, 12))
+              AS BIGINT) % 2 AS is_pos
+  FROM documents
+), bins AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(is_pos) AS BIGINT) AS npos
+  FROM d GROUP BY bin
+), cum AS (
+  SELECT bin, n, npos,
+         CAST(SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cn,
+         CAST(SUM(npos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cp
+  FROM bins
+), ivals AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(((k.cp - (j.cp - j.npos)) * 1000000)
+              // (k.cn - (j.cn - j.n)) AS BIGINT) AS mean_ppm
+  FROM cum j CROSS JOIN cum k WHERE j.bin <= k.bin
+), inner_min AS (
+  SELECT i.bin AS i, v.j, CAST(MIN(v.mean_ppm) AS BIGINT) AS inner_min
+  FROM cum i JOIN ivals v ON v.j <= i.bin AND v.k >= i.bin
+  GROUP BY i.bin, v.j
+), iso AS (
+  SELECT i, CAST(MAX(inner_min) AS BIGINT) AS iso_ppm
+  FROM inner_min GROUP BY i
+)
+SELECT c.bin, c.n, c.npos,
+       CAST((c.npos * 1000000) // c.n AS BIGINT) AS rate_ppm,
+       iso.iso_ppm,
+       CAST(CASE WHEN iso.iso_ppm != (c.npos * 1000000) // c.n
+            THEN 1 ELSE 0 END AS BIGINT) AS is_pooled
+FROM cum c JOIN iso ON iso.i = c.bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_downsample_lttb — Largest-Triangle-Three-Buckets downsampling
+# ---------------------------------------------------------------------------
+
+_LTTB_B = 6  # interior buckets; output = first + <=B picks + last
+
+
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB DOWNSAMPLING — the shape-preserving decimation every
+    dashboard layer runs before plotting (keep the points that make
+    the line LOOK right, not a blind every-Nth): per event type, the
+    daily count series reduces to first + 6 bucket picks + last,
+    each pick maximizing the triangle area against the PREVIOUS pick
+    and the NEXT bucket's average point. The sequential dependency
+    (pick i needs pick i-1) is handled by UNROLLING the fixed B=6
+    bucket steps into a chain of tiny joins — each step is an argmax
+    (min-struct((-area, t)) — the established tie order) over one
+    bucket's candidates against the one-row-per-type anchor state.
+    Exactness: the average point is a RATIONAL (St/c, Sy/c); the
+    doubled triangle area scaled by c, |(Px*c - St)*(py - Py) -
+    (Px - px)*(Py*c - Sy)|, clears the denominator — pure int64
+    (HUGEINT-safe far past any calendar). Scale shape: the only
+    corpus-sized work is the (type, day) grid compression; the
+    6-step chain runs on bucket-sized frames."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = W.partitionBy("event_type")
+    pts = (
+        daily.withColumn("tmin", F.min("day").over(wt))
+        .withColumn("tmax", F.max("day").over(wt))
+        .select(
+            "event_type",
+            (F.col("day") - F.col("tmin")).alias("t"),
+            "y",
+            (F.col("tmax") - F.col("tmin")).alias("span"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    first = pts.where(F.col("t") == 0).select(
+        "event_type", "t", "y", F.lit(-1).cast("long").alias("bucket")
+    )
+    last = pts.where(F.col("t") == F.col("span")).select(
+        "event_type", "t", "y", F.lit(_LTTB_B).cast("long").alias("bucket")
+    )
+    interior = pts.where(
+        (F.col("t") > 0) & (F.col("t") < F.col("span"))
+    ).select(
+        "event_type",
+        "t",
+        "y",
+        F.expr(
+            f"((t - 1) * {_LTTB_B}) div greatest(span - 1, 1)"
+        ).alias("bucket"),
+    )
+    # next-bucket average points (St, Sy, c); bucket B-1's "next" is
+    # the last anchor as a 1-point average
+    avgs = interior.groupBy("event_type", "bucket").agg(
+        F.sum("t").alias("st"), F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    last_avg = last.select(
+        "event_type",
+        F.lit(_LTTB_B).cast("long").alias("bucket"),
+        F.col("t").alias("st"),
+        F.col("y").alias("sy"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    nxt = avgs.unionByName(last_avg)
+    state = first.select("event_type", F.col("t").alias("px"), F.col("y").alias("py"))
+    picks = [first]
+    for b in range(_LTTB_B):
+        cand = (
+            interior.where(F.col("bucket") == b)
+            .join(state, "event_type")
+            .join(
+                nxt.where(F.col("bucket") > b)
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        W.partitionBy("event_type").orderBy("bucket")
+                    ),
+                )
+                .where(F.col("rn") == 1)
+                .select("event_type", "st", "sy", "c"),
+                "event_type",
+            )
+            .withColumn(
+                "area2c",
+                F.expr(
+                    "abs((px * c - st) * (y - py)"
+                    " - (px - t) * (py * c - sy))"
+                ),
+            )
+        )
+        sel = (
+            cand.groupBy("event_type")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("area2c")).alias("na"),
+                        F.col("t").alias("t"),
+                        F.col("y").alias("y"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "event_type",
+                F.col("m.t").alias("t"),
+                F.col("m.y").alias("y"),
+                F.lit(b).cast("long").alias("bucket"),
+            )
+        )
+        picks.append(sel)
+        prev = state.select(
+            "event_type", F.col("px").alias("ppx"), F.col("py").alias("ppy")
+        )
+        state = (
+            prev.join(
+                sel.select(
+                    "event_type", F.col("t").alias("nx"), F.col("y").alias("ny")
+                ),
+                "event_type",
+                "left",
+            )
+            .select(
+                "event_type",
+                F.coalesce("nx", "ppx").alias("px"),
+                F.coalesce("ny", "ppy").alias("py"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(last).select(
+        "event_type", "bucket", "t", F.col("y").cast("long").alias("y")
+    )
+
+
+def _lttb_sql() -> str:
+    steps = []
+    prev_state = "s0"
+    pick_names = []
+    for b in range(_LTTB_B):
+        steps.append(
+            f"""cand{b} AS (
+  SELECT i.event_type, i.t, i.y,
+         abs((s.px * nx.c - nx.st) * (i.y - s.py)
+             - (s.px - i.t) * (s.py * nx.c - nx.sy)) AS area2c
+  FROM interior i
+  JOIN {prev_state} s ON s.event_type = i.event_type
+  JOIN (
+    SELECT event_type, st, sy, c,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS rn
+    FROM nxt WHERE bucket > {b}
+  ) nx ON nx.event_type = i.event_type AND nx.rn = 1
+  WHERE i.bucket = {b}
+), pick{b} AS (
+  SELECT event_type, t, y FROM (
+    SELECT event_type, t, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY area2c DESC, t) AS rn
+    FROM cand{b}
+  ) WHERE rn = 1
+), s{b + 1} AS (
+  SELECT s.event_type,
+         COALESCE(p.t, s.px) AS px, COALESCE(p.y, s.py) AS py
+  FROM {prev_state} s
+  LEFT JOIN pick{b} p ON p.event_type = s.event_type
+)"""
+        )
+        prev_state = f"s{b + 1}"
+        pick_names.append(f"pick{b}")
+    chain = ", ".join(steps)
+    pick_union = " UNION ALL ".join(
+        f"SELECT event_type, CAST({b} AS BIGINT) AS bucket, t,"
+        f" CAST(y AS BIGINT) AS y FROM pick{b}"
+        for b in range(_LTTB_B)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), pts AS MATERIALIZED (
+  SELECT event_type,
+         day - MIN(day) OVER (PARTITION BY event_type) AS t, y,
+         MAX(day) OVER (PARTITION BY event_type)
+           - MIN(day) OVER (PARTITION BY event_type) AS span
+  FROM daily
+), interior AS (
+  SELECT event_type, t, y,
+         ((t - 1) * {_LTTB_B}) // greatest(span - 1, 1) AS bucket
+  FROM pts WHERE t > 0 AND t < span
+), lastp AS (
+  SELECT event_type, t, y FROM pts WHERE t = span
+), nxt AS (
+  SELECT event_type, bucket, CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(COUNT(*) AS BIGINT) AS c
+  FROM interior GROUP BY 1, 2
+  UNION ALL
+  SELECT event_type, {_LTTB_B}, t, y, 1 FROM lastp
+), s0 AS (
+  SELECT event_type, t AS px, y AS py FROM pts WHERE t = 0
+), {chain}
+SELECT event_type, CAST(-1 AS BIGINT) AS bucket, t, CAST(y AS BIGINT) AS y
+FROM pts WHERE t = 0
+UNION ALL
+{pick_union}
+UNION ALL
+SELECT event_type, CAST({_LTTB_B} AS BIGINT), t, CAST(y AS BIGINT)
+FROM lastp
+"""
+
+
 QUERIES = {
+    "ts_downsample_lttb": QuerySpec(
+        ts_downsample_lttb,
+        _lttb_sql(),
+        ("timeseries", "downsample", "lttb"),
+    ),
+    "ml_isotonic_calibration": QuerySpec(
+        ml_isotonic_calibration,
+        _ML_ISOTONIC_SQL,
+        ("ml", "calibration", "isotonic"),
+    ),
     "ml_gini_split_gain": QuerySpec(
         ml_gini_split_gain,
         _ML_GINI_SPLIT_SQL,

@@ -1442,7 +1442,122 @@ FROM per_user GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_rules_engine — config-table-driven metric alerting
+# ---------------------------------------------------------------------------
+
+# (rule_id, metric, op, threshold, scope) — the "config table". A real
+# deployment loads this from a governance store; here it is a literal
+# both engines inline, because the POINT of the entry is that rules
+# are DATA: adding a rule is a row insert, not a code change, and the
+# evaluation plan is invariant in the rule count.
+_DQ_RULES = (
+    (1, "n_events", "lt", 55, "*"),
+    (2, "sum_value_c", "gt", 380_000, "purchase"),
+    (3, "n_users", "lt", 45, "*"),
+    (4, "n_events", "gt", 75, "click"),
+    (5, "sum_value_c", "lt", 240_000, "error"),
+)
+
+
+def dq_rules_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULES-ENGINE ALERTING — the config-driven monitor every data
+    platform converges on: thresholds live in a RULE TABLE (metric,
+    operator, threshold, scope), not in code, so on-call owns alerts
+    without deploys. One scan computes the per-(type, day) metric
+    grid (count / value cents / distinct users share the pass),
+    stack() unpivots it to long form, and the broadcast rule join +
+    operator CASE emits violations. The plan is invariant in rule
+    count — 5 rules or 5000 evaluate in the same two steps, and the
+    metric grid is days x types regardless of corpus size. Output:
+    one row per (rule, type, day) violation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_date(ts_date)").alias("day"),
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    grid = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("sum_value_c"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    long = grid.select(
+        "event_type",
+        "day",
+        F.expr(
+            "stack(3, 'n_events', n_events, 'sum_value_c', sum_value_c,"
+            " 'n_users', n_users) AS (metric, value)"
+        ),
+    )
+    rules = spark.createDataFrame(
+        list(_DQ_RULES), "rule_id LONG, metric STRING, op STRING,"
+        " threshold LONG, scope STRING"
+    )
+    joined = long.join(
+        F.broadcast(rules),
+        (long.metric == rules.metric)
+        & ((rules.scope == "*") | (rules.scope == long.event_type)),
+    )
+    return (
+        joined.where(
+            F.expr(
+                "CASE WHEN op = 'lt' THEN value < threshold"
+                " ELSE value > threshold END"
+            )
+        )
+        .select(
+            "rule_id",
+            "event_type",
+            "day",
+            long.metric.alias("metric"),
+            F.col("value").cast("long").alias("value"),
+            "threshold",
+        )
+    )
+
+
+def _rules_engine_sql() -> str:
+    vals = ", ".join(
+        f"({rid}, '{m}', '{op}', {th}, '{sc}')"
+        for rid, m, op, th, sc in _DQ_RULES
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         user_id, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), grid AS (
+  SELECT event_type, day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS BIGINT) AS sum_value_c,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM ev GROUP BY 1, 2
+), long AS (
+  SELECT event_type, day, 'n_events' AS metric, n_events AS value FROM grid
+  UNION ALL
+  SELECT event_type, day, 'sum_value_c', sum_value_c FROM grid
+  UNION ALL
+  SELECT event_type, day, 'n_users', n_users FROM grid
+), rules(rule_id, metric, op, threshold, scope) AS (
+  VALUES {vals}
+)
+SELECT CAST(r.rule_id AS BIGINT) AS rule_id, l.event_type, l.day,
+       l.metric, l.value, CAST(r.threshold AS BIGINT) AS threshold
+FROM long l
+JOIN rules r ON r.metric = l.metric
+            AND (r.scope = '*' OR r.scope = l.event_type)
+WHERE CASE WHEN r.op = 'lt' THEN l.value < r.threshold
+           ELSE l.value > r.threshold END
+"""
+
+
 QUERIES = {
+    "dq_rules_engine": QuerySpec(
+        dq_rules_engine,
+        _rules_engine_sql(),
+        ("quality", "alerting", "rules"),
+    ),
     "dq_gap_inventory": QuerySpec(
         dq_gap_inventory,
         _DQ_GAP_INVENTORY_SQL,

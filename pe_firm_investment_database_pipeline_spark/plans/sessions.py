@@ -565,6 +565,82 @@ FROM counted
 """
 
 
+_MKV_ITERS = 3
+_MKV_BASE = 1_000_000
+
+
+def evt_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain — the
+    long-run attention share each event type commands, read directly
+    off `evt_transition_matrix`'s permille chain by 3 fixed power
+    iterations from the uniform vector: pi'(j) = sum_i pi(i) *
+    p_ij div 1000, integer arithmetic end-to-end (the
+    `graph_pagerank` discipline on a |types|^2 matrix). Truncation
+    leaks a few ppm of mass per step; that leak is part of the
+    DEFINED output, identical in both engines, and irrelevant to the
+    ranking the number exists for. Scale shape: the event-sized work
+    is the one lag-window pass that builds the transition counts
+    (shared with the matrix entry); the matvec iterations run on a
+    5x5 table — free at any corpus size."""
+    p = evt_transition_matrix(spark, sf_dir).select(
+        "from_type", "to_type", "p_permille"
+    ).localCheckpoint(eager=True)
+    states = p.select(F.col("from_type").alias("s")).distinct()
+    n_states = states.count()
+    pi = states.select(
+        "s", F.lit(_MKV_BASE // n_states).cast("long").alias("pi")
+    )
+    for _ in range(_MKV_ITERS):
+        pi = (
+            p.join(pi, p.from_type == pi.s)
+            .select(
+                F.col("to_type").alias("s2"),
+                F.expr("(pi * p_permille) div 1000").alias("c"),
+            )
+            .groupBy("s2")
+            .agg(F.sum("c").alias("pi"))
+            .select(F.col("s2").alias("s"), "pi")
+        )
+    return pi.select(
+        F.col("s").alias("event_type"), F.col("pi").alias("pi_ppm")
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("pi_ppm").desc(), "event_type"))
+        .cast("long"),
+    )
+
+
+def _markov_stationary_sql() -> str:
+    iters = []
+    prev = "pi0"
+    for i in range(1, _MKV_ITERS + 1):
+        iters.append(
+            f"""pi{i} AS (
+  SELECT p.to_type AS s,
+         CAST(SUM((pi.pi * p.p_permille) // 1000) AS BIGINT) AS pi
+  FROM p JOIN {prev} pi ON pi.s = p.from_type
+  GROUP BY p.to_type
+)"""
+        )
+        prev = f"pi{i}"
+    chain = ", ".join(iters)
+    return f"""
+WITH p AS MATERIALIZED (
+  {_EVT_TRANSITION_MATRIX_SQL}
+), states AS (
+  SELECT DISTINCT from_type AS s FROM p
+), pi0 AS (
+  SELECT s, CAST({_MKV_BASE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+           AS pi
+  FROM states
+), {chain}
+SELECT s AS event_type, pi AS pi_ppm,
+       CAST(row_number() OVER (ORDER BY pi DESC, s) AS BIGINT) AS rank
+FROM {prev}
+"""
+
+
 def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample the event stream to per-(type, day) OHLC bars —
     the financial-series resample shape (open/high/low/close/volume)
@@ -975,6 +1051,11 @@ QUERIES = {
         evt_transition_matrix,
         _EVT_TRANSITION_MATRIX_SQL,
         ("events", "window", "markov"),
+    ),
+    "evt_markov_stationary": QuerySpec(
+        evt_markov_stationary,
+        _markov_stationary_sql(),
+        ("events", "markov", "stationary"),
     ),
     "join_interval_overlap": QuerySpec(
         join_interval_overlap, _JOIN_INTERVAL_OVERLAP_SQL, ("join", "interval")

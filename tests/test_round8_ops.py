@@ -847,3 +847,156 @@ def test_src_zonemap_stats_prunability(spark, sf_dir):
     # non-degenerate
     assert any(r["prune_date"] == 1 for r in rows)
     assert any(r["prune_date"] == 0 for r in rows)
+
+
+def test_dq_rules_engine_replay(spark, sf_dir):
+    """Alert rows recomputed from the metric grid and the literal
+    rule table — every violation present, no spurious rows."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _DQ_RULES,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    grid = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
+                "sum_value_c"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    )
+    expect = set()
+    for r in grid:
+        for rid, metric, op, th, scope in _DQ_RULES:
+            if scope != "*" and scope != r["event_type"]:
+                continue
+            v = r[metric]
+            if (op == "lt" and v < th) or (op == "gt" and v > th):
+                expect.add((rid, r["event_type"], r["day"], metric, v, th))
+    got = {
+        (r["rule_id"], r["event_type"], r["day"], r["metric"], r["value"],
+         r["threshold"])
+        for r in _Q["dq_rules_engine"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_evt_markov_stationary_replay(spark, sf_dir):
+    """3-step integer power iteration replayed in Python from the
+    transition matrix entry's own output."""
+    from pe_firm_investment_database_pipeline_spark.plans.sessions import (
+        _MKV_BASE,
+        _MKV_ITERS,
+        evt_transition_matrix,
+    )
+
+    p = {
+        (r["from_type"], r["to_type"]): r["p_permille"]
+        for r in evt_transition_matrix(spark, sf_dir).collect()
+    }
+    states = sorted({a for a, _ in p})
+    pi = {s: _MKV_BASE // len(states) for s in states}
+    for _ in range(_MKV_ITERS):
+        nxt: dict = {}
+        for (a, b), pm in p.items():
+            nxt[b] = nxt.get(b, 0) + (pi[a] * pm) // 1000
+        pi = nxt
+    got = {r["event_type"]: r for r in _Q["evt_markov_stationary"].fn(spark, sf_dir).collect()}
+    assert {k: v["pi_ppm"] for k, v in got.items()} == pi
+    order = sorted(pi.items(), key=lambda kv: (-kv[1], kv[0]))
+    for rank, (s, _) in enumerate(order, 1):
+        assert got[s]["rank"] == rank
+    # mass is conserved up to truncation leak (< 1000 ppm per step)
+    assert _MKV_BASE - sum(pi.values()) < 1000 * (_MKV_ITERS + 1) * len(states)
+
+
+def test_ml_isotonic_calibration_properties(spark, sf_dir):
+    """The fit must be nondecreasing in bin order, agree with raw
+    rates where no pooling happened, and match a direct PAV solve on
+    the ppm-truncated interval means."""
+    rows = sorted(
+        _Q["ml_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_ppm"] for r in rows]
+    assert iso == sorted(iso)
+    # minimax replay
+    n = [r["n"] for r in rows]
+    p = [r["npos"] for r in rows]
+    B = len(rows)
+    import itertools
+
+    def mean(j, k):
+        return sum(p[j : k + 1]) * 1_000_000 // sum(n[j : k + 1])
+
+    for i, r in enumerate(rows):
+        expect = max(
+            min(mean(j, k) for k in range(i, B)) for j in range(i + 1)
+        )
+        assert r["iso_ppm"] == expect
+        assert r["is_pooled"] == int(r["iso_ppm"] != r["rate_ppm"])
+
+
+def test_ts_downsample_lttb_replay(spark, sf_dir):
+    """Python replay of the unrolled bucket-argmax chain, including
+    carried anchors over empty buckets."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _LTTB_B,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["day"]] = r["y"]
+    got: dict = {}
+    for r in _Q["ts_downsample_lttb"].fn(spark, sf_dir).collect():
+        got.setdefault(r["event_type"], {})[r["bucket"]] = (r["t"], r["y"])
+    for et, dm in series.items():
+        days = sorted(dm)
+        tmin, tmax = days[0], days[-1]
+        span = tmax - tmin
+        pts = [(d - tmin, dm[d]) for d in days]
+        interior = [
+            (t, y, ((t - 1) * _LTTB_B) // max(span - 1, 1))
+            for t, y in pts
+            if 0 < t < span
+        ]
+        nxt: dict = {}
+        for t, y, b in interior:
+            st, sy, c = nxt.get(b, (0, 0, 0))
+            nxt[b] = (st + t, sy + y, c + 1)
+        nxt[_LTTB_B] = (span, dm[tmax], 1)
+        px, py = 0, dm[tmin]
+        assert got[et][-1] == (0, dm[tmin])
+        for b in range(_LTTB_B):
+            cands = [(t, y) for t, y, bb in interior if bb == b]
+            nb = min(k for k in nxt if k > b)
+            st, sy, c = nxt[nb]
+            if not cands:
+                assert b not in got[et]
+                continue
+            best = max(
+                cands,
+                key=lambda p_: (
+                    abs((px * c - st) * (p_[1] - py) - (px - p_[0]) * (py * c - sy)),
+                    -p_[0],
+                ),
+            )
+            assert got[et][b] == best
+            px, py = best
+        assert got[et][_LTTB_B] == (span, dm[tmax])
