@@ -140,6 +140,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_markov_stationary",
         "ml_isotonic_calibration",
         "ts_downsample_lttb",
+        "udaf_grouped_arrow",
+        "agg_percentile_disc",
+        "ts_sma_crossover",
+        "str_xml_roundtrip",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -5918,7 +5918,228 @@ FROM lastp
 """
 
 
+# ---------------------------------------------------------------------------
+# udaf_grouped_arrow — applyInArrow grouped aggregation (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-NATIVE grouped UDAF — `udaf_grouped_pandas`'s semantics
+    re-expressed on Spark 4's `applyInArrow`: the group arrives as a
+    pyarrow.Table (zero pandas materialization, no index baggage,
+    the fastest Python aggregation path Spark offers), and the
+    reduction — exact doubled-median and doubled-IQR picks on sorted
+    int64 quantities — runs in pyarrow compute kernels. Integer
+    discipline: med2 = q[(n-1)//2] + q[n//2] on the 0-based sorted
+    array (the `win_median_sliding` doubled-median trick), so the
+    output is exact int64 and the oracle is a DuckDB list-indexing
+    twin. Same scale shape as every grouped-map op: one shuffle on
+    the group key, Arrow batches per group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def agg(table: pa.Table) -> pa.Table:
+        q = pc.round(pc.cast(table.column("l_quantity"), pa.float64()))
+        q = pc.cast(q, pa.int64()).combine_chunks()
+        s = q.sort()
+        n = len(s)
+        med2 = s[(n - 1) // 2].as_py() + s[n // 2].as_py()
+        lo2 = s[(n - 1) // 4].as_py() + s[n // 4].as_py()
+        hi2 = s[(3 * (n - 1)) // 4].as_py() + s[(3 * n) // 4 if (3 * n) // 4 < n else n - 1].as_py()
+        return pa.table(
+            {
+                "l_returnflag": [table.column("l_returnflag")[0].as_py()],
+                "l_linestatus": [table.column("l_linestatus")[0].as_py()],
+                "n": pa.array([n], pa.int64()),
+                "med2": pa.array([med2], pa.int64()),
+                "lo2": pa.array([lo2], pa.int64()),
+                "hi2": pa.array([hi2], pa.int64()),
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").applyInArrow(
+        agg,
+        "l_returnflag STRING, l_linestatus STRING, n BIGINT,"
+        " med2 BIGINT, lo2 BIGINT, hi2 BIGINT",
+    )
+
+
+_UDAF_GROUPED_ARROW_SQL = """
+WITH q AS (
+  SELECT l_returnflag, l_linestatus,
+         list_sort(list(CAST(round(l_quantity) AS BIGINT))) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       CAST(s[(n - 1) // 2 + 1] + s[n // 2 + 1] AS BIGINT) AS med2,
+       CAST(s[(n - 1) // 4 + 1] + s[n // 4 + 1] AS BIGINT) AS lo2,
+       CAST(s[(3 * (n - 1)) // 4 + 1]
+            + s[CASE WHEN (3 * n) // 4 < n THEN (3 * n) // 4 + 1
+                     ELSE n END] AS BIGINT) AS hi2
+FROM q
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_percentile_disc — discrete percentiles via rank picks
+# ---------------------------------------------------------------------------
+
+_PDISC_PCTS = ((25, "p25_c"), (50, "p50_c"), (75, "p75_c"))
+
+
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles — the `agg_percentiles` twin that returns
+    an ACTUAL data value (the element at rank ceil(p*n), 1-based)
+    instead of an interpolated midpoint: the form SLA reporting and
+    law/finance contexts require ('the p95 order IS this order').
+    Engine-neutral by construction: both sides implement the same
+    explicit rank formula with a row_number window on the
+    per-group value order (never each engine's own quantile_disc,
+    whose edge conventions differ), then reduce with
+    max(case rn = target). One shuffle on the group key; the window
+    partitions by group."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", cents("o_totalprice").alias("v")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("v")
+    wt = W.partitionBy("o_orderpriority")
+    r = (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+    )
+    aggs = [F.max("n").cast("long").alias("n")]
+    for p, name in _PDISC_PCTS:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"CAST(ceil(n * {p} / 100.0) AS BIGINT)"),
+                    F.col("v"),
+                )
+            ).alias(name)
+        )
+    return r.groupBy("o_orderpriority").agg(*aggs)
+
+
+def _percentile_disc_sql() -> str:
+    picks = ", ".join(
+        f"CAST(MAX(CASE WHEN rn = CAST(ceil(n * {p} / 100.0) AS BIGINT)"
+        f" THEN v END) AS BIGINT) AS {name}"
+        for p, name in _PDISC_PCTS
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders
+), r AS (
+  SELECT o_orderpriority, v,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY v) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM o
+)
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n, {picks}
+FROM r GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# ts_sma_crossover — moving-average crossover signal detection
+# ---------------------------------------------------------------------------
+
+
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA CROSSOVER SIGNALS — the momentum-shift detector (fast
+    3-day mean crossing the slow 7-day mean) on the daily count
+    series per event type, DIVISION-FREE: comparing sma3 to sma7 is
+    comparing s3*7 to s7*3 (integer cross-multiplication — no
+    truncation ambiguity to reconcile across engines, the
+    `sql_correlated_subquery` trick). ROWS-frame sums per type,
+    signals only where both frames are full (row index >= 7), lag()
+    detects the sign change, direction = +1 golden / -1 death cross.
+    Scale shape: (type, day) grid compression first; every window
+    partitions by type over day-grid rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wo = W.partitionBy("event_type").orderBy("day")
+    d = (
+        daily.withColumn("rn", F.row_number().over(wo))
+        .withColumn("s3", F.sum("y").over(wo.rowsBetween(-2, 0)))
+        .withColumn("s7", F.sum("y").over(wo.rowsBetween(-6, 0)))
+        .where(F.col("rn") >= 7)
+        .withColumn(
+            "sig",
+            F.expr(
+                "CASE WHEN s3 * 7 > s7 * 3 THEN 1"
+                " WHEN s3 * 7 < s7 * 3 THEN -1 ELSE 0 END"
+            ),
+        )
+        .withColumn("prev_sig", F.lag("sig").over(wo))
+    )
+    return d.where(
+        F.col("prev_sig").isNotNull()
+        & (F.col("sig") != F.col("prev_sig"))
+        & (F.col("sig") != 0)
+    ).select(
+        "event_type",
+        "day",
+        F.col("sig").cast("long").alias("direction"),
+        F.col("s3").cast("long").alias("s3"),
+        F.col("s7").cast("long").alias("s7"),
+    )
+
+
+_TS_SMA_CROSSOVER_SQL = """
+WITH daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, day,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s3,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS s7
+  FROM daily
+), sig AS (
+  SELECT event_type, day, s3, s7,
+         CASE WHEN s3 * 7 > s7 * 3 THEN 1
+              WHEN s3 * 7 < s7 * 3 THEN -1 ELSE 0 END AS sig,
+         LAG(CASE WHEN s3 * 7 > s7 * 3 THEN 1
+                  WHEN s3 * 7 < s7 * 3 THEN -1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY day) AS prev_sig
+  FROM d WHERE rn >= 7
+)
+SELECT event_type, day, CAST(sig AS BIGINT) AS direction, s3, s7
+FROM sig
+WHERE prev_sig IS NOT NULL AND sig != prev_sig AND sig != 0
+"""
+
+
 QUERIES = {
+    "udaf_grouped_arrow": QuerySpec(
+        udaf_grouped_arrow,
+        _UDAF_GROUPED_ARROW_SQL,
+        ("udaf", "arrow", "grouped-map"),
+    ),
+    "agg_percentile_disc": QuerySpec(
+        agg_percentile_disc,
+        _percentile_disc_sql(),
+        ("aggregation", "percentile", "discrete"),
+    ),
+    "ts_sma_crossover": QuerySpec(
+        ts_sma_crossover,
+        _TS_SMA_CROSSOVER_SQL,
+        ("timeseries", "sma", "signals"),
+    ),
     "ts_downsample_lttb": QuerySpec(
         ts_downsample_lttb,
         _lttb_sql(),

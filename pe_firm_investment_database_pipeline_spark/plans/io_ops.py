@@ -1532,7 +1532,60 @@ FROM zones
 """
 
 
+# ---------------------------------------------------------------------------
+# str_xml_roundtrip — Spark 4 native XML scalar surface
+# ---------------------------------------------------------------------------
+
+
+def str_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML FORMAT BOUNDARY — Spark 4's native XML surface
+    (`to_xml`/`from_xml`, the spark-xml package merged into core)
+    proven lossless: each nation row serializes to an XML fragment
+    and parses back through an explicit schema; the oracle is the
+    SOURCE TABLE itself, so any escaping, type-coercion, or
+    field-ordering bug in the roundtrip hash-fails. The XML string
+    never enters the comparison surface (its formatting is
+    Spark-specific) — only the parsed-back values do. Both
+    directions are JVM expressions inside codegen: no UDF, columnar
+    all the way."""
+    n = load_table(spark, sf_dir, "nation")
+    xml = F.to_xml(
+        F.struct(
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.col("n_name").alias("nm"),
+            F.col("n_regionkey").cast("long").alias("rk"),
+        )
+    )
+    parsed = F.from_xml(xml, "k BIGINT, nm STRING, rk BIGINT")
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        parsed.getField("nm").alias("name_rt"),
+        parsed.getField("rk").alias("regionkey_rt"),
+        (
+            (parsed.getField("k") == F.col("n_nationkey"))
+            & (parsed.getField("nm") == F.col("n_name"))
+            & (parsed.getField("rk") == F.col("n_regionkey"))
+        )
+        .cast("long")
+        .alias("rt_ok"),
+    )
+
+
+_STR_XML_ROUNDTRIP_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       n_name AS name_rt,
+       CAST(n_regionkey AS BIGINT) AS regionkey_rt,
+       CAST(1 AS BIGINT) AS rt_ok
+FROM nation
+"""
+
+
 QUERIES = {
+    "str_xml_roundtrip": QuerySpec(
+        str_xml_roundtrip,
+        _STR_XML_ROUNDTRIP_SQL,
+        ("format", "xml", "roundtrip"),
+    ),
     "src_zonemap_stats": QuerySpec(
         src_zonemap_stats,
         _SRC_ZONEMAP_STATS_SQL,

@@ -1000,3 +1000,115 @@ def test_ts_downsample_lttb_replay(spark, sf_dir):
             assert got[et][b] == best
             px, py = best
         assert got[et][_LTTB_B] == (span, dm[tmax])
+
+
+def test_udaf_grouped_arrow_matches_pandas_twin(spark, sf_dir):
+    """The Arrow grouped UDAF must agree with a direct Python sort
+    replay of the doubled-median/quartile picks."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity")
+        .collect()
+    )
+    groups: dict = {}
+    for r in li:
+        groups.setdefault((r["l_returnflag"], r["l_linestatus"]), []).append(
+            int(round(r["l_quantity"]))
+        )
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in _Q["udaf_grouped_arrow"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(groups)
+    for key, qs in groups.items():
+        s = sorted(qs)
+        n = len(s)
+        r = got[key]
+        assert r["n"] == n
+        assert r["med2"] == s[(n - 1) // 2] + s[n // 2]
+        assert r["lo2"] == s[(n - 1) // 4] + s[n // 4]
+        hi_idx2 = (3 * n) // 4 if (3 * n) // 4 < n else n - 1
+        assert r["hi2"] == s[(3 * (n - 1)) // 4] + s[hi_idx2]
+
+
+def test_agg_percentile_disc_rank_picks(spark, sf_dir):
+    """Each discrete percentile must be the element at rank
+    ceil(p*n) of the group's sorted values — an actual data value."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+    import math
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    groups: dict = {}
+    for r in o:
+        groups.setdefault(r["o_orderpriority"], []).append(r["v"])
+    got = {
+        r["o_orderpriority"]: r
+        for r in _Q["agg_percentile_disc"].fn(spark, sf_dir).collect()
+    }
+    for g, vs in groups.items():
+        s = sorted(vs)
+        n = len(s)
+        r = got[g]
+        assert r["n"] == n
+        for p, name in ((25, "p25_c"), (50, "p50_c"), (75, "p75_c")):
+            assert r[name] == s[math.ceil(n * p / 100) - 1]
+            assert r[name] in vs  # an actual data value
+
+
+def test_ts_sma_crossover_replay(spark, sf_dir):
+    """Signals replayed: direction flips exactly where 7*s3 - 3*s7
+    changes sign, and no signal is emitted inside warmup rows."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["day"], r["y"]))
+    expect = set()
+    for et, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        prev = None
+        for i in range(len(pts)):
+            if i < 6:
+                continue
+            s3 = sum(ys[i - 2 : i + 1])
+            s7 = sum(ys[i - 6 : i + 1])
+            sig = 1 if s3 * 7 > s7 * 3 else (-1 if s3 * 7 < s7 * 3 else 0)
+            if prev is not None and sig != prev and sig != 0:
+                expect.add((et, pts[i][0], sig, s3, s7))
+            prev = sig
+    got = {
+        (r["event_type"], r["day"], r["direction"], r["s3"], r["s7"])
+        for r in _Q["ts_sma_crossover"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_str_xml_roundtrip_lossless(spark, sf_dir):
+    """Every row survives the XML roundtrip bit-exact (rt_ok = 1)."""
+    rows = _Q["str_xml_roundtrip"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r["rt_ok"] == 1 for r in rows)
+    assert all(r["name_rt"] is not None for r in rows)
