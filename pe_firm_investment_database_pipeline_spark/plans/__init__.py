@@ -144,6 +144,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "agg_percentile_disc",
         "ts_sma_crossover",
         "str_xml_roundtrip",
+        "ml_youden_threshold",
+        "samp_pps_systematic",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -6124,7 +6124,118 @@ WHERE prev_sig IS NOT NULL AND sig != prev_sig AND sig != 0
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_youden_threshold — optimal cutoff via integer Youden J argmax
+# ---------------------------------------------------------------------------
+
+
+def ml_youden_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMAL CLASSIFICATION CUTOFF — Youden's J (TPR - FPR)
+    maximized over every candidate threshold, per language: the
+    single-number answer to 'where do I cut?' that the PR curve
+    (`ml_pr_curve`) leaves to the reader. DIVISION-FREE ARGMAX: J
+    ranks identically to j_num = tp*N - fp*P (the per-language
+    denominator P*N is constant), so the whole scan-and-pick runs in
+    pure int64 on the descending cumulative count grid and only the
+    REPORTED j_ppm divides, once, on the winner row (sign-split).
+    Ties break to the HIGHEST threshold — the conservative cut.
+    Same no-global-sort shape as the AUC/PR family."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").alias("score"),
+        (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+    )
+    per_score = d.groupBy("lang", "score").agg(
+        F.sum("is_pos").alias("np_s"),
+        (F.count(F.lit(1)) - F.sum("is_pos")).alias("nn_s"),
+    )
+    w_desc = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("lang")
+    scored = per_score.select(
+        "lang",
+        "score",
+        F.sum("np_s").over(w_desc).alias("tp"),
+        F.sum("nn_s").over(w_desc).alias("fp"),
+        F.sum("np_s").over(w_all).alias("p"),
+        F.sum("nn_s").over(w_all).alias("n"),
+    ).withColumn(
+        "j_num",
+        F.expr("tp * n - fp * p"),
+    )
+    best = scored.groupBy("lang").agg(
+        F.max("p").alias("n_pos"),
+        F.max("n").alias("n_neg"),
+        F.min(
+            F.struct(
+                (-F.col("j_num")).alias("nj"),
+                (-F.col("score")).alias("ns"),
+                F.col("tp").alias("tp"),
+                F.col("fp").alias("fp"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        "lang",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        (-F.col("b.ns")).cast("long").alias("best_score"),
+        F.col("b.tp").cast("long").alias("tp"),
+        F.col("b.fp").cast("long").alias("fp"),
+        F.expr(
+            "CASE WHEN (-b.nj) >= 0 THEN CAST(((-b.nj) * 1000000)"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
+            " ELSE -CAST((b.nj * 1000000)"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"
+        ).alias("j_ppm"),
+    )
+
+
+_ML_YOUDEN_SQL = f"""
+WITH d AS (
+  SELECT lang, n_chars AS score,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM documents
+), per_score AS (
+  SELECT lang, score,
+         CAST(SUM(is_pos) AS BIGINT) AS np_s,
+         CAST(COUNT(*) - SUM(is_pos) AS BIGINT) AS nn_s
+  FROM d GROUP BY lang, score
+), scored AS (
+  SELECT lang, score,
+         CAST(SUM(np_s) OVER (PARTITION BY lang ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+         CAST(SUM(nn_s) OVER (PARTITION BY lang ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp,
+         CAST(SUM(np_s) OVER (PARTITION BY lang) AS BIGINT) AS p,
+         CAST(SUM(nn_s) OVER (PARTITION BY lang) AS BIGINT) AS n
+  FROM per_score
+), ranked AS (
+  SELECT lang, score, tp, fp, p, n, tp * n - fp * p AS j_num,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY tp * n - fp * p DESC,
+                                     score DESC) AS rn
+  FROM scored
+)
+SELECT lang, p AS n_pos, n AS n_neg, score AS best_score, tp, fp,
+       CASE WHEN j_num >= 0
+         THEN CAST((j_num * 1000000) // (CAST(p AS HUGEINT) * n)
+                   AS BIGINT)
+         ELSE -CAST(((-j_num) * 1000000) // (CAST(p AS HUGEINT) * n)
+                    AS BIGINT) END AS j_ppm
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "ml_youden_threshold": QuerySpec(
+        ml_youden_threshold,
+        _ML_YOUDEN_SQL,
+        ("ml", "threshold", "youden"),
+    ),
     "udaf_grouped_arrow": QuerySpec(
         udaf_grouped_arrow,
         _UDAF_GROUPED_ARROW_SQL,

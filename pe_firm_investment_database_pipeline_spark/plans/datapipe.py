@@ -1251,7 +1251,84 @@ FROM per_cell c JOIN per_lang l USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# samp_pps_systematic — probability-proportional-to-size sampling
+# ---------------------------------------------------------------------------
+
+_PPS_K = 50  # target sample size
+_PPS_BLOCK = 100  # doc_id block width for the two-level prefix sum
+
+
+def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS SYSTEMATIC SAMPLING — probability proportional to size,
+    the survey-sampling classic a data pipeline uses to draw an
+    inspection sample where BIG documents (by chars) are
+    proportionally more likely: walk the cumulative-weight axis with
+    a fixed step (total/k) and keep every row whose weight interval
+    crosses a step boundary. THE SCALE POINT is the prefix sum: a
+    naive SUM() OVER (ORDER BY doc_id) serializes the corpus through
+    one partition, so the cumulative weight decomposes TWO-LEVEL —
+    within-block ordered windows (block = doc_id div 100, perfectly
+    parallel) plus a tiny block-offset table joined broadcast — the
+    `evt_cusum_changepoint` block identity on the id axis. Selection
+    ((cum div step) > ((cum - w) div step)) is pure integer; the
+    draw is deterministic, reproducible, and oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    )
+    blocked = d.withColumn("blk", F.expr(f"doc_id div {_PPS_BLOCK}"))
+    wb = W.partitionBy("blk").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    within = blocked.withColumn("cw", F.sum("w").over(wb))
+    btot = blocked.groupBy("blk").agg(F.sum("w").alias("bw"))
+    woff = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    offsets = btot.withColumn(
+        "off", F.coalesce(F.sum("bw").over(woff), F.lit(0))
+    ).select("blk", "off")
+    tot = d.agg(F.sum("w").alias("tw"))
+    cum = (
+        within.join(F.broadcast(offsets), "blk")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("cw") + F.col("off")).alias("cum"),
+            F.expr(f"tw div {_PPS_K}").alias("step"),
+        )
+    )
+    return cum.where(
+        F.expr("(cum div step) > ((cum - w) div step)")
+    ).select(
+        "doc_id",
+        "w",
+        "cum",
+        F.expr("cum div step").alias("slot"),
+    )
+
+
+_SAMP_PPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+), cum AS (
+  SELECT doc_id, w,
+         CAST(SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST((SELECT SUM(w) FROM d) // {_PPS_K} AS BIGINT) AS step
+  FROM d
+)
+SELECT doc_id, w, cum, CAST(cum // step AS BIGINT) AS slot
+FROM cum
+WHERE (cum // step) > ((cum - w) // step)
+"""
+
+
 QUERIES = {
+    "samp_pps_systematic": QuerySpec(
+        samp_pps_systematic,
+        _SAMP_PPS_SQL,
+        ("sampling", "pps", "systematic"),
+    ),
     "ml_cv_folds": QuerySpec(
         ml_cv_folds, _ML_CV_FOLDS_SQL, ("ml", "sampling", "cv")
     ),

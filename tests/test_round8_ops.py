@@ -1112,3 +1112,85 @@ def test_str_xml_roundtrip_lossless(spark, sf_dir):
     assert len(rows) == 25
     assert all(r["rt_ok"] == 1 for r in rows)
     assert all(r["name_rt"] is not None for r in rows)
+
+
+def test_ml_youden_threshold_replay(spark, sf_dir):
+    """Brute-force J maximization over all thresholds for one
+    language, with the highest-threshold tie rule."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _AUC_HASH,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").alias("score"),
+            (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("is_pos"),
+        )
+        .collect()
+    )
+    got = {r["lang"]: r for r in _Q["ml_youden_threshold"].fn(spark, sf_dir).collect()}
+    langs = sorted({r["lang"] for r in d})
+    for lang in langs:
+        sub = [r for r in d if r["lang"] == lang]
+        P = sum(r["is_pos"] for r in sub)
+        N = len(sub) - P
+        best = None
+        for t in sorted({r["score"] for r in sub}):
+            tp = sum(1 for r in sub if r["score"] >= t and r["is_pos"])
+            fp = sum(1 for r in sub if r["score"] >= t and not r["is_pos"])
+            j = tp * N - fp * P
+            key = (-j, -t)
+            if best is None or key < best[0]:
+                best = (key, t, tp, fp, j)
+        r = got[lang]
+        assert (r["best_score"], r["tp"], r["fp"]) == (best[1], best[2], best[3])
+        j = best[4]
+        expect_ppm = (
+            (j * 1_000_000) // (P * N) if j >= 0 else -((-j) * 1_000_000 // (P * N))
+        )
+        assert r["j_ppm"] == expect_ppm
+        assert r["n_pos"] == P and r["n_neg"] == N
+
+
+def test_samp_pps_systematic_properties(spark, sf_dir):
+    """The draw crosses every step boundary exactly once, selection
+    probability tracks size (every selected row's weight interval
+    contains a multiple of step), and the two-level prefix sum equals
+    the naive global cumsum."""
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _PPS_K,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = sorted(
+        (
+            (r["doc_id"], r["n_chars"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+    )
+    total = sum(w for _, w in d)
+    step = total // _PPS_K
+    cum = 0
+    expect = []
+    for doc_id, w in d:
+        cum += w
+        if (cum // step) > ((cum - w) // step):
+            expect.append((doc_id, w, cum, cum // step))
+    got = sorted(
+        (r["doc_id"], r["w"], r["cum"], r["slot"])
+        for r in _Q["samp_pps_systematic"].fn(spark, sf_dir).collect()
+    )
+    assert got == expect
+    # sample size is within edge effects of the target
+    assert _PPS_K - 2 <= len(got) <= _PPS_K + 1
+    slots = [s for _, _, _, s in got]
+    assert len(set(slots)) == len(slots)  # one pick per crossed slot
