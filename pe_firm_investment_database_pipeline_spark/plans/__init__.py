@@ -146,6 +146,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "str_xml_roundtrip",
         "ml_youden_threshold",
         "samp_pps_systematic",
+        "sql_parameterized",
+        "sql_session_variable",
+        "meta_observe_metrics",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -748,6 +748,138 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 3.4+/4 named-parameter binding) —
+    the injection-safe query surface (`spark.sql(query,
+    args={...})`): parameters bind as typed literals at parse time,
+    so Catalyst constant-folds them and pushdown works exactly as
+    with inline literals (a `:threshold` bound to 25 produces the
+    same pushed filter as writing 25). The oracle inlines the same
+    values — binding must be semantics-free."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_pq")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_c
+        FROM v_lineitem_pq
+        WHERE l_quantity >= :min_qty AND l_discount <= :max_disc
+        GROUP BY l_returnflag
+        """,
+        args={"min_qty": 25, "max_disc": 0.05},
+    )
+
+
+_SQL_PARAMETERIZED_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c
+FROM lineitem
+WHERE l_quantity >= 25 AND l_discount <= 0.05
+GROUP BY l_returnflag
+"""
+
+
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SESSION VARIABLES (Spark 4 `DECLARE` / `SET VAR`) — the
+    scripting surface for multi-statement workflows: a threshold
+    declared once, set from a query result (the corpus median-ish
+    floor-mean), then referenced by name in the report query. The
+    entry proves variables resolve to plain literals at plan time
+    (same pushdown story as parameter binding); the oracle computes
+    the same two-step logic as a CTE — variables are ergonomics, not
+    semantics."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_sv")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE pe_floor_c BIGINT DEFAULT 0"
+    )
+    spark.sql(
+        """
+        SET VAR pe_floor_c = (
+          SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      div COUNT(*) AS BIGINT)
+          FROM v_orders_sv
+        )
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_above,
+               CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS min_above_c
+        FROM v_orders_sv
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > pe_floor_c
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_SESSION_VARIABLE_SQL = """
+WITH floor_c AS (
+  SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              // COUNT(*) AS BIGINT) AS f
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_above,
+       CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_above_c
+FROM orders, floor_c
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) > floor_c.f
+GROUP BY o_orderpriority
+"""
+
+
+def meta_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe()` — pipeline observability WITHOUT a
+    second scan: named aggregate metrics ride along the main action
+    and surface through the Observation API, the mechanism a
+    production job uses to emit row counts / sums to its metrics
+    store for free. The entry materializes the observed metrics as a
+    1-row DataFrame; the oracle computes the same aggregates
+    directly — observe() must be a zero-semantics tap. (At 100 TB
+    this is THE way to audit a write: the metrics come from the very
+    pass that produced the output, no re-read, no TOCTOU drift.)"""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("pe_audit")
+    tapped = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents("o_totalprice")).alias("total_c"),
+        F.max(cents("o_totalprice")).alias("max_c"),
+    )
+    # the action that carries the tap: a real aggregate consumer
+    consumed = tapped.groupBy("o_orderstatus").count().collect()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["total_c"]),
+                int(m["max_c"]),
+                len(consumed),
+            )
+        ],
+        "n_rows BIGINT, total_c BIGINT, max_c BIGINT, n_status BIGINT",
+    )
+
+
+_META_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_c,
+       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_c,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+FROM orders
+"""
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL (Spark 3.4+/4) — the analyst-ergonomics surface
     where every non-aggregate select item becomes a grouping key
@@ -2061,6 +2193,19 @@ QUERIES = {
     ),
     "sql_group_by_all": QuerySpec(
         sql_group_by_all, _SQL_GROUP_BY_ALL_SQL, ("sql", "group-by-all")
+    ),
+    "sql_parameterized": QuerySpec(
+        sql_parameterized, _SQL_PARAMETERIZED_SQL, ("sql", "parameters")
+    ),
+    "sql_session_variable": QuerySpec(
+        sql_session_variable,
+        _SQL_SESSION_VARIABLE_SQL,
+        ("sql", "variables"),
+    ),
+    "meta_observe_metrics": QuerySpec(
+        meta_observe_metrics,
+        _META_OBSERVE_SQL,
+        ("observability", "metrics"),
     ),
     "sql_unpivot_syntax": QuerySpec(
         sql_unpivot_syntax, _SQL_UNPIVOT_SQL, ("sql", "unpivot")

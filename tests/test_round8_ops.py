@@ -1194,3 +1194,70 @@ def test_samp_pps_systematic_properties(spark, sf_dir):
     assert _PPS_K - 2 <= len(got) <= _PPS_K + 1
     slots = [s for _, _, _, s in got]
     assert len(set(slots)) == len(slots)  # one pick per crossed slot
+
+
+def test_sql_parameterized_binding_matches_inline(spark, sf_dir):
+    """Named-parameter binding must equal the inline-literal query."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r["l_returnflag"]: (r["n_items"], r["total_c"])
+        for r in _Q["sql_parameterized"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        r["l_returnflag"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .where("l_quantity >= 25 AND l_discount <= 0.05")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).alias("t"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_sql_session_variable_two_step(spark, sf_dir):
+    """The variable must hold the floor-mean and the report must
+    count strictly-above rows per priority."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    o = [
+        int(round(r["o_totalprice"] * 100))
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    floor_c = sum(o) // len(o)
+    rows = _Q["sql_session_variable"].fn(spark, sf_dir).collect()
+    assert sum(r["n_above"] for r in rows) == sum(1 for v in o if v > floor_c)
+    for r in rows:
+        assert r["min_above_c"] > floor_c
+
+
+def test_meta_observe_metrics_zero_semantics_tap(spark, sf_dir):
+    """observe() metrics must equal direct aggregates — the tap adds
+    no semantics and drops no rows."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    r = _Q["meta_observe_metrics"].fn(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    direct = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("t"),
+        F.max(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("m"),
+        F.countDistinct("o_orderstatus").alias("s"),
+    ).collect()[0]
+    assert (r["n_rows"], r["total_c"], r["max_c"], r["n_status"]) == (
+        direct["n"],
+        direct["t"],
+        direct["m"],
+        direct["s"],
+    )
