@@ -149,6 +149,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_parameterized",
         "sql_session_variable",
         "meta_observe_metrics",
+        "txt_bpe_train_step",
+        "sec_rtbf_purge_audit",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -2731,7 +2731,126 @@ ORDER BY r DESC, v LIMIT {_TR_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_bpe_train_step — one BPE vocabulary-training merge round
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 10
+
+
+def txt_bpe_train_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING INNER LOOP — one merge round of byte-pair
+    encoding, the algorithm every tokenizer vocabulary is built
+    with, in its production shape: training runs on the WORD
+    FREQUENCY TABLE (vocab-sized, not corpus-sized — the classic
+    Sennrich formulation), adjacent-pair counts weight by word
+    frequency, the argmax pair becomes the merge, and the report
+    shows the top-10 candidates plus the corpus symbol count before
+    and after applying the winner. Non-overlapping leftmost merge
+    counts come from replace()'s one-pass semantics — occurrences =
+    (len - len(replace(word, pair, '')))/2 — identical in both
+    engines and identical to greedy BPE application. At 100 TB the
+    corpus pass is the one word-count aggregate; every later merge
+    round is vocab-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.posexplode(F.expr(_TOKENS)).alias("pos", "t"))
+        .select(F.lower("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("w") >= 2)
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        words.select(
+            "w",
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+    ranked = pairs.withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.col("pair_count").desc(), "pair"))
+        .cast("long"),
+    ).where(F.col("rank") <= _BPE_TOPK)
+    top = ranked.where(F.col("rank") == 1).select(
+        F.col("pair").alias("top_pair"), F.col("pair_count").alias("top_n")
+    )
+    stats = (
+        words.crossJoin(F.broadcast(top))
+        .agg(
+            F.sum(F.expr("cnt * length(w)")).alias("symbols_before"),
+            F.sum(
+                F.expr(
+                    "cnt * ((length(w) - length(replace(w, top_pair, '')))"
+                    " div 2)"
+                )
+            ).alias("n_merged"),
+        )
+    )
+    return (
+        ranked.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "pair",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            (F.col("rank") == 1).cast("long").alias("is_merge"),
+            F.col("symbols_before").cast("long").alias("symbols_before"),
+            (F.col("symbols_before") - F.col("n_merged"))
+            .cast("long")
+            .alias("symbols_after"),
+        )
+    )
+
+
+_TXT_BPE_TRAIN_SQL = f"""
+WITH toks AS (
+  SELECT lower(unnest({_TOKENS_DUCK})) AS w FROM documents
+), words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT substring(w.w, i.i, 2) AS pair, CAST(SUM(w.cnt) AS BIGINT)
+           AS pair_count
+  FROM words w,
+       LATERAL (SELECT unnest(range(1, length(w.w))) AS i) i
+  GROUP BY 1
+), ranked AS (
+  SELECT pair, pair_count,
+         CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+              AS BIGINT) AS rank
+  FROM pairs
+), top AS (
+  SELECT pair AS top_pair FROM ranked WHERE rank = 1
+), stats AS (
+  SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS symbols_before,
+         CAST(SUM(cnt * ((length(w) - length(replace(w, top_pair, '')))
+                         // 2)) AS BIGINT) AS n_merged
+  FROM words CROSS JOIN top
+)
+SELECT r.rank, r.pair, r.pair_count,
+       CAST(CASE WHEN r.rank = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_merge,
+       s.symbols_before,
+       CAST(s.symbols_before - s.n_merged AS BIGINT) AS symbols_after
+FROM ranked r CROSS JOIN stats s
+WHERE r.rank <= {_BPE_TOPK}
+"""
+
+
 QUERIES = {
+    "txt_bpe_train_step": QuerySpec(
+        txt_bpe_train_step,
+        _TXT_BPE_TRAIN_SQL,
+        ("text", "bpe", "tokenizer-training"),
+    ),
     "txt_keyphrase_textrank": QuerySpec(
         txt_keyphrase_textrank,
         _textrank_sql(),

@@ -1261,3 +1261,70 @@ def test_meta_observe_metrics_zero_semantics_tap(spark, sf_dir):
         direct["m"],
         direct["s"],
     )
+
+
+def test_txt_bpe_train_step_replay(spark, sf_dir):
+    """Python replay of the merge round: pair counts over the word
+    frequency table and the greedy non-overlapping merge count."""
+    import re
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    words: dict = {}
+    for r in docs:
+        for t in re.findall(r"\S+", r["text"]):
+            w = t.lower()
+            if len(w) >= 2:
+                words[w] = words.get(w, 0) + 1
+    pairs: dict = {}
+    for w, c in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] = pairs.get(w[i : i + 2], 0) + c
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    top_pair = ranked[0][0]
+    symbols_before = sum(c * len(w) for w, c in words.items())
+    n_merged = sum(
+        c * ((len(w) - len(w.replace(top_pair, ""))) // 2)
+        for w, c in words.items()
+    )
+    got = sorted(
+        _Q["txt_bpe_train_step"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert len(got) == 10
+    for r, (pair, cnt) in zip(got, ranked[:10]):
+        assert r["pair"] == pair and r["pair_count"] == cnt
+        assert r["is_merge"] == (1 if r["rank"] == 1 else 0)
+        assert r["symbols_before"] == symbols_before
+        assert r["symbols_after"] == symbols_before - n_merged
+    assert got[0]["symbols_after"] < got[0]["symbols_before"]
+
+
+def test_sec_rtbf_purge_audit_cascade(spark, sf_dir):
+    """The forget set must purge consistently across raw and derived
+    surfaces: same user share, zero residue everywhere, and the
+    user_state purge count equals the number of forgotten users."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _RTBF_HASH,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", (F.expr(_RTBF_HASH) == 0).cast("long").alias("fg"))
+        .collect()
+    )
+    forget_users = {r["user_id"] for r in ev if r["fg"] == 1}
+    rows = {r["surface"]: r for r in _Q["sec_rtbf_purge_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"events", "user_daily", "user_state"}
+    assert rows["events"]["rows_purged"] == sum(r["fg"] for r in ev)
+    assert rows["user_state"]["rows_purged"] == len(forget_users)
+    for r in rows.values():
+        assert r["residue"] == 0
+        assert r["rows_after"] == r["rows_before"] - r["rows_purged"]
+        assert r["rows_purged"] > 0  # the forget set is non-empty
