@@ -151,6 +151,10 @@ def all_queries() -> dict[str, QuerySpec]:
         "meta_observe_metrics",
         "txt_bpe_train_step",
         "sec_rtbf_purge_audit",
+        "str_collation_group",
+        "sql_lateral_alias",
+        "sql_identifier_clause",
+        "sql_try_arithmetic",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

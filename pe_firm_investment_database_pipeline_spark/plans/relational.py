@@ -880,6 +880,170 @@ FROM orders
 """
 
 
+def str_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING COLLATIONS (Spark 4's collation framework) — grouping
+    under `UTF8_LCASE` groups case-insensitively INSIDE the engine
+    (comparisons, joins, and aggregations all collation-aware, no
+    manual lower() scattered through the query). The entry mixes the
+    case of market segments in-plan, groups under the collation, and
+    must reproduce the explicit-lower() oracle — proving the
+    collation path is a first-class equality, not a display trick.
+    The emitted key is canonicalized (lower) because only grouping
+    SEMANTICS, not representative-choice, is the contract."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.expr(
+            "CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)"
+            " ELSE c_mktsegment END"
+        ).alias("seg_mixed"),
+        cents("c_acctbal").alias("bal_c"),
+    )
+    return (
+        c.select(
+            F.expr("collate(seg_mixed, 'UTF8_LCASE')").alias("seg"),
+            "bal_c",
+        )
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bal_c").alias("bal_sum_c"),
+        )
+        .select(
+            F.lower(F.col("seg")).alias("segment"),
+            F.col("n").cast("long").alias("n"),
+            F.col("bal_sum_c").cast("long").alias("bal_sum_c"),
+        )
+    )
+
+
+_STR_COLLATION_GROUP_SQL = """
+SELECT lower(c_mktsegment) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS bal_sum_c
+FROM customer
+GROUP BY 1
+"""
+
+
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+) — a select item referring
+    to an alias defined EARLIER IN THE SAME SELECT, the ergonomic
+    fix for staircase subqueries: price_c feeds discounted_c feeds
+    margin_c in one projection. The oracle expands the chain
+    manually; Catalyst must resolve the laterals to the identical
+    expression tree (pure parse-time rewriting, no extra Project in
+    the physical plan)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_la")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(margin_c) AS BIGINT) AS margin_sum_c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT l_returnflag,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 price_c * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS discounted_c100,
+                 discounted_c100 - price_c * 70 AS margin_c
+          FROM v_lineitem_la
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+_SQL_LATERAL_ALIAS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+         - CAST(round(l_extendedprice * 100) AS BIGINT) * 70
+       ) AS BIGINT) AS margin_sum_c,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() CLAUSE (Spark 3.4+) — injection-safe DYNAMIC
+    table/column names: the table to read and the column to
+    aggregate arrive as parameters, bound through IDENTIFIER() so
+    they parse as identifiers (never as SQL text — a name like
+    `orders; DROP TABLE` is a resolution error, not an injection).
+    The templated-pipeline primitive: one parameterized statement
+    serves every (table, column) audit combination. Oracle inlines
+    the resolved names."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_idf")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:grp_col) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp_col)
+        """,
+        args={"tbl": "v_orders_idf", "grp_col": "o_orderstatus"},
+    )
+
+
+_SQL_IDENTIFIER_SQL = """
+SELECT o_orderstatus AS grp, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* ARITHMETIC — the ANSI-mode-safe arithmetic family
+    (`try_divide`, `try_add`, `try_multiply`): errors become NULL
+    instead of failing the job, the contract batch pipelines need
+    when one poisoned row must not kill a 100 TB write. The entry
+    builds a division that hits zero denominators in-plan (order
+    count minus itself for one priority class) and a multiply pushed
+    to int64 limits; the oracle reproduces the NULL semantics with
+    explicit CASE guards — try_* must equal guarded arithmetic
+    exactly, never silently wrap."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_try")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               try_divide(
+                 CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS DOUBLE),
+                 CAST(COUNT(*) AS BIGINT)
+                   - CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+               ) AS mean_non_urgent_c,
+               try_multiply(
+                 CAST(COUNT(*) AS BIGINT),
+                 shiftleft(CAST(1 AS BIGINT), 62)
+               ) AS overflow_probe
+        FROM v_orders_try
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_SQL_TRY_ARITHMETIC_SQL = """
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_c,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_urgent
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CASE WHEN n - n_urgent = 0 THEN NULL
+            ELSE CAST(total_c AS DOUBLE) / (n - n_urgent) END
+         AS mean_non_urgent_c,
+       CASE WHEN n >= 2 THEN NULL
+            ELSE CAST(n * (CAST(1 AS BIGINT) << 62) AS BIGINT) END
+         AS overflow_probe
+FROM g
+"""
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL (Spark 3.4+/4) — the analyst-ergonomics surface
     where every non-aggregate select item becomes a grouping key
@@ -2206,6 +2370,22 @@ QUERIES = {
         meta_observe_metrics,
         _META_OBSERVE_SQL,
         ("observability", "metrics"),
+    ),
+    "str_collation_group": QuerySpec(
+        str_collation_group,
+        _STR_COLLATION_GROUP_SQL,
+        ("string", "collation"),
+    ),
+    "sql_lateral_alias": QuerySpec(
+        sql_lateral_alias, _SQL_LATERAL_ALIAS_SQL, ("sql", "lateral-alias")
+    ),
+    "sql_identifier_clause": QuerySpec(
+        sql_identifier_clause, _SQL_IDENTIFIER_SQL, ("sql", "identifier")
+    ),
+    "sql_try_arithmetic": QuerySpec(
+        sql_try_arithmetic,
+        _SQL_TRY_ARITHMETIC_SQL,
+        ("sql", "try-functions", "ansi"),
     ),
     "sql_unpivot_syntax": QuerySpec(
         sql_unpivot_syntax, _SQL_UNPIVOT_SQL, ("sql", "unpivot")

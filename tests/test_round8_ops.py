@@ -1328,3 +1328,62 @@ def test_sec_rtbf_purge_audit_cascade(spark, sf_dir):
         assert r["residue"] == 0
         assert r["rows_after"] == r["rows_before"] - r["rows_purged"]
         assert r["rows_purged"] > 0  # the forget set is non-empty
+
+
+def test_str_collation_group_case_insensitive(spark, sf_dir):
+    """Grouping under UTF8_LCASE must merge the mixed-case variants
+    the plan injects — counts equal the case-blind truth."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    truth = {
+        r["s"]: (r["n"], r["t"])
+        for r in load_table(spark, sf_dir, "customer")
+        .groupBy(F.lower("c_mktsegment").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")).alias("t"),
+        )
+        .collect()
+    }
+    got = {
+        r["segment"]: (r["n"], r["bal_sum_c"])
+        for r in _Q["str_collation_group"].fn(spark, sf_dir).collect()
+    }
+    assert got == truth
+    assert len(got) == 5  # five segments, never ten case-split groups
+
+
+def test_sql_try_arithmetic_null_semantics(spark, sf_dir):
+    """try_divide hits NULL exactly on the zero-denominator group
+    (1-URGENT) and try_multiply overflows to NULL for every group
+    with at least 2 rows."""
+    rows = {r["o_orderpriority"]: r for r in _Q["sql_try_arithmetic"].fn(spark, sf_dir).collect()}
+    assert rows["1-URGENT"]["mean_non_urgent_c"] is None
+    for p, r in rows.items():
+        if p != "1-URGENT":
+            assert r["mean_non_urgent_c"] is not None
+            assert r["mean_non_urgent_c"] > 0
+        assert r["overflow_probe"] is None  # every group has >= 2 rows
+
+
+def test_sql_identifier_matches_direct(spark, sf_dir):
+    """IDENTIFIER-bound names resolve to the same plan as direct
+    references."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r["grp"]: r["n"]
+        for r in _Q["sql_identifier_clause"].fn(spark, sf_dir).collect()
+    }
+    expect = {
+        r["o_orderstatus"]: r["count"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    }
+    assert got == expect
