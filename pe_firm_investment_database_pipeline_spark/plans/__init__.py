@@ -155,6 +155,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_lateral_alias",
         "sql_identifier_clause",
         "sql_try_arithmetic",
+        "txt_token_count_arrow",
+        "src_python_stream_source",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -2845,7 +2845,53 @@ WHERE r.rank <= {_BPE_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_token_count_arrow — mapInArrow vectorized token counting
+# ---------------------------------------------------------------------------
+
+
+def txt_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` SURFACE — the 1:N Arrow-native map path (the
+    third leg of the Python triangle: pandas_udf / applyInArrow /
+    mapInArrow), counting tokens with pyarrow's vectorized
+    `count_substring_regex` kernel: batches stream through as
+    RecordBatches, no pandas object boxing, no per-row Python. The
+    regex (\\S+) is byte-identical to the JVM `txt_token_count`
+    entry and the DuckDB oracle, so all three engines agree exactly
+    — the entry pins that moving a kernel to the Arrow path changes
+    THROUGHPUT, not answers. Narrow op: zero shuffles, the batch
+    iterator preserves partitioning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def count_tokens(batches):
+        for batch in batches:
+            t = batch.column(batch.schema.get_field_index("text"))
+            n = pc.count_substring_regex(t, pattern=r"\S+")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(n, pa.int64()),
+                ],
+                names=["doc_id", "n_tokens"],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(count_tokens, "doc_id BIGINT, n_tokens BIGINT")
+
+
+_TXT_TOKEN_COUNT_ARROW_SQL = f"""
+SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
 QUERIES = {
+    "txt_token_count_arrow": QuerySpec(
+        txt_token_count_arrow,
+        _TXT_TOKEN_COUNT_ARROW_SQL,
+        ("text", "arrow", "mapInArrow"),
+    ),
     "txt_bpe_train_step": QuerySpec(
         txt_bpe_train_step,
         _TXT_BPE_TRAIN_SQL,

@@ -1387,3 +1387,43 @@ def test_sql_identifier_matches_direct(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_txt_token_count_arrow_equals_jvm_path(spark, sf_dir):
+    """The Arrow kernel path must agree with the JVM regexp path row
+    for row — moving engines changes throughput, not answers."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _TOKENS,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    jvm = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(f"size({_TOKENS})").alias("n"))
+        .collect()
+    }
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in _Q["txt_token_count_arrow"].fn(spark, sf_dir).collect()
+    }
+    assert got == jvm
+
+
+def test_src_python_stream_source_exhausts_feed(spark, sf_dir):
+    """The streaming source must deliver the whole deterministic feed
+    exactly once across micro-batches: bucket counts partition N and
+    the squared sums match the closed form."""
+    from pe_firm_investment_database_pipeline_spark.plans.io_ops import (
+        _PYSS_N,
+    )
+
+    rows = {r["bucket"]: r for r in _Q["src_python_stream_source"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    assert sum(r["n"] for r in rows.values()) == _PYSS_N
+    for b, r in rows.items():
+        ks = range(b, _PYSS_N, 8)
+        assert r["n"] == len(list(ks))
+        assert r["sum_sq"] == sum(k * k for k in ks)
