@@ -157,6 +157,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_try_arithmetic",
         "txt_token_count_arrow",
         "src_python_stream_source",
+        "sim_matryoshka_recall",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

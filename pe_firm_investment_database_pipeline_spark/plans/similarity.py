@@ -2202,7 +2202,150 @@ FROM stats s JOIN counts c USING (lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_matryoshka_recall — truncated-embedding retrieval evaluation
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16  # truncated prefix length (of 64)
+_MRL_QUERIES = 5
+_MRL_K = 10
+
+
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA TRUNCATION EVALUATION — the decision table behind
+    shrinking an embedding index 4x: for each probe query, the exact
+    cosine top-10 under the FULL 64 dims versus under the first 16
+    dims only (the MRL prefix), and the recall@10 of the truncated
+    ranking against the full one. This is the measurement that says
+    whether the cheap index is good enough BEFORE re-embedding a
+    100 TB corpus. Mechanics: both rankings come from one
+    5-query x corpus pair table (broadcast query side), two
+    row_number windows partitioned per query, and an equi-join
+    overlap count — the established fixed-point-cosine determinism
+    (identical int trees -> identical doubles -> identical order,
+    vec_id ties)."""
+    emb = _emb_q(spark, sf_dir)
+    tr = emb.select(
+        "vec_id",
+        "q",
+        "nrm",
+        F.expr(f"slice(q, 1, {_MRL_DIMS})").alias("qt"),
+    ).withColumn(
+        "nrmt",
+        F.expr(
+            "aggregate(zip_with(qt, qt, (x, y) -> x * y), 0L,"
+            " (acc, v) -> acc + v)"
+        ),
+    )
+    qs = tr.where(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("fq"),
+        F.col("nrm").alias("fnrm"),
+        F.col("qt").alias("tq"),
+        F.col("nrmt").alias("tnrm"),
+    )
+    pairs = tr.join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+    full_cos = F.expr(_DOT.format(a="q", b="fq")).cast("double") / (
+        F.sqrt(F.col("nrm").cast("double"))
+        * F.sqrt(F.col("fnrm").cast("double"))
+    )
+    trunc_cos = F.expr(
+        "aggregate(zip_with(qt, tq, (x, y) -> x * y), 0L,"
+        " (acc, v) -> acc + v)"
+    ).cast("double") / (
+        F.sqrt(F.col("nrmt").cast("double"))
+        * F.sqrt(F.col("tnrm").cast("double"))
+    )
+    scored = pairs.select(
+        "qid",
+        "vec_id",
+        full_cos.alias("fc"),
+        trunc_cos.alias("tc"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("fc"), F.asc("vec_id"))
+    wt_ = W.partitionBy("qid").orderBy(F.desc("tc"), F.asc("vec_id"))
+    ranked = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt_)
+    )
+    overlap = (
+        ranked.where((F.col("rf") <= _MRL_K) & (F.col("rt") <= _MRL_K))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = ranked.select("qid").distinct()
+    return (
+        base.join(overlap, "qid", "left")
+        .na.fill({"n_overlap": 0})
+        .select(
+            "qid",
+            F.lit(_MRL_K).cast("long").alias("k"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr(f"CAST((n_overlap * 1000000) div {_MRL_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+_QUANT_TRUNC_DUCK = (
+    "list_transform(embedding[1:"
+    + str(_MRL_DIMS)
+    + "], x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+)
+_DOT_TRUNC_DUCK = (
+    "CAST(list_sum(list_transform(range(1, "
+    + str(_MRL_DIMS + 1)
+    + "), i -> {a}[i] * {b}[i])) AS BIGINT)"
+)
+
+_SIM_MATRYOSHKA_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm,
+         {_QUANT_TRUNC_DUCK} AS qt,
+         {_DOT_TRUNC_DUCK.format(a=_QUANT_TRUNC_DUCK, b=_QUANT_TRUNC_DUCK)}
+           AS nrmt
+  FROM embeddings
+), qs AS (
+  SELECT vec_id AS qid, q AS fq, nrm AS fnrm, qt AS tq, nrmt AS tnrm
+  FROM eq WHERE vec_id < {_MRL_QUERIES}
+), scored AS (
+  SELECT qs.qid, eq.vec_id,
+         CAST({_DOT_DUCK.format(a="eq.q", b="qs.fq")} AS DOUBLE)
+           / (sqrt(CAST(eq.nrm AS DOUBLE)) * sqrt(CAST(qs.fnrm AS DOUBLE)))
+           AS fc,
+         CAST({_DOT_TRUNC_DUCK.format(a="eq.qt", b="qs.tq")} AS DOUBLE)
+           / (sqrt(CAST(eq.nrmt AS DOUBLE)) * sqrt(CAST(qs.tnrm AS DOUBLE)))
+           AS tc
+  FROM eq CROSS JOIN qs
+  WHERE eq.vec_id != qs.qid
+), ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY fc DESC, vec_id)
+           AS rf,
+         row_number() OVER (PARTITION BY qid ORDER BY tc DESC, vec_id)
+           AS rt
+  FROM scored
+), overlap AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM ranked WHERE rf <= {_MRL_K} AND rt <= {_MRL_K}
+  GROUP BY qid
+)
+SELECT b.qid, CAST({_MRL_K} AS BIGINT) AS k,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       CAST((COALESCE(o.n_overlap, 0) * 1000000) // {_MRL_K} AS BIGINT)
+         AS recall_ppm
+FROM (SELECT DISTINCT qid FROM ranked) b
+LEFT JOIN overlap o USING (qid)
+"""
+
+
 QUERIES = {
+    "sim_matryoshka_recall": QuerySpec(
+        sim_matryoshka_recall,
+        _SIM_MATRYOSHKA_SQL,
+        ("similarity", "matryoshka", "evaluation"),
+    ),
     "profile_embedding_drift": QuerySpec(
         profile_embedding_drift,
         _PROFILE_EMBEDDING_DRIFT_SQL,

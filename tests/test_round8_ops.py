@@ -1427,3 +1427,40 @@ def test_src_python_stream_source_exhausts_feed(spark, sf_dir):
         ks = range(b, _PYSS_N, 8)
         assert r["n"] == len(list(ks))
         assert r["sum_sq"] == sum(k * k for k in ks)
+
+
+def test_sim_matryoshka_recall_replay(spark, sf_dir):
+    """numpy replay of both rankings (full vs 16-dim prefix) and the
+    recall@10 overlap, including quantization and tie order."""
+    import math
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = {
+        r["vec_id"]: [math.floor(x * 1_000_000.0) for x in r["embedding"]]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def top10(qid, dims):
+        qv = emb[qid][:dims]
+        qn = sum(x * x for x in qv)
+        scored = []
+        for vid, v in emb.items():
+            if vid == qid:
+                continue
+            tv = v[:dims]
+            dot = sum(a * b for a, b in zip(tv, qv))
+            cos = dot / (math.sqrt(sum(x * x for x in tv)) * math.sqrt(qn))
+            scored.append((-cos, vid))
+        scored.sort()
+        return {vid for _, vid in scored[:10]}
+
+    got = {r["qid"]: r for r in _Q["sim_matryoshka_recall"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(range(5))
+    for qid in range(5):
+        overlap = len(top10(qid, 64) & top10(qid, 16))
+        assert got[qid]["n_overlap"] == overlap
+        assert got[qid]["recall_ppm"] == overlap * 1_000_000 // 10
+        assert 0 <= got[qid]["n_overlap"] <= 10
