@@ -158,6 +158,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_token_count_arrow",
         "src_python_stream_source",
         "sim_matryoshka_recall",
+        "snk_retention_vacuum",
+        "graph_hits_authority",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

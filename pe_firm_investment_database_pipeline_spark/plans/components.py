@@ -1460,7 +1460,104 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_hits_authority — HITS hubs & authorities on the oriented graph
+# ---------------------------------------------------------------------------
+
+_HITS_BASE = 1_000_000
+
+
+def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS HUBS/AUTHORITIES on the ORIENTED near-dup graph (edges
+    low-id -> high-id; the undirected graph would degenerate to
+    hub == authority == degree): authority(v) sums hub scores of
+    v's in-neighbors, hub(u) sums authority of u's out-neighbors —
+    the centrality pair that separates 'pages many hubs point AT'
+    (canonical templates) from 'pages pointing at many authorities'
+    (aggregator boilerplate). One mutual-reinforcement round in
+    scaled int64 with TRUNCATING MAX-NORM renormalization after
+    each half-step (the `ml_pca_power` discipline — bit-identical
+    across engines, no float ever). Each half-step is one equi-join
+    + one keyed sum on the LSH pair list; scores broadcast back.
+    At 100 TB the edge list is the candidate output, orders of
+    magnitude below the corpus."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("u"),
+        F.greatest("doc1", "doc2").alias("v"),
+    ).distinct().localCheckpoint(eager=True)
+    # authority half-step: a1(v) = sum of h0(u) = BASE * indeg(v)
+    a1 = e.groupBy("v").agg(
+        (F.count(F.lit(1)) * _HITS_BASE).alias("a")
+    )
+    amax = a1.agg(F.max("a").alias("m"))
+    a1s = a1.crossJoin(F.broadcast(amax)).select(
+        "v", F.expr(f"(a * {_HITS_BASE}) div m").alias("a")
+    )
+    # hub half-step: h1(u) = sum of a1s(v) over u's out-edges
+    h1 = (
+        e.join(a1s, "v")
+        .groupBy("u")
+        .agg(F.sum("a").alias("h"))
+    )
+    hmax = h1.agg(F.max("h").alias("m"))
+    h1s = h1.crossJoin(F.broadcast(hmax)).select(
+        "u", F.expr(f"(h * {_HITS_BASE}) div m").alias("h")
+    )
+    return (
+        a1s.select(F.col("v").alias("doc_id"), F.col("a").alias("auth_scaled"))
+        .join(
+            h1s.select(
+                F.col("u").alias("doc_id"), F.col("h").alias("hub_scaled")
+            ),
+            "doc_id",
+            "full_outer",
+        )
+        .na.fill({"auth_scaled": 0, "hub_scaled": 0})
+        .select(
+            "doc_id",
+            F.col("auth_scaled").cast("long").alias("auth_scaled"),
+            F.col("hub_scaled").cast("long").alias("hub_scaled"),
+        )
+    )
+
+
+_GRAPH_HITS_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS u, GREATEST(doc1, doc2) AS v
+  FROM mh_pairs
+), a1 AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) * {_HITS_BASE} AS a
+  FROM e GROUP BY v
+), a1s AS (
+  SELECT v, CAST((a * {_HITS_BASE}) // (SELECT MAX(a) FROM a1)
+                 AS BIGINT) AS a
+  FROM a1
+), h1 AS (
+  SELECT e.u, CAST(SUM(a1s.a) AS BIGINT) AS h
+  FROM e JOIN a1s USING (v) GROUP BY e.u
+), h1s AS (
+  SELECT u, CAST((h * {_HITS_BASE}) // (SELECT MAX(h) FROM h1)
+                 AS BIGINT) AS h
+  FROM h1
+)
+SELECT COALESCE(a.v, h.u) AS doc_id,
+       CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_scaled,
+       CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_scaled
+FROM a1s a FULL OUTER JOIN h1s h ON h.u = a.v
+"""
+
+
 QUERIES = {
+    "graph_hits_authority": QuerySpec(
+        graph_hits_authority,
+        _GRAPH_HITS_SQL,
+        ("graph", "hits", "centrality"),
+    ),
     "graph_modularity": QuerySpec(
         graph_modularity,
         _GRAPH_MODULARITY_SQL,

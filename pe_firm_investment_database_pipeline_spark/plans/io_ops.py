@@ -1711,7 +1711,96 @@ FROM feed GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# snk_retention_vacuum — partition-level retention enforcement
+# ---------------------------------------------------------------------------
+
+_RETAIN_DAYS = 14
+
+
+def snk_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION VACUUM — the lakehouse janitor: land the
+    day-partitioned events table, then ENFORCE a 14-day retention
+    policy by physically deleting expired partition directories
+    (real filesystem removes, not a logical filter — the operation
+    that actually frees storage and shrinks listings). The cutoff
+    derives from the DATA's max day, so the entry is deterministic
+    at any scale factor. The read-back after the vacuum is the
+    proof: expired days are gone from the table (not just from one
+    query's WHERE clause), retained days are untouched, and the
+    summary row reconciles against the logical-table oracle. At
+    100 TB this is an O(expired partitions) metadata+delete
+    operation — never a table rewrite, which is the entire point of
+    partitioning by the retention axis."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"pe_vacuum_{h}_{app}")
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    days = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("day=")
+    )
+    cutoff = max(days) - _RETAIN_DAYS + 1
+    expired = [d for d in days if d < cutoff]
+    for d in expired:
+        shutil.rmtree(os.path.join(out, f"day={d}"))
+    back = spark.read.parquet(out)
+    return (
+        back.agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.countDistinct("day").alias("days_after"),
+            F.min("day").alias("oldest_kept_day"),
+            F.max("day").alias("newest_day"),
+        )
+        .select(
+            F.lit(len(days)).cast("long").alias("days_before"),
+            F.col("days_after").cast("long").alias("days_after"),
+            F.lit(len(expired)).cast("long").alias("days_vacuumed"),
+            F.col("rows_after").cast("long").alias("rows_after"),
+            F.col("oldest_kept_day").cast("long").alias("oldest_kept_day"),
+            F.col("newest_day").cast("long").alias("newest_day"),
+        )
+    )
+
+
+_SNK_RETENTION_VACUUM_SQL = f"""
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day FROM events
+), lim AS (
+  SELECT MAX(day) - {_RETAIN_DAYS} + 1 AS cutoff,
+         CAST(COUNT(DISTINCT day) AS BIGINT) AS days_before
+  FROM ev
+)
+SELECT lim.days_before,
+       CAST(COUNT(DISTINCT ev.day) AS BIGINT) AS days_after,
+       CAST(lim.days_before - COUNT(DISTINCT ev.day) AS BIGINT)
+         AS days_vacuumed,
+       CAST(COUNT(*) AS BIGINT) AS rows_after,
+       CAST(MIN(ev.day) AS BIGINT) AS oldest_kept_day,
+       CAST(MAX(ev.day) AS BIGINT) AS newest_day
+FROM ev CROSS JOIN lim
+WHERE ev.day >= lim.cutoff
+GROUP BY lim.days_before
+"""
+
+
 QUERIES = {
+    "snk_retention_vacuum": QuerySpec(
+        snk_retention_vacuum,
+        _SNK_RETENTION_VACUUM_SQL,
+        ("sink", "retention", "vacuum"),
+    ),
     "src_python_stream_source": QuerySpec(
         src_python_stream_source,
         _SRC_PYSS_SQL,

@@ -1464,3 +1464,68 @@ def test_sim_matryoshka_recall_replay(spark, sf_dir):
         assert got[qid]["n_overlap"] == overlap
         assert got[qid]["recall_ppm"] == overlap * 1_000_000 // 10
         assert 0 <= got[qid]["n_overlap"] <= 10
+
+
+def test_snk_retention_vacuum_physically_deletes(spark, sf_dir):
+    """After the vacuum, expired days are gone from the physical
+    table — counts reconcile against the logical retention filter."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    days = [
+        r["day"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.expr("ts_us div 86400000000").alias("day"))
+        .distinct()
+        .collect()
+    ]
+    cutoff = max(days) - 14 + 1
+    kept_days = [d for d in days if d >= cutoff]
+    rows_kept = (
+        load_table(spark, sf_dir, "events")
+        .where(F.expr(f"ts_us div 86400000000 >= {cutoff}"))
+        .count()
+    )
+    r = _Q["snk_retention_vacuum"].fn(spark, sf_dir).collect()[0]
+    assert r["days_before"] == len(days)
+    assert r["days_after"] == len(kept_days)
+    assert r["days_vacuumed"] == len(days) - len(kept_days)
+    assert r["days_vacuumed"] > 0  # the fixture spans > 14 days
+    assert r["rows_after"] == rows_kept
+    assert r["oldest_kept_day"] >= cutoff
+
+
+def test_graph_hits_authority_replay(spark, sf_dir):
+    """Python replay of the one-round HITS half-steps with truncating
+    max-norm renormalization on the oriented edge list."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    edges = {
+        tuple(sorted((r["doc1"], r["doc2"])))
+        for r in dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    BASE = 1_000_000
+    a1: dict = {}
+    for u, v in edges:
+        a1[v] = a1.get(v, 0) + BASE
+    amax = max(a1.values())
+    a1s = {v: (a * BASE) // amax for v, a in a1.items()}
+    h1: dict = {}
+    for u, v in edges:
+        if v in a1s:
+            h1[u] = h1.get(u, 0) + a1s[v]
+    hmax = max(h1.values())
+    h1s = {u: (h * BASE) // hmax for u, h in h1.items()}
+    got = {r["doc_id"]: r for r in _Q["graph_hits_authority"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(a1s) | set(h1s)
+    for d, r in got.items():
+        assert r["auth_scaled"] == a1s.get(d, 0)
+        assert r["hub_scaled"] == h1s.get(d, 0)
+    # renorm anchors: some node hits exactly BASE on each axis
+    assert max(r["auth_scaled"] for r in got.values()) == BASE
+    assert max(r["hub_scaled"] for r in got.values()) == BASE
