@@ -112,6 +112,13 @@ HEAVY = [
     "txt_keyphrase_textrank",
     "graph_modularity",
     "evt_cuped_adjust",
+    # late-r8 waves with at-scale claims: the unrolled LTTB chain,
+    # the word-frequency BPE round, oriented HITS, and the
+    # matryoshka pair table
+    "ts_downsample_lttb",
+    "txt_bpe_train_step",
+    "graph_hits_authority",
+    "sim_matryoshka_recall",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
