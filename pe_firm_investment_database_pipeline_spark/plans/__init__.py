@@ -160,6 +160,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sim_matryoshka_recall",
         "snk_retention_vacuum",
         "graph_hits_authority",
+        "agg_skyline_2d",
+        "txt_unicode_nfc_audit",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

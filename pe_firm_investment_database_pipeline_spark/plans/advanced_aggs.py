@@ -6235,7 +6235,83 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_skyline_2d — Pareto-front (skyline) operator
+# ---------------------------------------------------------------------------
+
+
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto front) — the classic multi-objective operator
+    ('cheapest AND earliest, nothing strictly better on both'): per
+    order priority, the orders not DOMINATED in (totalprice, orderdate)
+    — no other order both cheaper and earlier. The O(n^2)
+    dominance-join formulation never materializes: for 2-D
+    minimization, a row is on the skyline iff its price is strictly
+    below the running-minimum price of everything that arrived
+    earlier — ONE ordered window per group after the per-(group,
+    day) grid compression (min price per day first, so the window
+    runs on day cardinality, not order count). The comparison is
+    STRICT (p < running min): an equal price on a later day is
+    weakly dominated and correctly drops. Output is the frontier
+    itself — ranked (day, price) pairs per group."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    per_day = o.groupBy("o_orderpriority", "day").agg(
+        F.min("price_c").alias("p")
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    sky = per_day.withColumn(
+        "prev_min", F.min("p").over(w)
+    ).where(F.col("prev_min").isNull() | (F.col("p") < F.col("prev_min")))
+    return sky.select(
+        "o_orderpriority",
+        "day",
+        F.col("p").alias("price_c"),
+    ).withColumn(
+        "sky_rank",
+        F.row_number()
+        .over(W.partitionBy("o_orderpriority").orderBy("day"))
+        .cast("long"),
+    )
+
+
+_AGG_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderpriority,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), per_day AS (
+  SELECT o_orderpriority, day, CAST(MIN(price_c) AS BIGINT) AS p
+  FROM o GROUP BY 1, 2
+), marked AS (
+  SELECT o_orderpriority, day, p,
+         MIN(p) OVER (PARTITION BY o_orderpriority ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_min
+  FROM per_day
+)
+SELECT o_orderpriority, day, p AS price_c,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY day) AS BIGINT) AS sky_rank
+FROM marked
+WHERE prev_min IS NULL OR p < prev_min
+"""
+
+
 QUERIES = {
+    "agg_skyline_2d": QuerySpec(
+        agg_skyline_2d,
+        _AGG_SKYLINE_SQL,
+        ("aggregation", "skyline", "pareto"),
+    ),
     "ml_youden_threshold": QuerySpec(
         ml_youden_threshold,
         _ML_YOUDEN_SQL,

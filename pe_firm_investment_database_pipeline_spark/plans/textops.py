@@ -2886,7 +2886,95 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# txt_unicode_nfc_audit — Unicode normalization audit
+# ---------------------------------------------------------------------------
+
+# decomposed suffix (e + COMBINING ACUTE, a + COMBINING RING): NFC
+# recomposes both, so injected docs MUST change under normalization
+_NFC_SUFFIX = " cafe\u0301 a\u030A"  # decomposed: e+ACUTE, a+RING
+
+
+def txt_unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC AUDIT — the normalization pass every multilingual
+    training corpus needs before dedup or tokenization: visually
+    identical strings with different codepoint sequences (composed
+    'é' vs 'e'+combining accent) hash apart, split vocabulary
+    entries, and defeat exact dedup. The corpus gets a DETERMINISTIC
+    non-NFC injection in-plan (every 7th doc, the `txt_pii_redact`
+    trick), normalization runs in an Arrow-batched pandas UDF over
+    Python's unicodedata (the designed UDF boundary — Spark has no
+    built-in normalizer), and the DuckDB twin uses its native
+    utf8proc nfc_normalize — agreement across two INDEPENDENT NFC
+    implementations is itself the correctness evidence. Report:
+    how many docs changed, total codepoint delta, and an md5
+    checksum of the normalized corpus (UTF-8 bytes, both engines)."""
+    def _nfc_pandas(s):
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    nfc = F.pandas_udf(_nfc_pandas, "string")
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_NFC_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n = d.select(
+        "doc_id",
+        "text",
+        nfc(F.col("text")).alias("norm"),
+    )
+    return n.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("norm") != F.col("text")).cast("long")).alias(
+            "n_changed"
+        ),
+        F.sum(F.length("text") - F.length("norm")).alias("delta_chars"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substring(md5(CAST(norm AS BINARY)), 1, 8),"
+                " 16, 10) AS BIGINT)"
+            )
+        ).alias("norm_checksum"),
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_changed").cast("long").alias("n_changed"),
+        F.col("delta_chars").cast("long").alias("delta_chars"),
+        F.col("norm_checksum").cast("long").alias("norm_checksum"),
+    )
+
+
+_TXT_NFC_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_NFC_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+), n AS (
+  SELECT doc_id, text, nfc_normalize(text) AS norm FROM d
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN norm != text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_changed,
+       CAST(SUM(length(text) - length(norm)) AS BIGINT) AS delta_chars,
+       CAST(SUM(CAST(('0x' || substr(md5(norm), 1, 8)) AS BIGINT))
+            AS BIGINT) AS norm_checksum
+FROM n
+"""
+
+
 QUERIES = {
+    "txt_unicode_nfc_audit": QuerySpec(
+        txt_unicode_nfc_audit,
+        _TXT_NFC_SQL,
+        ("text", "unicode", "normalization"),
+    ),
     "txt_token_count_arrow": QuerySpec(
         txt_token_count_arrow,
         _TXT_TOKEN_COUNT_ARROW_SQL,

@@ -95,5 +95,7 @@ def test_survey_mentions_every_late_r8_op():
         "sim_matryoshka_recall",
         "snk_retention_vacuum",
         "graph_hits_authority",
+        "agg_skyline_2d",
+        "txt_unicode_nfc_audit",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

@@ -1529,3 +1529,68 @@ def test_graph_hits_authority_replay(spark, sf_dir):
     # renorm anchors: some node hits exactly BASE on each axis
     assert max(r["auth_scaled"] for r in got.values()) == BASE
     assert max(r["hub_scaled"] for r in got.values()) == BASE
+
+
+def test_agg_skyline_2d_is_true_pareto_front(spark, sf_dir):
+    """The window formulation must equal the dominance DEFINITION:
+    a (day, price) point is on the skyline iff no other order in the
+    group has day <= d AND price <= p with at least one strict."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    pts: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ).alias("p"),
+        )
+        .collect()
+    ):
+        pts.setdefault(r["o_orderpriority"], []).append((r["day"], r["p"]))
+    expect: dict = {}
+    for g, ps in pts.items():
+        sky = set()
+        for d, p in set(ps):
+            dominated = any(
+                (d2 <= d and p2 <= p and (d2 < d or p2 < p))
+                for d2, p2 in ps
+            )
+            if not dominated:
+                sky.add((d, p))
+        expect[g] = sorted(sky)
+    got: dict = {}
+    for r in _Q["agg_skyline_2d"].fn(spark, sf_dir).collect():
+        got.setdefault(r["o_orderpriority"], []).append(
+            (r["day"], r["price_c"], r["sky_rank"])
+        )
+    assert set(got) == set(expect)
+    for g, rows in got.items():
+        rows.sort()
+        assert [(d, p) for d, p, _ in rows] == expect[g]
+        # ranks are 1..k in day order along the frontier
+        assert [k for _, _, k in rows] == list(range(1, len(rows) + 1))
+
+
+def test_txt_unicode_nfc_audit_counts_injected_docs(spark, sf_dir):
+    """Exactly the every-7th injected docs change under NFC (the base
+    corpus is ASCII), each losing the 2 combining marks; checksum is
+    over the NORMALIZED corpus so both engines agree byte-for-byte."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    n_inj = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 7 == 0)
+        .count()
+    )
+    r = _Q["txt_unicode_nfc_audit"].fn(spark, sf_dir).collect()[0]
+    assert r["n_changed"] == n_inj
+    # NFC composes e+ACUTE and a+RING: 2 codepoints shorter per doc
+    assert r["delta_chars"] == 2 * n_inj
+    assert r["n_docs"] == load_table(spark, sf_dir, "documents").count()
