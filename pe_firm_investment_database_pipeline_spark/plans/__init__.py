@@ -162,6 +162,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_hits_authority",
         "agg_skyline_2d",
         "txt_unicode_nfc_audit",
+        "fin_fifo_allocation",
+        "evt_did_analysis",
+        "evt_pattern_vshape",
+        "ml_map_at_k",
+        "evt_frequency_capping",
+        "snk_txn_log_snapshot",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -6306,11 +6306,493 @@ WHERE prev_min IS NULL OR p < prev_min
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_pattern_vshape — MATCH_RECOGNIZE-style V-shape pattern detection
+# ---------------------------------------------------------------------------
+
+
+def evt_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-SHAPE PATTERN DETECTION — the MATCH_RECOGNIZE stand-in
+    (PATTERN (DOWN{2,} UP{2,}) over daily revenue): neither Spark
+    nor DuckDB parses MATCH_RECOGNIZE, but the classic row-pattern
+    query compiles to runs — sign the day-over-day delta, cut the
+    series into maximal same-sign islands (rn - rn_per_sign, the
+    gaps-and-islands identity), and a V is a >=2-day strictly-down
+    island whose NEXT island is >=2 days strictly up (a flat day in
+    between kills the match, exactly like MATCH_RECOGNIZE's greedy
+    quantifiers over a DOWN/UP alphabet with no skip). Emits the
+    matched occurrence like MEASURES would: trough day, run lengths,
+    the pre-drop peak, drop and rebound in cents. The ordered
+    windows run on the DAY grid — bounded by calendar, so the
+    single-partition window is safe at any data scale (the
+    house rule for global windows)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .otherwise(0)
+        .alias("rev_c"),
+    )
+    daily = ev.groupBy("day").agg(F.sum("rev_c").alias("rev_c"))
+    w = W.orderBy("day")
+    d = (
+        daily.withColumn("prev_rev", F.lag("rev_c").over(w))
+        .where(F.col("prev_rev").isNotNull())
+        .withColumn(
+            "sgn",
+            F.when(F.col("rev_c") > F.col("prev_rev"), 1)
+            .when(F.col("rev_c") < F.col("prev_rev"), -1)
+            .otherwise(0),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "grp",
+            F.col("rn")
+            - F.row_number().over(W.partitionBy("sgn").orderBy("day")),
+        )
+    )
+    isl = d.groupBy("sgn", "grp").agg(
+        F.min("day").alias("start_day"),
+        F.max("day").alias("end_day"),
+        F.count(F.lit(1)).alias("run_len"),
+        F.expr("min_by(prev_rev, day)").alias("peak_rev_c"),
+        F.expr("max_by(rev_c, day)").alias("end_rev_c"),
+    )
+    wi = W.orderBy("start_day")
+    chained = (
+        isl.withColumn("nxt_sgn", F.lead("sgn").over(wi))
+        .withColumn("nxt_len", F.lead("run_len").over(wi))
+        .withColumn("nxt_end_rev", F.lead("end_rev_c").over(wi))
+    )
+    v = chained.where(
+        (F.col("sgn") == -1)
+        & (F.col("run_len") >= 2)
+        & (F.col("nxt_sgn") == 1)
+        & (F.col("nxt_len") >= 2)
+    )
+    return v.select(
+        F.col("end_day").alias("trough_day"),
+        F.col("run_len").cast("long").alias("down_len"),
+        F.col("nxt_len").cast("long").alias("up_len"),
+        F.col("peak_rev_c").cast("long").alias("peak_rev_c"),
+        F.col("end_rev_c").cast("long").alias("trough_rev_c"),
+        (F.col("peak_rev_c") - F.col("end_rev_c"))
+        .cast("long")
+        .alias("drop_c"),
+        (F.col("nxt_end_rev") - F.col("end_rev_c"))
+        .cast("long")
+        .alias("rebound_c"),
+    )
+
+
+_EVT_VSHAPE_SQL = """
+WITH ev AS (
+  SELECT epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+  FROM events
+), daily AS (
+  SELECT day, CAST(SUM(rev_c) AS BIGINT) AS rev_c FROM ev GROUP BY day
+), d AS (
+  SELECT day, rev_c, prev_rev,
+         CASE WHEN rev_c > prev_rev THEN 1
+              WHEN rev_c < prev_rev THEN -1 ELSE 0 END AS sgn,
+         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+  FROM (SELECT day, rev_c,
+               lag(rev_c) OVER (ORDER BY day) AS prev_rev
+        FROM daily)
+  WHERE prev_rev IS NOT NULL
+), grps AS (
+  SELECT *, rn - row_number() OVER (PARTITION BY sgn ORDER BY day) AS grp
+  FROM d
+), isl AS (
+  SELECT sgn, grp,
+         CAST(MIN(day) AS BIGINT) AS start_day,
+         CAST(MAX(day) AS BIGINT) AS end_day,
+         CAST(COUNT(*) AS BIGINT) AS run_len,
+         CAST(arg_min(prev_rev, day) AS BIGINT) AS peak_rev_c,
+         CAST(arg_max(rev_c, day) AS BIGINT) AS end_rev_c
+  FROM grps GROUP BY sgn, grp
+), chained AS (
+  SELECT *,
+         lead(sgn) OVER (ORDER BY start_day) AS nxt_sgn,
+         lead(run_len) OVER (ORDER BY start_day) AS nxt_len,
+         lead(end_rev_c) OVER (ORDER BY start_day) AS nxt_end_rev
+  FROM isl
+)
+SELECT end_day AS trough_day,
+       run_len AS down_len,
+       CAST(nxt_len AS BIGINT) AS up_len,
+       peak_rev_c,
+       end_rev_c AS trough_rev_c,
+       CAST(peak_rev_c - end_rev_c AS BIGINT) AS drop_c,
+       CAST(nxt_end_rev - end_rev_c AS BIGINT) AS rebound_c
+FROM chained
+WHERE sgn = -1 AND run_len >= 2 AND nxt_sgn = 1 AND nxt_len >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_map_at_k — exact-rational mean average precision @ 10
+# ---------------------------------------------------------------------------
+
+# lcm(1..10): cum_rel/i scaled by 2520/i stays integral for every
+# rank i <= 10, so AP needs exactly ONE division at the end
+_MAP_K = 10
+_MAP_LCM = 2520
+
+
+def ml_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT MAP@10 per language — the precision-oriented ranking
+    metric beside `ml_ndcg_at_k` (same deterministic ranking
+    n_chars desc / doc_id asc, same hash-bit relevance, so the two
+    entries are directly comparable readouts of one ranked list).
+    AP's sum of precision-at-hit terms cum_rel_i/i has varying
+    denominators; scaling by lcm(1..10)=2520 makes every term
+    integral (rel_i * cum_rel_i * (2520 div i)), so the whole
+    metric is one truncating division at the end:
+    ap_ppm = scaled_sum * 1e6 div (2520 * min(n_rel, 10)). Same
+    distributed shape as NDCG: per-group rank window, only the
+    top-k rows feed the sum."""
+    rel = (F.expr(_AUC_HASH) % 2 == 0).cast("long")
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", rel.alias("rel")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = (
+        d.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cum_rel",
+            F.sum("rel").over(
+                W.partitionBy("lang")
+                .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    term = F.when(
+        (F.col("rnk") <= _MAP_K) & (F.col("rel") == 1),
+        F.col("cum_rel") * F.expr(f"{_MAP_LCM} div rnk"),
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy("lang").agg(
+        F.sum(term).alias("ap_scaled"),
+        F.sum("rel").alias("n_rel"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_rel").cast("long").alias("n_rel"),
+        F.col("ap_scaled").cast("long").alias("ap_scaled"),
+        F.expr(
+            "CASE WHEN n_rel > 0 THEN (ap_scaled * 1000000)"
+            f" div ({_MAP_LCM} * least(n_rel, {_MAP_K})) END"
+        )
+        .cast("long")
+        .alias("ap_ppm"),
+    )
+
+
+def _map_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS rel
+  FROM documents
+), ranked AS (
+  SELECT lang, rel,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rnk,
+         CAST(SUM(rel) OVER (PARTITION BY lang
+                             ORDER BY n_chars DESC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_rel
+  FROM d
+), agg AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN rnk <= {_MAP_K} AND rel = 1
+                       THEN cum_rel * ({_MAP_LCM} // rnk)
+                       ELSE 0 END) AS BIGINT) AS ap_scaled,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM ranked GROUP BY lang
+)
+SELECT lang, n_docs, n_rel, ap_scaled,
+       CASE WHEN n_rel > 0 THEN
+         CAST((ap_scaled * 1000000)
+              // ({_MAP_LCM} * LEAST(n_rel, {_MAP_K})) AS BIGINT)
+       END AS ap_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_frequency_capping — nested-cap admission control
+# ---------------------------------------------------------------------------
+
+_FC_HOUR_CAP = 3
+_FC_DAY_CAP = 5
+
+
+def evt_frequency_capping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FREQUENCY CAPPING — the ad-serving / notification admission
+    rule 'at most 3 per hour AND 5 per day per user', applied
+    greedily in event order. The per-event greedy loop ('admit iff
+    both budgets still open') looks stateful, but nested caps have a
+    closed form because both budgets only decrease: cumulative
+    admits through hour h = min(DAY_CAP, Σ_{j<=h} min(HOUR_CAP,
+    n_j)) — the clamped-cumsum identity — so per-hour admits are a
+    difference of two clamps and a single within-hour rank decides
+    each event. Output is the per-(user, day) admission ledger with
+    an admitted-event-id checksum that pins the EXACT admitted set,
+    not just its size (greedy per-event replay in the test). Scale
+    shape: exactly ONE event-sized shuffle — the within-hour rank
+    window. The grid branch partially aggregates AT THE SCAN (its
+    shuffle moves only (user, hour, count) rows), the day window
+    runs on the grid, the join-back lands on the ranked side's
+    existing hash(user, hour) partitioning (the grid is
+    user-cardinality-sized — co-partitioned join at 100 TB, never a
+    broadcast), and the post-join per-hour pre-aggregation rides
+    that same partitioning exchange-free, collapsing events to grid
+    rows before the final day rollup shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.expr("ts_us div 3600000000").alias("hour"),
+    )
+    ranked = ev.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("user_id", "hour").orderBy("ts_us", "event_id")
+        ),
+    )
+    # Catalyst prunes the rank window out of this branch (count
+    # doesn't need r), so the grid is a direct scan + map-side
+    # partial agg — the re-scan's shuffle moves only grid-sized rows
+    hours = ranked.groupBy("user_id", "hour").agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    wd = (
+        W.partitionBy("user_id", "day")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cap_h = F.least(F.lit(_FC_HOUR_CAP), F.col("n_h"))
+    grid = (
+        hours.withColumn("day", F.expr("hour div 24"))
+        .withColumn("cap_h", cap_h)
+        .withColumn("cum_cap", F.sum("cap_h").over(wd))
+        .withColumn(
+            "admits_h",
+            F.least(F.lit(_FC_DAY_CAP), F.col("cum_cap"))
+            - F.least(
+                F.lit(_FC_DAY_CAP), F.col("cum_cap") - F.col("cap_h")
+            ),
+        )
+        .select("user_id", "hour", "admits_h")
+    )
+    admitted = (F.col("r") <= F.col("admits_h")).cast("long")
+    per_hour = (
+        ranked.join(grid, ["user_id", "hour"], "inner")
+        # exchange-free: the join output stays clustered by (user, hour)
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev_h"),
+            F.sum(admitted).alias("n_adm_h"),
+            F.sum(
+                F.when(admitted == 1, F.col("event_id")).otherwise(0)
+            ).alias("id_sum_h"),
+        )
+    )
+    return (
+        per_hour.withColumn("day", F.expr("hour div 24"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("n_ev_h").alias("n_events"),
+            F.sum("n_adm_h").alias("n_admitted"),
+            F.sum("id_sum_h").alias("admitted_id_sum"),
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_admitted").cast("long").alias("n_admitted"),
+            (F.col("n_events") - F.col("n_admitted"))
+            .cast("long")
+            .alias("n_suppressed"),
+            F.col("admitted_id_sum").cast("long").alias("admitted_id_sum"),
+        )
+    )
+
+
+_EVT_FREQCAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         epoch_us(ts::TIMESTAMP) // 3600000000 AS hour,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS day
+  FROM events
+), hours AS (
+  SELECT user_id, day, hour, CAST(COUNT(*) AS BIGINT) AS n_h
+  FROM ev GROUP BY 1, 2, 3
+), grid AS (
+  SELECT user_id, hour,
+         LEAST({_FC_DAY_CAP}, cum_cap)
+           - LEAST({_FC_DAY_CAP}, cum_cap - cap_h) AS admits_h
+  FROM (
+    SELECT user_id, day, hour, LEAST({_FC_HOUR_CAP}, n_h) AS cap_h,
+           CAST(SUM(LEAST({_FC_HOUR_CAP}, n_h)) OVER (
+               PARTITION BY user_id, day ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_cap
+    FROM hours
+  )
+), ranked AS (
+  SELECT user_id, event_id, day, hour,
+         row_number() OVER (PARTITION BY user_id, hour
+                            ORDER BY ts_us, event_id) AS r
+  FROM ev
+), j AS (
+  SELECT ranked.user_id, ranked.day, ranked.event_id,
+         CASE WHEN r <= admits_h THEN 1 ELSE 0 END AS admitted
+  FROM ranked JOIN grid
+    ON ranked.user_id = grid.user_id AND ranked.hour = grid.hour
+)
+SELECT user_id, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+       CAST(COUNT(*) - SUM(admitted) AS BIGINT) AS n_suppressed,
+       CAST(SUM(CASE WHEN admitted = 1 THEN event_id ELSE 0 END)
+            AS BIGINT) AS admitted_id_sum
+FROM j GROUP BY user_id, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# fin_fifo_allocation — greedy sequential budget allocation
+# ---------------------------------------------------------------------------
+
+
+def fin_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO ALLOCATION — the classic greedy sequential matcher
+    (inventory costing, credit application, budget burn-down): each
+    customer's account balance is a budget applied to their orders in
+    arrival order; every order gets alloc = the part of its price the
+    remaining budget still covers. The imperative loop ('allocate,
+    decrement, repeat') has a CLOSED FORM because the budget only
+    decreases: alloc_i = clamp(budget - cumsum(price)_before_i,
+    0, price_i) — ONE ordered window per customer, no recursion, no
+    fold. Negative balances clamp to a zero budget. Output is the
+    per-order allocation ledger with a full/partial/none fill status.
+    Scale shape: one broadcast dim join + one window keyed on the
+    same column the orders table would already be clustered by."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.greatest(cents("c_acctbal"), F.lit(0)).alias("budget_c"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    wb = (
+        W.partitionBy("o_custkey")
+        .orderBy("day", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    j = (
+        o.join(
+            F.broadcast(cust), o.o_custkey == cust.c_custkey, "inner"
+        )
+        .drop("c_custkey")
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("price_c").over(wb), F.lit(0))
+        )
+        .withColumn(
+            "fifo_rank",
+            F.row_number()
+            .over(W.partitionBy("o_custkey").orderBy("day", "o_orderkey"))
+            .cast("long"),
+        )
+    )
+    alloc = F.greatest(
+        F.lit(0),
+        F.least(F.col("price_c"), F.col("budget_c") - F.col("cum_before")),
+    )
+    return j.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        "price_c",
+        "fifo_rank",
+        alloc.cast("long").alias("alloc_c"),
+        F.when(alloc == F.col("price_c"), F.lit("full"))
+        .when(alloc > 0, F.lit("partial"))
+        .otherwise(F.lit("none"))
+        .alias("fill_status"),
+    )
+
+
+_FIN_FIFO_SQL = """
+WITH cust AS (
+  SELECT c_custkey,
+         GREATEST(CAST(round(c_acctbal * 100) AS BIGINT), 0) AS budget_c
+  FROM customer
+), o AS (
+  SELECT o_custkey, o_orderkey,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), j AS (
+  SELECT o.o_custkey, o.o_orderkey, o.day, o.price_c, cust.budget_c,
+         CAST(COALESCE(SUM(price_c) OVER (
+             PARTITION BY o_custkey ORDER BY day, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum_before,
+         CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY day, o_orderkey
+           ) AS BIGINT) AS fifo_rank
+  FROM o JOIN cust ON o.o_custkey = cust.c_custkey
+)
+SELECT o_custkey, o_orderkey, day, price_c, fifo_rank,
+       CAST(GREATEST(0, LEAST(price_c, budget_c - cum_before))
+            AS BIGINT) AS alloc_c,
+       CASE
+         WHEN GREATEST(0, LEAST(price_c, budget_c - cum_before)) = price_c
+           THEN 'full'
+         WHEN GREATEST(0, LEAST(price_c, budget_c - cum_before)) > 0
+           THEN 'partial'
+         ELSE 'none'
+       END AS fill_status
+FROM j
+"""
+
+
 QUERIES = {
     "agg_skyline_2d": QuerySpec(
         agg_skyline_2d,
         _AGG_SKYLINE_SQL,
         ("aggregation", "skyline", "pareto"),
+    ),
+    "fin_fifo_allocation": QuerySpec(
+        fin_fifo_allocation,
+        _FIN_FIFO_SQL,
+        ("window", "allocation", "finance"),
+    ),
+    "evt_pattern_vshape": QuerySpec(
+        evt_pattern_vshape,
+        _EVT_VSHAPE_SQL,
+        ("events", "pattern", "match_recognize"),
+    ),
+    "ml_map_at_k": QuerySpec(
+        ml_map_at_k,
+        _map_sql(),
+        ("ml", "ranking", "map"),
+    ),
+    "evt_frequency_capping": QuerySpec(
+        evt_frequency_capping,
+        _EVT_FREQCAP_SQL,
+        ("events", "admission", "capping"),
     ),
     "ml_youden_threshold": QuerySpec(
         ml_youden_threshold,

@@ -1745,6 +1745,7 @@ def snk_retention_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
     out = os.path.join(tempfile.gettempdir(), f"pe_vacuum_{h}_{app}")
+    _sweep_prior_generations(f"pe_vacuum_{h}_", keep=out)
     ev.write.mode("overwrite").partitionBy("day").parquet(out)
     days = sorted(
         int(d.split("=")[1])
@@ -1795,11 +1796,143 @@ GROUP BY lim.days_before
 """
 
 
+def _sweep_prior_generations(prefix: str, keep: str) -> None:
+    """Delete /tmp trees left by EARLIER sessions of a per-app staged
+    sink (same dataset prefix, different application id). Mutating
+    entries (vacuum, txn log) can't share one stable path across
+    sessions the way `_dpp_fact_dir` does — a concurrent reader of a
+    half-mutated tree would see garbage — so each session gets its
+    own tree and sweeps its predecessors' (the ADVICE-r7
+    accumulation lesson, applied to the mutable case)."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    for d in os.listdir(tmp):
+        p = os.path.join(tmp, d)
+        if d.startswith(prefix) and p != keep and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# snk_txn_log_snapshot — snapshot isolation via a versioned manifest log
+# ---------------------------------------------------------------------------
+
+
+def snk_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-LOG SNAPSHOT ISOLATION — the Delta/Iceberg core
+    mechanic on plain parquet: a table is WHICHEVER FILES the
+    versioned manifest names, commits are new manifest versions
+    (append = add a file, delete = copy-on-write replace a file),
+    and old snapshots stay readable because committed data files are
+    immutable. v1 lands 90% of orders as file A; v2 appends file B
+    (the held-out 10%) AND deletes the status='F' rows from A by
+    writing A' — manifest v2 = [A', B]. BOTH snapshots are then read
+    back THROUGH their manifests (v1 after v2 committed — that read
+    succeeding with v1's exact contents IS snapshot isolation), and
+    the per-version rollups reconcile against the oracle's logical
+    reconstruction. At 100 TB the commit cost is O(files touched) —
+    the append writes one file and the delete rewrites one, never
+    the table; readers pin a manifest and are immune to concurrent
+    commits."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents("o_totalprice").alias("price_c"),
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"pe_txnlog_{h}_{app}")
+    _sweep_prior_generations(f"pe_txnlog_{h}_", keep=root)
+
+    def _commit(version: int, files: list[str]) -> None:
+        with open(os.path.join(root, f"manifest_v{version}.json"), "w") as f:
+            json.dump({"version": version, "files": files}, f)
+
+    def _snapshot(version: int) -> list[str]:
+        with open(os.path.join(root, f"manifest_v{version}.json")) as f:
+            m = json.load(f)
+        return [os.path.join(root, p) for p in m["files"]]
+
+    os.makedirs(root, exist_ok=True)
+    # v1: initial load (90% of orders) as immutable file set A
+    o.where(F.col("o_orderkey") % 10 != 0).write.mode("overwrite").parquet(
+        os.path.join(root, "data_a")
+    )
+    _commit(1, ["data_a"])
+    # v2: append B + copy-on-write delete of status='F' rows from A
+    o.where(F.col("o_orderkey") % 10 == 0).write.mode("overwrite").parquet(
+        os.path.join(root, "data_b")
+    )
+    spark.read.parquet(os.path.join(root, "data_a")).where(
+        F.col("o_orderstatus") != "F"
+    ).write.mode("overwrite").parquet(os.path.join(root, "data_a2"))
+    _commit(2, ["data_a2", "data_b"])
+
+    # read BOTH snapshots through the log, v1 after v2 committed
+    def _rollup(version: int) -> DataFrame:
+        snap = spark.read.parquet(*_snapshot(version))
+        return snap.agg(
+            F.lit(version).cast("long").alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_c").alias("sum_price_c"),
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("long")
+            ).alias("n_f_rows"),
+        ).select(
+            "version",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_price_c").cast("long").alias("sum_price_c"),
+            F.col("n_f_rows").cast("long").alias("n_f_rows"),
+        )
+
+    return _rollup(1).unionByName(_rollup(2))
+
+
+_SNK_TXNLOG_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), v1 AS (
+  SELECT * FROM o WHERE o_orderkey % 10 != 0
+), v2 AS (
+  SELECT * FROM v1 WHERE o_orderstatus != 'F'
+  UNION ALL
+  SELECT * FROM o WHERE o_orderkey % 10 = 0
+)
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_f_rows
+FROM v1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(price_c) AS BIGINT) AS sum_price_c,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_f_rows
+FROM v2
+"""
+
+
 QUERIES = {
     "snk_retention_vacuum": QuerySpec(
         snk_retention_vacuum,
         _SNK_RETENTION_VACUUM_SQL,
         ("sink", "retention", "vacuum"),
+    ),
+    "snk_txn_log_snapshot": QuerySpec(
+        snk_txn_log_snapshot,
+        _SNK_TXNLOG_SQL,
+        ("sink", "acid", "snapshot-isolation"),
     ),
     "src_python_stream_source": QuerySpec(
         src_python_stream_source,

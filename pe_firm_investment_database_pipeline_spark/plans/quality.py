@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.exact import cents
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -1660,11 +1661,163 @@ FROM per
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_did_analysis — difference-in-differences readout
+# ---------------------------------------------------------------------------
+
+
+def evt_did_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator
+    for when randomization isn't available: treatment (user_id % 2,
+    the standing arm assignment of `evt_ab_test`/`evt_cuped_adjust`)
+    x period (pre/post the time-axis midpoint) on per-user purchase
+    REVENUE; the causal estimate is the treated arm's pre-to-post
+    change minus the control arm's, cancelling any shared time
+    trend. All four cell means are signed millicents-per-user via
+    sign-split truncating division, and the DiD itself is computed
+    from the CROSS-MULTIPLIED exact rational ((dS_t)*n_c -
+    (dS_c)*n_t) / (n_t*n_c) — never as a difference of
+    already-truncated means, so one division bounds the total
+    truncation error. Scale shape: one event scan -> per-user
+    conditional sums (the only data-sized shuffle) -> a 1-row
+    conditional aggregate; every division happens on the 1-row
+    frame (the `evt_cuped_adjust` discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        F.when(
+            F.col("event_type") == "purchase", cents("value")
+        )
+        .otherwise(0)
+        .alias("rev_c"),
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    users = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), F.col("rev_c"))
+                .otherwise(0)
+            ).alias("pre_c"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid_us"), F.col("rev_c"))
+                .otherwise(0)
+            ).alias("post_c"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2 == 0).cast("long"))
+    )
+    g = users.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == 1, F.col("pre_c")).otherwise(0)).alias(
+            "s_pre_t"
+        ),
+        F.sum(F.when(F.col("arm") == 1, F.col("post_c")).otherwise(0)).alias(
+            "s_post_t"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("pre_c")).otherwise(0)).alias(
+            "s_pre_c"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("post_c")).otherwise(0)).alias(
+            "s_post_c"
+        ),
+    )
+
+    def _sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) div ({den}) AS BIGINT) END"
+        )
+
+    dnum = (
+        "(CAST(s_post_t - s_pre_t AS DECIMAL(38,0)) * n_c"
+        " - CAST(s_post_c - s_pre_c AS DECIMAL(38,0)) * n_t)"
+    )
+    nn = "(CAST(n_t AS DECIMAL(38,0)) * n_c)"
+    return g.select(
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.expr(_sdiv("CAST(s_pre_t AS DECIMAL(38,0))", "n_t")).alias(
+            "mean_pre_t_mc"
+        ),
+        F.expr(_sdiv("CAST(s_post_t AS DECIMAL(38,0))", "n_t")).alias(
+            "mean_post_t_mc"
+        ),
+        F.expr(_sdiv("CAST(s_pre_c AS DECIMAL(38,0))", "n_c")).alias(
+            "mean_pre_c_mc"
+        ),
+        F.expr(_sdiv("CAST(s_post_c AS DECIMAL(38,0))", "n_c")).alias(
+            "mean_post_c_mc"
+        ),
+        F.expr(_sdiv(dnum, nn)).alias("did_mc"),
+    )
+
+
+def _did_sql() -> str:
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) // ({den}) AS BIGINT) END"
+        )
+
+    dnum = (
+        "(CAST(s_post_t - s_pre_t AS HUGEINT) * n_c"
+        " - CAST(s_post_c - s_pre_c AS HUGEINT) * n_t)"
+    )
+    nn = "(CAST(n_t AS HUGEINT) * n_c)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN rev_c ELSE 0 END)
+              AS BIGINT) AS pre_c,
+         CAST(SUM(CASE WHEN ts_us >= mid_us THEN rev_c ELSE 0 END)
+              AS BIGINT) AS post_c,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm
+  FROM ev CROSS JOIN lim GROUP BY user_id
+), g AS (
+  SELECT CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN arm = 1 THEN pre_c ELSE 0 END) AS BIGINT)
+           AS s_pre_t,
+         CAST(SUM(CASE WHEN arm = 1 THEN post_c ELSE 0 END) AS BIGINT)
+           AS s_post_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN pre_c ELSE 0 END) AS BIGINT)
+           AS s_pre_c,
+         CAST(SUM(CASE WHEN arm = 0 THEN post_c ELSE 0 END) AS BIGINT)
+           AS s_post_c
+  FROM users
+)
+SELECT CAST(n_t AS BIGINT) AS n_t,
+       CAST(n_c AS BIGINT) AS n_c,
+       {sdiv("CAST(s_pre_t AS HUGEINT)", "n_t")} AS mean_pre_t_mc,
+       {sdiv("CAST(s_post_t AS HUGEINT)", "n_t")} AS mean_post_t_mc,
+       {sdiv("CAST(s_pre_c AS HUGEINT)", "n_c")} AS mean_pre_c_mc,
+       {sdiv("CAST(s_post_c AS HUGEINT)", "n_c")} AS mean_post_c_mc,
+       {sdiv(dnum, nn)} AS did_mc
+FROM g
+"""
+
+
 QUERIES = {
     "sec_rtbf_purge_audit": QuerySpec(
         sec_rtbf_purge_audit,
         _SEC_RTBF_SQL,
         ("security", "gdpr", "deletion"),
+    ),
+    "evt_did_analysis": QuerySpec(
+        evt_did_analysis,
+        _did_sql(),
+        ("experimentation", "causal", "did"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

@@ -97,5 +97,11 @@ def test_survey_mentions_every_late_r8_op():
         "graph_hits_authority",
         "agg_skyline_2d",
         "txt_unicode_nfc_audit",
+        "fin_fifo_allocation",
+        "evt_did_analysis",
+        "evt_pattern_vshape",
+        "ml_map_at_k",
+        "evt_frequency_capping",
+        "snk_txn_log_snapshot",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

@@ -1594,3 +1594,312 @@ def test_txt_unicode_nfc_audit_counts_injected_docs(spark, sf_dir):
     # NFC composes e+ACUTE and a+RING: 2 codepoints shorter per doc
     assert r["delta_chars"] == 2 * n_inj
     assert r["n_docs"] == load_table(spark, sf_dir, "documents").count()
+
+
+def test_fin_fifo_allocation_equals_greedy_fold(spark, sf_dir):
+    """The window closed form must equal the imperative greedy loop:
+    walk each customer's orders in (day, orderkey) order, decrement
+    the remaining budget, clamp at zero."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    budget = {
+        r["c_custkey"]: max(0, int(round(r["c_acctbal"] * 100)))
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    orders: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT)"
+            ).alias("p"),
+        )
+        .collect()
+    ):
+        orders.setdefault(r["o_custkey"], []).append(
+            (r["day"], r["o_orderkey"], r["p"])
+        )
+    expect: dict = {}
+    for cust, os_ in orders.items():
+        left = budget.get(cust)
+        if left is None:
+            continue
+        for day, okey, p in sorted(os_):
+            a = max(0, min(p, left))
+            left -= a
+            expect[okey] = a
+    got = {
+        r["o_orderkey"]: r
+        for r in _Q["fin_fifo_allocation"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    statuses = set()
+    for okey, r in got.items():
+        assert r["alloc_c"] == expect[okey]
+        want = (
+            "full"
+            if r["alloc_c"] == r["price_c"]
+            else ("partial" if r["alloc_c"] > 0 else "none")
+        )
+        assert r["fill_status"] == want
+        statuses.add(want)
+    # the fixture must exercise all three statuses or the clamp is
+    # untested
+    assert statuses == {"full", "partial", "none"}
+
+
+def test_evt_did_analysis_replay(spark, sf_dir):
+    """Python replay of the 2x2 cell sums and the cross-multiplied
+    DiD rational; truncating-division semantics pinned on both the
+    cell means and the estimate."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts_us",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            )
+            .otherwise(0)
+            .alias("rev_c"),
+        )
+        .collect()
+    )
+    mid = (min(r["ts_us"] for r in rows) + max(r["ts_us"] for r in rows)) // 2
+    per: dict = {}
+    for r in rows:
+        pre, post = per.setdefault(r["user_id"], [0, 0])
+        if r["ts_us"] < mid:
+            per[r["user_id"]][0] += r["rev_c"]
+        else:
+            per[r["user_id"]][1] += r["rev_c"]
+    t = [v for u, v in per.items() if u % 2 == 0]
+    c = [v for u, v in per.items() if u % 2 == 1]
+    n_t, n_c = len(t), len(c)
+    s_pre_t, s_post_t = sum(v[0] for v in t), sum(v[1] for v in t)
+    s_pre_c, s_post_c = sum(v[0] for v in c), sum(v[1] for v in c)
+
+    def tdiv(num, den):
+        return num * 1000 // den if num >= 0 else -((-num) * 1000 // den)
+
+    r = _Q["evt_did_analysis"].fn(spark, sf_dir).collect()[0]
+    assert (r["n_t"], r["n_c"]) == (n_t, n_c)
+    assert r["mean_pre_t_mc"] == tdiv(s_pre_t, n_t)
+    assert r["mean_post_t_mc"] == tdiv(s_post_t, n_t)
+    assert r["mean_pre_c_mc"] == tdiv(s_pre_c, n_c)
+    assert r["mean_post_c_mc"] == tdiv(s_post_c, n_c)
+    dnum = (s_post_t - s_pre_t) * n_c - (s_post_c - s_pre_c) * n_t
+    assert r["did_mc"] == tdiv(dnum, n_t * n_c)
+
+
+def test_evt_pattern_vshape_matches_definition(spark, sf_dir):
+    """Python regex-style replay over the signed daily-delta string:
+    every reported V is a maximal >=2 down-run immediately followed
+    by a >=2 up-run, with the right trough/peak/rebound measures."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            )
+            .otherwise(0)
+            .alias("rev_c"),
+        )
+        .collect()
+    ):
+        daily[r["day"]] = daily.get(r["day"], 0) + r["rev_c"]
+    days = sorted(daily)
+    sgns = []
+    for i in range(1, len(days)):
+        a, b = daily[days[i - 1]], daily[days[i]]
+        sgns.append((days[i], 1 if b > a else (-1 if b < a else 0)))
+    # maximal same-sign runs
+    runs = []
+    for day, s in sgns:
+        if runs and runs[-1][0] == s:
+            runs[-1][1].append(day)
+        else:
+            runs.append((s, [day]))
+    expect = []
+    for i in range(len(runs) - 1):
+        s, ds = runs[i]
+        s2, ds2 = runs[i + 1]
+        if s == -1 and len(ds) >= 2 and s2 == 1 and len(ds2) >= 2:
+            trough = ds[-1]
+            peak_day_idx = days.index(ds[0]) - 1
+            expect.append(
+                (
+                    trough,
+                    len(ds),
+                    len(ds2),
+                    daily[days[peak_day_idx]],
+                    daily[trough],
+                    daily[days[peak_day_idx]] - daily[trough],
+                    daily[ds2[-1]] - daily[trough],
+                )
+            )
+    got = sorted(
+        (
+            r["trough_day"],
+            r["down_len"],
+            r["up_len"],
+            r["peak_rev_c"],
+            r["trough_rev_c"],
+            r["drop_c"],
+            r["rebound_c"],
+        )
+        for r in _Q["evt_pattern_vshape"].fn(spark, sf_dir).collect()
+    )
+    assert got == sorted(expect)
+    assert len(got) > 0  # the fixture must actually contain a V
+
+
+def test_ml_map_at_k_replay(spark, sf_dir):
+    """AP@10 replayed in exact fractions: the lcm-2520 scaled sum and
+    the one-truncating-division ppm must match Python's Fraction."""
+    from fractions import Fraction
+
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _AUC_HASH,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            (F.expr(_AUC_HASH) % 2 == 0).cast("long").alias("rel"),
+        )
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in d:
+        by_lang.setdefault(r["lang"], []).append(
+            (-r["n_chars"], r["doc_id"], r["rel"])
+        )
+    got = {r["lang"]: r for r in _Q["ml_map_at_k"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(by_lang)
+    for lang, rows in by_lang.items():
+        rows.sort()
+        n_rel = sum(rel for _, _, rel in rows)
+        cum, ap, scaled = 0, Fraction(0), 0
+        for i, (_, _, rel) in enumerate(rows[:10], start=1):
+            cum += rel
+            if rel:
+                ap += Fraction(cum, i)
+                scaled += cum * (2520 // i)
+        r = got[lang]
+        assert r["n_rel"] == n_rel
+        assert r["ap_scaled"] == scaled == int(ap * 2520)
+        want_ppm = (
+            scaled * 1_000_000 // (2520 * min(n_rel, 10)) if n_rel else None
+        )
+        assert r["ap_ppm"] == want_ppm
+
+
+def test_evt_frequency_capping_equals_greedy(spark, sf_dir):
+    """The clamped-cumsum closed form must equal the per-event greedy
+    admission loop (admit iff hour admits < 3 AND day admits < 5,
+    walking each user's events in (ts_us, event_id) order) — down to
+    the exact admitted id set via the checksum."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    evs: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts_us")
+        .collect()
+    ):
+        evs.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"]))
+    expect: dict = {}
+    for user, es in evs.items():
+        hour_n: dict = {}
+        day_n: dict = {}
+        for ts, eid in sorted(es):
+            hour = ts // 3_600_000_000
+            day = ts // 86_400_000_000
+            k = (user, day)
+            n_ev, n_adm, id_sum = expect.get(k, (0, 0, 0))
+            admit = hour_n.get(hour, 0) < 3 and day_n.get(day, 0) < 5
+            if admit:
+                hour_n[hour] = hour_n.get(hour, 0) + 1
+                day_n[day] = day_n.get(day, 0) + 1
+            expect[k] = (
+                n_ev + 1,
+                n_adm + (1 if admit else 0),
+                id_sum + (eid if admit else 0),
+            )
+    got = {
+        (r["user_id"], r["day"]): (
+            r["n_events"],
+            r["n_admitted"],
+            r["admitted_id_sum"],
+        )
+        for r in _Q["evt_frequency_capping"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the fixture must exercise BOTH caps or the clamps are untested
+    assert any(n_adm < n_ev for (n_ev, n_adm, _) in got.values())
+    rows = _Q["evt_frequency_capping"].fn(spark, sf_dir)
+    assert rows.where(F.col("n_admitted") == 5).count() > 0  # day cap hit
+
+
+def test_snk_txn_log_snapshot_isolation(spark, sf_dir):
+    """v1 must stay byte-stable after v2 commits: re-reading the v1
+    manifest returns the pre-delete, pre-append contents; v2 shows
+    the append and the copy-on-write delete; the physical tree holds
+    BOTH file generations."""
+    import glob
+    import os
+    import tempfile
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n_all = o.count()
+    n_b = o.where(F.col("o_orderkey") % 10 == 0).count()
+    n_v1 = n_all - n_b
+    n_v1_f = o.where(
+        (F.col("o_orderkey") % 10 != 0) & (F.col("o_orderstatus") == "F")
+    ).count()
+    rows = {
+        r["version"]: r
+        for r in _Q["snk_txn_log_snapshot"].fn(spark, sf_dir).collect()
+    }
+    assert rows[1]["n_rows"] == n_v1
+    assert rows[1]["n_f_rows"] == n_v1_f  # pre-delete F rows intact
+    assert rows[2]["n_rows"] == n_v1 - n_v1_f + n_b
+    assert rows[2]["n_f_rows"] == o.where(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") == "F")
+    ).count()
+    roots = glob.glob(os.path.join(tempfile.gettempdir(), "pe_txnlog_*"))
+    assert len(roots) == 1  # prior generations swept
+    names = set(os.listdir(roots[0]))
+    # both generations of A coexist — that's what isolation costs
+    assert {"data_a", "data_a2", "data_b"} <= names
+    assert {"manifest_v1.json", "manifest_v2.json"} <= names
