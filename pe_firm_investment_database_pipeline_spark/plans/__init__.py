@@ -168,6 +168,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_map_at_k",
         "evt_frequency_capping",
         "snk_txn_log_snapshot",
+        "ts_ewma_irregular",
+        "join_bitemporal",
+        "er_pipeline_e2e",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

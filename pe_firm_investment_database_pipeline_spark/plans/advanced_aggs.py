@@ -6526,6 +6526,90 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# ts_ewma_irregular — EWMA with irregular-gap time decay
+# ---------------------------------------------------------------------------
+
+
+def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRREGULARLY-SPACED EWMA — the decay-by-ELAPSED-TIME smoother
+    `win_ewma`'s fixed row frame cannot express: each user's daily
+    purchase revenue decays by a half-life of one DAY, so a 5-day
+    silence divides the carried state by 32 while back-to-back days
+    halve it once. The state is exact int64 throughout: the decay is
+    a right-shift by the day gap (capped at 62 — beyond that the
+    carry is zero anyway), revenue is non-negative so shift ==
+    floor-halving in both engines, and the genuinely sequential fold
+    runs as `aggregate()` over each user's day-ordered array (the
+    `ts_holt_linear` discipline) against a RECURSIVE-CTE oracle
+    (never list_reduce — the probed DuckDB lambda bug). At 100 TB
+    the fold length is the per-user DAY-GRID length (calendar-
+    bounded), and the (user, day) compression shuffle that feeds it
+    is partial-aggregable."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            cents("value").alias("v"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("v").alias("v"))
+    )
+    ser = daily.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(struct(day AS day, v AS v)))").alias(
+            "s"
+        )
+    )
+    fold = (
+        "aggregate("
+        " slice(s, 2, greatest(size(s) - 1, 0)),"
+        " named_struct('ew', element_at(s, 1).v,"
+        "              'pd', element_at(s, 1).day),"
+        " (acc, x) -> named_struct("
+        "   'ew', x.v + shiftright(acc.ew,"
+        "         CAST(least(x.day - acc.pd, 62) AS INT)),"
+        "   'pd', x.day))"
+    )
+    return ser.select(
+        "user_id",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
+        F.expr(f"{fold}.pd").alias("last_day"),
+        F.expr(f"{fold}.ew").alias("ewma_c"),
+    )
+
+
+_TS_EWMA_IRREG_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), ser AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(day := day, v := v))) AS s
+  FROM daily GROUP BY user_id
+), n AS (
+  SELECT user_id, CAST(len(s) AS BIGINT) AS n_days, s FROM ser
+), rec(user_id, i, ew, pd) AS (
+  SELECT user_id, CAST(1 AS BIGINT), s[1].v, s[1].day FROM n
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         n.s[CAST(r.i + 1 AS INT)].v
+           + (r.ew >> CAST(LEAST(
+               n.s[CAST(r.i + 1 AS INT)].day - r.pd, 62) AS INT)),
+         n.s[CAST(r.i + 1 AS INT)].day
+  FROM rec r JOIN n ON n.user_id = r.user_id
+  WHERE r.i < n.n_days
+)
+SELECT r.user_id, n.n_days,
+       CAST(r.pd AS BIGINT) AS last_day,
+       CAST(r.ew AS BIGINT) AS ewma_c
+FROM rec r JOIN n ON n.user_id = r.user_id
+WHERE r.i = n.n_days
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_frequency_capping — nested-cap admission control
 # ---------------------------------------------------------------------------
 
@@ -6793,6 +6877,11 @@ QUERIES = {
         evt_frequency_capping,
         _EVT_FREQCAP_SQL,
         ("events", "admission", "capping"),
+    ),
+    "ts_ewma_irregular": QuerySpec(
+        ts_ewma_irregular,
+        _TS_EWMA_IRREG_SQL,
+        ("timeseries", "ewma", "irregular"),
     ),
     "ml_youden_threshold": QuerySpec(
         ml_youden_threshold,

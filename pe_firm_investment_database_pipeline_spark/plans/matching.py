@@ -437,7 +437,187 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# er_pipeline_e2e — multi-source entity resolution, end to end
+# ---------------------------------------------------------------------------
+
+_ER_ROUNDS = 3  # min-label propagation rounds (cluster diameter bound)
+
+
+def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION END-TO-END — the reference's core semantics
+    (match dirty records of one real-world entity across sources,
+    step3_attempt1.py's name matching writ large) as one pipeline:
+    a three-source registry is synthesized in-plan from part names
+    (A = verbatim, B = every 3rd with the 3rd char substituted,
+    C = every 7th with the last char dropped), then BLOCK -> SCORE
+    -> CLUSTER -> SURVIVE. Blocking is multi-band: each record posts
+    to (first char, len div 8) for BOTH its own length and len+1, so
+    C's one-char-shorter variants still meet their A twins across a
+    band boundary — union-of-blocks candidate generation, the
+    standard indel-robust ER move. Scoring is levenshtein <= 2
+    INSIDE blocks only (never all-pairs). Clustering is 3 unrolled
+    rounds of min-label propagation over the undirected edge set
+    (both engines run the identical rounds, so the labels agree
+    whatever the true diameter). Survivorship prefers source A,
+    then the longest name, then the smallest rec_id — one
+    min(struct) per cluster. Output: one row per multi-record
+    cluster with its size, source fan-out, and survivor. Scale
+    shape: candidate cost is O(Σ block²) with perturbation-stable
+    short keys, propagation joins are label-grid-sized, and nothing
+    ever leaves the blocked universe."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    )
+    a = p.select(
+        (F.col("p_partkey") * 10).alias("rec_id"),
+        F.lit(0).alias("src"),
+        F.col("name"),
+    )
+    b = p.where("p_partkey % 3 = 0").select(
+        (F.col("p_partkey") * 10 + 1).alias("rec_id"),
+        F.lit(1).alias("src"),
+        F.expr("concat(substr(name, 1, 2), 'x', substr(name, 4))").alias(
+            "name"
+        ),
+    )
+    c = p.where("p_partkey % 7 = 0").select(
+        (F.col("p_partkey") * 10 + 2).alias("rec_id"),
+        F.lit(2).alias("src"),
+        F.expr("substr(name, 1, length(name) - 1)").alias("name"),
+    )
+    recs = a.unionByName(b).unionByName(c)
+    posted = recs.select(
+        "rec_id",
+        "name",
+        F.substring("name", 1, 1).alias("c0"),
+        F.explode(
+            F.array(
+                F.expr("length(name) div 8"),
+                F.expr("(length(name) + 1) div 8"),
+            )
+        ).alias("band"),
+    ).distinct()
+    pairs = (
+        posted.alias("l")
+        .join(
+            posted.alias("r"),
+            (F.col("l.c0") == F.col("r.c0"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.rec_id") < F.col("r.rec_id")),
+        )
+        .select(
+            F.col("l.rec_id").alias("u"),
+            F.col("r.rec_id").alias("v"),
+            F.col("l.name").alias("ln"),
+            F.col("r.name").alias("rn"),
+        )
+        .distinct()
+        .where(F.levenshtein("ln", "rn") <= 2)
+        .select("u", "v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = recs.select("rec_id", F.col("rec_id").alias("lbl"))
+    for _ in range(_ER_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.v == labels.rec_id)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels.rec_id == nbr.u, "left")
+            .select(
+                "rec_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    clustered = recs.join(labels, "rec_id")
+    surv = clustered.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.countDistinct("src").alias("n_src"),
+        F.min(
+            F.struct(
+                F.col("src"),
+                (-F.length("name")).alias("neg_len"),
+                F.col("rec_id"),
+                F.col("name"),
+            )
+        ).alias("s"),
+    )
+    return surv.where(F.col("n_recs") >= 2).select(
+        F.col("lbl").alias("cluster_id"),
+        F.col("n_recs").cast("long").alias("n_recs"),
+        F.col("n_src").cast("long").alias("n_src"),
+        F.col("s.rec_id").alias("survivor_rec"),
+        F.col("s.name").alias("survivor_name"),
+    )
+
+
+def _er_sql() -> str:
+    prop = """
+, lbl{i} AS (
+  SELECT l.rec_id,
+         LEAST(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+  FROM lbl{p} l
+  LEFT JOIN edges e ON e.u = l.rec_id
+  LEFT JOIN lbl{p} n ON n.rec_id = e.v
+  GROUP BY l.rec_id, l.lbl
+)"""
+    rounds = "".join(
+        prop.format(i=i + 1, p=i if i else 0) for i in range(_ER_ROUNDS)
+    )
+    return f"""
+WITH p AS (
+  SELECT p_partkey, lower(p_name) AS name FROM part
+), recs AS (
+  SELECT p_partkey * 10 AS rec_id, 0 AS src, name FROM p
+  UNION ALL
+  SELECT p_partkey * 10 + 1, 1,
+         substr(name, 1, 2) || 'x' || substr(name, 4)
+  FROM p WHERE p_partkey % 3 = 0
+  UNION ALL
+  SELECT p_partkey * 10 + 2, 2, substr(name, 1, length(name) - 1)
+  FROM p WHERE p_partkey % 7 = 0
+), posted AS (
+  SELECT DISTINCT rec_id, name, substr(name, 1, 1) AS c0, band
+  FROM recs, UNNEST([length(name) // 8, (length(name) + 1) // 8])
+       AS t(band)
+), pairs AS (
+  SELECT DISTINCT l.rec_id AS u, r.rec_id AS v, l.name AS ln,
+         r.name AS rn
+  FROM posted l JOIN posted r
+    ON l.c0 = r.c0 AND l.band = r.band AND l.rec_id < r.rec_id
+), scored AS (
+  SELECT u, v FROM pairs WHERE levenshtein(ln, rn) <= 2
+), edges AS (
+  SELECT u, v FROM scored UNION ALL SELECT v, u FROM scored
+), lbl0 AS (
+  SELECT rec_id, rec_id AS lbl FROM recs
+){rounds}
+SELECT l.lbl AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_recs,
+       CAST(COUNT(DISTINCT r.src) AS BIGINT) AS n_src,
+       CAST(MIN(
+         struct_pack(src := r.src, neg_len := -length(r.name),
+                     rec_id := r.rec_id, name := r.name)
+       ).rec_id AS BIGINT) AS survivor_rec,
+       MIN(struct_pack(src := r.src, neg_len := -length(r.name),
+                       rec_id := r.rec_id, name := r.name)).name
+         AS survivor_name
+FROM recs r JOIN lbl{_ER_ROUNDS} l ON l.rec_id = r.rec_id
+GROUP BY l.lbl
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
+    "er_pipeline_e2e": QuerySpec(
+        er_pipeline_e2e, _er_sql(), ("e2e", "entity-resolution", "blocked")
+    ),
     "join_fuzzy_name": QuerySpec(
         join_fuzzy_name, _JOIN_FUZZY_NAME_SQL, ("join", "fuzzy", "blocked")
     ),

@@ -1041,11 +1041,101 @@ LIMIT {_CONC_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# join_bitemporal — two-axis (valid time x transaction time) reconstruction
+# ---------------------------------------------------------------------------
+
+
+def join_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL RECONSTRUCTION — 'what did the books for day D look
+    like as of transaction time T': facts arrive as VERSIONS
+    (logical key = event_id div 3, so consecutive event ids are
+    corrections of one logical fact; transaction order = event_id;
+    valid day + value = the version's own ts/value — a correction
+    can MOVE a fact to a different valid day, which is what
+    separates bitemporal from plain as-of). For each of three
+    transaction-time snapshots (max_id thirds, derived from the
+    data), the live version of every key is the event_id-argmax
+    among versions <= T, and the report is per-(snapshot, valid day)
+    live-fact count + value. This is SCD2-asof's missing second
+    axis: `join_scd2_asof` freezes transaction time, this entry
+    sweeps it. Scale shape: the snapshot dim is 3 broadcast rows,
+    the (snapshot, key) argmax groupBy is THE shuffle (3x events,
+    partial-aggregable via max_by), and the day rollup shuffles only
+    the key grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("event_id div 3").alias("k"),
+        F.expr("ts_us div 86400000000").alias("valid_day"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    lim = ev.agg(F.max("event_id").alias("max_id"))
+    snaps = (
+        spark.range(1, 4)
+        .withColumnRenamed("id", "snap")
+        .crossJoin(F.broadcast(lim))
+        .select("snap", F.expr("(max_id * snap) div 3").alias("t"))
+    )
+    live = (
+        ev.crossJoin(F.broadcast(snaps))
+        .where(F.col("event_id") <= F.col("t"))
+        .groupBy("snap", "k")
+        .agg(
+            F.expr("max_by(valid_day, event_id)").alias("live_day"),
+            F.expr("max_by(v, event_id)").alias("live_v"),
+        )
+    )
+    return (
+        live.groupBy("snap", "live_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("live_v").alias("sum_v_c"),
+        )
+        .select(
+            F.col("snap").cast("long").alias("snap"),
+            F.col("live_day").alias("valid_day"),
+            F.col("n_live").cast("long").alias("n_live"),
+            F.col("sum_v_c").cast("long").alias("sum_v_c"),
+        )
+    )
+
+
+_JOIN_BITEMPORAL_SQL = """
+WITH ev AS (
+  SELECT event_id, event_id // 3 AS k,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS valid_day,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), lim AS (SELECT MAX(event_id) AS max_id FROM ev),
+snaps AS (
+  SELECT snap, (max_id * snap) // 3 AS t
+  FROM (SELECT UNNEST([1, 2, 3]) AS snap), lim
+), live AS (
+  SELECT snap, k,
+         arg_max(valid_day, event_id) AS live_day,
+         arg_max(v, event_id) AS live_v
+  FROM ev CROSS JOIN snaps
+  WHERE event_id <= t
+  GROUP BY snap, k
+)
+SELECT CAST(snap AS BIGINT) AS snap,
+       CAST(live_day AS BIGINT) AS valid_day,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(live_v) AS BIGINT) AS sum_v_c
+FROM live GROUP BY snap, live_day
+"""
+
+
 QUERIES = {
     "evt_peak_concurrency": QuerySpec(
         evt_peak_concurrency,
         _peak_concurrency_sql(),
         ("events", "concurrency", "sweep"),
+    ),
+    "join_bitemporal": QuerySpec(
+        join_bitemporal,
+        _JOIN_BITEMPORAL_SQL,
+        ("join", "bitemporal", "time-travel"),
     ),
     "evt_transition_matrix": QuerySpec(
         evt_transition_matrix,

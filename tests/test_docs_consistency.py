@@ -103,5 +103,8 @@ def test_survey_mentions_every_late_r8_op():
         "ml_map_at_k",
         "evt_frequency_capping",
         "snk_txn_log_snapshot",
+        "ts_ewma_irregular",
+        "join_bitemporal",
+        "er_pipeline_e2e",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

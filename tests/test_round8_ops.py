@@ -1903,3 +1903,183 @@ def test_snk_txn_log_snapshot_isolation(spark, sf_dir):
     # both generations of A coexist — that's what isolation costs
     assert {"data_a", "data_a2", "data_b"} <= names
     assert {"manifest_v1.json", "manifest_v2.json"} <= names
+
+
+def test_ts_ewma_irregular_gap_decay(spark, sf_dir):
+    """Python replay of the elapsed-time fold: state halves per gap
+    day (right-shift by the capped gap), and a user's ewma must
+    depend on gap STRUCTURE, not just the value multiset."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    ):
+        k = (r["user_id"], r["day"])
+        daily[k] = daily.get(k, 0) + r["v"]
+    per_user: dict = {}
+    for (u, d), v in daily.items():
+        per_user.setdefault(u, []).append((d, v))
+    expect = {}
+    for u, dv in per_user.items():
+        dv.sort()
+        ew, pd_ = dv[0][1], dv[0][0]
+        for d, v in dv[1:]:
+            ew = v + (ew >> min(d - pd_, 62))
+            pd_ = d
+        expect[u] = (len(dv), pd_, ew)
+    got = {
+        r["user_id"]: (r["n_days"], r["last_day"], r["ewma_c"])
+        for r in _Q["ts_ewma_irregular"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the fixture must contain multi-day gaps, or the entry tests
+    # nothing win_ewma doesn't
+    assert any(
+        any(b[0] - a[0] >= 2 for a, b in zip(dv, dv[1:]))
+        for dv in per_user.values()
+    )
+
+
+def test_join_bitemporal_snapshots_nested_and_moving(spark, sf_dir):
+    """Later snapshots see MORE keys and possibly DIFFERENT live
+    versions for old keys (a correction can move a fact across valid
+    days); snapshot 3 equals the plain per-key argmax over all
+    events — replayed in Python."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .collect()
+    )
+    max_id = max(r["event_id"] for r in evs)
+    rows = _Q["join_bitemporal"].fn(spark, sf_dir).collect()
+    by_snap: dict = {}
+    for r in rows:
+        by_snap.setdefault(r["snap"], {})[r["valid_day"]] = (
+            r["n_live"],
+            r["sum_v_c"],
+        )
+    assert set(by_snap) == {1, 2, 3}
+    for snap in (1, 2, 3):
+        t = max_id * snap // 3
+        live: dict = {}
+        for r in evs:
+            if r["event_id"] <= t:
+                k = r["event_id"] // 3
+                if k not in live or r["event_id"] > live[k][0]:
+                    live[k] = (r["event_id"], r["day"], r["v"])
+        expect: dict = {}
+        for _, day, v in live.values():
+            n, s = expect.get(day, (0, 0))
+            expect[day] = (n + 1, s + v)
+        assert by_snap[snap] == expect
+    n1 = sum(n for n, _ in by_snap[1].values())
+    n3 = sum(n for n, _ in by_snap[3].values())
+    assert n1 < n3  # transaction time moves forward
+
+
+def test_er_pipeline_e2e_full_replay(spark, sf_dir):
+    """Complete Python replay of the ER pipeline — synthesize the
+    three sources, post to both length bands, pair within blocks,
+    DP-levenshtein, 3 min-label rounds, survivorship — and compare
+    the whole cluster report."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 2:
+            return 3
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    parts = [
+        (r["p_partkey"], r["p_name"].lower())
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    recs = {}
+    for k, n in parts:
+        recs[k * 10] = (0, n)
+        if k % 3 == 0:
+            recs[k * 10 + 1] = (1, n[:2] + "x" + n[3:])
+        if k % 7 == 0:
+            recs[k * 10 + 2] = (2, n[:-1])
+    blocks: dict = {}
+    for rid, (_, n) in recs.items():
+        for band in {len(n) // 8, (len(n) + 1) // 8}:
+            blocks.setdefault((n[0], band), set()).add(rid)
+    pairs = set()
+    for members in blocks.values():
+        ms = sorted(members)
+        for i, u in enumerate(ms):
+            for v in ms[i + 1:]:
+                if (u, v) not in pairs and lev(recs[u][1], recs[v][1]) <= 2:
+                    pairs.add((u, v))
+    nbrs: dict = {}
+    for u, v in pairs:
+        nbrs.setdefault(u, []).append(v)
+        nbrs.setdefault(v, []).append(u)
+    lbl = {rid: rid for rid in recs}
+    for _ in range(3):
+        lbl = {
+            rid: min(
+                [lbl[rid]] + [lbl[x] for x in nbrs.get(rid, [])]
+            )
+            for rid in recs
+        }
+    clusters: dict = {}
+    for rid, label in lbl.items():
+        clusters.setdefault(label, []).append(rid)
+    expect = {}
+    for label, rids in clusters.items():
+        if len(rids) < 2:
+            continue
+        surv = min(
+            (recs[r][0], -len(recs[r][1]), r, recs[r][1]) for r in rids
+        )
+        expect[label] = (
+            len(rids),
+            len({recs[r][0] for r in rids}),
+            surv[2],
+            surv[3],
+        )
+    got = {
+        r["cluster_id"]: (
+            r["n_recs"],
+            r["n_src"],
+            r["survivor_rec"],
+            r["survivor_name"],
+        )
+        for r in _Q["er_pipeline_e2e"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the pipeline must actually resolve multi-source entities
+    assert any(n_src == 3 for _, n_src, _, _ in got.values())

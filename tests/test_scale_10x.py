@@ -119,6 +119,20 @@ HEAVY = [
     "txt_bpe_train_step",
     "graph_hits_authority",
     "sim_matryoshka_recall",
+    # final r8 wave: the per-customer allocation window, the nested-
+    # cap admission (one event-sized shuffle claim), the full-corpus
+    # Arrow NFC pass, the three-file-generation txn log, and the
+    # order-grid skyline window
+    "fin_fifo_allocation",
+    "evt_frequency_capping",
+    "txt_unicode_nfc_audit",
+    "snk_txn_log_snapshot",
+    "agg_skyline_2d",
+    # wave D/E: the blocked ER self-join (Σ block² claim), the
+    # per-user recursive fold, and the 3x-events bitemporal argmax
+    "er_pipeline_e2e",
+    "ts_ewma_irregular",
+    "join_bitemporal",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
