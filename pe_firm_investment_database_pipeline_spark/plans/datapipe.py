@@ -1323,7 +1323,112 @@ WHERE (cum // step) > ((cum - w) // step)
 """
 
 
+# ---------------------------------------------------------------------------
+# pack_sequences_nfd — context-window sequence packing (next-fit decreasing)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the LLM-training preprocessing step that
+    `shard_by_token_budget` deliberately relaxes: a packed training
+    sequence has a HARD context-length budget (256 tokens here), so
+    a bin may never overshoot — next-fit-decreasing packs each
+    language's docs sorted by token count DESC, closing the bin
+    whenever the next doc would overflow. NFD is genuinely
+    sequential (each decision depends on the running fill), so it
+    runs as an `aggregate()` fold over the per-language sorted array
+    against a RECURSIVE-CTE oracle (the `ts_holt_linear`
+    discipline); the fold builds the per-bin summaries directly
+    (array_append on close), never a per-doc assignment list.
+    Output: every bin with its doc count, token sum, and fill ppm —
+    the padding-waste report that decides whether packing is worth
+    it. At 100 TB packing runs per SHARD (compose with
+    `shard_by_token_budget`'s sqrt-N shard cut first), so the fold
+    length is shard-bounded, not corpus-bounded."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.expr(_TOKENS)).cast("long").alias("tok"),
+    )
+    ser = toks.groupBy("lang").agg(
+        F.expr(
+            "array_sort(collect_list(struct(-tok AS nt, doc_id, tok)))"
+        ).alias("s")
+    )
+    fold = (
+        "aggregate("
+        " slice(s, 2, greatest(size(s) - 1, 0)),"
+        " named_struct("
+        "   'bins', CAST(array() AS ARRAY<STRUCT<n: BIGINT, t: BIGINT>>),"
+        "   'n', CAST(1 AS BIGINT), 'f', element_at(s, 1).tok),"
+        f" (acc, x) -> CASE WHEN acc.f + x.tok <= {_PACK_BUDGET}"
+        "   THEN named_struct('bins', acc.bins,"
+        "                     'n', acc.n + 1, 'f', acc.f + x.tok)"
+        "   ELSE named_struct("
+        "     'bins', array_append(acc.bins,"
+        "             named_struct('n', acc.n, 't', acc.f)),"
+        "     'n', CAST(1 AS BIGINT), 'f', x.tok) END)"
+    )
+    bins = ser.select(
+        "lang",
+        F.expr(
+            f"array_append({fold}.bins,"
+            f" named_struct('n', {fold}.n, 't', {fold}.f))"
+        ).alias("bins"),
+    )
+    return bins.select(
+        "lang", F.posexplode("bins").alias("p", "b")
+    ).select(
+        "lang",
+        (F.col("p") + 1).cast("long").alias("bin_id"),
+        F.col("b.n").alias("n_docs"),
+        F.col("b.t").alias("tok_sum"),
+        F.expr(f"(b.t * 1000000) div {_PACK_BUDGET}").alias("fill_ppm"),
+    )
+
+
+_PACK_NFD_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT lang, doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS tok
+  FROM documents
+), ser AS (
+  SELECT lang,
+         list_sort(list(struct_pack(nt := -tok, doc_id := doc_id,
+                                    tok := tok))) AS s
+  FROM toks GROUP BY lang
+), n AS (
+  SELECT lang, CAST(len(s) AS BIGINT) AS n_docs, s FROM ser
+), rec(lang, i, bin, fill) AS (
+  SELECT lang, CAST(1 AS BIGINT), CAST(1 AS BIGINT), s[1].tok FROM n
+  UNION ALL
+  SELECT r.lang, r.i + 1,
+         CASE WHEN r.fill + n.s[CAST(r.i + 1 AS INT)].tok
+                   <= {_PACK_BUDGET}
+              THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN r.fill + n.s[CAST(r.i + 1 AS INT)].tok
+                   <= {_PACK_BUDGET}
+              THEN r.fill + n.s[CAST(r.i + 1 AS INT)].tok
+              ELSE n.s[CAST(r.i + 1 AS INT)].tok END
+  FROM rec r JOIN n ON n.lang = r.lang
+  WHERE r.i < n.n_docs
+)
+SELECT lang, CAST(bin AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(fill) AS BIGINT) AS tok_sum,
+       CAST((MAX(fill) * 1000000) // {_PACK_BUDGET} AS BIGINT)
+         AS fill_ppm
+FROM rec GROUP BY lang, bin
+"""
+
+
 QUERIES = {
+    "pack_sequences_nfd": QuerySpec(
+        pack_sequences_nfd,
+        _PACK_NFD_SQL,
+        ("packing", "llm", "sequence"),
+    ),
     "samp_pps_systematic": QuerySpec(
         samp_pps_systematic,
         _SAMP_PPS_SQL,

@@ -1816,6 +1816,72 @@ def _sweep_prior_generations(prefix: str, keep: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# src_codec_matrix — compression-codec roundtrip matrix
+# ---------------------------------------------------------------------------
+
+_CODECS = ("snappy", "gzip", "zstd")
+
+
+def src_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC ROUNDTRIP MATRIX — the format-boundary check for the
+    three parquet codecs a 100 TB lake actually chooses between
+    (snappy = default, gzip = cold storage, zstd = the modern
+    both-worlds pick): the same documents table is landed once per
+    codec and read back, and every codec must return the IDENTICAL
+    logical contents — row count, distinct langs, char volume, and
+    an order-insensitive doc_id*n_chars checksum. The oracle states
+    that invariant directly (one logical rollup per codec row), so
+    any codec-dependent corruption, truncation, or type drift
+    becomes a hash mismatch. Compressed sizes are deliberately NOT
+    in the comparison surface — they are engine/version-specific;
+    the contract is that compression never touches semantics."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"pe_codec_{h}_{app}")
+    _sweep_prior_generations(f"pe_codec_{h}_", keep=root)
+    out = None
+    for codec in _CODECS:
+        path = os.path.join(root, codec)
+        d.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        roll = back.agg(
+            F.lit(codec).alias("codec"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("doc_id") * F.col("n_chars")).alias("checksum"),
+        ).select(
+            "codec",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("sum_chars").cast("long").alias("sum_chars"),
+            F.col("checksum").cast("long").alias("checksum"),
+        )
+        out = roll if out is None else out.unionByName(roll)
+    return out
+
+
+_SRC_CODEC_SQL = """
+WITH roll AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(doc_id * n_chars) AS BIGINT) AS checksum
+  FROM documents
+)
+SELECT codec, n_rows, n_langs, sum_chars, checksum
+FROM roll, (SELECT UNNEST(['snappy', 'gzip', 'zstd']) AS codec)
+"""
+
+
+# ---------------------------------------------------------------------------
 # snk_txn_log_snapshot — snapshot isolation via a versioned manifest log
 # ---------------------------------------------------------------------------
 
@@ -1933,6 +1999,11 @@ QUERIES = {
         snk_txn_log_snapshot,
         _SNK_TXNLOG_SQL,
         ("sink", "acid", "snapshot-isolation"),
+    ),
+    "src_codec_matrix": QuerySpec(
+        src_codec_matrix,
+        _SRC_CODEC_SQL,
+        ("source", "codec", "roundtrip"),
     ),
     "src_python_stream_source": QuerySpec(
         src_python_stream_source,

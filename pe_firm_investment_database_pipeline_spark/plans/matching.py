@@ -448,26 +448,38 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENTITY RESOLUTION END-TO-END — the reference's core semantics
     (match dirty records of one real-world entity across sources,
     step3_attempt1.py's name matching writ large) as one pipeline:
-    a three-source registry is synthesized in-plan from part names
-    (A = verbatim, B = every 3rd with the 3rd char substituted,
-    C = every 7th with the last char dropped), then BLOCK -> SCORE
-    -> CLUSTER -> SURVIVE. Blocking is multi-band: each record posts
-    to (first char, len div 8) for BOTH its own length and len+1, so
-    C's one-char-shorter variants still meet their A twins across a
-    band boundary — union-of-blocks candidate generation, the
-    standard indel-robust ER move. Scoring is levenshtein <= 2
-    INSIDE blocks only (never all-pairs). Clustering is 3 unrolled
-    rounds of min-label propagation over the undirected edge set
-    (both engines run the identical rounds, so the labels agree
-    whatever the true diameter). Survivorship prefers source A,
-    then the longest name, then the smallest rec_id — one
-    min(struct) per cluster. Output: one row per multi-record
-    cluster with its size, source fan-out, and survivor. Scale
-    shape: candidate cost is O(Σ block²) with perturbation-stable
-    short keys, propagation joins are label-grid-sized, and nothing
-    ever leaves the blocked universe."""
+    a three-source registry is synthesized in-plan — entity names
+    are a 6-letter base-26 SKU code (from p_partkey) + the part
+    name, so names are DISTINCTIVE per entity (raw p_name has only
+    64 distinct values at any SF: ER over it degenerates into
+    name-family cliques whose candidate volume is Σ multiplicity² —
+    measured and rejected at sf1.0 while building this entry).
+    Sources: A = verbatim, B = every 3rd with the 3rd char
+    substituted, C = every 7th with the last char dropped. Blocking
+    is ERROR-POSITION-AWARE (the known-corruption-model ER move):
+    the key is the skip-gram of code chars 1-2 + 4-6 — B only
+    touches position 3 and C only the tail, so every true pair
+    shares the key while its ~26^5 cardinality keeps blocks
+    entity-sized — plus the (len div 8, (len+1) div 8) double band
+    for indel robustness. Scoring is levenshtein <= 2 INSIDE blocks
+    only (never all-pairs; near-key SKU collisions with an equal
+    part name are genuine candidate noise the threshold + clustering
+    absorb). Clustering is 3 unrolled rounds of min-label
+    propagation over the undirected edge set (both engines run the
+    identical rounds, so the labels agree whatever the true
+    diameter). Survivorship prefers source A, then the longest
+    name, then the smallest rec_id — one min(struct) per cluster.
+    Output: one row per multi-record cluster with its size, source
+    fan-out, and survivor. Scale shape: candidate cost is
+    O(Σ block²) with entity-sized blocks, propagation joins are
+    label-grid-sized, and nothing ever leaves the blocked
+    universe."""
+    code = "concat(" + ", ".join(
+        f"chr(97 + (p_partkey div {26 ** i}) % 26)" for i in range(5, -1, -1)
+    ) + ")"
     p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", F.lower(F.col("p_name")).alias("name")
+        "p_partkey",
+        F.expr(f"concat({code}, ' ', lower(p_name))").alias("name"),
     )
     a = p.select(
         (F.col("p_partkey") * 10).alias("rec_id"),
@@ -490,7 +502,9 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     posted = recs.select(
         "rec_id",
         "name",
-        F.substring("name", 1, 1).alias("c0"),
+        F.expr("concat(substr(name, 1, 2), substr(name, 4, 3))").alias(
+            "sg"
+        ),
         F.explode(
             F.array(
                 F.expr("length(name) div 8"),
@@ -502,7 +516,7 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         posted.alias("l")
         .join(
             posted.alias("r"),
-            (F.col("l.c0") == F.col("r.c0"))
+            (F.col("l.sg") == F.col("r.sg"))
             & (F.col("l.band") == F.col("r.band"))
             & (F.col("l.rec_id") < F.col("r.rec_id")),
         )
@@ -570,9 +584,13 @@ def _er_sql() -> str:
     rounds = "".join(
         prop.format(i=i + 1, p=i if i else 0) for i in range(_ER_ROUNDS)
     )
+    code = " || ".join(
+        f"chr(97 + CAST((p_partkey // {26 ** i}) % 26 AS INT))"
+        for i in range(5, -1, -1)
+    )
     return f"""
 WITH p AS (
-  SELECT p_partkey, lower(p_name) AS name FROM part
+  SELECT p_partkey, {code} || ' ' || lower(p_name) AS name FROM part
 ), recs AS (
   SELECT p_partkey * 10 AS rec_id, 0 AS src, name FROM p
   UNION ALL
@@ -583,14 +601,15 @@ WITH p AS (
   SELECT p_partkey * 10 + 2, 2, substr(name, 1, length(name) - 1)
   FROM p WHERE p_partkey % 7 = 0
 ), posted AS (
-  SELECT DISTINCT rec_id, name, substr(name, 1, 1) AS c0, band
+  SELECT DISTINCT rec_id, name,
+         substr(name, 1, 2) || substr(name, 4, 3) AS sg, band
   FROM recs, UNNEST([length(name) // 8, (length(name) + 1) // 8])
        AS t(band)
 ), pairs AS (
   SELECT DISTINCT l.rec_id AS u, r.rec_id AS v, l.name AS ln,
          r.name AS rn
   FROM posted l JOIN posted r
-    ON l.c0 = r.c0 AND l.band = r.band AND l.rec_id < r.rec_id
+    ON l.sg = r.sg AND l.band = r.band AND l.rec_id < r.rec_id
 ), scored AS (
   SELECT u, v FROM pairs WHERE levenshtein(ln, rn) <= 2
 ), edges AS (

@@ -1662,6 +1662,97 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# dq_late_arrival_report — out-of-orderness audit for watermark sizing
+# ---------------------------------------------------------------------------
+
+
+def dq_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVAL AUDIT — the measurement that SIZES streaming
+    watermarks: an event is LATE if something with a larger event
+    time already arrived (arrival order = event_id), and its
+    lateness is the gap to the running event-time high-water mark —
+    exactly the delay a `withWatermark` would have needed to keep
+    it. The fixture generates events in timestamp order, so
+    out-of-orderness is INJECTED deterministically in-plan (the
+    `txt_pii_redact` trick): every 17th event's timestamp is pulled
+    back two hours — a late replay of known shape both engines see
+    identically, against which the audit's numbers are exactly
+    checkable. Per event type: late share (ppm) and the max /
+    truncating-mean lateness in microseconds. One ordered window
+    per type over arrival order + one aggregate; the lateness sum
+    forms in DECIMAL(38,0)/HUGEINT (an int64 sum of microsecond
+    gaps overflows at cluster event counts)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.when(
+            F.col("event_id") % 17 == 0,
+            F.col("ts_us") - F.lit(7_200_000_000),
+        )
+        .otherwise(F.col("ts_us"))
+        .alias("ts_us"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    d = ev.withColumn("hwm", F.max("ts_us").over(w)).withColumn(
+        "late_us",
+        F.when(
+            F.col("hwm").isNotNull() & (F.col("ts_us") < F.col("hwm")),
+            F.col("hwm") - F.col("ts_us"),
+        ).otherwise(0),
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+        F.max("late_us").alias("max_late_us"),
+        F.sum(F.expr("CAST(late_us AS DECIMAL(38,0))")).alias("s_late"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_late").cast("long").alias("n_late"),
+        F.expr("(n_late * 1000000) div n").cast("long").alias("late_ppm"),
+        F.col("max_late_us").cast("long").alias("max_late_us"),
+        F.expr("CAST(s_late div n AS BIGINT)").alias("mean_late_us"),
+    )
+
+
+_DQ_LATE_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 17 = 0
+              THEN epoch_us(ts::TIMESTAMP) - 7200000000
+              ELSE epoch_us(ts::TIMESTAMP) END AS ts_us
+  FROM events
+), d AS (
+  SELECT event_type, ts_us,
+         MAX(ts_us) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS hwm
+  FROM ev
+), l AS (
+  SELECT event_type,
+         CASE WHEN hwm IS NOT NULL AND ts_us < hwm
+              THEN hwm - ts_us ELSE 0 END AS late_us
+  FROM d
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST((SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS BIGINT) AS late_ppm,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+       CAST(SUM(CAST(late_us AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS mean_late_us
+FROM l GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_did_analysis — difference-in-differences readout
 # ---------------------------------------------------------------------------
 
@@ -1818,6 +1909,11 @@ QUERIES = {
         evt_did_analysis,
         _did_sql(),
         ("experimentation", "causal", "did"),
+    ),
+    "dq_late_arrival_report": QuerySpec(
+        dq_late_arrival_report,
+        _DQ_LATE_SQL,
+        ("quality", "watermark", "lateness"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

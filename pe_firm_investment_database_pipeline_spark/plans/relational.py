@@ -1044,6 +1044,101 @@ FROM g
 """
 
 
+def sql_null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-VALUED-LOGIC CONFORMANCE MATRIX — the NULL corners that
+    silently corrupt migrations: every 13th order's custkey is
+    NULLed in-plan, the key list gets a NULL appended, and nine
+    predicate forms are counted side by side — IN / NOT IN against
+    the NULL-bearing list (NOT IN collapses to zero rows, THE
+    classic production incident), NOT IN against the clean list,
+    EXISTS / NOT EXISTS (which — unlike NOT IN — keep the NULL rows:
+    the divergence that makes anti-join rewrites semantics-changing),
+    self-equality vs null-safe self-equality (<=>), and count(col)
+    vs count(*). The Spark side runs the NATIVE predicate forms; the
+    oracle never uses IN/EXISTS at all — it reconstructs every count
+    from first principles (LEFT-JOIN match counts + explicit 3VL
+    case analysis), so agreement certifies the ENGINE's predicate
+    semantics, not the SQL text."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_nsm")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_nsm")
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                      ELSE o_custkey END AS ck
+          FROM v_orders_nsm
+        ), keys AS (
+          SELECT c_custkey AS k FROM v_cust_nsm
+        ), aug AS (
+          SELECT k FROM keys UNION ALL SELECT CAST(NULL AS BIGINT)
+        )
+        SELECT 'in_aug' AS probe, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM o WHERE ck IN (SELECT k FROM aug)
+        UNION ALL
+        SELECT 'not_in_aug', CAST(COUNT(*) AS BIGINT)
+        FROM o WHERE ck NOT IN (SELECT k FROM aug)
+        UNION ALL
+        SELECT 'not_in_clean', CAST(COUNT(*) AS BIGINT)
+        FROM o WHERE ck NOT IN (SELECT k FROM keys)
+        UNION ALL
+        SELECT 'exists', CAST(COUNT(*) AS BIGINT)
+        FROM o WHERE EXISTS (SELECT 1 FROM keys WHERE k = ck)
+        UNION ALL
+        SELECT 'not_exists', CAST(COUNT(*) AS BIGINT)
+        FROM o WHERE NOT EXISTS (SELECT 1 FROM keys WHERE k = ck)
+        UNION ALL
+        SELECT 'eq_self', CAST(COUNT(*) AS BIGINT) FROM o WHERE ck = ck
+        UNION ALL
+        SELECT 'nullsafe_self', CAST(COUNT(*) AS BIGINT)
+        FROM o WHERE ck <=> ck
+        UNION ALL
+        SELECT 'count_col', CAST(COUNT(ck) AS BIGINT) FROM o
+        UNION ALL
+        SELECT 'count_star', CAST(COUNT(*) AS BIGINT) FROM o
+        """
+    )
+
+
+_SQL_NULL_MATRIX_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END AS ck
+  FROM orders
+), keys AS (
+  SELECT c_custkey AS k FROM customer
+), j AS (
+  SELECT o.o_orderkey, o.ck, COUNT(k.k) AS m
+  FROM o LEFT JOIN keys k ON o.ck = k.k
+  GROUP BY o.o_orderkey, o.ck
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+         CAST(SUM(CASE WHEN ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+         CAST(SUM(CASE WHEN ck IS NOT NULL AND m > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_match,
+         CAST(SUM(CASE WHEN ck IS NOT NULL AND m = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_nomatch,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT k FROM keys UNION ALL SELECT NULL
+          ) WHERE k IS NULL) AS aug_nulls
+  FROM j
+)
+SELECT 'in_aug' AS probe, n_match AS cnt FROM g
+UNION ALL
+SELECT 'not_in_aug',
+       CASE WHEN aug_nulls > 0 THEN CAST(0 AS BIGINT) ELSE n_nomatch END
+FROM g
+UNION ALL SELECT 'not_in_clean', n_nomatch FROM g
+UNION ALL SELECT 'exists', n_match FROM g
+UNION ALL SELECT 'not_exists', n_null + n_nomatch FROM g
+UNION ALL SELECT 'eq_self', n_all - n_null FROM g
+UNION ALL SELECT 'nullsafe_self', n_all FROM g
+UNION ALL SELECT 'count_col', n_all - n_null FROM g
+UNION ALL SELECT 'count_star', n_all FROM g
+"""
+
+
 def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL (Spark 3.4+/4) — the analyst-ergonomics surface
     where every non-aggregate select item becomes a grouping key
@@ -2354,6 +2449,11 @@ QUERIES = {
     ),
     "sql_pipe_syntax": QuerySpec(
         sql_pipe_syntax, _SQL_PIPE_SYNTAX_SQL, ("sql", "pipe")
+    ),
+    "sql_null_semantics_matrix": QuerySpec(
+        sql_null_semantics_matrix,
+        _SQL_NULL_MATRIX_SQL,
+        ("sql", "null-semantics", "conformance"),
     ),
     "sql_group_by_all": QuerySpec(
         sql_group_by_all, _SQL_GROUP_BY_ALL_SQL, ("sql", "group-by-all")

@@ -106,5 +106,9 @@ def test_survey_mentions_every_late_r8_op():
         "ts_ewma_irregular",
         "join_bitemporal",
         "er_pipeline_e2e",
+        "pack_sequences_nfd",
+        "dq_late_arrival_report",
+        "src_codec_matrix",
+        "sql_null_semantics_matrix",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

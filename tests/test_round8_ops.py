@@ -2021,8 +2021,13 @@ def test_er_pipeline_e2e_full_replay(spark, sf_dir):
             prev = cur
         return prev[-1]
 
+    def code(k):
+        return "".join(
+            chr(97 + (k // 26**i) % 26) for i in range(5, -1, -1)
+        )
+
     parts = [
-        (r["p_partkey"], r["p_name"].lower())
+        (r["p_partkey"], code(r["p_partkey"]) + " " + r["p_name"].lower())
         for r in load_table(spark, sf_dir, "part").collect()
     ]
     recs = {}
@@ -2035,7 +2040,7 @@ def test_er_pipeline_e2e_full_replay(spark, sf_dir):
     blocks: dict = {}
     for rid, (_, n) in recs.items():
         for band in {len(n) // 8, (len(n) + 1) // 8}:
-            blocks.setdefault((n[0], band), set()).add(rid)
+            blocks.setdefault((n[:2] + n[3:6], band), set()).add(rid)
     pairs = set()
     for members in blocks.values():
         ms = sorted(members)
@@ -2083,3 +2088,145 @@ def test_er_pipeline_e2e_full_replay(spark, sf_dir):
     assert got == expect
     # the pipeline must actually resolve multi-source entities
     assert any(n_src == 3 for _, n_src, _, _ in got.values())
+
+
+def test_pack_sequences_nfd_replay_and_budget(spark, sf_dir):
+    """Python replay of next-fit-decreasing; no multi-doc bin may
+    exceed the 256-token budget (the HARD constraint that separates
+    this from shard_by_token_budget's overshoot relaxation)."""
+    import re
+
+    from pe_firm_investment_database_pipeline_spark.plans.datapipe import (
+        _PACK_BUDGET,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs: dict = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        docs.setdefault(r["lang"], []).append(
+            (-len(re.findall(r"\S+", r["text"])), r["doc_id"])
+        )
+    expect = {}
+    for lang, ds in docs.items():
+        ds.sort()
+        bins, n, f = [], 0, 0
+        for nt, _ in ds:
+            tok = -nt
+            if n and f + tok <= _PACK_BUDGET:
+                n, f = n + 1, f + tok
+            else:
+                if n:
+                    bins.append((n, f))
+                n, f = 1, tok
+        bins.append((n, f))
+        for i, (bn, bt) in enumerate(bins, 1):
+            expect[(lang, i)] = (bn, bt, bt * 1_000_000 // _PACK_BUDGET)
+    got = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["tok_sum"], r["fill_ppm"])
+        for r in _Q["pack_sequences_nfd"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for (_, _), (bn, bt, _) in got.items():
+        if bn > 1:
+            assert bt <= _PACK_BUDGET  # hard budget for packed bins
+    assert any(bn > 1 for bn, _, _ in got.values())
+
+
+def test_dq_late_arrival_report_replay(spark, sf_dir):
+    """Running high-water-mark replay: late = behind the event-time
+    max of everything that ARRIVED earlier (event_id order)."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    evs: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id", "ts_us")
+        .collect()
+    ):
+        ts = r["ts_us"] - (7_200_000_000 if r["event_id"] % 17 == 0 else 0)
+        evs.setdefault(r["event_type"], []).append((r["event_id"], ts))
+    got = {
+        r["event_type"]: r
+        for r in _Q["dq_late_arrival_report"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(evs)
+    for t, es in evs.items():
+        es.sort()
+        hwm, n_late, mx, s = None, 0, 0, 0
+        for _, ts in es:
+            if hwm is not None and ts < hwm:
+                n_late += 1
+                mx = max(mx, hwm - ts)
+                s += hwm - ts
+            hwm = ts if hwm is None else max(hwm, ts)
+        r = got[t]
+        assert r["n"] == len(es)
+        assert r["n_late"] == n_late
+        assert r["late_ppm"] == n_late * 1_000_000 // len(es)
+        assert r["max_late_us"] == mx
+        assert r["mean_late_us"] == s // len(es)
+        assert n_late > 0  # the fixture IS out of order per type
+
+
+def test_src_codec_matrix_identical_logical_contents(spark, sf_dir):
+    """All three codec rows must agree with each other and with the
+    source table; the physical trees must really differ in size
+    (i.e. three distinct codecs actually landed)."""
+    import glob
+    import os
+    import tempfile
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = _Q["src_codec_matrix"].fn(spark, sf_dir).collect()
+    assert sorted(r["codec"] for r in rows) == ["gzip", "snappy", "zstd"]
+    vals = {
+        (r["n_rows"], r["n_langs"], r["sum_chars"], r["checksum"])
+        for r in rows
+    }
+    assert len(vals) == 1
+    n = load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_rows"] == n
+    roots = glob.glob(os.path.join(tempfile.gettempdir(), "pe_codec_*"))
+    assert len(roots) == 1  # prior generations swept
+    sizes = {}
+    for codec in ("snappy", "gzip", "zstd"):
+        sizes[codec] = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(roots[0], codec, "*.parquet"))
+        )
+    assert len(set(sizes.values())) >= 2  # codecs actually differ
+    assert min(sizes.values()) > 0
+
+
+def test_sql_null_semantics_matrix_3vl(spark, sf_dir):
+    """The nine probes must realize textbook three-valued logic:
+    NOT IN against a NULL-bearing list is empty, NOT EXISTS (unlike
+    NOT IN) keeps the NULL rows, null-safe self-equality covers
+    everything, and the count identities reconcile."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    n_all = o.count()
+    n_null = o.where(F.col("o_orderkey") % 13 == 0).count()
+    got = {
+        r["probe"]: r["cnt"]
+        for r in _Q["sql_null_semantics_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert got["count_star"] == n_all
+    assert got["count_col"] == n_all - n_null
+    assert got["nullsafe_self"] == n_all
+    assert got["eq_self"] == n_all - n_null
+    assert got["not_in_aug"] == 0  # the classic NOT-IN-with-NULL trap
+    assert got["in_aug"] == n_all - n_null  # fixture is FK-clean
+    assert got["exists"] == got["in_aug"]
+    assert got["not_exists"] == n_null + got["not_in_clean"]
+    assert n_null > 0
