@@ -481,6 +481,115 @@ SELECT v AS doc_id, r AS pagerank_scaled FROM {prev}
 
 
 # ---------------------------------------------------------------------------
+# graph_ppr_single_source — personalized PageRank from one seed
+# ---------------------------------------------------------------------------
+
+
+def graph_ppr_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK — the seeded-relevance variant behind
+    'more like this' recommendation and seed-expansion curation:
+    teleport mass returns to ONE seed — the MAX-DEGREE vertex (ties
+    to the smaller id, via max(struct(deg, -a)) which both engines
+    order identically): the densest template hub, so the output is
+    a real neighborhood, not an isolated pair. Rank measures
+    proximity to the seed, not global centrality
+    (`graph_pagerank`'s question). Same exact-int64 discipline as
+    the global entry: scaled ranks, floor-division contributions,
+    damping as (85*s) div 100 after the associative sum, 3 FIXED
+    iterations unrolled identically in the oracle. The seed starts
+    with the whole mass; after k iterations only the k-hop
+    neighborhood is nonzero — the output keeps exactly those rows,
+    which at 100 TB is the seed's local cluster, not the graph.
+    Same Pregel-as-joins shape and edge-table bucketing story as
+    `graph_pagerank`."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).where(
+        F.col("est_jaccard") >= 0.5
+    )
+    sym = (
+        pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+        .union(
+            pairs.select(F.col("doc2").alias("a"), F.col("doc1").alias("b"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "a").localCheckpoint(eager=True)
+    seed = deg.agg(
+        F.max(F.struct(F.col("deg"), (-F.col("a")).alias("na")))
+        .getField("na")
+        .alias("ns")
+    ).select((-F.col("ns")).alias("s"))
+    teleport = (15 * _PR_BASE) // 100
+    ranks = deg.crossJoin(F.broadcast(seed)).select(
+        F.col("a").alias("v"),
+        F.when(F.col("a") == F.col("s"), F.lit(_PR_BASE))
+        .otherwise(0)
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.a == ranks.v)
+            .select("b", F.expr("r div deg").alias("c"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("s_"))
+        )
+        ranks = contrib.crossJoin(F.broadcast(seed)).select(
+            F.col("b").alias("v"),
+            (
+                F.expr("(85 * s_) div 100")
+                + F.when(F.col("b") == F.col("s"), F.lit(teleport))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    return ranks.where(F.col("r") > 0).select(
+        F.col("v").alias("doc_id"), F.col("r").alias("ppr_scaled")
+    )
+
+
+def _ppr_sql() -> str:
+    teleport = (15 * _PR_BASE) // 100
+    sql = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), sym AS (
+  SELECT doc1 AS a, doc2 AS b FROM mh_pairs
+  UNION
+  SELECT doc2, doc1 FROM mh_pairs
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a
+), edges AS (
+  SELECT sym.a, sym.b, deg.deg FROM sym JOIN deg USING (a)
+), seed AS (
+  SELECT -(MAX(struct_pack(deg := deg, na := -a)).na) AS s FROM deg
+), r0 AS (
+  SELECT a AS v,
+         CAST(CASE WHEN a = seed.s THEN {_PR_BASE} ELSE 0 END
+              AS BIGINT) AS r
+  FROM deg CROSS JOIN seed
+)"""
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        sql += f""", r{i} AS (
+  SELECT e.b AS v,
+         CAST((85 * SUM(e_r // e.deg)) // 100
+              + CASE WHEN e.b = MIN(seed.s) THEN {teleport} ELSE 0 END
+              AS BIGINT) AS r
+  FROM (SELECT e.a, e.b, e.deg, p.r AS e_r
+        FROM edges e JOIN {prev} p ON e.a = p.v) e
+  CROSS JOIN seed
+  GROUP BY e.b
+)"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT v AS doc_id, r AS ppr_scaled FROM {prev} WHERE r > 0
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # graph_kcore_peel — bounded k-core peeling
 # ---------------------------------------------------------------------------
 
@@ -1612,6 +1721,11 @@ QUERIES = {
         dedup_canonical_pick,
         _DEDUP_CANONICAL_PICK_SQL,
         ("dedup", "iterative"),
+    ),
+    "graph_ppr_single_source": QuerySpec(
+        graph_ppr_single_source,
+        _ppr_sql(),
+        ("graph", "pagerank", "personalized"),
     ),
     "graph_pagerank": QuerySpec(
         graph_pagerank,

@@ -1324,6 +1324,65 @@ WHERE (cum // step) > ((cum - w) // step)
 
 
 # ---------------------------------------------------------------------------
+# samp_reservoir_weighted — mergeable weighted priority sampling
+# ---------------------------------------------------------------------------
+
+_RES_K = 10
+
+
+def samp_reservoir_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED RESERVOIR (priority) SAMPLING — the Efraimidis-
+    Spirakis shape with a deterministic rational surrogate: each doc
+    draws a 48-bit md5 uniform u and competes on priority
+    (u * 1000) div weight (weight = n_chars), and the k=10 SMALLEST
+    priorities per language win — heavier docs get proportionally
+    smaller priorities, so inclusion probability grows with weight
+    (the true E-S exponent u^(1/w) needs libm logs, which are not
+    correctly-rounded and never enter hash-compared queries — the
+    repo-wide rule). The operational property that makes this the
+    STREAMING/distributed sampler: top-k-by-priority is
+    associative, so every partition keeps its own k and merging
+    reservoirs is a k-way min-merge — exactly what the per-group
+    rank window compiles to (partial TopK per partition, then
+    merge), with no global sort and no second scan."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("w"),
+        F.expr(_KEYHASH).alias("u"),
+    )
+    pri = d.withColumn("priority", F.expr("(u * 1000) div w"))
+    w_rk = W.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rk", F.row_number().over(w_rk).cast("long"))
+        .where(F.col("rk") <= _RES_K)
+        .select("lang", "doc_id", "w", "priority", "rk")
+    )
+
+
+_SAMP_RESERVOIR_SQL = f"""
+WITH d AS (
+  SELECT lang, doc_id,
+         GREATEST(n_chars, 1) AS w,
+         {_KEYHASH_DUCK} AS u
+  FROM documents
+), pri AS (
+  SELECT lang, doc_id, CAST(w AS BIGINT) AS w,
+         CAST((u * 1000) // w AS BIGINT) AS priority
+  FROM d
+)
+SELECT lang, doc_id, w, priority,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY priority, doc_id) AS rk
+  FROM pri
+)
+WHERE rk <= {_RES_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # pack_sequences_nfd — context-window sequence packing (next-fit decreasing)
 # ---------------------------------------------------------------------------
 
@@ -1428,6 +1487,11 @@ QUERIES = {
         pack_sequences_nfd,
         _PACK_NFD_SQL,
         ("packing", "llm", "sequence"),
+    ),
+    "samp_reservoir_weighted": QuerySpec(
+        samp_reservoir_weighted,
+        _SAMP_RESERVOIR_SQL,
+        ("sampling", "reservoir", "weighted"),
     ),
     "samp_pps_systematic": QuerySpec(
         samp_pps_systematic,

@@ -110,5 +110,7 @@ def test_survey_mentions_every_late_r8_op():
         "dq_late_arrival_report",
         "src_codec_matrix",
         "sql_null_semantics_matrix",
+        "graph_ppr_single_source",
+        "samp_reservoir_weighted",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

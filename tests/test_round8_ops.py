@@ -2230,3 +2230,81 @@ def test_sql_null_semantics_matrix_3vl(spark, sf_dir):
     assert got["exists"] == got["in_aug"]
     assert got["not_exists"] == n_null + got["not_in_clean"]
     assert n_null > 0
+
+
+def test_graph_ppr_single_source_replay(spark, sf_dir):
+    """Python replay of 3 seeded integer iterations on the same LSH
+    edge set; mass must be concentrated on the max-degree seed."""
+    from pe_firm_investment_database_pipeline_spark.plans.components import (
+        _PR_BASE,
+        _PR_ITERS,
+    )
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        dedup_minhash_lsh,
+    )
+
+    edges = set()
+    for r in (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    ):
+        edges.add((r["doc1"], r["doc2"]))
+        edges.add((r["doc2"], r["doc1"]))
+    deg: dict = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    seed = max(deg, key=lambda a: (deg[a], -a))
+    r_ = {v: (_PR_BASE if v == seed else 0) for v in deg}
+    tp = (15 * _PR_BASE) // 100
+    for _ in range(_PR_ITERS):
+        s: dict = {}
+        for a, b in edges:
+            s[b] = s.get(b, 0) + r_[a] // deg[a]
+        r_ = {
+            b: (85 * sv) // 100 + (tp if b == seed else 0)
+            for b, sv in s.items()
+        }
+    expect = {v: rv for v, rv in r_.items() if rv > 0}
+    got = {
+        r["doc_id"]: r["ppr_scaled"]
+        for r in _Q["graph_ppr_single_source"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert max(got, key=got.get) == seed  # mass stays near the seed
+
+
+def test_samp_reservoir_weighted_properties(spark, sf_dir):
+    """Priority replay + the weighted-sampling property: the chosen
+    reservoir must be exactly the k smallest (u*1000) div w
+    priorities per lang, and its mean weight must exceed the
+    population's (heavier docs win more often)."""
+    import hashlib
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    docs: dict = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        u = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16
+        )
+        w = max(r["n_chars"], 1)
+        docs.setdefault(r["lang"], []).append(
+            (u * 1000 // w, r["doc_id"], w)
+        )
+    got: dict = {}
+    for r in _Q["samp_reservoir_weighted"].fn(spark, sf_dir).collect():
+        got.setdefault(r["lang"], []).append(
+            (r["rk"], r["doc_id"], r["priority"], r["w"])
+        )
+    for lang, ds in docs.items():
+        ds.sort()
+        expect = [
+            (i + 1, d, p, w) for i, (p, d, w) in enumerate(ds[:10])
+        ]
+        assert sorted(got[lang]) == expect
+        mean_w_pop = sum(w for _, _, w in ds) / len(ds)
+        mean_w_res = sum(w for _, _, _, w in got[lang]) / len(got[lang])
+        assert mean_w_res > mean_w_pop
