@@ -1803,16 +1803,25 @@ def _sweep_prior_generations(prefix: str, keep: str) -> None:
     sessions the way `_dpp_fact_dir` does — a concurrent reader of a
     half-mutated tree would see garbage — so each session gets its
     own tree and sweeps its predecessors' (the ADVICE-r7
-    accumulation lesson, applied to the mutable case)."""
+    accumulation lesson, applied to the mutable case). Only trees
+    idle for an hour are swept: a CONCURRENT live session's tree
+    (parallel pytest + driver-sim) must never be deleted from under
+    it."""
     import os
     import shutil
     import tempfile
+    import time
 
     tmp = tempfile.gettempdir()
+    cutoff = time.time() - 3600
     for d in os.listdir(tmp):
         p = os.path.join(tmp, d)
         if d.startswith(prefix) and p != keep and os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # vanished mid-scan (another session's sweep)
 
 
 # ---------------------------------------------------------------------------

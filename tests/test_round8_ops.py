@@ -1897,8 +1897,19 @@ def test_snk_txn_log_snapshot_isolation(spark, sf_dir):
     assert rows[2]["n_f_rows"] == o.where(
         (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderstatus") == "F")
     ).count()
-    roots = glob.glob(os.path.join(tempfile.gettempdir(), "pe_txnlog_*"))
-    assert len(roots) == 1  # prior generations swept
+    # THIS session's tree (other live sessions may own siblings —
+    # the sweep only reaps trees idle >1h, never concurrent ones)
+    app = spark.sparkContext.applicationId.replace(":", "_").replace(
+        "/", "_"
+    )
+    roots = [
+        p
+        for p in glob.glob(
+            os.path.join(tempfile.gettempdir(), "pe_txnlog_*")
+        )
+        if p.endswith(app)
+    ]
+    assert len(roots) == 1
     names = set(os.listdir(roots[0]))
     # both generations of A coexist — that's what isolation costs
     assert {"data_a", "data_a2", "data_b"} <= names
@@ -2193,8 +2204,17 @@ def test_src_codec_matrix_identical_logical_contents(spark, sf_dir):
     assert len(vals) == 1
     n = load_table(spark, sf_dir, "documents").count()
     assert rows[0]["n_rows"] == n
-    roots = glob.glob(os.path.join(tempfile.gettempdir(), "pe_codec_*"))
-    assert len(roots) == 1  # prior generations swept
+    app = spark.sparkContext.applicationId.replace(":", "_").replace(
+        "/", "_"
+    )
+    roots = [
+        p
+        for p in glob.glob(
+            os.path.join(tempfile.gettempdir(), "pe_codec_*")
+        )
+        if p.endswith(app)
+    ]
+    assert len(roots) == 1  # this session's tree
     sizes = {}
     for codec in ("snappy", "gzip", "zstd"):
         sizes[codec] = sum(
