@@ -1662,6 +1662,116 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# evt_alert_debounce — cooldown-debounced alert admission
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_DAYS = 3
+
+
+def evt_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT DEBOUNCE — the pager-dedup rule 'fire at most once per
+    3 days per alert': candidate days (a type's daily volume below
+    its own all-days mean, the integer cross-multiplied compare
+    n*days < total) pass through a minimum-separation greedy — fire
+    at the first candidate, suppress anything closer than 3 days to
+    the LAST FIRE, fire again at the next eligible candidate.
+    Unlike `evt_frequency_capping`'s budget caps this selection has
+    no prefix closed form (each fire re-anchors the window), so it
+    is the third genuine fold in the repo: `aggregate()` over the
+    per-type candidate-day array vs a recursive-CTE oracle. Output:
+    every fired alert with its fire index, plus per-type candidate
+    and fired counts riding along. Fold length is the day grid —
+    calendar-bounded at any data scale; the (type, day) compression
+    is the only data-sized shuffle."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_us div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("days")
+    )
+    cand = (
+        daily.join(stats, "event_type")
+        .where(F.col("n") * F.col("days") < F.col("total"))
+        .groupBy("event_type")
+        .agg(F.expr("array_sort(collect_list(day))").alias("s"))
+    )
+    fold = (
+        "aggregate("
+        " slice(s, 2, greatest(size(s) - 1, 0)),"
+        " named_struct('fires', array(element_at(s, 1)),"
+        "              'last', element_at(s, 1)),"
+        f" (acc, d) -> CASE WHEN d >= acc.last + {_DEBOUNCE_DAYS}"
+        "   THEN named_struct('fires', array_append(acc.fires, d),"
+        "                     'last', d)"
+        "   ELSE acc END)"
+    )
+    fired = cand.select(
+        "event_type",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_candidates"),
+        F.expr(f"{fold}.fires").alias("fires"),
+    )
+    return (
+        fired.select(
+            "event_type",
+            "n_candidates",
+            F.expr("CAST(size(fires) AS BIGINT)").alias("n_fired"),
+            F.posexplode("fires").alias("p", "fire_day"),
+        )
+        .select(
+            "event_type",
+            "n_candidates",
+            "n_fired",
+            (F.col("p") + 1).cast("long").alias("fire_idx"),
+            F.col("fire_day").cast("long").alias("fire_day"),
+        )
+    )
+
+
+_EVT_DEBOUNCE_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS days
+  FROM daily GROUP BY event_type
+), cand AS (
+  SELECT d.event_type, list_sort(list(d.day)) AS s
+  FROM daily d JOIN stats t ON d.event_type = t.event_type
+  WHERE d.n * t.days < t.total
+  GROUP BY d.event_type
+), n AS (
+  SELECT event_type, CAST(len(s) AS BIGINT) AS n_candidates, s
+  FROM cand
+), rec(event_type, i, last, fired) AS (
+  SELECT event_type, CAST(1 AS BIGINT), s[1], s[1] FROM n
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         CASE WHEN n.s[CAST(r.i + 1 AS INT)] >= r.last + {_DEBOUNCE_DAYS}
+              THEN n.s[CAST(r.i + 1 AS INT)] ELSE r.last END,
+         CASE WHEN n.s[CAST(r.i + 1 AS INT)] >= r.last + {_DEBOUNCE_DAYS}
+              THEN n.s[CAST(r.i + 1 AS INT)] ELSE NULL END
+  FROM rec r JOIN n ON n.event_type = r.event_type
+  WHERE r.i < n.n_candidates
+), fires AS (
+  SELECT event_type, fired AS fire_day,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY fired) AS BIGINT) AS fire_idx,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+           AS n_fired
+  FROM rec WHERE fired IS NOT NULL
+)
+SELECT f.event_type, n.n_candidates, f.n_fired, f.fire_idx,
+       CAST(f.fire_day AS BIGINT) AS fire_day
+FROM fires f JOIN n ON n.event_type = f.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # dq_late_arrival_report — out-of-orderness audit for watermark sizing
 # ---------------------------------------------------------------------------
 
@@ -1914,6 +2024,11 @@ QUERIES = {
         dq_late_arrival_report,
         _DQ_LATE_SQL,
         ("quality", "watermark", "lateness"),
+    ),
+    "evt_alert_debounce": QuerySpec(
+        evt_alert_debounce,
+        _EVT_DEBOUNCE_SQL,
+        ("events", "alerting", "debounce"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

@@ -112,5 +112,6 @@ def test_survey_mentions_every_late_r8_op():
         "sql_null_semantics_matrix",
         "graph_ppr_single_source",
         "samp_reservoir_weighted",
+        "evt_alert_debounce",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

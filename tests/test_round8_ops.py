@@ -2328,3 +2328,52 @@ def test_samp_reservoir_weighted_properties(spark, sf_dir):
         mean_w_pop = sum(w for _, _, w in ds) / len(ds)
         mean_w_res = sum(w for _, _, _, w in got[lang]) / len(got[lang])
         assert mean_w_res > mean_w_pop
+
+
+def test_evt_alert_debounce_min_separation(spark, sf_dir):
+    """Greedy cooldown replay: fires are exactly the candidates the
+    3-day minimum-separation chain admits, consecutive fires are
+    >= 3 days apart, and suppression actually happens."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("ts_us div 86400000000").alias("day"))
+        .collect()
+    ):
+        k = (r["event_type"], r["day"])
+        daily[k] = daily.get(k, 0) + 1
+    per_type: dict = {}
+    for (t, d), n in daily.items():
+        per_type.setdefault(t, []).append((d, n))
+    expect = {}
+    for t, dn in per_type.items():
+        total = sum(n for _, n in dn)
+        days = len(dn)
+        cands = sorted(d for d, n in dn if n * days < total)
+        fires, last = [cands[0]], cands[0]
+        for d in cands[1:]:
+            if d >= last + 3:
+                fires.append(d)
+                last = d
+        for i, d in enumerate(fires, 1):
+            expect[(t, i)] = (len(cands), len(fires), d)
+    got = {
+        (r["event_type"], r["fire_idx"]): (
+            r["n_candidates"],
+            r["n_fired"],
+            r["fire_day"],
+        )
+        for r in _Q["evt_alert_debounce"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    by_type: dict = {}
+    for (t, i), (_, _, d) in sorted(got.items()):
+        by_type.setdefault(t, []).append(d)
+    for t, ds in by_type.items():
+        assert all(b - a >= 3 for a, b in zip(ds, ds[1:]))
+        n_cand = got[(t, 1)][0]
+        assert got[(t, 1)][1] < n_cand  # the cooldown suppressed some

@@ -133,6 +133,11 @@ HEAVY = [
     "er_pipeline_e2e",
     "ts_ewma_irregular",
     "join_bitemporal",
+    # wave F-H: the shard-bounded packing fold, the per-type lateness
+    # window, and the seeded Pregel iterations
+    "pack_sequences_nfd",
+    "dq_late_arrival_report",
+    "graph_ppr_single_source",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
