@@ -1397,21 +1397,25 @@ def pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     language's docs sorted by token count DESC, closing the bin
     whenever the next doc would overflow. NFD is genuinely
     sequential (each decision depends on the running fill), so it
-    runs as an `aggregate()` fold over the per-language sorted array
-    against a RECURSIVE-CTE oracle (the `ts_holt_linear`
-    discipline); the fold builds the per-bin summaries directly
-    (array_append on close), never a per-doc assignment list.
-    Output: every bin with its doc count, token sum, and fill ppm —
-    the padding-waste report that decides whether packing is worth
-    it. At 100 TB packing runs per SHARD (compose with
-    `shard_by_token_budget`'s sqrt-N shard cut first), so the fold
-    length is shard-bounded, not corpus-bounded."""
+    runs as an `aggregate()` fold against a RECURSIVE-CTE oracle
+    (the `ts_holt_linear` discipline); the fold builds the per-bin
+    summaries directly (array_append on close), never a per-doc
+    assignment list. Packing is SHARDED — the fold runs per
+    (lang, doc_id div 1024), NOT per language: production packing
+    is always shard-local (a global NFD would serialize the corpus),
+    and the shard cut bounds BOTH the Spark fold length and the
+    oracle's recursion depth at any scale factor (the per-language
+    form ran the DuckDB recursion 12k levels deep at sf1.0 —
+    measured, rejected). Output: every (lang, shard) bin with its
+    doc count, token sum, and fill ppm — the padding-waste report
+    that decides whether packing is worth it."""
     toks = load_table(spark, sf_dir, "documents").select(
         "lang",
+        F.expr("doc_id div 1024").alias("shard"),
         "doc_id",
         F.size(F.expr(_TOKENS)).cast("long").alias("tok"),
     )
-    ser = toks.groupBy("lang").agg(
+    ser = toks.groupBy("lang", "shard").agg(
         F.expr(
             "array_sort(collect_list(struct(-tok AS nt, doc_id, tok)))"
         ).alias("s")
@@ -1432,15 +1436,17 @@ def pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bins = ser.select(
         "lang",
+        "shard",
         F.expr(
             f"array_append({fold}.bins,"
             f" named_struct('n', {fold}.n, 't', {fold}.f))"
         ).alias("bins"),
     )
     return bins.select(
-        "lang", F.posexplode("bins").alias("p", "b")
+        "lang", "shard", F.posexplode("bins").alias("p", "b")
     ).select(
         "lang",
+        "shard",
         (F.col("p") + 1).cast("long").alias("bin_id"),
         F.col("b.n").alias("n_docs"),
         F.col("b.t").alias("tok_sum"),
@@ -1450,19 +1456,21 @@ def pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_NFD_SQL = f"""
 WITH RECURSIVE toks AS (
-  SELECT lang, doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS tok
+  SELECT lang, doc_id // 1024 AS shard, doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS tok
   FROM documents
 ), ser AS (
-  SELECT lang,
+  SELECT lang, shard,
          list_sort(list(struct_pack(nt := -tok, doc_id := doc_id,
                                     tok := tok))) AS s
-  FROM toks GROUP BY lang
+  FROM toks GROUP BY lang, shard
 ), n AS (
-  SELECT lang, CAST(len(s) AS BIGINT) AS n_docs, s FROM ser
-), rec(lang, i, bin, fill) AS (
-  SELECT lang, CAST(1 AS BIGINT), CAST(1 AS BIGINT), s[1].tok FROM n
+  SELECT lang, shard, CAST(len(s) AS BIGINT) AS n_docs, s FROM ser
+), rec(lang, shard, i, bin, fill) AS (
+  SELECT lang, shard, CAST(1 AS BIGINT), CAST(1 AS BIGINT), s[1].tok
+  FROM n
   UNION ALL
-  SELECT r.lang, r.i + 1,
+  SELECT r.lang, r.shard, r.i + 1,
          CASE WHEN r.fill + n.s[CAST(r.i + 1 AS INT)].tok
                    <= {_PACK_BUDGET}
               THEN r.bin ELSE r.bin + 1 END,
@@ -1470,15 +1478,16 @@ WITH RECURSIVE toks AS (
                    <= {_PACK_BUDGET}
               THEN r.fill + n.s[CAST(r.i + 1 AS INT)].tok
               ELSE n.s[CAST(r.i + 1 AS INT)].tok END
-  FROM rec r JOIN n ON n.lang = r.lang
+  FROM rec r JOIN n ON n.lang = r.lang AND n.shard = r.shard
   WHERE r.i < n.n_docs
 )
-SELECT lang, CAST(bin AS BIGINT) AS bin_id,
+SELECT lang, CAST(shard AS BIGINT) AS shard,
+       CAST(bin AS BIGINT) AS bin_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MAX(fill) AS BIGINT) AS tok_sum,
        CAST((MAX(fill) * 1000000) // {_PACK_BUDGET} AS BIGINT)
          AS fill_ppm
-FROM rec GROUP BY lang, bin
+FROM rec GROUP BY lang, shard, bin
 """
 
 

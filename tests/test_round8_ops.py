@@ -2116,11 +2116,11 @@ def test_pack_sequences_nfd_replay_and_budget(spark, sf_dir):
 
     docs: dict = {}
     for r in load_table(spark, sf_dir, "documents").collect():
-        docs.setdefault(r["lang"], []).append(
+        docs.setdefault((r["lang"], r["doc_id"] // 1024), []).append(
             (-len(re.findall(r"\S+", r["text"])), r["doc_id"])
         )
     expect = {}
-    for lang, ds in docs.items():
+    for (lang, shard), ds in docs.items():
         ds.sort()
         bins, n, f = [], 0, 0
         for nt, _ in ds:
@@ -2133,13 +2133,21 @@ def test_pack_sequences_nfd_replay_and_budget(spark, sf_dir):
                 n, f = 1, tok
         bins.append((n, f))
         for i, (bn, bt) in enumerate(bins, 1):
-            expect[(lang, i)] = (bn, bt, bt * 1_000_000 // _PACK_BUDGET)
+            expect[(lang, shard, i)] = (
+                bn,
+                bt,
+                bt * 1_000_000 // _PACK_BUDGET,
+            )
     got = {
-        (r["lang"], r["bin_id"]): (r["n_docs"], r["tok_sum"], r["fill_ppm"])
+        (r["lang"], r["shard"], r["bin_id"]): (
+            r["n_docs"],
+            r["tok_sum"],
+            r["fill_ppm"],
+        )
         for r in _Q["pack_sequences_nfd"].fn(spark, sf_dir).collect()
     }
     assert got == expect
-    for (_, _), (bn, bt, _) in got.items():
+    for _, (bn, bt, _) in got.items():
         if bn > 1:
             assert bt <= _PACK_BUDGET  # hard budget for packed bins
     assert any(bn > 1 for bn, _, _ in got.values())
