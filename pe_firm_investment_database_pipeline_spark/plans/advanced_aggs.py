@@ -6526,8 +6526,240 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
-# ts_ewma_irregular — EWMA with irregular-gap time decay
+# ts_dtw_distance — banded dynamic time warping between daily series
 # ---------------------------------------------------------------------------
+
+
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
+    uncertainty wrapper around ANY point predictor: fit on the
+    calibration half (even orderkeys; predictor = per-priority
+    truncating mean price), take q_hat = the ceil(0.9*(n+1))-th
+    smallest absolute residual (an EXACT order statistic via the
+    integer rank (9*(n+1)+9) div 10 — no quantile interpolation
+    conventions and no float rank to disagree on),
+    and the interval prediction +/- q_hat covers ~90% of the held-out
+    half by the exchangeability guarantee. The entry emits, per
+    priority: calibration/test sizes, the fitted mean, q_hat, and
+    the REALIZED test coverage in ppm — the falsifiable part (the
+    finite-sample guarantee is marginal, so per-group coverage
+    hovers around 900000, pinned loosely in the test). Everything
+    is one scan + one rank window on the calibration half + one
+    broadcast join onto the test half."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        cents("o_totalprice").alias("price_c"),
+    )
+    cal = o.where(F.col("o_orderkey") % 2 == 0)
+    test = o.where(F.col("o_orderkey") % 2 == 1)
+    fit = cal.groupBy("o_orderpriority").agg(
+        F.expr("CAST(sum(price_c) div count(1) AS BIGINT)").alias("mu_c"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    resid = (
+        cal.join(F.broadcast(fit), "o_orderpriority")
+        .withColumn("r", F.abs(F.col("price_c") - F.col("mu_c")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("o_orderpriority").orderBy(
+                    "r", "o_orderkey"
+                )
+            ),
+        )
+    )
+    # ceil(0.9*(n+1)) in pure integers: (9*(n+1) + 9) div 10
+    qhat = resid.where(
+        F.col("rk") == F.expr("(9 * (n_cal + 1) + 9) div 10")
+    ).select("o_orderpriority", F.col("r").alias("qhat_c"))
+    cov = (
+        test.join(F.broadcast(fit), "o_orderpriority")
+        .join(F.broadcast(qhat), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("mu_c").alias("mu_c"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("qhat_c").alias("qhat_c"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("price_c") - F.col("mu_c"))
+                    <= F.col("qhat_c")
+                ).cast("long")
+            ).alias("n_cov"),
+        )
+    )
+    return cov.select(
+        "o_orderpriority",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("mu_c").cast("long").alias("mu_c"),
+        F.col("qhat_c").cast("long").alias("qhat_c"),
+        F.expr("(n_cov * 1000000) div n_test")
+        .cast("long")
+        .alias("coverage_ppm"),
+    )
+
+
+_ML_CONFORMAL_SQL = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), cal AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+test AS (SELECT * FROM o WHERE o_orderkey % 2 = 1),
+fit AS (
+  SELECT o_orderpriority,
+         CAST(SUM(price_c) // COUNT(*) AS BIGINT) AS mu_c,
+         CAST(COUNT(*) AS BIGINT) AS n_cal
+  FROM cal GROUP BY o_orderpriority
+), resid AS (
+  SELECT c.o_orderpriority, f.n_cal,
+         ABS(c.price_c - f.mu_c) AS r,
+         row_number() OVER (PARTITION BY c.o_orderpriority
+                            ORDER BY ABS(c.price_c - f.mu_c),
+                                     c.o_orderkey) AS rk
+  FROM cal c JOIN fit f ON c.o_orderpriority = f.o_orderpriority
+), qhat AS (
+  SELECT o_orderpriority, CAST(r AS BIGINT) AS qhat_c
+  FROM resid WHERE rk = (9 * (n_cal + 1) + 9) // 10
+)
+SELECT t.o_orderpriority,
+       CAST(MAX(f.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(MAX(f.mu_c) AS BIGINT) AS mu_c,
+       CAST(MAX(q.qhat_c) AS BIGINT) AS qhat_c,
+       CAST((SUM(CASE WHEN ABS(t.price_c - f.mu_c) <= q.qhat_c
+                      THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS coverage_ppm
+FROM test t
+JOIN fit f ON t.o_orderpriority = f.o_orderpriority
+JOIN qhat q ON t.o_orderpriority = q.o_orderpriority
+GROUP BY t.o_orderpriority
+"""
+
+
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING (Sakoe-Chiba band r=1) — the
+    shift-tolerant series distance Euclidean misses: each event
+    type's daily-volume series is compared against the PURCHASE
+    series on the shared day grid, allowing each day to align one
+    step early or late (the 'demand reacts a day later' pattern
+    calendar joins can't absorb). The full DP table is O(n²) and
+    row-sequential; the band-1 constraint collapses each DP row to
+    THREE cells (D[i][i-1], D[i][i], D[i][i+1]), so the whole
+    recurrence is one `aggregate()` fold carrying a three-int
+    struct — no inner scan, no table — against a recursive-CTE
+    oracle carrying the same three ints (depth = the day grid,
+    calendar-bounded at any scale: the `pack_sequences_nfd`
+    recursion-depth rule). Costs are exact |x-y| int64; the
+    unwarped L1 distance rides along so the output quantifies what
+    the warp bought. Self-comparison (purchase vs purchase) is the
+    dtw=0 sanity anchor."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type", F.expr("ts_us div 86400000000").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ref = daily.where(F.col("event_type") == "purchase").select(
+        "day", F.col("n").alias("y")
+    )
+    z = (
+        daily.join(ref, "day")
+        .select("event_type", "day", F.col("n").alias("x"), "y")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_sort(collect_list("
+                "  struct(day AS day, x AS x, y AS y)))"
+            ).alias("xy")
+        )
+        .where(F.size("xy") >= 2)
+    )
+    inf = 1 << 60
+    # at the step for element i (2..n): acc.i = i-1, e = xy[i]
+    ym1 = "element_at(xy, CAST(acc.i AS INT)).y"
+    yp1 = "element_at(xy, CAST(least(acc.i + 2, size(xy)) AS INT)).y"
+    ndm1 = f"(abs(e.x - {ym1}) + least(acc.dm1, acc.d0))"
+    nd0 = f"(abs(e.x - e.y) + least(least(acc.d0, acc.dp1), {ndm1}))"
+    ndp1 = f"(abs(e.x - {yp1}) + least(acc.dp1, {nd0}))"
+    seed_d0 = "abs(element_at(xy, 1).x - element_at(xy, 1).y)"
+    seed_dp1 = (
+        f"abs(element_at(xy, 1).x - element_at(xy, 2).y) + {seed_d0}"
+    )
+    fold = (
+        "aggregate("
+        " slice(xy, 2, greatest(size(xy) - 1, 0)),"
+        f" named_struct('dm1', CAST({inf} AS BIGINT),"
+        f"              'd0', CAST({seed_d0} AS BIGINT),"
+        f"              'dp1', CAST({seed_dp1} AS BIGINT),"
+        "               'i', CAST(1 AS BIGINT)),"
+        " (acc, e) -> named_struct("
+        f"   'dm1', {ndm1},"
+        f"   'd0', {nd0},"
+        f"   'dp1', {ndp1},"
+        "    'i', acc.i + 1))"
+    )
+    l1 = "aggregate(xy, CAST(0 AS BIGINT), (a, e) -> a + abs(e.x - e.y))"
+    return z.select(
+        "event_type",
+        F.expr("CAST(size(xy) AS BIGINT)").alias("n_days"),
+        F.expr(f"{fold}.d0").alias("dtw_band1"),
+        F.expr(l1).alias("l1_unwarped"),
+    )
+
+
+def _ts_dtw_sql() -> str:
+    inf = 1 << 60
+    x = "n.xy[CAST(r.i + 1 AS INT)].x"
+    y = "n.xy[CAST(r.i + 1 AS INT)].y"
+    ym1 = "n.xy[CAST(r.i AS INT)].y"
+    yp1 = "n.xy[CAST(LEAST(r.i + 2, n.nd) AS INT)].y"
+    ndm1 = f"(abs({x} - {ym1}) + LEAST(r.dm1, r.d0))"
+    nd0 = f"(abs({x} - {y}) + LEAST(LEAST(r.d0, r.dp1), {ndm1}))"
+    ndp1 = f"(abs({x} - {yp1}) + LEAST(r.dp1, {nd0}))"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ref AS (
+  SELECT day, n AS y FROM daily WHERE event_type = 'purchase'
+), z AS (
+  SELECT d.event_type,
+         list_sort(list(struct_pack(day := d.day, x := d.n,
+                                    y := r.y))) AS xy,
+         CAST(SUM(ABS(d.n - r.y)) AS BIGINT) AS l1
+  FROM daily d JOIN ref r ON d.day = r.day
+  GROUP BY d.event_type
+), n AS (
+  SELECT event_type, CAST(len(xy) AS BIGINT) AS nd, xy, l1
+  FROM z WHERE len(xy) >= 2
+), rec(event_type, i, dm1, d0, dp1) AS (
+  SELECT event_type, CAST(1 AS BIGINT),
+         CAST({inf} AS BIGINT),
+         CAST(abs(xy[1].x - xy[1].y) AS BIGINT),
+         CAST(abs(xy[1].x - xy[2].y)
+              + abs(xy[1].x - xy[1].y) AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         CAST({ndm1} AS BIGINT),
+         CAST({nd0} AS BIGINT),
+         CAST({ndp1} AS BIGINT)
+  FROM rec r JOIN n ON n.event_type = r.event_type
+  WHERE r.i < n.nd
+)
+SELECT r.event_type, n.nd AS n_days,
+       CAST(r.d0 AS BIGINT) AS dtw_band1,
+       n.l1 AS l1_unwarped
+FROM rec r JOIN n ON n.event_type = r.event_type
+WHERE r.i = n.nd
+"""
 
 
 def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6877,6 +7109,16 @@ QUERIES = {
         evt_frequency_capping,
         _EVT_FREQCAP_SQL,
         ("events", "admission", "capping"),
+    ),
+    "ts_dtw_distance": QuerySpec(
+        ts_dtw_distance,
+        _ts_dtw_sql(),
+        ("timeseries", "dtw", "alignment"),
+    ),
+    "ml_conformal_interval": QuerySpec(
+        ml_conformal_interval,
+        _ML_CONFORMAL_SQL,
+        ("ml", "conformal", "uncertainty"),
     ),
     "ts_ewma_irregular": QuerySpec(
         ts_ewma_irregular,

@@ -113,5 +113,7 @@ def test_survey_mentions_every_late_r8_op():
         "graph_ppr_single_source",
         "samp_reservoir_weighted",
         "evt_alert_debounce",
+        "ts_dtw_distance",
+        "ml_conformal_interval",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"
