@@ -6530,6 +6530,100 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 
+def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD — the forecaster for INTERMITTENT demand
+    (most days zero, occasional spikes), where plain EWMA
+    systematically under-forecasts: smooth the nonzero demand SIZES
+    and the INTER-ARRIVAL gaps as two separate alpha=1/2 EWMAs,
+    updated only at demand points; the demand-rate forecast is
+    size_ewma / gap_ewma (emitted as exact permille via one
+    truncating division). Per user over purchase days: both EWMAs
+    are truncating integer halvings ((prev + obs) div 2), the
+    coupled fold runs as `aggregate()` over the day-grid array vs a
+    recursive-CTE oracle (depth = purchase days per user,
+    calendar-bounded — the recursion-depth rule), and users need
+    >= 2 demand points for a gap to exist. The output separates the
+    two smoothed states so the test can pin each independently."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts_us div 86400000000").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    ser = (
+        daily.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day AS day, s AS s)))"
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
+    )
+    # acc = (z = size EWMA, p = gap EWMA (-1 until the 2nd point),
+    #        pd = previous day)
+    step = (
+        "named_struct("
+        " 'z', (acc.z + x.s) div 2,"
+        " 'p', CASE WHEN acc.p < 0 THEN x.day - acc.pd"
+        "           ELSE (acc.p + (x.day - acc.pd)) div 2 END,"
+        " 'pd', x.day)"
+    )
+    fold = (
+        "aggregate("
+        " slice(xs, 2, greatest(size(xs) - 1, 0)),"
+        " named_struct('z', element_at(xs, 1).s,"
+        "              'p', CAST(-1 AS BIGINT),"
+        "              'pd', element_at(xs, 1).day),"
+        f" (acc, x) -> {step})"
+    )
+    return ser.select(
+        "user_id",
+        F.expr("CAST(size(xs) AS BIGINT)").alias("n_points"),
+        F.expr(f"{fold}.z").alias("size_ewma"),
+        F.expr(f"{fold}.p").alias("gap_ewma"),
+        F.expr(f"({fold}.z * 1000) div {fold}.p").alias(
+            "rate_permille"
+        ),
+    )
+
+
+_TS_CROSTON_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), ser AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(day := day, s := s))) AS xs
+  FROM daily GROUP BY user_id
+), n AS (
+  SELECT user_id, CAST(len(xs) AS BIGINT) AS np, xs
+  FROM ser WHERE len(xs) >= 2
+), rec(user_id, i, z, p, pd) AS (
+  SELECT user_id, CAST(1 AS BIGINT), xs[1].s,
+         CAST(-1 AS BIGINT), xs[1].day
+  FROM n
+  UNION ALL
+  SELECT r.user_id, r.i + 1,
+         (r.z + n.xs[CAST(r.i + 1 AS INT)].s) // 2,
+         CASE WHEN r.p < 0
+              THEN n.xs[CAST(r.i + 1 AS INT)].day - r.pd
+              ELSE (r.p + (n.xs[CAST(r.i + 1 AS INT)].day - r.pd))
+                   // 2 END,
+         n.xs[CAST(r.i + 1 AS INT)].day
+  FROM rec r JOIN n ON n.user_id = r.user_id
+  WHERE r.i < n.np
+)
+SELECT r.user_id, n.np AS n_points,
+       CAST(r.z AS BIGINT) AS size_ewma,
+       CAST(r.p AS BIGINT) AS gap_ewma,
+       CAST((r.z * 1000) // r.p AS BIGINT) AS rate_permille
+FROM rec r JOIN n ON n.user_id = r.user_id
+WHERE r.i = n.np
+"""
+
+
 def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
     uncertainty wrapper around ANY point predictor: fit on the
@@ -7119,6 +7213,11 @@ QUERIES = {
         ml_conformal_interval,
         _ML_CONFORMAL_SQL,
         ("ml", "conformal", "uncertainty"),
+    ),
+    "ts_croston_intermittent": QuerySpec(
+        ts_croston_intermittent,
+        _TS_CROSTON_SQL,
+        ("timeseries", "croston", "intermittent"),
     ),
     "ts_ewma_irregular": QuerySpec(
         ts_ewma_irregular,

@@ -1662,6 +1662,90 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# dq_duplicate_payments — near-duplicate transaction audit
+# ---------------------------------------------------------------------------
+
+
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-PAYMENT AUDIT — the finance-ops detector for
+    double-submitted transactions: same customer, same exact amount,
+    within 2 days, different order ids. Natural exact-amount
+    repeats are rare in the fixture, so known duplicates are PLANTED
+    in-plan (every 41st order re-submitted next day under a shifted
+    id — the deterministic-injection discipline), and the detector
+    must find at least that planted population plus whatever natural
+    collisions exist. The join is BLOCKED on (custkey, amount) exact
+    equality — at 100 TB candidate volume is Σ per-(cust, amount)
+    multiplicity², which real amount distributions keep tiny — and
+    the 2-day proximity is a filter inside blocks, never a range
+    join over the table. Output: each flagged pair with its day gap
+    and an is_planted marker so precision is auditable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_date(CAST(o_orderdate AS DATE))").alias("day"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    planted = o.where(F.col("o_orderkey") % 41 == 0).select(
+        "o_custkey",
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        (F.col("day") + 1).alias("day"),
+        "price_c",
+    )
+    reg = o.unionByName(planted)
+    pairs = (
+        reg.alias("l")
+        .join(
+            reg.alias("r"),
+            (F.col("l.o_custkey") == F.col("r.o_custkey"))
+            & (F.col("l.price_c") == F.col("r.price_c"))
+            & (F.col("l.o_orderkey") < F.col("r.o_orderkey")),
+        )
+        .where(F.abs(F.col("l.day") - F.col("r.day")) <= 2)
+        .select(
+            F.col("l.o_custkey").alias("o_custkey"),
+            F.col("l.o_orderkey").alias("k1"),
+            F.col("r.o_orderkey").alias("k2"),
+            F.col("l.price_c").alias("price_c"),
+            F.abs(F.col("l.day") - F.col("r.day"))
+            .cast("long")
+            .alias("day_gap"),
+            (
+                (F.col("r.o_orderkey") - F.col("l.o_orderkey"))
+                == 1_000_000_000
+            )
+            .cast("long")
+            .alias("is_planted"),
+        )
+    )
+    return pairs
+
+
+_DQ_DUP_PAY_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+), reg AS (
+  SELECT * FROM o
+  UNION ALL
+  SELECT o_custkey, o_orderkey + 1000000000, day + 1, price_c
+  FROM o WHERE o_orderkey % 41 = 0
+)
+SELECT l.o_custkey, l.o_orderkey AS k1, r.o_orderkey AS k2,
+       l.price_c,
+       CAST(ABS(l.day - r.day) AS BIGINT) AS day_gap,
+       CAST(CASE WHEN r.o_orderkey - l.o_orderkey = 1000000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_planted
+FROM reg l JOIN reg r
+  ON l.o_custkey = r.o_custkey AND l.price_c = r.price_c
+ AND l.o_orderkey < r.o_orderkey
+WHERE ABS(l.day - r.day) <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_alert_debounce — cooldown-debounced alert admission
 # ---------------------------------------------------------------------------
 
@@ -2029,6 +2113,11 @@ QUERIES = {
         evt_alert_debounce,
         _EVT_DEBOUNCE_SQL,
         ("events", "alerting", "debounce"),
+    ),
+    "dq_duplicate_payments": QuerySpec(
+        dq_duplicate_payments,
+        _DQ_DUP_PAY_SQL,
+        ("quality", "finance", "duplicates"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

@@ -115,5 +115,7 @@ def test_survey_mentions_every_late_r8_op():
         "evt_alert_debounce",
         "ts_dtw_distance",
         "ml_conformal_interval",
+        "dq_duplicate_payments",
+        "ts_croston_intermittent",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

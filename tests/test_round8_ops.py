@@ -2474,3 +2474,83 @@ def test_ml_conformal_interval_replay_and_coverage(spark, sf_dir):
         assert r["mu_c"] == mu and r["qhat_c"] == qhat
         assert r["coverage_ppm"] == n_cov * 1_000_000 // len(tst)
         assert r["coverage_ppm"] > 850_000  # the conformal guarantee
+
+
+def test_dq_duplicate_payments_finds_planted(spark, sf_dir):
+    """Every planted clone pair must be flagged with day_gap=1 and
+    is_planted=1; natural pairs obey the predicate; nothing outside
+    the predicate appears."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    o = {
+        r["o_orderkey"]: (
+            r["o_custkey"],
+            int(round(r["o_totalprice"] * 100)),
+        )
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    planted = {k for k in o if k % 41 == 0}
+    rows = _Q["dq_duplicate_payments"].fn(spark, sf_dir).collect()
+    flagged_planted = {
+        r["k1"] for r in rows if r["is_planted"] == 1
+    }
+    assert flagged_planted == planted  # full recall on the plants
+    for r in rows:
+        assert r["day_gap"] <= 2 and r["k1"] < r["k2"]
+        if r["is_planted"]:
+            assert r["k2"] == r["k1"] + 1_000_000_000
+            assert r["day_gap"] == 1
+        ck, pc = o[r["k1"] if r["k1"] in o else r["k1"]]
+        assert r["o_custkey"] == ck and r["price_c"] == pc
+
+
+def test_ts_croston_intermittent_replay(spark, sf_dir):
+    """Dual-EWMA replay: size and gap states fold independently with
+    truncating halving; rate = z*1000 div p; gaps must vary (the
+    intermittency that motivates Croston)."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.expr("ts_us div 86400000000").alias("day"))
+        .collect()
+    ):
+        k = (r["user_id"], r["day"])
+        daily[k] = daily.get(k, 0) + 1
+    per: dict = {}
+    for (u, d), s in daily.items():
+        per.setdefault(u, []).append((d, s))
+    expect = {}
+    any_gap_varies = False
+    for u, ds in per.items():
+        if len(ds) < 2:
+            continue
+        ds.sort()
+        z, p, pd_ = ds[0][1], -1, ds[0][0]
+        gaps = []
+        for d, s in ds[1:]:
+            z = (z + s) // 2
+            g = d - pd_
+            gaps.append(g)
+            p = g if p < 0 else (p + g) // 2
+            pd_ = d
+        expect[u] = (len(ds), z, p, z * 1000 // p)
+        if len(set(gaps)) > 1:
+            any_gap_varies = True
+    got = {
+        r["user_id"]: (
+            r["n_points"],
+            r["size_ewma"],
+            r["gap_ewma"],
+            r["rate_permille"],
+        )
+        for r in _Q["ts_croston_intermittent"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any_gap_varies  # demand is actually intermittent
