@@ -1662,6 +1662,312 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# evt_att_stratified — stratified matching estimator (ATT)
+# ---------------------------------------------------------------------------
+
+
+def evt_att_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED ATT — the confounder-adjustment leg of the causal
+    quartet (`evt_ab_test` tests, `evt_cuped_adjust` de-noises,
+    `evt_did_analysis` removes time trends, THIS removes selection
+    on observables): users are stratified EXACTLY on the confounder
+    (pre-period purchase count, capped at 5 — small-int confounders
+    need no binning model), the treated-vs-control post-period mean
+    gap is computed inside each stratum, and the ATT reweights the
+    per-stratum gaps by treated counts — the classic
+    subclassification estimator. Per-stratum gaps are signed
+    millicents via sign-split truncating division; the ATT applies
+    one more truncating division over the treated-weighted sum
+    (documented double truncation, identical in both engines).
+    Strata missing an arm are excluded on both engines. One event
+    scan -> per-user counts -> a stratum-grid aggregate; the ATT
+    window runs over <= 6 stratum rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    users = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), F.col("is_p"))
+                .otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid_us"), F.col("is_p"))
+                .otherwise(0)
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2 == 0).cast("long"))
+        .withColumn("stratum", F.least(F.col("x"), F.lit(5)))
+    )
+    g = (
+        users.groupBy("stratum")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_t"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias(
+                "sy_t"
+            ),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias(
+                "sy_c"
+            ),
+        )
+        .where((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+
+    def _sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) div ({den}) AS BIGINT) END"
+        )
+
+    dnum = (
+        "(CAST(sy_t AS DECIMAL(38,0)) * n_c"
+        " - CAST(sy_c AS DECIMAL(38,0)) * n_t)"
+    )
+    nn = "(CAST(n_t AS DECIMAL(38,0)) * n_c)"
+    per = g.select(
+        F.col("stratum").cast("long").alias("stratum"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.expr(_sdiv("CAST(sy_t AS DECIMAL(38,0))", "n_t")).alias(
+            "mean_y_t_mc"
+        ),
+        F.expr(_sdiv("CAST(sy_c AS DECIMAL(38,0))", "n_c")).alias(
+            "mean_y_c_mc"
+        ),
+        F.expr(_sdiv(dnum, nn)).alias("delta_mc"),
+    )
+    return per.withColumn(
+        "att_mc",
+        F.expr(
+            "CASE WHEN sum(CAST(n_t AS DECIMAL(38,0)) * delta_mc)"
+            " OVER () >= 0"
+            " THEN CAST((sum(CAST(n_t AS DECIMAL(38,0)) * delta_mc)"
+            "   OVER ()) div (sum(n_t) OVER ()) AS BIGINT)"
+            " ELSE -CAST((-(sum(CAST(n_t AS DECIMAL(38,0)) * delta_mc)"
+            "   OVER ())) div (sum(n_t) OVER ()) AS BIGINT) END"
+        ),
+    )
+
+
+def _att_sql() -> str:
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) // ({den}) AS BIGINT) END"
+        )
+
+    dnum = (
+        "(CAST(sy_t AS HUGEINT) * n_c - CAST(sy_c AS HUGEINT) * n_t)"
+    )
+    nn = "(CAST(n_t AS HUGEINT) * n_c)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN is_p ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts_us >= mid_us THEN is_p ELSE 0 END)
+              AS BIGINT) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS arm
+  FROM ev CROSS JOIN lim GROUP BY user_id
+), g AS (
+  SELECT LEAST(x, 5) AS stratum,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+           AS sy_t,
+         CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+           AS sy_c
+  FROM users GROUP BY 1
+  HAVING SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+     AND SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+), per AS (
+  SELECT CAST(stratum AS BIGINT) AS stratum, n_t, n_c,
+         {sdiv("CAST(sy_t AS HUGEINT)", "n_t")} AS mean_y_t_mc,
+         {sdiv("CAST(sy_c AS HUGEINT)", "n_c")} AS mean_y_c_mc,
+         {sdiv(dnum, nn)} AS delta_mc
+  FROM g
+)
+SELECT *,
+       CASE WHEN SUM(CAST(n_t AS HUGEINT) * delta_mc) OVER () >= 0
+            THEN CAST((SUM(CAST(n_t AS HUGEINT) * delta_mc) OVER ())
+                 // (SUM(n_t) OVER ()) AS BIGINT)
+            ELSE -CAST((-(SUM(CAST(n_t AS HUGEINT) * delta_mc)
+                 OVER ())) // (SUM(n_t) OVER ()) AS BIGINT) END
+         AS att_mc
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# ml_permutation_test — md5-seeded permutation test for the arm delta
+# ---------------------------------------------------------------------------
+
+_PERM_B = 20
+
+
+def ml_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTATION TEST — the assumption-free significance check for
+    the A/B delta (`evt_ab_test` assumes the z approximation; this
+    entry asks the data directly): B=20 label permutations, each
+    re-assigning every user's arm from md5(user:b) % 2, re-compute
+    the treated-minus-control mean-purchases delta under each, and
+    the p-value is the rank of |observed| among |permuted| with the
+    add-one correction — (count(|perm| >= |obs|) + 1) / (B + 1).
+    All 20 permuted deltas accumulate in ONE scan of the per-user
+    table as conditional aggregates (the `ml_bootstrap_ci` trick —
+    no B-fold explosion), each delta is signed millicounts via the
+    cross-multiplied rational and ONE truncating division, and the
+    comparison runs on those identically-truncated ints. Under the
+    parity null the observed delta is itself exchangeable, so the
+    test pins mechanics (replay), not significance."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    users = ev.groupBy("user_id").agg(F.sum("is_p").alias("y"))
+
+    def _sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) div ({den}) AS BIGINT) END"
+        )
+
+    def _delta(arm: str, tag: str) -> list:
+        return [
+            F.sum(F.expr(f"CASE WHEN {arm} = 1 THEN 1 ELSE 0 END")).alias(
+                f"nt_{tag}"
+            ),
+            F.sum(F.expr(f"CASE WHEN {arm} = 0 THEN 1 ELSE 0 END")).alias(
+                f"nc_{tag}"
+            ),
+            F.sum(F.expr(f"CASE WHEN {arm} = 1 THEN y ELSE 0 END")).alias(
+                f"st_{tag}"
+            ),
+            F.sum(F.expr(f"CASE WHEN {arm} = 0 THEN y ELSE 0 END")).alias(
+                f"sc_{tag}"
+            ),
+        ]
+
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    aggs += _delta("CAST(user_id % 2 = 0 AS INT)", "obs")
+    for b in range(_PERM_B):
+        arm = (
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)"
+            f" || ':{b}'), 1, 12), 16, 10) AS BIGINT) % 2"
+        )
+        aggs += _delta(f"({arm})", f"p{b}")
+    g = users.agg(*aggs)
+
+    def d_mc(tag: str) -> str:
+        num = (
+            f"(CAST(st_{tag} AS DECIMAL(38,0)) * nc_{tag}"
+            f" - CAST(sc_{tag} AS DECIMAL(38,0)) * nt_{tag})"
+        )
+        den = f"(CAST(nt_{tag} AS DECIMAL(38,0)) * nc_{tag})"
+        return _sdiv(num, den)
+
+    n_ge = " + ".join(
+        f"CASE WHEN abs({d_mc(f'p{b}')}) >= abs({d_mc('obs')})"
+        " THEN 1 ELSE 0 END"
+        for b in range(_PERM_B)
+    )
+    return g.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.expr(d_mc("obs")).alias("obs_delta_mc"),
+        F.lit(_PERM_B).cast("long").alias("n_perm"),
+        F.expr(f"CAST({n_ge} AS BIGINT)").alias("n_ge"),
+        F.expr(
+            f"CAST((({n_ge}) + 1) * 1000000 AS BIGINT)"
+            f" div {_PERM_B + 1}"
+        )
+        .cast("long")
+        .alias("p_ppm"),
+    )
+
+
+def _perm_sql() -> str:
+    def sdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * 1000) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * 1000) // ({den}) AS BIGINT) END"
+        )
+
+    def arm(tag: str) -> str:
+        if tag == "obs":
+            return "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END"
+        b = tag[1:]
+        return (
+            "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)"
+            f" || ':{b}'), 1, 12)) AS BIGINT) % 2"
+        )
+
+    tags = ["obs"] + [f"p{b}" for b in range(_PERM_B)]
+    cols = []
+    for t in tags:
+        a = arm(t)
+        cols += [
+            f"CAST(SUM(CASE WHEN ({a}) = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nt_{t}",
+            f"CAST(SUM(CASE WHEN ({a}) = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nc_{t}",
+            f"CAST(SUM(CASE WHEN ({a}) = 1 THEN y ELSE 0 END) AS BIGINT)"
+            f" AS st_{t}",
+            f"CAST(SUM(CASE WHEN ({a}) = 0 THEN y ELSE 0 END) AS BIGINT)"
+            f" AS sc_{t}",
+        ]
+
+    def d_mc(tag: str) -> str:
+        num = (
+            f"(CAST(st_{tag} AS HUGEINT) * nc_{tag}"
+            f" - CAST(sc_{tag} AS HUGEINT) * nt_{tag})"
+        )
+        den = f"(CAST(nt_{tag} AS HUGEINT) * nc_{tag})"
+        return sdiv(num, den)
+
+    n_ge = " + ".join(
+        f"CASE WHEN abs({d_mc(f'p{b}')}) >= abs({d_mc('obs')})"
+        " THEN 1 ELSE 0 END"
+        for b in range(_PERM_B)
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users, {", ".join(cols)}
+  FROM users
+)
+SELECT n_users,
+       {d_mc("obs")} AS obs_delta_mc,
+       CAST({_PERM_B} AS BIGINT) AS n_perm,
+       CAST({n_ge} AS BIGINT) AS n_ge,
+       CAST((({n_ge}) + 1) * 1000000 // {_PERM_B + 1} AS BIGINT)
+         AS p_ppm
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
 # dq_duplicate_payments — near-duplicate transaction audit
 # ---------------------------------------------------------------------------
 
@@ -2118,6 +2424,16 @@ QUERIES = {
         dq_duplicate_payments,
         _DQ_DUP_PAY_SQL,
         ("quality", "finance", "duplicates"),
+    ),
+    "evt_att_stratified": QuerySpec(
+        evt_att_stratified,
+        _att_sql(),
+        ("experimentation", "causal", "stratification"),
+    ),
+    "ml_permutation_test": QuerySpec(
+        ml_permutation_test,
+        _perm_sql(),
+        ("ml", "significance", "permutation"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

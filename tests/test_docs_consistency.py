@@ -117,5 +117,7 @@ def test_survey_mentions_every_late_r8_op():
         "ml_conformal_interval",
         "dq_duplicate_payments",
         "ts_croston_intermittent",
+        "evt_att_stratified",
+        "ml_permutation_test",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

@@ -2554,3 +2554,119 @@ def test_ts_croston_intermittent_replay(spark, sf_dir):
     }
     assert got == expect
     assert any_gap_varies  # demand is actually intermittent
+
+
+def test_evt_att_stratified_replay(spark, sf_dir):
+    """Subclassification replay: exact per-stratum gaps and the
+    treated-weighted ATT with the documented double truncation."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts_us",
+            (F.col("event_type") == "purchase").cast("long").alias("p"),
+        )
+        .collect()
+    )
+    mid = (min(r["ts_us"] for r in rows) + max(r["ts_us"] for r in rows)) // 2
+    per: dict = {}
+    for r in rows:
+        xy = per.setdefault(r["user_id"], [0, 0])
+        xy[0 if r["ts_us"] < mid else 1] += r["p"]
+    strata: dict = {}
+    for u, (x, y) in per.items():
+        s = min(x, 5)
+        arm = 1 if u % 2 == 0 else 0
+        st = strata.setdefault(s, [0, 0, 0, 0])  # n_t n_c sy_t sy_c
+        if arm:
+            st[0] += 1
+            st[2] += y
+        else:
+            st[1] += 1
+            st[3] += y
+
+    def tdiv(num, den, scale=1000):
+        return (
+            num * scale // den if num >= 0 else -((-num) * scale // den)
+        )
+
+    expect = {}
+    att_num, att_den = 0, 0
+    for s, (n_t, n_c, sy_t, sy_c) in strata.items():
+        if n_t == 0 or n_c == 0:
+            continue
+        delta = tdiv(sy_t * n_c - sy_c * n_t, n_t * n_c)
+        expect[s] = (
+            n_t,
+            n_c,
+            tdiv(sy_t, n_t),
+            tdiv(sy_c, n_c),
+            delta,
+        )
+        att_num += n_t * delta
+        att_den += n_t
+    att = tdiv(att_num, att_den, scale=1)
+    got = {}
+    for r in _Q["evt_att_stratified"].fn(spark, sf_dir).collect():
+        got[r["stratum"]] = (
+            r["n_t"],
+            r["n_c"],
+            r["mean_y_t_mc"],
+            r["mean_y_c_mc"],
+            r["delta_mc"],
+        )
+        assert r["att_mc"] == att
+    assert got == expect
+    assert len(got) >= 3  # the confounder actually stratifies
+
+
+def test_ml_permutation_test_replay(spark, sf_dir):
+    """Replay all 20 md5 permutations and the add-one p-value."""
+    import hashlib
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    y: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("long").alias("p"),
+        )
+        .collect()
+    ):
+        y[r["user_id"]] = y.get(r["user_id"], 0) + r["p"]
+
+    def tdiv(num, den):
+        return num * 1000 // den if num >= 0 else -((-num) * 1000 // den)
+
+    def delta(arm_of):
+        nt = nc = st = sc = 0
+        for u, yy in y.items():
+            if arm_of(u):
+                nt += 1
+                st += yy
+            else:
+                nc += 1
+                sc += yy
+        return tdiv(st * nc - sc * nt, nt * nc)
+
+    obs = delta(lambda u: u % 2 == 0)
+    n_ge = 0
+    for b in range(20):
+        def arm(u, b=b):
+            h = hashlib.md5(f"{u}:{b}".encode()).hexdigest()[:12]
+            return int(h, 16) % 2 == 1
+        if abs(delta(arm)) >= abs(obs):
+            n_ge += 1
+    r = _Q["ml_permutation_test"].fn(spark, sf_dir).collect()[0]
+    assert r["n_users"] == len(y)
+    assert r["obs_delta_mc"] == obs
+    assert r["n_ge"] == n_ge
+    assert r["p_ppm"] == (n_ge + 1) * 1_000_000 // 21
