@@ -138,6 +138,11 @@ HEAVY = [
     "pack_sequences_nfd",
     "dq_late_arrival_report",
     "graph_ppr_single_source",
+    # wave J-L: the Σ multiplicity² blocked audit, the banded-DP
+    # fold, and the order-statistic + coverage join
+    "dq_duplicate_payments",
+    "ts_dtw_distance",
+    "ml_conformal_interval",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
