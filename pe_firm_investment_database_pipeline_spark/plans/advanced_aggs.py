@@ -6530,6 +6530,243 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL'S TAU — the nonparametric rank association between
+    each type's daily volume and daily purchase revenue (does
+    activity MOVE WITH revenue, without assuming linearity — the
+    question Pearson (`agg_corr_stats`) begs): count concordant /
+    discordant / tied day pairs on the shared grid and emit tau-a =
+    (C - D) / (n(n-1)/2) in exact ppm plus all four raw counts (the
+    tie decomposition tau-b needs). The pair join runs on the DAY
+    GRID (n ~ calendar days), never on events — O(grid²) per type
+    is constant-bounded at any data scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .otherwise(0)
+        .alias("rev_c"),
+    )
+    rev = (
+        ev.groupBy("day")
+        .agg(F.sum("rev_c").alias("y"))
+    )
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .join(rev, "day")
+    )
+    l, r = daily.alias("l"), daily.alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.event_type") == F.col("r.event_type"))
+        & (F.col("l.day") < F.col("r.day")),
+    ).select(
+        F.col("l.event_type").alias("event_type"),
+        (
+            (F.col("l.x") - F.col("r.x"))
+            * (F.col("l.y") - F.col("r.y"))
+        ).alias("prod"),
+        ((F.col("l.x") == F.col("r.x"))).cast("long").alias("tx"),
+        ((F.col("l.y") == F.col("r.y"))).cast("long").alias("ty"),
+    )
+    g = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("prod") > 0).cast("long")).alias("n_conc"),
+        F.sum((F.col("prod") < 0).cast("long")).alias("n_disc"),
+        F.sum("tx").alias("n_tie_x"),
+        F.sum("ty").alias("n_tie_y"),
+    )
+    sd = (
+        "CASE WHEN (n_conc - n_disc) >= 0"
+        " THEN CAST(((n_conc - n_disc) * 1000000) div n_pairs AS BIGINT)"
+        " ELSE -CAST(((n_disc - n_conc) * 1000000) div n_pairs"
+        " AS BIGINT) END"
+    )
+    return g.select(
+        "event_type",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_conc").cast("long").alias("n_conc"),
+        F.col("n_disc").cast("long").alias("n_disc"),
+        F.col("n_tie_x").cast("long").alias("n_tie_x"),
+        F.col("n_tie_y").cast("long").alias("n_tie_y"),
+        F.expr(sd).alias("tau_a_ppm"),
+    )
+
+
+_ML_KENDALL_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+  FROM events
+), rev AS (
+  SELECT day, CAST(SUM(rev_c) AS BIGINT) AS y FROM ev GROUP BY day
+), daily AS (
+  SELECT e.event_type, e.day, CAST(COUNT(*) AS BIGINT) AS x, MAX(r.y) AS y
+  FROM ev e JOIN rev r ON e.day = r.day
+  GROUP BY e.event_type, e.day
+), pairs AS (
+  SELECT l.event_type,
+         (l.x - r.x) * (l.y - r.y) AS prod,
+         CASE WHEN l.x = r.x THEN 1 ELSE 0 END AS tx,
+         CASE WHEN l.y = r.y THEN 1 ELSE 0 END AS ty
+  FROM daily l JOIN daily r
+    ON l.event_type = r.event_type AND l.day < r.day
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(CASE WHEN prod > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_conc,
+         CAST(SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_disc,
+         CAST(SUM(tx) AS BIGINT) AS n_tie_x,
+         CAST(SUM(ty) AS BIGINT) AS n_tie_y
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n_pairs, n_conc, n_disc, n_tie_x, n_tie_y,
+       CASE WHEN (n_conc - n_disc) >= 0
+            THEN CAST(((n_conc - n_disc) * 1000000) // n_pairs
+                      AS BIGINT)
+            ELSE -CAST(((n_disc - n_conc) * 1000000) // n_pairs
+                       AS BIGINT) END AS tau_a_ppm
+FROM g
+"""
+
+
+def ml_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION — Pearson on ranks, the
+    tie-friendly sibling of `ml_kendall_tau` over the same
+    (activity, revenue) day grid. Ties take AVERAGE ranks; to stay
+    integral both engines use DOUBLED average ranks (2*avg =
+    2*rank_first + (ties - 1), the `win_median_sliding` trick), and
+    rho comes from the exact sufficient statistics over doubled
+    ranks via the `agg_corr_stats` DECIMAL(38,0)/HUGEINT
+    discipline, one sign-split ppm division at the end. Rank
+    windows run per type over the day grid — bounded partitions,
+    no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_us div 86400000000").alias("day"),
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .otherwise(0)
+        .alias("rev_c"),
+    )
+    rev = ev.groupBy("day").agg(F.sum("rev_c").alias("y"))
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .join(rev, "day")
+    )
+
+    def drank(col: str) -> str:
+        # doubled average rank: 2*rank_first + (count_of_value - 1)
+        return (
+            f"2 * rank() OVER (PARTITION BY event_type ORDER BY {col})"
+            f" + count(1) OVER (PARTITION BY event_type, {col}) - 1"
+        )
+
+    ranked = daily.select(
+        "event_type",
+        F.expr(drank("x")).cast("long").alias("rx"),
+        F.expr(drank("y")).cast("long").alias("ry"),
+    )
+    g = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * ry")).alias("sxy"),
+        F.sum(F.expr("CAST(rx AS DECIMAL(38,0)) * rx")).alias("sxx"),
+        F.sum(F.expr("CAST(ry AS DECIMAL(38,0)) * ry")).alias("syy"),
+    )
+    cov = "(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+    vx = "(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    vy = "(n * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    # rho_ppm via rho^2 composition is sign-lossy; instead emit the
+    # exact cross-moment pieces plus rho_mppm = cov*1000 div the
+    # floor-sqrt-free denominator bound... keep it EXACT: emit
+    # cov/vx/vy-derived slope ppms (the two regression slopes whose
+    # geometric mean is |rho|) and their product (rho^2 in ppm^2
+    # scale) — fully rational, no sqrt.
+    sdiv = (
+        "CASE WHEN ({num}) >= 0"
+        " THEN CAST((({num}) * 1000000) div ({den}) AS BIGINT)"
+        " ELSE -CAST(((-({num})) * 1000000) div ({den}) AS BIGINT) END"
+    )
+    byx = sdiv.format(num=cov, den=vx)
+    bxy = sdiv.format(num=cov, den=vy)
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(byx).alias("slope_yx_ppm"),
+        F.expr(bxy).alias("slope_xy_ppm"),
+        F.expr(
+            "CASE WHEN " + vx + " = 0 OR " + vy + " = 0 THEN NULL ELSE "
+            + sdiv.format(
+                num=f"CAST({byx} AS DECIMAL(38,0)) * ({bxy})",
+                den="1000000000000",
+            )
+            + " END"
+        ).alias("rho2_ppm"),
+    )
+
+
+def _ml_spearman_sql() -> str:
+    def drank(col: str) -> str:
+        return (
+            f"2 * rank() OVER (PARTITION BY event_type ORDER BY {col})"
+            f" + count(1) OVER (PARTITION BY event_type, {col}) - 1"
+        )
+
+    sdiv = (
+        "CASE WHEN ({num}) >= 0"
+        " THEN CAST((({num}) * 1000000) // ({den}) AS BIGINT)"
+        " ELSE -CAST(((-({num})) * 1000000) // ({den}) AS BIGINT) END"
+    )
+    cov = "(n * sxy - CAST(sx AS HUGEINT) * sy)"
+    vx = "(n * sxx - CAST(sx AS HUGEINT) * sx)"
+    vy = "(n * syy - CAST(sy AS HUGEINT) * sy)"
+    byx = sdiv.format(num=cov, den=vx)
+    bxy = sdiv.format(num=cov, den=vy)
+    rho2 = sdiv.format(
+        num=f"CAST({byx} AS HUGEINT) * ({bxy})", den="1000000000000"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS rev_c
+  FROM events
+), rev AS (
+  SELECT day, CAST(SUM(rev_c) AS BIGINT) AS y FROM ev GROUP BY day
+), daily AS (
+  SELECT e.event_type, e.day, CAST(COUNT(*) AS BIGINT) AS x, MAX(r.y) AS y
+  FROM ev e JOIN rev r ON e.day = r.day
+  GROUP BY e.event_type, e.day
+), ranked AS (
+  SELECT event_type,
+         CAST({drank("x")} AS BIGINT) AS rx,
+         CAST({drank("y")} AS BIGINT) AS ry
+  FROM daily
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx,
+         CAST(SUM(ry) AS BIGINT) AS sy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       {byx} AS slope_yx_ppm,
+       {bxy} AS slope_xy_ppm,
+       CASE WHEN {vx} = 0 OR {vy} = 0 THEN NULL
+            ELSE {rho2} END AS rho2_ppm
+FROM g
+"""
+
+
 def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSTON'S METHOD — the forecaster for INTERMITTENT demand
     (most days zero, occasional spikes), where plain EWMA
@@ -7218,6 +7455,16 @@ QUERIES = {
         ts_croston_intermittent,
         _TS_CROSTON_SQL,
         ("timeseries", "croston", "intermittent"),
+    ),
+    "ml_kendall_tau": QuerySpec(
+        ml_kendall_tau,
+        _ML_KENDALL_SQL,
+        ("ml", "rank-correlation", "kendall"),
+    ),
+    "ml_spearman_rank": QuerySpec(
+        ml_spearman_rank,
+        _ml_spearman_sql(),
+        ("ml", "rank-correlation", "spearman"),
     ),
     "ts_ewma_irregular": QuerySpec(
         ts_ewma_irregular,

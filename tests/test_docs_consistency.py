@@ -119,5 +119,7 @@ def test_survey_mentions_every_late_r8_op():
         "ts_croston_intermittent",
         "evt_att_stratified",
         "ml_permutation_test",
+        "ml_kendall_tau",
+        "ml_spearman_rank",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

@@ -2670,3 +2670,117 @@ def test_ml_permutation_test_replay(spark, sf_dir):
     assert r["obs_delta_mc"] == obs
     assert r["n_ge"] == n_ge
     assert r["p_ppm"] == (n_ge + 1) * 1_000_000 // 21
+
+
+def _daily_xy(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    rev: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(round(value * 100) AS BIGINT)"),
+            )
+            .otherwise(0)
+            .alias("rev_c"),
+        )
+        .collect()
+    ):
+        k = (r["event_type"], r["day"])
+        daily[k] = daily.get(k, 0) + 1
+        rev[r["day"]] = rev.get(r["day"], 0) + r["rev_c"]
+    xy: dict = {}
+    for (t, d), x in daily.items():
+        xy.setdefault(t, []).append((d, x, rev[d]))
+    return xy
+
+
+def test_ml_kendall_tau_replay(spark, sf_dir):
+    """Exact concordance replay over the day grid."""
+    xy = _daily_xy(spark, sf_dir)
+    got = {
+        r["event_type"]: r
+        for r in _Q["ml_kendall_tau"].fn(spark, sf_dir).collect()
+    }
+    for t, ds in xy.items():
+        ds.sort()
+        C = D = TX = TY = P = 0
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                P += 1
+                dx = ds[i][1] - ds[j][1]
+                dy = ds[i][2] - ds[j][2]
+                if dx * dy > 0:
+                    C += 1
+                elif dx * dy < 0:
+                    D += 1
+                if dx == 0:
+                    TX += 1
+                if dy == 0:
+                    TY += 1
+        r = got[t]
+        assert (r["n_pairs"], r["n_conc"], r["n_disc"]) == (P, C, D)
+        assert (r["n_tie_x"], r["n_tie_y"]) == (TX, TY)
+        num = C - D
+        want = (
+            num * 1_000_000 // P
+            if num >= 0
+            else -((-num) * 1_000_000 // P)
+        )
+        assert r["tau_a_ppm"] == want
+    # purchase count tracks its own revenue (revenue = count x
+    # noisy values, so the association is positive but moderate)
+    assert got["purchase"]["tau_a_ppm"] > 250_000
+
+
+def test_ml_spearman_rank_replay(spark, sf_dir):
+    """Doubled-average-rank replay; rho² of the purchase row must be
+    high (activity vs its own revenue) and rho² <= 1."""
+    xy = _daily_xy(spark, sf_dir)
+    got = {
+        r["event_type"]: r
+        for r in _Q["ml_spearman_rank"].fn(spark, sf_dir).collect()
+    }
+
+    def dranks(vals):
+        order = sorted(vals)
+        first = {}
+        cnt = {}
+        for i, v in enumerate(order, 1):
+            first.setdefault(v, i)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    def tdiv(num, den):
+        return (
+            num * 1_000_000 // den
+            if num >= 0
+            else -((-num) * 1_000_000 // den)
+        )
+
+    for t, ds in xy.items():
+        rx = dranks([x for _, x, _ in ds])
+        ry = dranks([y for _, _, y in ds])
+        n = len(ds)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sxx = sum(a * a for a in rx)
+        syy = sum(b * b for b in ry)
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        byx, bxy = tdiv(cov, vx), tdiv(cov, vy)
+        r = got[t]
+        assert r["n_days"] == n
+        assert r["slope_yx_ppm"] == byx
+        assert r["slope_xy_ppm"] == bxy
+        assert r["rho2_ppm"] == tdiv(byx * bxy, 10**12)
+        assert r["rho2_ppm"] <= 1_000_000
+    assert got["purchase"]["rho2_ppm"] > 200_000
