@@ -1662,6 +1662,136 @@ FROM per
 
 
 # ---------------------------------------------------------------------------
+# evt_attribution_shapley — exact Shapley multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def evt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAPLEY MULTI-TOUCH ATTRIBUTION — the game-theoretic answer
+    to 'which channel gets credit for the conversion' that
+    last-touch (`evt_attribution`) systematically biases: with the
+    3-channel exposure game (view/click/signup; conversion = the
+    >= 14-purchases convention), every coalition value v(T) =
+    CONVERTED USERS WHOSE EXPOSURE SET ⊆ T is an integer count, all
+    8 coalition values come from ONE conditional-aggregate scan of
+    the per-user flag table, and the |C|=3 Shapley weights
+    (1/3, 1/6, 1/6, 1/3) are cleared by emitting phi x6 — the whole
+    computation is exact int64, closed-form, no sampling. The
+    efficiency axiom Σ phi_x6 = 6(v(full) - v(empty)) rides along
+    as the falsifiable audit column."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+    )
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("long")).alias("hv"),
+        F.max((F.col("event_type") == "click").cast("long")).alias("hc"),
+        F.max((F.col("event_type") == "signup").cast("long")).alias("hs"),
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long")) >= 14
+        )
+        .cast("long")
+        .alias("conv"),
+    )
+
+    def v(tv: int, tc: int, ts: int) -> str:
+        # v(T): converted users whose exposure set is CONTAINED in T
+        return (
+            f"SUM(CASE WHEN conv = 1 AND hv <= {tv} AND hc <= {tc}"
+            f" AND hs <= {ts} THEN 1 ELSE 0 END)"
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for label, t in {
+        "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0),
+        "v001": (0, 0, 1), "v110": (1, 1, 0), "v101": (1, 0, 1),
+        "v011": (0, 1, 1), "v111": (1, 1, 1),
+    }.items():
+        aggs.append(F.expr(v(*t)).alias(label))
+    g = users.agg(*aggs)
+
+    # phi x6 for channel i: 2[v(i)-v(0)] + [v(ij)-v(j)] + [v(ik)-v(k)]
+    # + 2[v(full)-v(full\i)]
+    phi = {
+        "view": (
+            "2*(v100 - v000) + (v110 - v010) + (v101 - v001)"
+            " + 2*(v111 - v011)"
+        ),
+        "click": (
+            "2*(v010 - v000) + (v110 - v100) + (v011 - v001)"
+            " + 2*(v111 - v101)"
+        ),
+        "signup": (
+            "2*(v001 - v000) + (v101 - v100) + (v011 - v010)"
+            " + 2*(v111 - v110)"
+        ),
+    }
+    rows = None
+    for ch, expr in phi.items():
+        r = g.select(
+            F.lit(ch).alias("channel"),
+            F.expr(f"CAST({expr} AS BIGINT)").alias("phi_x6"),
+            F.col("v111").cast("long").alias("v_full"),
+            F.col("v000").cast("long").alias("v_empty"),
+            F.expr("CAST(6 * (v111 - v000) AS BIGINT)").alias(
+                "phi_sum_x6"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def _shapley_sql() -> str:
+    def v(tv: int, tc: int, ts: int) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN conv = 1 AND hv <= {tv} AND hc <= {tc}"
+            f" AND hs <= {ts} THEN 1 ELSE 0 END) AS BIGINT)"
+        )
+
+    labels = {
+        "v000": (0, 0, 0), "v100": (1, 0, 0), "v010": (0, 1, 0),
+        "v001": (0, 0, 1), "v110": (1, 1, 0), "v101": (1, 0, 1),
+        "v011": (0, 1, 1), "v111": (1, 1, 1),
+    }
+    cols = ", ".join(f"{v(*t)} AS {lab}" for lab, t in labels.items())
+    phi = {
+        "view": (
+            "2*(v100 - v000) + (v110 - v010) + (v101 - v001)"
+            " + 2*(v111 - v011)"
+        ),
+        "click": (
+            "2*(v010 - v000) + (v110 - v100) + (v011 - v001)"
+            " + 2*(v111 - v101)"
+        ),
+        "signup": (
+            "2*(v001 - v000) + (v101 - v100) + (v011 - v010)"
+            " + 2*(v111 - v110)"
+        ),
+    }
+    sels = "\nUNION ALL\n".join(
+        f"SELECT '{ch}' AS channel, CAST({e} AS BIGINT) AS phi_x6,"
+        " v111 AS v_full, v000 AS v_empty,"
+        " CAST(6 * (v111 - v000) AS BIGINT) AS phi_sum_x6 FROM g"
+        for ch, e in phi.items()
+    )
+    return f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS hs,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), g AS (
+  SELECT {cols} FROM users
+)
+{sels}
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_att_stratified — stratified matching estimator (ATT)
 # ---------------------------------------------------------------------------
 
@@ -2434,6 +2564,11 @@ QUERIES = {
         ml_permutation_test,
         _perm_sql(),
         ("ml", "significance", "permutation"),
+    ),
+    "evt_attribution_shapley": QuerySpec(
+        evt_attribution_shapley,
+        _shapley_sql(),
+        ("events", "attribution", "shapley"),
     ),
     "dq_rules_engine": QuerySpec(
         dq_rules_engine,

@@ -121,5 +121,6 @@ def test_survey_mentions_every_late_r8_op():
         "ml_permutation_test",
         "ml_kendall_tau",
         "ml_spearman_rank",
+        "evt_attribution_shapley",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

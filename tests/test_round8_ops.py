@@ -2784,3 +2784,58 @@ def test_ml_spearman_rank_replay(spark, sf_dir):
         assert r["rho2_ppm"] == tdiv(byx * bxy, 10**12)
         assert r["rho2_ppm"] <= 1_000_000
     assert got["purchase"]["rho2_ppm"] > 200_000
+
+
+def test_evt_attribution_shapley_definitional(spark, sf_dir):
+    """Definitional check: phi computed as the average marginal
+    contribution over ALL 3! channel orderings (x6 to stay integer)
+    must equal the closed-form output; the efficiency axiom must
+    hold exactly."""
+    from itertools import permutations
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    per: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ):
+        st = per.setdefault(r["user_id"], {"purchase": 0})
+        st[r["event_type"]] = st.get(r["event_type"], 0) + 1
+    users = []
+    for st in per.values():
+        users.append(
+            (
+                frozenset(
+                    c for c in ("view", "click", "signup") if st.get(c)
+                ),
+                st.get("purchase", 0) >= 14,
+            )
+        )
+
+    def v(T):
+        T = set(T)
+        return sum(1 for s, conv in users if conv and s <= T)
+
+    chans = ("view", "click", "signup")
+    phi6 = {c: 0 for c in chans}
+    for order in permutations(chans):
+        cur = set()
+        for c in order:
+            phi6[c] += v(cur | {c}) - v(cur)
+            cur.add(c)
+    got = {
+        r["channel"]: r
+        for r in _Q["evt_attribution_shapley"].fn(spark, sf_dir).collect()
+    }
+    for c in chans:
+        assert got[c]["phi_x6"] == phi6[c]
+    s = sum(phi6.values())
+    full, empty = v(set(chans)), v(set())
+    assert s == 6 * (full - empty)  # efficiency axiom
+    for c in chans:
+        assert got[c]["phi_sum_x6"] == s
+        assert got[c]["v_full"] == full and got[c]["v_empty"] == empty
