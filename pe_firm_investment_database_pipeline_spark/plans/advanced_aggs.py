@@ -6530,6 +6530,220 @@ FROM agg
 # ---------------------------------------------------------------------------
 
 
+_HW_M = 7  # Holt-Winters season length (weekly)
+
+
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT-WINTERS ADDITIVE (level + trend + weekly season, alpha =
+    beta = gamma = 1/2) — the seasonal completion of the forecasting
+    trilogy (`ts_forecast_snaive` repeats, `ts_holt_linear` trends,
+    THIS does both at once): l' = (x - s_{t-7} + l + b)/2,
+    b' = ((l'-l) + b)/2, s'_new = ((x - l') + s_{t-7})/2, the
+    7-slot season state carried INSIDE the fold accumulator as a
+    rotating array (head = the slot the next step consumes,
+    concat(slice(ss,2,6), [new]) rotates). Seeds: l0 = mean of the
+    first week (truncating), b0 = 0, s_i = x_i - l0. Every halving
+    is the sign-split _TDIV2 (seasonals go negative); the oracle is
+    a RECURSIVE CTE carrying the same LIST — depth = day grid,
+    calendar-bounded. Emits scalars only (level, trend, next/last
+    season slots, 1-day and 7-day forecasts) — arrays stay out of
+    the hash-compared surface."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day AS day, x AS x)))"
+            ).alias("s")
+        )
+        .where(F.size("s") >= 2 * _HW_M)
+    )
+    l0 = (
+        f"(aggregate(slice(s, 1, {_HW_M}), CAST(0 AS BIGINT),"
+        f" (a, p) -> a + p.x) div {_HW_M})"
+    )
+    sm = "element_at(acc.ss, 1)"
+    lp = _TDIV2.format(a=f"e.x - {sm} + acc.l + acc.b")
+    bp = _TDIV2.format(a=f"{lp} - acc.l + acc.b")
+    sn = _TDIV2.format(a=f"e.x - {lp} + {sm}")
+    fold = (
+        "aggregate("
+        f" slice(s, {_HW_M + 1}, greatest(size(s) - {_HW_M}, 0)),"
+        f" named_struct('l', {l0}, 'b', CAST(0 AS BIGINT),"
+        f"   'ss', transform(slice(s, 1, {_HW_M}),"
+        f"                   p -> p.x - {l0})),"
+        " (acc, e) -> named_struct("
+        f"   'l', {lp},"
+        f"   'b', {bp},"
+        f"   'ss', concat(slice(acc.ss, 2, {_HW_M - 1}),"
+        f"                array({sn}))))"
+    )
+    return ser.select(
+        "event_type",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
+        F.expr(f"{fold}.l").alias("level"),
+        F.expr(f"{fold}.b").alias("trend"),
+        F.expr(f"element_at({fold}.ss, 1)").alias("season_next"),
+        F.expr(f"element_at({fold}.ss, {_HW_M})").alias("season_last"),
+        F.expr(f"{fold}.l + {fold}.b + element_at({fold}.ss, 1)").alias(
+            "forecast_1d"
+        ),
+        F.expr(
+            f"{fold}.l + {_HW_M} * {fold}.b"
+            f" + element_at({fold}.ss, {_HW_M})"
+        ).alias("forecast_7d"),
+    )
+
+
+def _ts_hw_sql() -> str:
+    m = _HW_M
+    x = "n.s[CAST(r.i + 1 AS INT)].x"
+    sm = "r.ss[1]"
+    lp = _TDIV2_DUCK.format(a=f"{x} - {sm} + r.l + r.b")
+    bp = _TDIV2_DUCK.format(a=f"{lp} - r.l + r.b")
+    sn = _TDIV2_DUCK.format(a=f"{x} - {lp} + {sm}")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY event_type, day
+), ser AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(day := day, x := x))) AS s
+  FROM daily GROUP BY event_type
+), n AS (
+  SELECT event_type, CAST(len(s) AS BIGINT) AS n_days, s,
+         CAST((SELECT SUM(p.x) FROM UNNEST(s[1:{m}]) AS t(p))
+              // {m} AS BIGINT) AS l0
+  FROM ser WHERE len(s) >= {2 * m}
+), rec(event_type, i, l, b, ss) AS (
+  SELECT event_type, CAST({m} AS BIGINT), l0, CAST(0 AS BIGINT),
+         [CAST(p.x - l0 AS BIGINT) FOR p IN s[1:{m}]]
+  FROM n
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         CAST({lp} AS BIGINT),
+         CAST({bp} AS BIGINT),
+         list_concat(r.ss[2:{m}], [CAST({sn} AS BIGINT)])
+  FROM rec r JOIN n ON n.event_type = r.event_type
+  WHERE r.i < n.n_days
+)
+SELECT r.event_type, n.n_days,
+       CAST(r.l AS BIGINT) AS level,
+       CAST(r.b AS BIGINT) AS trend,
+       CAST(r.ss[1] AS BIGINT) AS season_next,
+       CAST(r.ss[{m}] AS BIGINT) AS season_last,
+       CAST(r.l + r.b + r.ss[1] AS BIGINT) AS forecast_1d,
+       CAST(r.l + {m} * r.b + r.ss[{m}] AS BIGINT) AS forecast_7d
+FROM rec r JOIN n ON n.event_type = r.event_type
+WHERE r.i = n.n_days
+"""
+
+
+def ml_mcc_matthews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTHEWS CORRELATION COEFFICIENT — the single-number
+    confusion summary robust to class imbalance (accuracy and F1
+    both mislead there): labels are the standing hash-bit relevance,
+    predictions are the label with deterministic 25% flip noise
+    (hash2 % 4 == 0 — so MCC sits near 0.5 BY CONSTRUCTION, not
+    near the degenerate 0 of independent bits). MCC's sqrt never
+    happens: the entry emits the signed SQUARE, sign(num) * num² *
+    1e6 div ((tp+fp)(tp+fn)(tn+fp)(tn+fn)) in DECIMAL(38,0)/HUGEINT
+    (num² <= n⁴/16 — fits DECIMAL(38) to ~3e9 rows per lang), plus
+    the raw confusion counts. One scan, per-lang rows."""
+    h2 = (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':mcc'),"
+        " 1, 12), 16, 10) AS BIGINT)"
+    )
+    rel = (F.expr(_AUC_HASH) % 2 == 0).cast("long")
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        rel.alias("y"),
+        F.expr(
+            f"CASE WHEN ({h2}) % 4 = 0 THEN 1 - "
+            f"CAST(({_AUC_HASH}) % 2 = 0 AS INT) ELSE "
+            f"CAST(({_AUC_HASH}) % 2 = 0 AS INT) END"
+        )
+        .cast("long")
+        .alias("p"),
+    )
+    g = d.groupBy("lang").agg(
+        F.sum(F.expr("CAST(y = 1 AND p = 1 AS INT)")).alias("tp"),
+        F.sum(F.expr("CAST(y = 0 AND p = 0 AS INT)")).alias("tn"),
+        F.sum(F.expr("CAST(y = 0 AND p = 1 AS INT)")).alias("fp"),
+        F.sum(F.expr("CAST(y = 1 AND p = 0 AS INT)")).alias("fn"),
+    )
+    num = (
+        "(CAST(tp AS DECIMAL(38,0)) * tn"
+        " - CAST(fp AS DECIMAL(38,0)) * fn)"
+    )
+    den = (
+        "(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)"
+        " * (tn + fp) * (tn + fn))"
+    )
+    return g.select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.expr(
+            f"CASE WHEN {den} = 0 THEN NULL"
+            f" WHEN {num} >= 0"
+            f" THEN CAST(({num} * {num} * 1000000) div {den} AS BIGINT)"
+            f" ELSE -CAST(({num} * {num} * 1000000) div {den}"
+            " AS BIGINT) END"
+        ).alias("mcc2_signed_ppm"),
+    )
+
+
+def _ml_mcc_sql() -> str:
+    h2 = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mcc'),"
+        " 1, 12)) AS BIGINT)"
+    )
+    num = "(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn)"
+    den = (
+        "(CAST(tp + fp AS HUGEINT) * (tp + fn)"
+        " * (tn + fp) * (tn + fn))"
+    )
+    return f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN {_AUC_HASH_DUCK} % 2 = 0 THEN 1 ELSE 0 END AS y,
+         CASE WHEN ({h2}) % 4 = 0
+              THEN 1 - (CASE WHEN {_AUC_HASH_DUCK} % 2 = 0
+                             THEN 1 ELSE 0 END)
+              ELSE (CASE WHEN {_AUC_HASH_DUCK} % 2 = 0
+                         THEN 1 ELSE 0 END) END AS p
+  FROM documents
+), g AS (
+  SELECT lang,
+         CAST(SUM(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+         CAST(SUM(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM d GROUP BY lang
+)
+SELECT lang, tp, tn, fp, fn,
+       CASE WHEN {den} = 0 THEN NULL
+            WHEN {num} >= 0
+            THEN CAST(({num} * {num} * 1000000) // {den} AS BIGINT)
+            ELSE -CAST(({num} * {num} * 1000000) // {den} AS BIGINT)
+       END AS mcc2_signed_ppm
+FROM g
+"""
+
+
 def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KENDALL'S TAU — the nonparametric rank association between
     each type's daily volume and daily purchase revenue (does
@@ -7460,6 +7674,16 @@ QUERIES = {
         ml_kendall_tau,
         _ML_KENDALL_SQL,
         ("ml", "rank-correlation", "kendall"),
+    ),
+    "ts_holt_winters": QuerySpec(
+        ts_holt_winters,
+        _ts_hw_sql(),
+        ("timeseries", "holt-winters", "seasonal"),
+    ),
+    "ml_mcc_matthews": QuerySpec(
+        ml_mcc_matthews,
+        _ml_mcc_sql(),
+        ("ml", "evaluation", "mcc"),
     ),
     "ml_spearman_rank": QuerySpec(
         ml_spearman_rank,

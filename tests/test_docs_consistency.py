@@ -122,5 +122,7 @@ def test_survey_mentions_every_late_r8_op():
         "ml_kendall_tau",
         "ml_spearman_rank",
         "evt_attribution_shapley",
+        "ts_holt_winters",
+        "ml_mcc_matthews",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"

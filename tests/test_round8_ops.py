@@ -2839,3 +2839,110 @@ def test_evt_attribution_shapley_definitional(spark, sf_dir):
     for c in chans:
         assert got[c]["phi_sum_x6"] == s
         assert got[c]["v_full"] == full and got[c]["v_empty"] == empty
+
+
+def test_ts_holt_winters_replay(spark, sf_dir):
+    """Python replay of the seasonal fold with the rotating 7-slot
+    state; seasonals must be non-constant (the weekly signal the
+    entry exists for)."""
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    daily: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_date(ts_date)").alias("day"))
+        .collect()
+    ):
+        k = (r["event_type"], r["day"])
+        daily[k] = daily.get(k, 0) + 1
+    per: dict = {}
+    for (t, d), n in daily.items():
+        per.setdefault(t, []).append((d, n))
+
+    def h(a):
+        return -((-a) // 2) if a < 0 else a // 2
+
+    got = {
+        r["event_type"]: r
+        for r in _Q["ts_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    for t, dn in per.items():
+        if len(dn) < 14:
+            assert t not in got
+            continue
+        dn.sort()
+        xs = [x for _, x in dn]
+        l = sum(xs[:7]) // 7
+        b = 0
+        ss = [x - l for x in xs[:7]]
+        for x in xs[7:]:
+            sm = ss[0]
+            lp = h(x - sm + l + b)
+            bp = h(lp - l + b)
+            sn = h(x - lp + sm)
+            l, b, ss = lp, bp, ss[1:] + [sn]
+        r = got[t]
+        assert r["n_days"] == len(xs)
+        assert (r["level"], r["trend"]) == (l, b)
+        assert (r["season_next"], r["season_last"]) == (ss[0], ss[6])
+        assert r["forecast_1d"] == l + b + ss[0]
+        assert r["forecast_7d"] == l + 7 * b + ss[6]
+        assert len(set(ss)) > 1  # a real seasonal profile survived
+
+
+def test_ml_mcc_matthews_replay(spark, sf_dir):
+    """Confusion + signed-MCC² replay; the planted 25% flip noise
+    must keep MCC well away from both 0 and 1."""
+    import hashlib
+
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    per: dict = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        rel = (
+            int(
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12],
+                16,
+            )
+            % 2
+            == 0
+        )
+        h2 = int(
+            hashlib.md5(f"{r['doc_id']}:mcc".encode()).hexdigest()[:12],
+            16,
+        )
+        pred = (1 - int(rel)) if h2 % 4 == 0 else int(rel)
+        c = per.setdefault(r["lang"], [0, 0, 0, 0])  # tp tn fp fn
+        if rel and pred:
+            c[0] += 1
+        elif not rel and not pred:
+            c[1] += 1
+        elif not rel and pred:
+            c[2] += 1
+        else:
+            c[3] += 1
+    got = {
+        r["lang"]: r
+        for r in _Q["ml_mcc_matthews"].fn(spark, sf_dir).collect()
+    }
+    for lang, (tp, tn, fp, fn) in per.items():
+        r = got[lang]
+        assert (r["tp"], r["tn"], r["fp"], r["fn"]) == (tp, tn, fp, fn)
+        num = tp * tn - fp * fn
+        den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+        want = (
+            None
+            if den == 0
+            else (
+                num * num * 1_000_000 // den
+                if num >= 0
+                else -(num * num * 1_000_000 // den)
+            )
+        )
+        assert r["mcc2_signed_ppm"] == want
+        # 25% symmetric flips -> MCC ~ 0.5 -> MCC^2 ~ 0.25e6
+        assert 50_000 < r["mcc2_signed_ppm"] < 600_000
