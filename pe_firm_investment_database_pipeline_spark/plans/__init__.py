@@ -54,64 +54,22 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # Round-8 rotation: ALL 47 entries never driver-verdicted in
-        # r1-r7 go first (8 pre-r7 stragglers, then the full r7 wave,
-        # then graph_resource_alloc — orphaned from the rotation in
-        # r7, ADVICE r7 #1), so after this round every registry entry
-        # has at least one official verdict. Round-8's new ops follow
-        # at slots 48+; the first ~3 get verdicted this round, the
-        # rest rotate in r9.
-        "ts_pct_change_wow",
-        "evt_recency_score",
-        "ts_forecast_snaive",
-        "ml_minmax_scale",
-        "win_ratio_to_report",
-        "txt_code_detect",
-        "evt_active_users",
-        "evt_bot_score",
-        "join_dpp_prune",
-        "graph_bfs_distance",
-        "dedup_savings_report",
-        "ml_auc_rank",
-        "ml_feature_hashing",
-        "ml_calibration_bins",
-        "ts_cross_correlation",
-        "win_cumsum_reset",
-        "sec_col_tokenize",
-        "txt_readability",
-        "ml_ndcg_at_k",
-        "samp_kcenter_coreset",
-        "dq_fk_orphans",
-        "sql_pipe_syntax",
-        "sql_udf_scalar",
-        "evt_window_funnel",
-        "ts_backtest_wape",
-        "sim_reciprocal_nn",
-        "profile_describe_stats",
-        "ml_pr_curve",
-        "txt_boilerplate_strip",
-        "sim_threshold_sweep",
-        "ml_quantize_int8",
-        "graph_label_propagation",
-        "samp_neyman_alloc",
-        "sec_l_diversity",
-        "evt_hhi_concentration",
-        "dq_freshness_sla",
-        "agg_wilson_rank",
-        "graph_clustering_coeff",
-        "win_interval_merge",
-        "txt_vocab_coverage",
-        "graph_assortativity",
-        "ts_holt_linear",
-        "evt_error_budget_burn",
-        "rag_context_packing",
-        "dedup_cluster_purity",
-        "join_star_q5_local",
-        "graph_resource_alloc",
-        # round-8 new ops (first verdicts r8/r9)
-        "dq_order_totals_recon",
-        "graph_neighbor_jaccard",
-        "ts_theil_sen",
+        # Round-9 rotation (VERDICT r8 'Next round' #1): ALL 77 entries
+        # never driver-verdicted in r1-r8 go first, heavy/novel ones
+        # leading, so the driver's ~50-slot sample window verdicts the
+        # first 50 this round and the remaining 27 queue at slots
+        # 51-77 for r10. Everything already verdicted (r1-r8 union,
+        # latest verdict green) keeps module order after the list.
+        "er_pipeline_e2e",
+        "ts_downsample_lttb",
+        "ts_holt_winters",
+        "stream_cdc_changelog",
+        "udaf_grouped_arrow",
+        "evt_attribution_shapley",
+        "pack_sequences_nfd",
+        "sim_matryoshka_recall",
+        "sketch_cms_heavy",
+        "sql_null_semantics_matrix",
         "ml_chi2_feature_select",
         "sec_t_closeness",
         "ml_lift_gains",
@@ -119,7 +77,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_zipf_check",
         "evt_stickiness_dau_mau",
         "evt_calendar_heatmap",
-        "sketch_cms_heavy",
         "ml_cv_folds",
         "profile_wasserstein_drift",
         "graph_modularity",
@@ -131,7 +88,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_periodogram_peaks",
         "profile_embedding_drift",
         "ml_gini_split_gain",
-        "stream_cdc_changelog",
         "txt_keyphrase_textrank",
         "sql_group_by_all",
         "sql_unpivot_syntax",
@@ -139,8 +95,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "dq_rules_engine",
         "evt_markov_stationary",
         "ml_isotonic_calibration",
-        "ts_downsample_lttb",
-        "udaf_grouped_arrow",
         "agg_percentile_disc",
         "ts_sma_crossover",
         "str_xml_roundtrip",
@@ -157,7 +111,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "sql_try_arithmetic",
         "txt_token_count_arrow",
         "src_python_stream_source",
-        "sim_matryoshka_recall",
         "snk_retention_vacuum",
         "graph_hits_authority",
         "agg_skyline_2d",
@@ -170,11 +123,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "snk_txn_log_snapshot",
         "ts_ewma_irregular",
         "join_bitemporal",
-        "er_pipeline_e2e",
-        "pack_sequences_nfd",
         "dq_late_arrival_report",
         "src_codec_matrix",
-        "sql_null_semantics_matrix",
         "graph_ppr_single_source",
         "samp_reservoir_weighted",
         "evt_alert_debounce",
@@ -186,8 +136,6 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_permutation_test",
         "ml_kendall_tau",
         "ml_spearman_rank",
-        "evt_attribution_shapley",
-        "ts_holt_winters",
         "ml_mcc_matthews",
     ]
     assert all(name in merged for name in priority), "stale priority list"

@@ -5714,135 +5714,126 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily count series reduces to first + 6 bucket picks + last,
     each pick maximizing the triangle area against the PREVIOUS pick
     and the NEXT bucket's average point. The sequential dependency
-    (pick i needs pick i-1) is handled by UNROLLING the fixed B=6
-    bucket steps into a chain of tiny joins — each step is an argmax
-    (min-struct((-area, t)) — the established tie order) over one
-    bucket's candidates against the one-row-per-type anchor state.
+    (pick i needs pick i-1) runs as ONE higher-order-function fold
+    per type over the collected day-grid array (the holt_winters /
+    ewma_irregular fold pattern): aggregate(sequence(0, B-1), anchor,
+    step). Each step binds the next non-empty bucket's average via a
+    1-element transform() let-binding and arg-maxes the bucket's
+    candidates with the established (-area, t) tie order. An earlier
+    shape unrolled the steps into a chain of tiny joins with a
+    per-step eager localCheckpoint — 7 job launches, 3.6-4.4 s warm
+    at sf0.1 for bucket-sized work; the fold is a single job.
     Exactness: the average point is a RATIONAL (St/c, Sy/c); the
     doubled triangle area scaled by c, |(Px*c - St)*(py - Py) -
     (Px - px)*(Py*c - Sy)|, clears the denominator — pure int64
     (HUGEINT-safe far past any calendar). Scale shape: the only
     corpus-sized work is the (type, day) grid compression; the
-    6-step chain runs on bucket-sized frames."""
+    per-type array is DAY-GRID-BOUNDED by construction (the
+    bounded-fold rule), so the fold never sees corpus-sized state."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.expr("unix_date(ts_date)").alias("day")
     ).agg(F.count(F.lit(1)).alias("y"))
-    wt = W.partitionBy("event_type")
-    pts = (
-        daily.withColumn("tmin", F.min("day").over(wt))
-        .withColumn("tmax", F.max("day").over(wt))
+    B = _LTTB_B
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(
+            F.min("day").alias("tmin"),
+            F.max("day").alias("tmax"),
+            F.expr("array_sort(collect_list(struct(day, y)))").alias("ps"),
+        )
         .select(
             "event_type",
-            (F.col("day") - F.col("tmin")).alias("t"),
-            "y",
-            (F.col("tmax") - F.col("tmin")).alias("span"),
+            F.expr("CAST(tmax - tmin AS BIGINT)").alias("span"),
+            F.expr(
+                "transform(ps, p -> named_struct("
+                "'t', CAST(p.day - tmin AS BIGINT), 'y', p.y))"
+            ).alias("pts"),
         )
-        .localCheckpoint(eager=True)
+        .select(
+            "event_type",
+            "span",
+            F.expr("element_at(pts, 1).y").alias("first_y"),
+            F.expr("element_at(pts, size(pts)).y").alias("last_y"),
+            F.expr(
+                f"transform(filter(pts, p -> p.t > 0 AND p.t < span),"
+                f" p -> named_struct("
+                f"'bucket', ((p.t - 1) * {B}) div greatest(span - 1, 1),"
+                f" 't', p.t, 'y', p.y))"
+            ).alias("arr"),
+        )
+        # per-bucket average points (St, Sy, c) for buckets 0..B-1,
+        # plus bucket B = the last anchor as a 1-point average; empty
+        # buckets carry c = 0 so the fold's "next non-empty" filter
+        # skips them
+        .withColumn(
+            "bstats",
+            F.expr(
+                f"transform(sequence(0, {B}), bb -> IF(bb = {B},"
+                f" named_struct('bucket', CAST({B} AS BIGINT),"
+                f" 'st', span, 'sy', last_y, 'c', CAST(1 AS BIGINT)),"
+                f" element_at(transform("
+                f"   array(filter(arr, x -> x.bucket = bb)),"
+                f"   f -> named_struct('bucket', CAST(bb AS BIGINT),"
+                f"     'st', aggregate(f, CAST(0 AS BIGINT), (s, x) -> s + x.t),"
+                f"     'sy', aggregate(f, CAST(0 AS BIGINT), (s, x) -> s + x.y),"
+                f"     'c', CAST(size(f) AS BIGINT))), 1)))"
+            ),
+        )
     )
-    first = pts.where(F.col("t") == 0).select(
-        "event_type", "t", "y", F.lit(-1).cast("long").alias("bucket")
+    # the fold: acc = (px, py, picks); a step with an empty bucket
+    # leaves the anchor unchanged and emits no pick (pk is NULL —
+    # aggregate over an empty candidate array returns the NULL seed)
+    folded = per_type.withColumn(
+        "picks",
+        F.expr(
+            f"""
+            aggregate(
+              sequence(0, {B - 1}),
+              named_struct(
+                'px', CAST(0 AS BIGINT), 'py', first_y,
+                'picks', CAST(array() AS
+                  ARRAY<STRUCT<bucket: BIGINT, t: BIGINT, y: BIGINT>>)),
+              (acc, b) -> element_at(transform(
+                array(element_at(transform(
+                  array(element_at(
+                    filter(bstats, s -> s.bucket > b AND s.c > 0), 1)),
+                  nx -> aggregate(
+                    transform(filter(arr, x -> x.bucket = b),
+                      x -> named_struct(
+                        'na', -abs((acc.px * nx.c - nx.st) * (x.y - acc.py)
+                                   - (acc.px - x.t) * (acc.py * nx.c - nx.sy)),
+                        't', x.t, 'y', x.y)),
+                    CAST(NULL AS STRUCT<na: BIGINT, t: BIGINT, y: BIGINT>),
+                    (m, s) -> CASE WHEN m IS NULL OR s.na < m.na
+                                   OR (s.na = m.na AND s.t < m.t)
+                              THEN s ELSE m END)), 1)),
+                pk -> IF(pk IS NULL, acc,
+                  named_struct('px', pk.t, 'py', pk.y,
+                    'picks', array_append(acc.picks, named_struct(
+                      'bucket', CAST(b AS BIGINT),
+                      't', pk.t, 'y', pk.y))))), 1)
+            ).picks
+            """
+        ),
     )
-    last = pts.where(F.col("t") == F.col("span")).select(
-        "event_type", "t", "y", F.lit(_LTTB_B).cast("long").alias("bucket")
-    )
-    interior = pts.where(
-        (F.col("t") > 0) & (F.col("t") < F.col("span"))
+    return folded.select(
+        "event_type",
+        F.explode(
+            F.expr(
+                f"concat("
+                f"array(named_struct('bucket', CAST(-1 AS BIGINT),"
+                f" 't', CAST(0 AS BIGINT), 'y', first_y)),"
+                f" picks,"
+                f" array(named_struct('bucket', CAST({B} AS BIGINT),"
+                f" 't', span, 'y', last_y)))"
+            )
+        ).alias("p"),
     ).select(
         "event_type",
-        "t",
-        "y",
-        F.expr(
-            f"((t - 1) * {_LTTB_B}) div greatest(span - 1, 1)"
-        ).alias("bucket"),
-    )
-    # next-bucket average points (St, Sy, c); bucket B-1's "next" is
-    # the last anchor as a 1-point average
-    avgs = interior.groupBy("event_type", "bucket").agg(
-        F.sum("t").alias("st"), F.sum("y").alias("sy"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    last_avg = last.select(
-        "event_type",
-        F.lit(_LTTB_B).cast("long").alias("bucket"),
-        F.col("t").alias("st"),
-        F.col("y").alias("sy"),
-        F.lit(1).cast("long").alias("c"),
-    )
-    nxt = avgs.unionByName(last_avg)
-    state = first.select("event_type", F.col("t").alias("px"), F.col("y").alias("py"))
-    picks = [first]
-    for b in range(_LTTB_B):
-        cand = (
-            interior.where(F.col("bucket") == b)
-            .join(state, "event_type")
-            .join(
-                nxt.where(F.col("bucket") > b)
-                .withColumn(
-                    "rn",
-                    F.row_number().over(
-                        W.partitionBy("event_type").orderBy("bucket")
-                    ),
-                )
-                .where(F.col("rn") == 1)
-                .select("event_type", "st", "sy", "c"),
-                "event_type",
-            )
-            .withColumn(
-                "area2c",
-                F.expr(
-                    "abs((px * c - st) * (y - py)"
-                    " - (px - t) * (py * c - sy))"
-                ),
-            )
-        )
-        sel = (
-            cand.groupBy("event_type")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("area2c")).alias("na"),
-                        F.col("t").alias("t"),
-                        F.col("y").alias("y"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                "event_type",
-                F.col("m.t").alias("t"),
-                F.col("m.y").alias("y"),
-                F.lit(b).cast("long").alias("bucket"),
-            )
-        )
-        picks.append(sel)
-        prev = state.select(
-            "event_type", F.col("px").alias("ppx"), F.col("py").alias("ppy")
-        )
-        # per-step eager checkpoint: the anchor state is one row per
-        # type, but WITHOUT the checkpoint every later step (and all
-        # 13 union branches) re-derives the whole prior chain —
-        # measured 6.6-8.5 s vs 3.9-4.4 s warm at sf0.1. The ~4 s is
-        # fixed job-launch overhead, FLAT in data size (sf1.0: 4.35 s)
-        state = (
-            prev.join(
-                sel.select(
-                    "event_type", F.col("t").alias("nx"), F.col("y").alias("ny")
-                ),
-                "event_type",
-                "left",
-            )
-            .select(
-                "event_type",
-                F.coalesce("nx", "ppx").alias("px"),
-                F.coalesce("ny", "ppy").alias("py"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(last).select(
-        "event_type", "bucket", "t", F.col("y").cast("long").alias("y")
+        F.col("p.bucket").alias("bucket"),
+        F.col("p.t").cast("int").alias("t"),
+        F.col("p.y").cast("long").alias("y"),
     )
 
 

@@ -52,6 +52,24 @@ def test_priority_rotation_names_resolve_and_dedupe():
     assert len(names) == len(set(names)), "duplicate priority slots"
 
 
+def test_bench_notes_match_newest_local_record():
+    """BENCH_NOTES.md must describe the entry count of the newest
+    shipped BENCH_LOCAL record (the r8 stale-tail class: notes said
+    '362 entries, 249.7 s' while the shipped record was 374/286.2)."""
+    import glob
+    import json
+
+    records = sorted(glob.glob(os.path.join(_REPO, "BENCH_LOCAL_r*.json")))
+    assert records, "no BENCH_LOCAL record shipped"
+    newest = json.load(open(records[-1]))
+    n = len(newest["queries"])
+    notes = _read("BENCH_NOTES.md")
+    assert f"{n}-entry" in notes or f"{n} entries" in notes, (
+        f"BENCH_NOTES.md never mentions the newest record's "
+        f"{n}-entry scope ({os.path.basename(records[-1])})"
+    )
+
+
 def test_survey_mentions_every_late_r8_op():
     """Every op added in round 8's waves has a SURVEY §2 row."""
     survey = _read("SURVEY.md")

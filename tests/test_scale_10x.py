@@ -143,6 +143,19 @@ HEAVY = [
     "dq_duplicate_payments",
     "ts_dtw_distance",
     "ml_conformal_interval",
+    # final r8 wave (VERDICT r8 #3): the cooldown greedy fold, the
+    # dual-EWMA fold, the strata grids, the one-scan 20-permutation
+    # test, the day-grid pair joins, the coalition one-scan Shapley,
+    # the rotating-season fold, and the confusion-count MCC
+    "evt_alert_debounce",
+    "ts_croston_intermittent",
+    "evt_att_stratified",
+    "ml_permutation_test",
+    "ml_kendall_tau",
+    "ml_spearman_rank",
+    "evt_attribution_shapley",
+    "ts_holt_winters",
+    "ml_mcc_matthews",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).

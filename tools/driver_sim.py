@@ -1,0 +1,129 @@
+"""Simulate the external driver: default SparkSession, run every
+queries() entry at sf0.01, hash-compare against DuckDB oracle_sql().
+
+This is the strict in-repo twin of the external driver's correctness
+gate (see .claude/skills/verify/SKILL.md). Cell canon is plain
+``str(v)`` (None->"NULL", NaN->"NaN") — NEVER a float format like
+``%.9g``: the real driver uses str()-style cells, so Spark int64
+``123`` vs DuckDB float64 ``123.0`` must FAIL here exactly as it
+fails there (the masked un-CAST-HUGEINT class cost rounds 5-6).
+
+Usage:
+    PYTHONPATH=/root/repo python tools/driver_sim.py [--out FILE] [op1 op2 ...]
+
+No positional args = full registry sweep. ``PYTHONPATH=/root/repo``
+is required even when run from the repo root: Pandas-UDF queries
+pickle references to the package and Spark's Python workers don't
+see the driver process's ``sys.path`` mutations.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return str(v)
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    rows = sorted("|".join(cell(r[c]) for c in cols) for _, r in df[cols].iterrows())
+    return cols, rows
+
+
+def main():
+    argv = sys.argv[1:]
+    out = "/tmp/verify_drive/sim_results.json"
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    only = set(argv)
+
+    from pyspark.sql import SparkSession
+    import duckdb
+    import __spark_entry__ as E
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    if not only:
+        n = E.entry(spark).count()
+        print(f"entry() rows={n}")
+
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    results = {}
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            results[name] = {"err": f"spark:{ex}"[:300]}
+            fails.append(name)
+            print(f"FAIL {name} spark-err {ex}", flush=True)
+            continue
+        sql = os_.get(name)
+        if sql is None:
+            results[name] = {"rows": len(sdf), "oracle": None}
+            print(f"rows-only {name} rows={len(sdf)}", flush=True)
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as ex:
+            results[name] = {"err": f"oracle:{ex}"[:300]}
+            fails.append(name)
+            print(f"FAIL {name} oracle-err {ex}", flush=True)
+            continue
+        sc, sr = canon(sdf)
+        oc, orr = canon(odf)
+        ok = sc == oc and len(sr) == len(orr) and sr == orr
+        results[name] = {
+            "rows_match": len(sr) == len(orr),
+            "schema_match": sc == oc,
+            "hash_match": ok,
+            "spark_rows": len(sr),
+            "sec": round(time.time() - t0, 2),
+        }
+        if not ok:
+            fails.append(name)
+            why = "schema" if sc != oc else ("rows" if len(sr) != len(orr) else "values")
+            print(f"FAIL {name} ({why}) spark={len(sr)} oracle={len(orr)}", flush=True)
+            if sc != oc:
+                print(f"  spark cols: {sc}\n  oracle cols: {oc}", flush=True)
+            else:
+                diff_s = [r for r in sr if r not in set(orr)][:3]
+                diff_o = [r for r in orr if r not in set(sr)][:3]
+                print(f"  spark-only: {diff_s}\n  oracle-only: {diff_o}", flush=True)
+        else:
+            print(f"ok {name} rows={len(sr)} {results[name]['sec']}s", flush=True)
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    json.dump(results, open(out, "w"), indent=1)
+    print(f"\n{len(results)} entries, {len(fails)} failures: {fails}")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
