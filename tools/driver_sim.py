@@ -15,6 +15,10 @@ No positional args = full registry sweep. ``PYTHONPATH=/root/repo``
 is required even when run from the repo root: Pandas-UDF queries
 pickle references to the package and Spark's Python workers don't
 see the driver process's ``sys.path`` mutations.
+
+Environment probes:
+    SPARK_GRAFT_SIM_SF_DIR=/root/testdata/sf0.001  # other scale factor
+    SPARK_GRAFT_SIM_TZ=America/New_York            # non-UTC session zone
 """
 
 import json
@@ -59,7 +63,15 @@ def main():
     import duckdb
     import __spark_entry__ as E
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    builder = SparkSession.builder.master("local[8]")
+    # Optional probe: a non-UTC session timezone must not change any
+    # result (all outputs are designed tz-free — year/month ints,
+    # epoch-us longs, DateType). SPARK_GRAFT_SIM_TZ=America/New_York
+    # runs the whole sweep under that session zone.
+    tz = os.environ.get("SPARK_GRAFT_SIM_TZ")
+    if tz:
+        builder = builder.config("spark.sql.session.timeZone", tz)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
