@@ -137,6 +137,13 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_kendall_tau",
         "ml_spearman_rank",
         "ml_mcc_matthews",
+        # round-9 new ops at slots 78+ (first driver verdicts r10/r11,
+        # after the 27 remaining never-verdicted entries above)
+        "txt_doc_perplexity",
+        "rag_query_expansion",
+        "fin_avg_cost_basis",
+        "ts_kalman_1d",
+        "sec_dp_geometric",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -6636,6 +6636,121 @@ WHERE r.i = n.n_days
 """
 
 
+# Kalman constants, milli-scaled: process noise Q = 1.0, observation
+# noise R = 4.0 — a deliberately smooth filter (gain converges to
+# ~0.39) so the output visibly differs from the raw series AND from
+# the EWMA family already in the registry.
+_KF_Q = 1000
+_KF_R = 4000
+
+# sign-split truncating division a div b (b > 0): Spark's integer
+# `div` truncates toward zero while DuckDB's `//` floors, so negative
+# numerators (the Kalman innovation) must split the sign explicitly —
+# the ml_quantize_int8 discipline.
+_TDIVP = "(CASE WHEN ({a}) < 0 THEN -((-({a})) div ({b})) ELSE ({a}) div ({b}) END)"
+_TDIVP_DUCK = (
+    "(CASE WHEN ({a}) < 0 THEN -((-({a})) // ({b})) ELSE ({a}) // ({b}) END)"
+)
+
+
+def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D KALMAN FILTER over each event type's daily count series —
+    the statistically-grounded smoother the EWMA family approximates:
+    the gain ADAPTS from 'trust the data' (high initial variance)
+    toward its steady state instead of being a fixed decay constant.
+    Constant-velocity-free local-level model, exact integer
+    arithmetic in milli-units: p_pred = p + Q; gain k_ppm =
+    (p_pred * 1e6) div (p_pred + R); x' = x + sign-split
+    (k_ppm * (1000*y - x)) div 1e6 (the innovation goes negative, so
+    the division splits the sign — Spark div truncates, DuckDB //
+    floors); p' = ((1e6 - k_ppm) * p_pred) div 1e6. Seeds: x0 =
+    first observation, p0 = R. One fold per type over the collected
+    day-grid array (calendar-bounded, the bounded-fold rule); the
+    oracle is the same fold as a recursive CTE. Emits scalars only:
+    the filtered level, its variance, the steady-state gain reached,
+    and the final innovation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    ser = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(struct(day AS day, y AS y)))"
+            ).alias("s")
+        )
+        .where(F.size("s") >= 2)
+    )
+    pp = f"(acc.p + {_KF_Q})"
+    k = f"(({pp} * 1000000) div ({pp} + {_KF_R}))"
+    innov = "(e.y * 1000 - acc.x)"
+    xn = "acc.x + " + _TDIVP.format(a=f"{k} * {innov}", b="1000000")
+    pn = f"((1000000 - {k}) * {pp}) div 1000000"
+    fold = (
+        "aggregate(slice(s, 2, size(s) - 1),"
+        " named_struct("
+        "  'x', element_at(s, 1).y * CAST(1000 AS BIGINT),"
+        f"  'p', CAST({_KF_R} AS BIGINT),"
+        "  'k', CAST(0 AS BIGINT),"
+        "  'innov', CAST(0 AS BIGINT)),"
+        " (acc, e) -> named_struct("
+        f"  'x', {xn},"
+        f"  'p', {pn},"
+        f"  'k', {k},"
+        f"  'innov', {innov}))"
+    )
+    return ser.select(
+        "event_type",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
+        F.expr(f"{fold}.x").alias("level_milli"),
+        F.expr(f"{fold}.p").alias("var_milli"),
+        F.expr(f"{fold}.k").alias("gain_ppm"),
+        F.expr(f"{fold}.innov").alias("last_innov_milli"),
+    )
+
+
+def _ts_kalman_sql() -> str:
+    y = "n.s[CAST(r.i + 1 AS INT)].y"
+    pp = f"(r.p + {_KF_Q})"
+    k = f"(({pp} * 1000000) // ({pp} + {_KF_R}))"
+    innov = f"({y} * 1000 - r.x)"
+    xn = "r.x + " + _TDIVP_DUCK.format(a=f"{k} * {innov}", b="1000000")
+    pn = f"((1000000 - {k}) * {pp}) // 1000000"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY event_type, day
+), n AS (
+  SELECT event_type, CAST(len(s) AS BIGINT) AS n_days, s
+  FROM (
+    SELECT event_type,
+           list_sort(list(struct_pack(day := day, y := y))) AS s
+    FROM daily GROUP BY event_type
+  ) WHERE len(s) >= 2
+), rec(event_type, i, x, p, k, innov) AS (
+  SELECT event_type, CAST(1 AS BIGINT),
+         s[1].y * CAST(1000 AS BIGINT), CAST({_KF_R} AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT r.event_type, r.i + 1,
+         CAST({xn} AS BIGINT),
+         CAST({pn} AS BIGINT),
+         CAST({k} AS BIGINT),
+         CAST({innov} AS BIGINT)
+  FROM rec r JOIN n ON n.event_type = r.event_type
+  WHERE r.i < n.n_days
+)
+SELECT r.event_type, n.n_days,
+       r.x AS level_milli, r.p AS var_milli,
+       r.k AS gain_ppm, r.innov AS last_innov_milli
+FROM rec r JOIN n ON n.event_type = r.event_type
+WHERE r.i = n.n_days
+"""
+
+
 def ml_mcc_matthews(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATTHEWS CORRELATION COEFFICIENT — the single-number
     confusion summary robust to class imbalance (accuracy and F1
@@ -7585,6 +7700,146 @@ def fin_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fin_avg_cost_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVING WEIGHTED-AVERAGE COST BASIS — the other classic
+    inventory-costing policy next to `fin_fifo_allocation` (IAS 2
+    allows both): receipts merge into a running (quantity, cost)
+    pool, issues relieve the pool AT THE POOL'S AVERAGE UNIT COST,
+    and realized P&L is issue revenue minus that cost relief. Per
+    supplier: non-returned lineitems are receipts (l_quantity at
+    l_extendedprice), returnflag 'R' rows are issues. The running
+    average forces a division at every issue — no closed form — so
+    the fold runs per supplier over the MONTHLY flow grid — the
+    PERIODIC weighted-average convention (IAS 2's standard batch
+    cadence), which also bounds the per-supplier array at ~12 rows
+    per calendar year (the bounded-fold rule: a per-day grid put the
+    oracle's recursion at ~2400 levels and 20 s at sf0.01; months
+    cut it 30x). Receipts post before issues within a month. Cost
+    relief = (pool_cost * filled) div
+    pool_qty with the left factor widened to DECIMAL(38,0)/HUGEINT
+    (the product overflows int64 at cluster scale; the quotient is
+    <= pool_cost so the narrow-back is safe); issues beyond the pool
+    go to an unfilled audit counter, and partial fills take
+    proportional revenue — every division truncates on nonnegative
+    operands, identical in both engines. Scale shape: one
+    partial-aggregable (supplier, day) compression shuffle, then one
+    per-supplier fold; output is supplier-sized."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12"
+            " + month(CAST(l_shipdate AS DATE))"
+        ).alias("ym"),
+        (F.col("l_returnflag") == "R").alias("is_issue"),
+        qty_int("l_quantity").alias("q"),
+        cents("l_extendedprice").alias("p_c"),
+    )
+    flows = li.groupBy("l_suppkey", "ym").agg(
+        F.sum(F.expr("CASE WHEN NOT is_issue THEN q ELSE 0 END")).alias("bq"),
+        F.sum(F.expr("CASE WHEN NOT is_issue THEN p_c ELSE 0 END")).alias("bc"),
+        F.sum(F.expr("CASE WHEN is_issue THEN q ELSE 0 END")).alias("sq"),
+        F.sum(F.expr("CASE WHEN is_issue THEN p_c ELSE 0 END")).alias("sr"),
+    )
+    ser = flows.groupBy("l_suppkey").agg(
+        F.expr(
+            "array_sort(collect_list(struct("
+            "ym AS ym, bq AS bq, bc AS bc, sq AS sq, sr AS sr)))"
+        ).alias("s")
+    )
+    # one fold step, bound via 1-element transform() let-bindings:
+    # q1/c1 = pool after the day's receipts, f = filled issue qty
+    step = (
+        "element_at(transform(array(named_struct("
+        "  'q1', acc.qty + e.bq, 'c1', acc.cost + e.bc)), p ->"
+        " element_at(transform(array(least(e.sq, p.q1)), f ->"
+        "  named_struct("
+        "   'qty', p.q1 - f,"
+        "   'cost', p.c1 - CASE WHEN f > 0 THEN CAST("
+        "     (CAST(p.c1 AS DECIMAL(38,0)) * f) div p.q1 AS BIGINT)"
+        "     ELSE CAST(0 AS BIGINT) END,"
+        "   'realized', acc.realized"
+        "     + CASE WHEN f > 0 THEN CAST("
+        "       (CAST(e.sr AS DECIMAL(38,0)) * f) div e.sq AS BIGINT)"
+        "       ELSE CAST(0 AS BIGINT) END"
+        "     - CASE WHEN f > 0 THEN CAST("
+        "       (CAST(p.c1 AS DECIMAL(38,0)) * f) div p.q1 AS BIGINT)"
+        "       ELSE CAST(0 AS BIGINT) END,"
+        "   'unfilled', acc.unfilled + (e.sq - f))), 1)), 1)"
+    )
+    fold = (
+        "aggregate(s,"
+        " named_struct('qty', CAST(0 AS BIGINT), 'cost', CAST(0 AS BIGINT),"
+        "  'realized', CAST(0 AS BIGINT), 'unfilled', CAST(0 AS BIGINT)),"
+        f" (acc, e) -> {step})"
+    )
+    return ser.select(
+        "l_suppkey",
+        F.expr("CAST(size(s) AS BIGINT)").alias("n_months"),
+        F.expr(f"{fold}.qty").alias("end_qty"),
+        F.expr(f"{fold}.cost").alias("end_cost_c"),
+        F.expr(f"{fold}.realized").alias("realized_pnl_c"),
+        F.expr(f"{fold}.unfilled").alias("unfilled_qty"),
+    )
+
+
+def _fin_avg_cost_sql() -> str:
+    x = "n.s[CAST(r.i + 1 AS INT)]"
+    q1 = f"(r.qty + {x}.bq)"
+    c1 = f"(r.cost + {x}.bc)"
+    f = f"LEAST({x}.sq, {q1})"
+    cos = (
+        f"CASE WHEN {f} > 0 THEN CAST((CAST({c1} AS HUGEINT) * {f})"
+        f" // {q1} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    rev = (
+        f"CASE WHEN {f} > 0 THEN CAST((CAST({x}.sr AS HUGEINT) * {f})"
+        f" // {x}.sq AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"""
+WITH RECURSIVE li AS (
+  SELECT l_suppkey,
+         CAST(year(CAST(l_shipdate AS DATE)) * 12
+              + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS ym,
+         (l_returnflag = 'R') AS is_issue,
+         CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p_c
+  FROM lineitem
+), flows AS (
+  SELECT l_suppkey, ym,
+         CAST(SUM(CASE WHEN NOT is_issue THEN q ELSE 0 END) AS BIGINT) AS bq,
+         CAST(SUM(CASE WHEN NOT is_issue THEN p_c ELSE 0 END) AS BIGINT) AS bc,
+         CAST(SUM(CASE WHEN is_issue THEN q ELSE 0 END) AS BIGINT) AS sq,
+         CAST(SUM(CASE WHEN is_issue THEN p_c ELSE 0 END) AS BIGINT) AS sr
+  FROM li GROUP BY l_suppkey, ym
+), n AS (
+  SELECT l_suppkey, CAST(len(s) AS BIGINT) AS n_months, s
+  FROM (
+    SELECT l_suppkey,
+           list_sort(list(struct_pack(
+             ym := ym, bq := bq, bc := bc, sq := sq, sr := sr))) AS s
+    FROM flows GROUP BY l_suppkey
+  )
+), rec(l_suppkey, i, qty, cost, realized, unfilled) AS (
+  SELECT l_suppkey, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  FROM n
+  UNION ALL
+  SELECT r.l_suppkey, r.i + 1,
+         CAST({q1} - {f} AS BIGINT),
+         CAST({c1} - {cos} AS BIGINT),
+         CAST(r.realized + {rev} - {cos} AS BIGINT),
+         CAST(r.unfilled + ({x}.sq - {f}) AS BIGINT)
+  FROM rec r JOIN n ON n.l_suppkey = r.l_suppkey
+  WHERE r.i < n.n_months
+)
+SELECT r.l_suppkey, n.n_months,
+       r.qty AS end_qty, r.cost AS end_cost_c,
+       r.realized AS realized_pnl_c, r.unfilled AS unfilled_qty
+FROM rec r JOIN n ON n.l_suppkey = r.l_suppkey
+WHERE r.i = n.n_months
+"""
+
+
 _FIN_FIFO_SQL = """
 WITH cust AS (
   SELECT c_custkey,
@@ -7631,6 +7886,11 @@ QUERIES = {
         _FIN_FIFO_SQL,
         ("window", "allocation", "finance"),
     ),
+    "fin_avg_cost_basis": QuerySpec(
+        fin_avg_cost_basis,
+        _fin_avg_cost_sql(),
+        ("fold", "inventory", "finance"),
+    ),
     "evt_pattern_vshape": QuerySpec(
         evt_pattern_vshape,
         _EVT_VSHAPE_SQL,
@@ -7670,6 +7930,11 @@ QUERIES = {
         ts_holt_winters,
         _ts_hw_sql(),
         ("timeseries", "holt-winters", "seasonal"),
+    ),
+    "ts_kalman_1d": QuerySpec(
+        ts_kalman_1d,
+        _ts_kalman_sql(),
+        ("timeseries", "kalman", "fold"),
     ),
     "ml_mcc_matthews": QuerySpec(
         ml_mcc_matthews,

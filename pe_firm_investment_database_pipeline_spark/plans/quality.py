@@ -1554,6 +1554,85 @@ WHERE CASE WHEN r.op = 'lt' THEN l.value < r.threshold
 
 
 # ---------------------------------------------------------------------------
+# sec_dp_geometric — discrete-Laplace noisy counts (the DP mechanism)
+# ---------------------------------------------------------------------------
+
+# Truncated discrete Laplace (two-sided geometric), alpha = 1/2
+# (epsilon = ln 2 per unit of count sensitivity), support [-8, 8].
+# P(k) is proportional to 2^(8-|k|), so every mass is an exact
+# integer: weights 1,2,...,128,256,128,...,2,1 summing to 766. The
+# 16 inverse-CDF boundaries (cumulative mass through k = -8..7,
+# scaled to the 2^30 draw space, floor) are computed HERE in exact
+# Python integer arithmetic and shared literally by both engines —
+# the ml_ndcg table discipline.
+_DP_CUM = [1, 3, 7, 15, 31, 63, 127, 255, 511, 639, 703, 735, 751, 759, 763, 765]
+_DP_BOUNDS = [(1 << 30) * c // 766 for c in _DP_CUM]
+_DP_B_SPARK = "array(" + ", ".join(f"{b}L" for b in _DP_BOUNDS) + ")"
+_DP_B_DUCK = "[" + ", ".join(f"CAST({b} AS BIGINT)" for b in _DP_BOUNDS) + "]"
+
+
+def sec_dp_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE NOISY COUNTS — the geometric mechanism
+    (the integer-valued discrete Laplace) over the per-(type, day)
+    event histogram, completing the privacy ladder next to
+    k-anonymity / l-diversity / t-closeness (those bound RE-LINKING;
+    DP bounds what any SINGLE row can change in the release). Each
+    cell's true count gets noise drawn by inverse-CDF from a
+    truncated alpha = 1/2 two-sided geometric (epsilon = ln 2,
+    support ±8, masses proportional to 2^(8-|k|) — all-integer, so
+    the 16 CDF boundaries over the 2^30 draw space are EXACT shared
+    literals, no libm). The draw is a seeded md5 of the cell key —
+    deterministic REPLAY for the oracle and tests; a production
+    release swaps in a secure RNG, everything else unchanged (same
+    honest-stub stance as the multimodal codecs). Post-processing:
+    released cells below 10 suppress to NULL (suppression after
+    noise is DP-sound — it's pure post-processing). Scale shape: one
+    partial-aggregable grid shuffle; the noise is map-side
+    expression work on the grid."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    grid = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        "CAST(conv(substring(md5(event_type || ':' || CAST(day AS STRING)"
+        " || ':dp'), 1, 12), 16, 10) AS BIGINT) % 1073741824"
+    )
+    k = f"-8 + CAST(size(filter({_DP_B_SPARK}, t -> ({u}) >= t)) AS BIGINT)"
+    noisy = f"greatest(n + ({k}), CAST(0 AS BIGINT))"
+    return grid.select(
+        "event_type",
+        "day",
+        F.expr(
+            f"CASE WHEN {noisy} >= 10 THEN {noisy} ELSE NULL END"
+        ).alias("noisy_count"),
+        F.expr(f"CAST({noisy} < 10 AS BIGINT)").alias("suppressed"),
+    )
+
+
+def _sec_dp_geometric_sql() -> str:
+    u = (
+        "CAST(('0x' || substr(md5(event_type || ':' || CAST(day AS VARCHAR)"
+        " || ':dp'), 1, 12)) AS BIGINT) % 1073741824"
+    )
+    k = (
+        f"-8 + CAST(len(list_filter({_DP_B_DUCK}, t -> ({u}) >= t))"
+        " AS BIGINT)"
+    )
+    noisy = f"GREATEST(n + ({k}), CAST(0 AS BIGINT))"
+    return f"""
+WITH grid AS (
+  SELECT event_type, (CAST(ts AS DATE) - DATE '1970-01-01') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day,
+       CASE WHEN {noisy} >= 10 THEN {noisy} ELSE NULL END AS noisy_count,
+       CAST({noisy} < 10 AS BIGINT) AS suppressed
+FROM grid
+"""
+
+
+# ---------------------------------------------------------------------------
 # sec_rtbf_purge_audit — right-to-be-forgotten cascade audit
 # ---------------------------------------------------------------------------
 
@@ -2627,6 +2706,11 @@ QUERIES = {
         sec_col_tokenize,
         _SEC_COL_TOKENIZE_SQL,
         ("security", "governance", "tokenize"),
+    ),
+    "sec_dp_geometric": QuerySpec(
+        sec_dp_geometric,
+        _sec_dp_geometric_sql(),
+        ("security", "privacy", "differential-privacy"),
     ),
     "evt_ab_srm_check": QuerySpec(
         evt_ab_srm_check, _EVT_AB_SRM_CHECK_SQL, ("events", "ab", "srm")

@@ -188,6 +188,196 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rocchio pseudo-relevance-feedback parameters: top-3 feedback docs,
+# top-2 expansion terms, expansion contributions at half weight
+# (beta = 1/2 — implemented as (contrib * w) div 2 with w in {2, 1},
+# one truncating division, identical in both engines).
+_PRF_FB_DOCS = 3
+_PRF_EXP_TERMS = 2
+
+
+def rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio) — the
+    classic two-pass retrieval upgrade: run BM25 for the pinned
+    query, assume the top-3 hits are relevant, mine their strongest
+    non-query terms, and re-run BM25 with the expanded term set
+    (expansion terms at half weight). Recall rises for vocabulary-
+    mismatch queries with zero model dependencies — exactly the
+    first retrieval-quality lever a RAG stack pulls after plain
+    BM25 (`rag_bm25_topk`). All arithmetic stays in the module's
+    exact-int64 BM25 algebra; expansion terms are picked by
+    fb_tf * scaled-idf with (score DESC, term ASC) determinism, and
+    stopwords plus original query terms are excluded. Scale shape:
+    the feedback mining touches only the 3 feedback docs; the two
+    corpus passes are the same explode + (doc, term) partial-agg
+    shuffle as plain BM25, with the term sets broadcast — second
+    pass df comes from one corpus-side distinct count filtered to
+    the candidate set."""
+    from .textops import STOPWORDS
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
+    )
+    exploded = dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+
+    def bm25(term_weights: DataFrame) -> DataFrame:
+        # term_weights: (term, w) — w = 2 for original terms, 1 for
+        # expansion; plain BM25 contribution halves via div 2 below
+        tf = (
+            exploded.join(F.broadcast(term_weights), "term")
+            .groupBy("doc_id", "dl", "term", "w")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = tf.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        return (
+            tf.join(F.broadcast(dfreq), "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf_q",
+                F.expr(
+                    "((2 * (n_docs - df) + 1) * 10000) div (2 * df + 1)"
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.expr(
+                    "((idf_q * 22 * tf * s_tokens) div "
+                    "(10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)"
+                    " * w) div 2"
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score"))
+        )
+
+    q1 = spark.createDataFrame(
+        [(t, 2) for t in BM25_QUERY], "term string, w long"
+    )
+    fb = (
+        bm25(q1)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    skip = tuple(BM25_QUERY) + tuple(STOPWORDS)
+    fb_tf = (
+        exploded.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("term").isin(*skip))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    cand_df = (
+        exploded.join(F.broadcast(fb_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    exp = (
+        fb_tf.join(cand_df, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.expr(
+                "fb_tf * (((2 * (n_docs - df) + 1) * 10000)"
+                " div (2 * df + 1))"
+            ).alias("rocchio"),
+        )
+        .orderBy(F.desc("rocchio"), F.asc("term"))
+        .limit(_PRF_EXP_TERMS)
+        .select("term", F.lit(1).cast("long").alias("w"))
+    )
+    q2 = q1.unionByName(exp)
+    top = (
+        bm25(q2)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        F.col("score").alias("bm25e_scaled"),
+    )
+
+
+def _rag_query_expansion_sql() -> str:
+    from .textops import STOPWORDS
+
+    skip = "('" + "','".join(tuple(BM25_QUERY) + tuple(STOPWORDS)) + "')"
+    contrib = (
+        "(((((2 * (s.n_docs - df.df) + 1) * 10000) // (2 * df.df + 1))"
+        " * 22 * tf.tf * s.s_tokens) // "
+        "(10 * tf.tf * s.s_tokens + 3 * s.s_tokens"
+        " + 9 * tf.dl * s.n_docs) * tf.w) // 2"
+    )
+    return f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS dl,
+         {_TOKENS_DUCK} AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS s_tokens FROM dl
+), ex AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM dl
+), q1 AS (
+  SELECT unnest({_QUERY_SQL.replace("(", "[").replace(")", "]")}) AS term,
+         CAST(2 AS BIGINT) AS w
+), tf1 AS (
+  SELECT ex.doc_id, ex.dl, ex.term, q1.w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex JOIN q1 ON ex.term = q1.term
+  GROUP BY ex.doc_id, ex.dl, ex.term, q1.w
+), df1 AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf1 GROUP BY term
+), s1 AS (
+  SELECT tf.doc_id, CAST(SUM({contrib}) AS BIGINT) AS score
+  FROM tf1 tf JOIN df1 df ON tf.term = df.term CROSS JOIN stats s
+  GROUP BY tf.doc_id
+), fb AS (
+  SELECT doc_id FROM s1 ORDER BY score DESC, doc_id LIMIT {_PRF_FB_DOCS}
+), fb_tf AS (
+  SELECT ex.term, CAST(COUNT(*) AS BIGINT) AS fb_tf
+  FROM ex JOIN fb ON ex.doc_id = fb.doc_id
+  WHERE ex.term NOT IN {skip}
+  GROUP BY ex.term
+), cand_df AS (
+  SELECT ex.term, CAST(COUNT(DISTINCT ex.doc_id) AS BIGINT) AS df
+  FROM ex JOIN fb_tf ON ex.term = fb_tf.term
+  GROUP BY ex.term
+), exp AS (
+  SELECT f.term, CAST(1 AS BIGINT) AS w
+  FROM fb_tf f JOIN cand_df c ON f.term = c.term CROSS JOIN stats s
+  ORDER BY f.fb_tf * (((2 * (s.n_docs - c.df) + 1) * 10000)
+                      // (2 * c.df + 1)) DESC, f.term
+  LIMIT {_PRF_EXP_TERMS}
+), q2 AS (
+  SELECT term, w FROM q1 UNION ALL SELECT term, w FROM exp
+), tf2 AS (
+  SELECT ex.doc_id, ex.dl, ex.term, q2.w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ex JOIN q2 ON ex.term = q2.term
+  GROUP BY ex.doc_id, ex.dl, ex.term, q2.w
+), df2 AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf2 GROUP BY term
+), s2 AS (
+  SELECT tf.doc_id, CAST(SUM({contrib}) AS BIGINT) AS score
+  FROM tf2 tf JOIN df2 df ON tf.term = df.term CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score AS bm25e_scaled
+FROM (SELECT * FROM s2 ORDER BY score DESC, doc_id LIMIT 10)
+"""
+
+
 _PACK_BUDGET_TOKENS = 1000  # context-window token budget for packing
 
 
@@ -526,6 +716,11 @@ QUERIES = {
     ),
     "rag_hybrid_rrf": QuerySpec(
         rag_hybrid_rrf, _rag_hybrid_rrf_sql(), ("retrieval", "fusion")
+    ),
+    "rag_query_expansion": QuerySpec(
+        rag_query_expansion,
+        _rag_query_expansion_sql(),
+        ("retrieval", "prf", "rocchio"),
     ),
 }
 

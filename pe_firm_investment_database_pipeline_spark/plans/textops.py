@@ -2010,6 +2010,112 @@ GROUP BY bg.doc_id
 
 
 # ---------------------------------------------------------------------------
+# txt_doc_perplexity — exact log-space cross-entropy quality filter
+# ---------------------------------------------------------------------------
+
+# floor(log2(m/64) * 1e6) for the 64 mantissa steps m = 64..127 —
+# precomputed in PYTHON and shared as the same literal table by both
+# engines (the ml_ndcg_at_k discipline: never call libm log/log2
+# inside a hash-compared query, it is not correctly-rounded).
+_LOG2U_TABLE = [
+    __import__("math").floor(__import__("math").log2(m / 64) * 1_000_000)
+    for m in range(64, 128)
+]
+_LOG2U_SPARK = "array(" + ", ".join(f"{v}L" for v in _LOG2U_TABLE) + ")"
+_LOG2U_DUCK = (
+    "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in _LOG2U_TABLE) + "]"
+)
+
+
+def txt_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT CROSS-ENTROPY under the corpus bigram LM — the
+    CCNet-style perplexity quality filter (keep docs whose text the
+    reference LM finds predictable; garbled/boilerplate text scores
+    high): H(doc) = mean over its bigrams of -log2 p(w2|w1), in exact
+    integer MICRO-BITS. `txt_bigram_prob` scores mean PROBABILITY
+    (dominated by the few most-frequent bigrams); cross-entropy is
+    the log-space version every production filter actually uses — and
+    logs are libm territory, so the entry computes them EXACTLY:
+    p_scaled = max((c2 << 20) div c1, 1) in [1, 2^20], then
+    log2(p_scaled) decomposes as exponent + mantissa — the exponent
+    is length(bin(p_scaled)) - 1 (a string op, identical in both
+    engines), the mantissa m = (p_scaled * 64) div 2^e lands in
+    [64, 127] and looks up a 64-entry Python-precomputed
+    floor-micro-log2 table shared literally by both engines. Bits
+    per bigram = 20e6 - log2u (the max(...,1) floor acts as the
+    standard LM smoothing floor at ~20 bits). Scale shape: identical
+    to `txt_bigram_prob` — one bigram explode, two partial-
+    aggregable count aggregates (the LM table is vocab²-bounded),
+    one equi-join of occurrences to the LM on the bigram key; the
+    log decomposition is pure map-side expression work."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    ps = "greatest((c2 * 1048576) div c1, CAST(1 AS BIGINT))"
+    e = f"CAST(length(bin({ps})) - 1 AS BIGINT)"
+    m = f"(({ps}) * 64) div shiftleft(CAST(1 AS BIGINT), {e})"
+    lm = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.expr(
+            f"20000000 - ({e} * 1000000"
+            f" + element_at({_LOG2U_SPARK}, CAST({m} - 63 AS INT)))"
+        ).alias("bits_ub"),
+    )
+    return (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(bits_ub) div count(1)").alias("xent_microbits"),
+        )
+    )
+
+
+def _txt_doc_perplexity_sql() -> str:
+    ps = "greatest((c2.c2 * 1048576) // c1.c1, CAST(1 AS BIGINT))"
+    e = f"CAST(length(bin({ps})) - 1 AS BIGINT)"
+    m = f"(({ps}) * 64) // (CAST(1 AS BIGINT) << ({e}))"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+  WHERE len({_TOKENS_DUCK}) >= 2
+), bg AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks) - 1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM toks
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
+), lm AS (
+  SELECT c2.w1, c2.w2,
+         20000000 - ({e} * 1000000
+           + {_LOG2U_DUCK}[CAST({m} - 63 AS INT)]) AS bits_ub
+  FROM c2 JOIN c1 ON c2.w1 = c1.w1
+)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lm.bits_ub) // COUNT(*) AS BIGINT) AS xent_microbits
+FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+GROUP BY bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_hapax_stats — vocabulary profile per source
 # ---------------------------------------------------------------------------
 
@@ -3023,6 +3129,11 @@ QUERIES = {
     ),
     "txt_bigram_prob": QuerySpec(
         txt_bigram_prob, _TXT_BIGRAM_PROB_SQL, ("text", "lm", "quality")
+    ),
+    "txt_doc_perplexity": QuerySpec(
+        txt_doc_perplexity,
+        _txt_doc_perplexity_sql(),
+        ("text", "lm", "quality", "perplexity"),
     ),
     "txt_pmi_pairs": QuerySpec(
         txt_pmi_pairs, _TXT_PMI_PAIRS_SQL, ("text", "collocations")

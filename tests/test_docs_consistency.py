@@ -70,6 +70,19 @@ def test_bench_notes_match_newest_local_record():
     )
 
 
+def test_survey_mentions_every_r9_op():
+    """Every op added in round 9's wave has a SURVEY §2 row."""
+    survey = _read("SURVEY.md")
+    for op in (
+        "txt_doc_perplexity",
+        "rag_query_expansion",
+        "fin_avg_cost_basis",
+        "ts_kalman_1d",
+        "sec_dp_geometric",
+    ):
+        assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"
+
+
 def test_survey_mentions_every_late_r8_op():
     """Every op added in round 8's waves has a SURVEY §2 row."""
     survey = _read("SURVEY.md")

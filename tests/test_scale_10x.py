@@ -156,6 +156,14 @@ HEAVY = [
     "evt_attribution_shapley",
     "ts_holt_winters",
     "ml_mcc_matthews",
+    # round-9 wave: the corpus bigram-LM explode + join, the two-pass
+    # BM25 with feedback mining, the per-supplier monthly cost fold,
+    # the day-grid Kalman fold, and the DP grid mechanism
+    "txt_doc_perplexity",
+    "rag_query_expansion",
+    "fin_avg_cost_basis",
+    "ts_kalman_1d",
+    "sec_dp_geometric",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
