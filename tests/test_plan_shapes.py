@@ -626,3 +626,58 @@ def test_er_pipeline_blocked_join_and_no_cartesian(spark):
     plan = _plan(spark, "er_pipeline_e2e")
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_doc_perplexity_partial_aggregated_no_cartesian(spark):
+    """txt_doc_perplexity's LM counts must combine map-side (the
+    bigram shuffle carries pre-reduced (w1, w2) groups, not raw
+    occurrences) and the bigram occurrence-to-LM join must be a
+    keyed join — never a cartesian; the log2 decomposition is pure
+    expression work, so no extra exchange may appear for it."""
+    plan = _plan(spark, "txt_doc_perplexity")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_query_expansion_broadcasts_term_tables(spark):
+    """rag_query_expansion's term-weight / df / stats sides must
+    broadcast onto the corpus explode (they are query-sized); the
+    only nested-loop joins allowed are the 1-row stats crosses."""
+    plan = _plan(spark, "rag_query_expansion")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_avg_cost_basis_grid_partial_aggregation(spark):
+    """fin_avg_cost_basis compresses lineitem to the (supplier,
+    month) grid with map-side combine BEFORE the per-supplier fold;
+    the fold itself is expression work over collected arrays — no
+    join in the plan at all."""
+    plan = _plan(spark, "fin_avg_cost_basis")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_kalman_day_grid_partial_aggregation(spark):
+    """ts_kalman_1d's only corpus-sized work is the (type, day) grid
+    compression — partial-aggregated; the fold adds no join and no
+    window."""
+    plan = _plan(spark, "ts_kalman_1d")
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_dp_geometric_noise_is_map_side(spark):
+    """sec_dp_geometric: one grid compression shuffle, then the
+    mechanism (draw, inverse-CDF walk, suppression) is map-side
+    expression work — no join, no window, no second aggregate."""
+    plan = _plan(spark, "sec_dp_geometric")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "partial_count" in plan
