@@ -51,6 +51,32 @@ _COMP_CACHE: dict[tuple, DataFrame] = register_cache({})
 _OLD_LABELS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+
+# The graph family's shared edge front: near-dup candidate pairs at
+# est_jaccard >= 0.5, eager-checkpointed and memoized per
+# (application, dataset). ~15 graph entries (pagerank, PPR,
+# triangles, clustering coefficient, assortativity, label
+# propagation, ...) consume the SAME pair list; before this cache
+# each re-ran the banded LSH join in its own plan — the checkpoint
+# makes every graph entry after the first start from a materialized,
+# lineage-free local frame (the staged-index policy similarity.py
+# already applies to its kNN frames).
+_LSH_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "lsh_pairs")
+    df = _LSH_PAIRS_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_LSH_PAIRS_CACHE, key[0])
+        df = _LSH_PAIRS_CACHE[key] = (
+            dedup_minhash_lsh(spark, sf_dir)
+            .where(F.col("est_jaccard") >= 0.5)
+            .localCheckpoint(eager=True)
+        )
+    return df
+
+
 def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Min-label propagation over an undirected edge list →
     (vertex, component) where component = min vertex id reachable."""
@@ -117,9 +143,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = _COMP_CACHE.get(key)
     if comps is None:
         evict_stale_apps(_COMP_CACHE, key[0])
-        pairs = dedup_minhash_lsh(spark, sf_dir).where(
-            F.col("est_jaccard") >= 0.5
-        )
+        pairs = _lsh_pairs(spark, sf_dir)
         comps = _COMP_CACHE[key] = connected_components(
             pairs, "doc1", "doc2"
         )
@@ -259,9 +283,7 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     `relabelled` marks the vertices that entered the fixpoint — in
     both engines this is exactly 'my final cluster contains a
     new-batch vertex'."""
-    all_pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    all_pairs = _lsh_pairs(spark, sf_dir)
     in_batch = lambda c: F.pmod(F.col(c), F.lit(_INC_MOD)) == _INC_REM
     old_pairs = all_pairs.where(~in_batch("doc1") & ~in_batch("doc2"))
     new_pairs = all_pairs.where(
@@ -360,9 +382,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     `a` and every iteration reuses that partitioning; the rank table
     (one row per vertex in a candidate pair) is orders of magnitude
     smaller than the corpus."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     sym = pairs.select(
         F.col("doc1").alias("a"), F.col("doc2").alias("b")
     ).union(
@@ -406,7 +426,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound production systems rely on; both joins are equi-joins on
     vertex ids (bucket-friendly at 100 TB). Output: per-document
     triangle membership counts, top-level totals exact int64."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -502,9 +522,7 @@ def graph_ppr_single_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     which at 100 TB is the seed's local cluster, not the graph.
     Same Pregel-as-joins shape and edge-table bucketing story as
     `graph_pagerank`."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     sym = (
         pairs.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
         .union(
@@ -608,7 +626,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are exactly comparable (the fixture converges in fewer
     rounds; production would loop to fixpoint with the same per-round
     plan). Output: surviving vertices with their core degree."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -684,7 +702,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn·1e6 div (deg1 + deg2 − cn). All equi-joins on vertex ids:
     bucket-friendly at 100 TB, and skew is bounded because LSH band
     caps degree growth."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -773,7 +791,7 @@ def graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     as triangles/common-neighbors, and the groupBy is partial-
     aggregable. Existing edges come out flagged is_edge (there RA is
     embeddedness support), mirroring common_neighbors."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -858,9 +876,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier-empty with the same per-round plan. At 100 TB both
     joins are vertex-id equi-joins over the LSH pair graph — orders
     of magnitude smaller than the corpus."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -1017,9 +1033,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     label is the same total order). State is a (vertex, label)
     table, lineage flattened with eager localCheckpoints; at 100 TB
     the graph is the LSH pair output — corpus-scale never shuffles."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -1132,9 +1146,7 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex exact integer ppm, no per-vertex iteration. At 100 TB the
     graph is the LSH pair output; wedge count is sum(deg^2), the
     quantity the adaptive cell sizing already bounds."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -1291,9 +1303,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm via the DECIMAL(38,0)/HUGEINT sufficient-statistic
     discipline (`agg_corr_stats`). One degree aggregate, one
     edge-to-degree join each side, one global rollup."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -1374,7 +1384,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized → broadcast twice. Extends the reference's pairwise-overlap
     surface (the same graph the CC/canonical-pick operators walk) to
     the standard structural-similarity score."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(F.col("est_jaccard") >= 0.5)
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
@@ -1454,9 +1464,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     intra-edge counts are two aggregates over the LSH pair list
     (corpus-independent); the lang dimension joins on edge endpoints
     only; m broadcasts as a one-row scalar."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"),
         F.greatest("doc1", "doc2").alias("b"),
@@ -1590,9 +1598,7 @@ def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one keyed sum on the LSH pair list; scores broadcast back.
     At 100 TB the edge list is the candidate output, orders of
     magnitude below the corpus."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).where(
-        F.col("est_jaccard") >= 0.5
-    )
+    pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("u"),
         F.greatest("doc1", "doc2").alias("v"),

@@ -71,6 +71,13 @@ def main():
     tz = os.environ.get("SPARK_GRAFT_SIM_TZ")
     if tz:
         builder = builder.config("spark.sql.session.timeZone", tz)
+    # Optional probe: every result must be PARTITION-COUNT-INVARIANT
+    # (no operator may depend on how many reducers ran — the class of
+    # bug where a limit/first/collect_list order leaks partitioning).
+    # SPARK_GRAFT_SIM_SHUFFLE=7 runs the sweep at 7 shuffle partitions.
+    parts = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE")
+    if parts:
+        builder = builder.config("spark.sql.shuffle.partitions", parts)
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
