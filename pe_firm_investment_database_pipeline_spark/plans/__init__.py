@@ -144,6 +144,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "fin_avg_cost_basis",
         "ts_kalman_1d",
         "sec_dp_geometric",
+        "ml_decision_stump",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

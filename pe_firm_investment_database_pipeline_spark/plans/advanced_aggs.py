@@ -5537,6 +5537,149 @@ def ml_gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKENS_AA = r"regexp_extract_all(text, '\\S+', 0)"
+_TOKENS_AA_DUCK = r"regexp_extract_all(text, '\S+')"
+
+_STUMP_HASH = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':stump'),"
+    " 1, 12), 16, 10) AS BIGINT)"
+)
+_STUMP_HASH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':stump'),"
+    " 1, 12)) AS BIGINT)"
+)
+
+
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION STUMP WITH FEATURE SELECTION — the full depth-1 CART
+    step: `ml_gini_split_gain` picks the best threshold on ONE given
+    feature; THIS entry also runs the tree learner's outer loop,
+    scanning three features and returning the single best (feature,
+    threshold) pair. The label is LEARNABLE by construction —
+    (n_chars >= 300) with deterministic 25% hash flips — and the
+    feature set includes an uninformative control (doc_id % 100), so
+    the argmax is a real selection, not a tie-break lottery: the
+    stump must recover n_chars near 300 with ~125k ppm gain while
+    the control's gain sits at noise level (the behavior test pins
+    exactly that). Mechanism: one stack() unpivot to (feature,
+    value, is_pos) rows — 3x the table, still one scan — then the
+    per-feature distinct-value grid, cumulative windows on value
+    cardinality, the established three-term DECIMAL/HUGEINT ppm
+    Gini gain, and ONE global argmax via min-struct((-gain, feature,
+    value)). No global row sort anywhere; adding a feature is adding
+    a stack literal."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.expr(f"size({_TOKENS_AA})").alias("n_tok"),
+        F.expr(
+            f"CASE WHEN ({_STUMP_HASH}) % 4 = 0"
+            " THEN 1 - CAST(n_chars >= 300 AS INT)"
+            " ELSE CAST(n_chars >= 300 AS INT) END"
+        )
+        .cast("long")
+        .alias("is_pos"),
+    )
+    feats = d.select(
+        "is_pos",
+        F.expr(
+            "stack(3, 'n_chars', n_chars, 'n_tokens', CAST(n_tok AS BIGINT),"
+            " 'id_mod', doc_id % 100) AS (feature, val)"
+        ),
+    )
+    grid = feats.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_pos").alias("pos")
+    )
+    wc = W.partitionBy("feature").orderBy("val").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wf = W.partitionBy("feature")
+    c = (
+        grid.withColumn("nl", F.sum("cnt").over(wc))
+        .withColumn("pl", F.sum("pos").over(wc))
+        .withColumn("n", F.sum("cnt").over(wf))
+        .withColumn("p", F.sum("pos").over(wf))
+        .where(F.col("nl") < F.col("n"))
+    )
+    gain = (
+        "CAST((2 * CAST(p AS DECIMAL(38,0)) * (n - p) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        " - CAST((2 * CAST(pl AS DECIMAL(38,0)) * (nl - pl) * 1000000)"
+        " div (CAST(n AS DECIMAL(38,0)) * nl) AS BIGINT)"
+        " - CAST((2 * CAST(p - pl AS DECIMAL(38,0)) * ((n - nl) - (p - pl))"
+        " * 1000000) div (CAST(n AS DECIMAL(38,0)) * (n - nl)) AS BIGINT)"
+    )
+    scored = c.withColumn("gain_ppm", F.expr(gain))
+    best = scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("gain_ppm")).alias("ng"),
+                F.col("feature").alias("feature"),
+                F.col("val").alias("val"),
+                F.col("n").alias("n"),
+                F.col("p").alias("p"),
+                F.col("nl").alias("nl"),
+                F.col("pl").alias("pl"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.feature").alias("feature"),
+        F.col("b.val").cast("long").alias("split_at"),
+        (-F.col("b.ng")).cast("long").alias("gain_ppm"),
+        F.col("b.n").cast("long").alias("n"),
+        F.col("b.p").cast("long").alias("n_pos"),
+        F.col("b.nl").cast("long").alias("n_left"),
+        F.col("b.pl").cast("long").alias("pos_left"),
+    )
+
+
+def _ml_decision_stump_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         CAST(len({_TOKENS_AA_DUCK}) AS BIGINT) AS n_tok,
+         CAST(CASE WHEN ({_STUMP_HASH_DUCK}) % 4 = 0
+              THEN 1 - CAST(n_chars >= 300 AS INT)
+              ELSE CAST(n_chars >= 300 AS INT) END AS BIGINT) AS is_pos
+  FROM documents
+), feats AS (
+  SELECT 'n_chars' AS feature, CAST(n_chars AS BIGINT) AS val, is_pos FROM d
+  UNION ALL
+  SELECT 'n_tokens', n_tok, is_pos FROM d
+  UNION ALL
+  SELECT 'id_mod', doc_id % 100, is_pos FROM d
+), grid AS (
+  SELECT feature, val, CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(is_pos) AS BIGINT) AS pos
+  FROM feats GROUP BY feature, val
+), c AS (
+  SELECT feature, val,
+         CAST(SUM(cnt) OVER (PARTITION BY feature ORDER BY val
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+         CAST(SUM(pos) OVER (PARTITION BY feature ORDER BY val
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+         CAST(SUM(cnt) OVER (PARTITION BY feature) AS BIGINT) AS n,
+         CAST(SUM(pos) OVER (PARTITION BY feature) AS BIGINT) AS p
+  FROM grid
+), scored AS (
+  SELECT feature, val, nl, pl, n, p,
+         CAST((2 * CAST(p AS HUGEINT) * (n - p) * 1000000)
+              // (CAST(n AS HUGEINT) * n) AS BIGINT)
+         - CAST((2 * CAST(pl AS HUGEINT) * (nl - pl) * 1000000)
+                // (CAST(n AS HUGEINT) * nl) AS BIGINT)
+         - CAST((2 * CAST(p - pl AS HUGEINT) * ((n - nl) - (p - pl))
+                 * 1000000) // (CAST(n AS HUGEINT) * (n - nl)) AS BIGINT)
+           AS gain_ppm
+  FROM c WHERE nl < n
+)
+SELECT feature, val AS split_at, gain_ppm, n, p AS n_pos,
+       nl AS n_left, pl AS pos_left
+FROM scored ORDER BY gain_ppm DESC, feature, val LIMIT 1
+"""
+
+
 _ML_GINI_SPLIT_SQL = f"""
 WITH d AS (
   SELECT lang, n_chars AS score,
@@ -7985,6 +8128,11 @@ QUERIES = {
         ml_gini_split_gain,
         _ML_GINI_SPLIT_SQL,
         ("ml", "tree", "gini"),
+    ),
+    "ml_decision_stump": QuerySpec(
+        ml_decision_stump,
+        _ml_decision_stump_sql(),
+        ("ml", "tree", "feature-selection"),
     ),
     "ml_bootstrap_ci": QuerySpec(
         ml_bootstrap_ci,

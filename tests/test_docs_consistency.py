@@ -79,6 +79,7 @@ def test_survey_mentions_every_r9_op():
         "fin_avg_cost_basis",
         "ts_kalman_1d",
         "sec_dp_geometric",
+        "ml_decision_stump",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"
 

@@ -681,3 +681,13 @@ def test_dp_geometric_noise_is_map_side(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "partial_count" in plan
+
+
+def test_decision_stump_no_global_row_sort(spark):
+    """ml_decision_stump's windows run on the per-feature
+    distinct-value grid, never on raw rows, and the final argmax is
+    an aggregate — no join, no TakeOrdered over the corpus."""
+    plan = _plan(spark, "ml_decision_stump")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert plan.count("HashAggregate") >= 2

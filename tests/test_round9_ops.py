@@ -217,3 +217,19 @@ def test_sec_dp_geometric_bounds_table():
         expect.append(cum)
     assert _DP_CUM == expect
     assert _DP_BOUNDS == [(1 << 30) * c // 766 for c in expect]
+
+
+def test_ml_decision_stump_recovers_planted_feature(spark, sf_dir):
+    """The label is (n_chars >= 300) with 25% hash flips, and the
+    feature set includes an uninformative control — the stump must
+    pick n_chars with a threshold near the planted boundary and a
+    gain in the flip-discounted band (perfect split = 500k ppm,
+    25% flips put the ceiling near (1-2*0.25)^2 * 500k = 125k)."""
+    rows = _Q["ml_decision_stump"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["feature"] == "n_chars"
+    assert 280 <= r["split_at"] <= 320, r
+    assert 40_000 <= r["gain_ppm"] <= 130_000, r
+    assert 0 < r["n_left"] < r["n"]
+    assert 0 <= r["pos_left"] <= r["n_left"]

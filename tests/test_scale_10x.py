@@ -164,6 +164,7 @@ HEAVY = [
     "fin_avg_cost_basis",
     "ts_kalman_1d",
     "sec_dp_geometric",
+    "ml_decision_stump",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
