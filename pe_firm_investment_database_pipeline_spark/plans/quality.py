@@ -1557,8 +1557,11 @@ WHERE CASE WHEN r.op = 'lt' THEN l.value < r.threshold
 # sec_dp_geometric — discrete-Laplace noisy counts (the DP mechanism)
 # ---------------------------------------------------------------------------
 
-# Truncated discrete Laplace (two-sided geometric), alpha = 1/2
-# (epsilon = ln 2 per unit of count sensitivity), support [-8, 8].
+# Truncated discrete Laplace (two-sided geometric), alpha = 1/2,
+# support [-8, 8]. The UNtruncated alpha = 1/2 geometric is epsilon
+# = ln 2 pure-DP; truncating to ±8 trades pure DP for bounded noise
+# (edge outputs have zero mass under an adjacent dataset), so what
+# ships is approximate / (epsilon, delta)-style, not pure ln 2.
 # P(k) is proportional to 2^(8-|k|), so every mass is an exact
 # integer: weights 1,2,...,128,256,128,...,2,1 summing to 766. The
 # 16 inverse-CDF boundaries (cumulative mass through k = -8..7,
@@ -1578,10 +1581,16 @@ def sec_dp_geometric(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-anonymity / l-diversity / t-closeness (those bound RE-LINKING;
     DP bounds what any SINGLE row can change in the release). Each
     cell's true count gets noise drawn by inverse-CDF from a
-    truncated alpha = 1/2 two-sided geometric (epsilon = ln 2,
-    support ±8, masses proportional to 2^(8-|k|) — all-integer, so
-    the 16 CDF boundaries over the 2^30 draw space are EXACT shared
-    literals, no libm). The draw is a seeded md5 of the cell key —
+    truncated alpha = 1/2 two-sided geometric (support ±8, masses
+    proportional to 2^(8-|k|) — all-integer, so the 16 CDF
+    boundaries over the 2^30 draw space are EXACT shared literals,
+    no libm). Privacy accounting: epsilon = ln 2 holds for the
+    UNtruncated geometric; the ±8 truncation makes edge outputs
+    unreachable under an adjacent dataset, so the shipped mechanism
+    is approximate-DP-style with bounded noise, NOT pure
+    epsilon = ln 2 (an honest trade, chosen so the release is
+    integer-exact and oracle-replayable).
+    The draw is a seeded md5 of the cell key —
     deterministic REPLAY for the oracle and tests; a production
     release swaps in a secure RNG, everything else unchanged (same
     honest-stub stance as the multimodal codecs). Post-processing:

@@ -55,13 +55,29 @@ def test_priority_rotation_names_resolve_and_dedupe():
 def test_bench_notes_match_newest_local_record():
     """BENCH_NOTES.md must describe the entry count of the newest
     shipped BENCH_LOCAL record (the r8 stale-tail class: notes said
-    '362 entries, 249.7 s' while the shipped record was 374/286.2)."""
+    '362 entries, 249.7 s' while the shipped record was 374/286.2).
+
+    The record compared is the COMMITTED one when the working tree
+    diverges: the external driver overwrites BENCH_LOCAL_r*.json in
+    place after the builder's final commit (r9 postmortem), and the
+    builder can only document scopes that existed at commit time.
+    """
     import glob
     import json
+    import subprocess
 
     records = sorted(glob.glob(os.path.join(_REPO, "BENCH_LOCAL_r*.json")))
     assert records, "no BENCH_LOCAL record shipped"
-    newest = json.load(open(records[-1]))
+    name = os.path.basename(records[-1])
+    try:
+        committed = subprocess.run(
+            ["git", "show", f"HEAD:{name}"],
+            cwd=_REPO, capture_output=True, text=True, timeout=30,
+        )
+        raw = committed.stdout if committed.returncode == 0 else None
+    except OSError:
+        raw = None
+    newest = json.loads(raw) if raw else json.load(open(records[-1]))
     n = len(newest["queries"])
     notes = _read("BENCH_NOTES.md")
     assert f"{n}-entry" in notes or f"{n} entries" in notes, (

@@ -45,8 +45,16 @@ def cell(v):
 
 
 def canon(df):
+    # Per-column object lists, NOT iterrows(): iterrows() materializes
+    # each row as a Series whose dtype is the row-wide upcast, so any
+    # float column makes int64 cells stringify as "123.0" on BOTH
+    # sides — silently masking exactly the int-vs-float schema class
+    # this sim exists to catch (ADVICE r9 #1).
     cols = sorted(df.columns)
-    rows = sorted("|".join(cell(r[c]) for c in cols) for _, r in df[cols].iterrows())
+    col_vals = [df[c].astype(object).tolist() for c in cols]
+    rows = sorted(
+        "|".join(cell(v) for v in row_vals) for row_vals in zip(*col_vals)
+    )
     return cols, rows
 
 
