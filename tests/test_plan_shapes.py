@@ -191,14 +191,43 @@ def test_ann_join_broadcasts_centroids(spark):
 
 
 def test_scd2_single_exchange(spark):
-    """merge_scd2's two windows and the change filter all key on
-    user_id, so Catalyst must plan exactly ONE operator-required
-    exchange (both sorts/windows reuse the same partitioning); the
-    only other exchange allowed is _spread's round-robin floor."""
-    plan = _plan(spark, "merge_scd2")
+    """The SCD2 dimension-build plan: two windows and the change
+    filter all key on user_id, so Catalyst must plan exactly ONE
+    operator-required exchange (both sorts/windows reuse the same
+    partitioning); the only other exchange allowed is _spread's
+    round-robin floor. Asserted on the front BUILDER (_scd2_changes)
+    because merge_scd2's returned frame is the staged eager
+    localCheckpoint — a lineage-free scan (pinned below)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pe_firm_investment_database_pipeline_spark.plans.sessions import (
+        _scd2_changes,
+    )
+    from pe_firm_investment_database_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    df = _scd2_changes(
+        load_table(spark, SF, "events").select(
+            "user_id", "ts_us", "event_id", F.col("event_type").alias("state")
+        )
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
     # ENSURE_REQUIREMENTS prints once per exchange node (detail only)
     ensure = plan.count("ENSURE_REQUIREMENTS")
     assert ensure == 1, f"expected one required exchange, plan has {ensure}"
+    # and the registry entry serves the STAGED front: no exchange at
+    # all in the consumer-facing plan (production reads it from disk)
+    staged = _plan(spark, "merge_scd2")
+    assert "ENSURE_REQUIREMENTS" not in staged, (
+        "merge_scd2 should serve the staged checkpoint, not rebuild"
+    )
 
 
 def test_domain_mixture_rate_table_is_broadcast(spark):
