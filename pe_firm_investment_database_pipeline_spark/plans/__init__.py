@@ -54,62 +54,14 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # Round-9 rotation (VERDICT r8 'Next round' #1): ALL 77 entries
-        # never driver-verdicted in r1-r8 go first, heavy/novel ones
-        # leading, so the driver's ~50-slot sample window verdicts the
-        # first 50 this round and the remaining 27 queue at slots
-        # 51-77 for r10. Everything already verdicted (r1-r8 union,
-        # latest verdict green) keeps module order after the list.
-        "er_pipeline_e2e",
-        "ts_downsample_lttb",
-        "ts_holt_winters",
-        "stream_cdc_changelog",
-        "udaf_grouped_arrow",
-        "evt_attribution_shapley",
-        "pack_sequences_nfd",
-        "sim_matryoshka_recall",
-        "sketch_cms_heavy",
-        "sql_null_semantics_matrix",
-        "ml_chi2_feature_select",
-        "sec_t_closeness",
-        "ml_lift_gains",
-        "ml_target_encode",
-        "txt_zipf_check",
-        "evt_stickiness_dau_mau",
-        "evt_calendar_heatmap",
-        "ml_cv_folds",
-        "profile_wasserstein_drift",
-        "graph_modularity",
-        "sec_k_anonymity",
-        "evt_cuped_adjust",
-        "dq_gap_inventory",
-        "ml_bootstrap_ci",
-        "ml_linreg_multivar",
-        "ts_periodogram_peaks",
-        "profile_embedding_drift",
-        "ml_gini_split_gain",
-        "txt_keyphrase_textrank",
-        "sql_group_by_all",
-        "sql_unpivot_syntax",
-        "src_zonemap_stats",
-        "dq_rules_engine",
-        "evt_markov_stationary",
-        "ml_isotonic_calibration",
-        "agg_percentile_disc",
-        "ts_sma_crossover",
-        "str_xml_roundtrip",
-        "ml_youden_threshold",
-        "samp_pps_systematic",
-        "sql_parameterized",
-        "sql_session_variable",
-        "meta_observe_metrics",
-        "txt_bpe_train_step",
-        "sec_rtbf_purge_audit",
-        "str_collation_group",
-        "sql_lateral_alias",
-        "sql_identifier_clause",
-        "sql_try_arithmetic",
-        "txt_token_count_arrow",
+        # Round-10 rotation (VERDICT r9 'Next round' #3): the 33
+        # entries never driver-verdicted in r1-r9 — the 27-entry tail
+        # of the r9 rotation plus the 6 r9 ops — sit at slots 1-33 so
+        # the driver's ~50-slot sample window closes the union at
+        # 380/380. Slots 34+ are re-verdicts for paths that changed
+        # this round (the staged SCD2 front, the staged graph pair
+        # front, the LTTB fold rework). Everything else keeps module
+        # order after the list.
         "src_python_stream_source",
         "snk_retention_vacuum",
         "graph_hits_authority",
@@ -137,14 +89,30 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_kendall_tau",
         "ml_spearman_rank",
         "ml_mcc_matthews",
-        # round-9 new ops at slots 78+ (first driver verdicts r10/r11,
-        # after the 27 remaining never-verdicted entries above)
         "txt_doc_perplexity",
         "rag_query_expansion",
         "fin_avg_cost_basis",
         "ts_kalman_1d",
         "sec_dp_geometric",
         "ml_decision_stump",
+        # slots 34+: re-verdicts for r10-changed paths
+        "merge_scd2",
+        "join_scd2_asof",
+        "profile_ks_drift",
+        "graph_pagerank",
+        "graph_triangles",
+        "graph_clustering_coeff",
+        "graph_label_propagation",
+        "graph_neighbor_jaccard",
+        "graph_modularity",
+        "graph_assortativity",
+        "graph_kcore_peel",
+        "graph_common_neighbors",
+        "graph_bfs_distance",
+        "graph_cc_incremental",
+        "graph_resource_alloc",
+        "dedup_connected_components",
+        "ts_downsample_lttb",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {
