@@ -237,9 +237,21 @@ def _runs_after_warm(warm_run_sec: float) -> int:
     return RUNS - 2 if warm_run_sec < 1.5 else 0
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load at sampling time — recorded in the output so
+    environmental-window determinations (the r7/r9 busy-window class)
+    are self-evidencing instead of post-hoc."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    load_start = _loadavg()
     spark = get_spark("pe-pipeline-bench")
     registry = all_queries()
 
@@ -291,6 +303,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     if prev:
         out["prev_total"] = prev.get("value")
