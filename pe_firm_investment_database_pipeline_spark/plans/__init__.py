@@ -113,6 +113,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "graph_resource_alloc",
         "dedup_connected_components",
         "ts_downsample_lttb",
+        # round-10 new ops at slots 51+ (first driver verdicts r11)
+        "txt_bpe_merge_rounds",
+        "fin_npv_schedule",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

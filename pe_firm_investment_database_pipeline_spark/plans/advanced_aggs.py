@@ -7983,6 +7983,111 @@ WHERE r.i = n.n_months
 """
 
 
+# ---------------------------------------------------------------------------
+# fin_npv_schedule — discounted cashflow over the monthly revenue grid
+# ---------------------------------------------------------------------------
+
+# 96-month schedule horizon (1995-01 .. 2002-12 — covers the fixture
+# lineitem shipdate span 1995-01 .. 2001-11 at every SF). Discount
+# factors at 1%/month are computed HERE in exact integer arithmetic
+# — df_ppm(m) = floor(1e6 * (100/101)^m) = (1e6 * 100^m) // 101^m —
+# and shared literally by both engines (the ml_ndcg table discipline:
+# NEVER call libm pow inside a hash-compared query).
+_NPV_MONTHS = 96
+_NPV_BASE_YM = 1995 * 12 + 1  # ym index of 1995-01
+_NPV_DF_PPM = [(10**6 * 100**m) // (101**m) for m in range(_NPV_MONTHS)]
+_NPV_DF_SPARK = "array(" + ", ".join(f"{v}L" for v in _NPV_DF_PPM) + ")"
+_NPV_DF_DUCK = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in _NPV_DF_PPM) + "]"
+
+
+def fin_npv_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET PRESENT VALUE of the revenue schedule — the discounted-
+    cashflow aggregate every deal model runs, completing the finance
+    family next to `fin_fifo_allocation` (allocation) and
+    `fin_avg_cost_basis` (costing): per supplier nation, the monthly
+    gross-revenue cashflow grid is discounted at 1%/month back to the
+    1995-01 origin and rolled up to (nominal, NPV, discount loss).
+    Exactness: cents at the scan, per-month factor = a host-
+    precomputed integer-ppm literal table (floor(1e6/1.01^m) in exact
+    integer arithmetic — no libm pow anywhere near the comparison
+    surface), per-cell contribution = (cf_c * df_ppm) div 1e6 with
+    the left factor widened to DECIMAL(38,0)/HUGEINT (the product
+    overflows int64 at cluster cell sizes; the quotient is <= cf_c so
+    the narrow-back is safe — the `div`-fits rule). Scale shape: one
+    partial-aggregable (nation, month) grid shuffle — the corpus pass
+    — then nation-sized map work; supplier and nation dims broadcast.
+    Cashflows outside the 96-month horizon are excluded by definition
+    (none exist in the fixture)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr(
+            "year(CAST(l_shipdate AS DATE)) * 12"
+            " + month(CAST(l_shipdate AS DATE))"
+        ).alias("ym"),
+        cents("l_extendedprice").alias("cf_c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    m = F.col("ym") - F.lit(_NPV_BASE_YM)
+    grid = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .withColumn("m", m)
+        .where((F.col("m") >= 0) & (F.col("m") < _NPV_MONTHS))
+        .groupBy("n_name", "m")
+        .agg(F.sum("cf_c").alias("cf_c"))
+    )
+    disc = (
+        f"CAST((CAST(cf_c AS DECIMAL(38,0))"
+        f" * element_at({_NPV_DF_SPARK}, CAST(m AS INT) + 1))"
+        f" div 1000000 AS BIGINT)"
+    )
+    return (
+        grid.select("n_name", "cf_c", F.expr(disc).alias("npv_cell"))
+        .groupBy("n_name")
+        .agg(
+            F.sum("cf_c").alias("nominal_c"),
+            F.sum("npv_cell").alias("npv_c"),
+            (F.sum("cf_c") - F.sum("npv_cell")).alias("discount_loss_c"),
+        )
+    )
+
+
+_FIN_NPV_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey,
+         CAST(year(CAST(l_shipdate AS DATE)) * 12
+              + month(CAST(l_shipdate AS DATE)) AS BIGINT)
+           - {_NPV_BASE_YM} AS m,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cf_c
+  FROM lineitem
+), grid AS (
+  SELECT n.n_name, li.m, CAST(SUM(li.cf_c) AS BIGINT) AS cf_c
+  FROM li
+  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  WHERE li.m >= 0 AND li.m < {_NPV_MONTHS}
+  GROUP BY n.n_name, li.m
+), cells AS (
+  SELECT n_name, cf_c,
+         CAST((CAST(cf_c AS HUGEINT)
+               * ({_NPV_DF_DUCK})[CAST(m AS INT) + 1])
+              // 1000000 AS BIGINT) AS npv_cell
+  FROM grid
+)
+SELECT n_name,
+       CAST(SUM(cf_c) AS BIGINT) AS nominal_c,
+       CAST(SUM(npv_cell) AS BIGINT) AS npv_c,
+       CAST(SUM(cf_c) - SUM(npv_cell) AS BIGINT) AS discount_loss_c
+FROM cells
+GROUP BY n_name
+"""
+
+
 _FIN_FIFO_SQL = """
 WITH cust AS (
   SELECT c_custkey,
@@ -8028,6 +8133,11 @@ QUERIES = {
         fin_fifo_allocation,
         _FIN_FIFO_SQL,
         ("window", "allocation", "finance"),
+    ),
+    "fin_npv_schedule": QuerySpec(
+        fin_npv_schedule,
+        _FIN_NPV_SQL,
+        ("aggregation", "discounting", "finance"),
     ),
     "fin_avg_cost_basis": QuerySpec(
         fin_avg_cost_basis,

@@ -2952,6 +2952,136 @@ WHERE r.rank <= {_BPE_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# txt_bpe_merge_rounds — the full 3-round BPE training loop
+# ---------------------------------------------------------------------------
+
+# Merged pairs collapse to single placeholder symbols so later rounds
+# can merge ACROSS earlier merges (real BPE behavior — the winning
+# pair of round 2 may contain round 1's symbol). Digits never appear
+# in the alphabetic token vocabulary, so they are safe fresh symbols.
+_BPE_MARKS = ("0", "1", "2")
+
+# pair windows guarded for length-1 words (merges create them):
+# Spark's sequence(1, 0) DESCENDS, so the unguarded transform would
+# fabricate a bogus pair — the guard discipline from
+# tests/test_edge_corpus.py applied at the source.
+_BPE_PAIRS_EXPR = (
+    "CASE WHEN length(w) >= 2 THEN"
+    " transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    " ELSE array() END"
+)
+
+
+def txt_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE BPE TRAINING LOOP — three sequential merge rounds, where
+    `txt_bpe_train_step` shows only the inner step: each round counts
+    frequency-weighted adjacent pairs over the CURRENT word table,
+    merges the argmax pair into a fresh single symbol, and re-groups
+    the collapsed words (distinct words can collide after a merge —
+    their counts pool, exactly as a real trainer's word table does).
+    Recomputing pair counts after every merge is what makes it BPE:
+    round 2's winner may contain round 1's merged symbol. Output is
+    the merge ledger (round, pair, weighted count, corpus symbol
+    count after applying it) — symbols_after strictly decreases.
+    Determinism: argmax ties break on pair ascending; replace() is
+    one-pass leftmost non-overlapping in both engines (the
+    txt_bpe_train_step occurrence identity). Scale shape: ONE
+    corpus-sized word-count shuffle, then every round is vocab-sized
+    (pair counts, a 1-row broadcast argmax, a vocab regroup) — the
+    production trainer shape where corpus passes are paid once."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.expr(_TOKENS)).alias("t"))
+        .select(F.lower("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    cur = words
+    for rnd, mark in enumerate(_BPE_MARKS, start=1):
+        pairs = (
+            cur.select("cnt", F.explode(F.expr(_BPE_PAIRS_EXPR)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = (
+            pairs.withColumn(
+                "rn",
+                F.row_number().over(W.orderBy(F.col("pair_count").desc(), "pair")),
+            )
+            .where(F.col("rn") == 1)
+            .select(
+                F.col("pair").alias("mp"),
+                F.col("pair_count").cast("long").alias("mc"),
+            )
+        )
+        nxt = (
+            cur.crossJoin(F.broadcast(top))
+            .select(F.expr(f"replace(w, mp, '{mark}')").alias("w"), "cnt")
+            .groupBy("w")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+        stats = nxt.agg(
+            F.sum(F.expr("cnt * length(w)")).cast("long").alias("symbols_after")
+        )
+        rows.append(
+            top.crossJoin(F.broadcast(stats)).select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.col("mp").alias("merge_pair"),
+                F.col("mc").alias("pair_count"),
+                "symbols_after",
+            )
+        )
+        cur = nxt
+    return rows[0].unionByName(rows[1]).unionByName(rows[2])
+
+
+def _bpe_rounds_sql() -> str:
+    """Chained-CTE replay: w0 -> (p/t/w/s) x 3 with the same guarded
+    pair windows (DuckDB range(1,1) is already empty — no guard
+    needed there) and the same placeholder symbols."""
+    parts = [
+        f"""WITH toks AS (
+  SELECT lower(unnest({_TOKENS_DUCK})) AS w FROM documents
+), w0 AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+)"""
+    ]
+    for rnd, mark in enumerate(_BPE_MARKS, start=1):
+        prev = f"w{rnd - 1}"
+        parts.append(
+            f""", p{rnd} AS (
+  SELECT substring(t.w, i.i, 2) AS pair,
+         CAST(SUM(t.cnt) AS BIGINT) AS pc
+  FROM {prev} t,
+       LATERAL (SELECT unnest(range(1, length(t.w))) AS i) i
+  WHERE length(t.w) >= 2
+  GROUP BY 1
+), t{rnd} AS (
+  SELECT pair, pc FROM p{rnd} ORDER BY pc DESC, pair LIMIT 1
+), w{rnd} AS (
+  SELECT replace({prev}.w, t{rnd}.pair, '{mark}') AS w,
+         CAST(SUM({prev}.cnt) AS BIGINT) AS cnt
+  FROM {prev} CROSS JOIN t{rnd}
+  GROUP BY 1
+), s{rnd} AS (
+  SELECT CAST(SUM(cnt * length(w)) AS BIGINT) AS symbols_after
+  FROM w{rnd}
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({rnd} AS BIGINT) AS merge_round,
+       t{rnd}.pair AS merge_pair, t{rnd}.pc AS pair_count,
+       s{rnd}.symbols_after
+FROM t{rnd} CROSS JOIN s{rnd}"""
+        for rnd in (1, 2, 3)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
 # txt_token_count_arrow — mapInArrow vectorized token counting
 # ---------------------------------------------------------------------------
 
@@ -3089,6 +3219,11 @@ QUERIES = {
     "txt_bpe_train_step": QuerySpec(
         txt_bpe_train_step,
         _TXT_BPE_TRAIN_SQL,
+        ("text", "bpe", "tokenizer-training"),
+    ),
+    "txt_bpe_merge_rounds": QuerySpec(
+        txt_bpe_merge_rounds,
+        _bpe_rounds_sql(),
         ("text", "bpe", "tokenizer-training"),
     ),
     "txt_keyphrase_textrank": QuerySpec(

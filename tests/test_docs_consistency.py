@@ -86,6 +86,16 @@ def test_bench_notes_match_newest_local_record():
     )
 
 
+def test_survey_mentions_every_r10_op():
+    """Every op added in round 10's wave has a SURVEY §2 row."""
+    survey = _read("SURVEY.md")
+    for op in (
+        "txt_bpe_merge_rounds",
+        "fin_npv_schedule",
+    ):
+        assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"
+
+
 def test_survey_mentions_every_r9_op():
     """Every op added in round 9's wave has a SURVEY §2 row."""
     survey = _read("SURVEY.md")

@@ -720,3 +720,28 @@ def test_decision_stump_no_global_row_sort(spark):
     assert "Join" not in plan
     assert "partial_count" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_npv_schedule_broadcast_dims_partial_agg(spark):
+    """fin_npv_schedule: the corpus pass is ONE partial-aggregable
+    (nation, month) grid shuffle; supplier and nation dims broadcast
+    (never shuffle the fact side for them); no cartesian product."""
+    plan = _plan(spark, "fin_npv_schedule")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bpe_merge_rounds_vocab_sized_after_one_corpus_pass(spark):
+    """txt_bpe_merge_rounds: the returned plan starts from the
+    checkpointed vocab-sized word tables — every per-round argmax
+    rides a 1-row broadcast (BroadcastNestedLoopJoin is the expected
+    shape for a broadcast scalar crossJoin), never a data-sized
+    CartesianProduct, and no corpus scan appears in the ledger plan."""
+    plan = _plan(spark, "txt_bpe_merge_rounds")
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan, (
+        "corpus re-scan in the ledger plan — the word table must be "
+        "the staged checkpoint"
+    )

@@ -187,6 +187,10 @@ HEAVY = [
     "ts_outlier_repair",
     "flagship_revenue_by_nation",
     "sql_correlated_subquery",
+    # round-10 wave: the one-corpus-pass BPE loop and the discounted
+    # grid rollup
+    "txt_bpe_merge_rounds",
+    "fin_npv_schedule",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
