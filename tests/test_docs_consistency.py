@@ -184,3 +184,24 @@ def test_survey_mentions_every_late_r8_op():
         "ml_mcc_matthews",
     ):
         assert f"`{op}`" in survey, f"SURVEY.md row missing for {op}"
+
+
+def test_plan_audit_artifact_covers_registry_and_is_clean():
+    """PLAN_AUDIT.json (tools/plan_audit.py) must cover the whole
+    registry and record zero violations: no plan error, no
+    CartesianProduct outside the bounded-grid allowlist, no
+    row-at-a-time BatchEvalPython anywhere."""
+    import json
+
+    from tools.plan_audit import BATCH_EVAL_ALLOWED, CARTESIAN_ALLOWED
+
+    audit = json.load(open(os.path.join(_REPO, "PLAN_AUDIT.json")))
+    reg = set(all_queries())
+    missing = reg - set(audit)
+    assert not missing, f"entries missing from PLAN_AUDIT.json: {sorted(missing)[:5]}"
+    for name, row in audit.items():
+        assert "err" not in row, f"{name}: plan error recorded"
+        if row["cartesian"]:
+            assert name in CARTESIAN_ALLOWED, f"{name}: CartesianProduct"
+        if row["batch_eval_python"]:
+            assert name in BATCH_EVAL_ALLOWED, f"{name}: BatchEvalPython"
