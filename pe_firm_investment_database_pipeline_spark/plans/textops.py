@@ -1098,6 +1098,53 @@ _HAMMING4_DUCK = (
 )
 
 
+# The banded signature front (doc_id, sig, band, bits), staged per
+# (application, dataset) like the minhash shingle front above: the
+# 64-vote signature fold is the expensive part and the candidate
+# join consumes the SAME frame on both sides — unstaged, Catalyst
+# re-evaluates the fold per side (and dedup_method_compare pays it
+# again). Production reads signatures from a persisted index.
+_SIMHASH_BANDS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "simhash_bands")
+    df = _SIMHASH_BANDS_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_SIMHASH_BANDS_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents")
+        sigs = (
+            d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+            .select(
+                "doc_id",
+                F.expr("transform(array_distinct(toks), t -> md5(t))").alias(
+                    "hs"
+                ),
+            )
+            .select("doc_id", F.expr(_SIMHASH64).alias("sig"))
+        )
+        df = _SIMHASH_BANDS_CACHE[key] = (
+            sigs.select(
+                "doc_id",
+                "sig",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, 3), b -> "
+                        "struct(b AS band, element_at(sig, b + 1) AS bits))"
+                    )
+                ).alias("bk"),
+            )
+            .select(
+                "doc_id",
+                "sig",
+                F.col("bk.band").alias("band"),
+                F.col("bk.bits").alias("bits"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return df
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signature (sign of the per-bit
     vote over distinct-token md5 bits), pairs with Hamming distance
@@ -1110,28 +1157,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-not-quadratic cost. The band join key includes the band index
     so collisions never cross bands; 16-bit band keys keep the
     occupied-key count growing with the corpus (the 100 TB property —
-    the old 4-bit bands had 16 possible keys and went quadratic)."""
-    d = load_table(spark, sf_dir, "documents")
-    sigs = (
-        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-        .select(
-            "doc_id",
-            F.expr("transform(array_distinct(toks), t -> md5(t))").alias("hs"),
-        )
-        .select("doc_id", F.expr(_SIMHASH64).alias("sig"))
-    )
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), b -> "
-                "struct(b AS band, element_at(sig, b + 1) AS bits))"
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits")
-    )
+    the old 4-bit bands had 16 possible keys and went quadratic).
+    The banded signature front is the staged `_simhash_bands` frame
+    (one signature computation per session, both join sides read the
+    materialized checkpoint)."""
+    bands = _simhash_bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -93,6 +93,16 @@ def main() -> None:
         else:
             print(f"ok   {name}", flush=True)
 
+    # subset runs MERGE into an existing artifact (the scale-suite
+    # convention) so re-auditing a few changed entries never drops
+    # the rest of the registry's rows
+    if only:
+        try:
+            merged = json.load(open(out))
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+        merged.update(results)
+        results = merged
     json.dump(results, open(out, "w"), indent=1, sort_keys=True)
     print(f"\n{len(results)} plans audited, {len(violations)} violations")
     for v in violations:
