@@ -805,14 +805,22 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     window discipline (bounded state); the pair algebra runs over
     <= types*k sketch rows — broadcast-scale regardless of corpus."""
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    hashed = e.select(
-        "event_type",
-        "user_id",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
-            " 16, 10) AS BIGINT)"
-        ).alias("h"),
-    ).distinct()
+    # the corpus pass — ONE distinct over (type, user), materialized:
+    # three pair-algebra branches and their exact twins all read this
+    # frame; unstaged, Catalyst re-ran the events distinct once per
+    # branch (4 corpus passes total)
+    hashed = (
+        e.select(
+            "event_type",
+            "user_id",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     wb = W.partitionBy(
         "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
     ).orderBy("h")
