@@ -80,6 +80,21 @@ def main() -> None:
             "batch_eval_python": plan.count("BatchEvalPython"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "exchanges": plan.count("ENSURE_REQUIREMENTS"),
+            # the declared (Arrow-batched) Python boundary, budgeted
+            # not forbidden — formatted plans print each node twice
+            # (tree + detail), so counts are 2x the node count
+            "arrow_python": sum(
+                plan.count(n)
+                for n in (
+                    "ArrowEvalPython",
+                    "MapInPandas",
+                    "PythonMapInArrow",
+                    "MapInArrow",
+                    "FlatMapGroupsInPandas",
+                    "FlatMapGroupsInArrow",
+                )
+            ),
+            "parquet_scans": plan.count("Scan parquet"),
         }
         results[name] = row
         bad = []
@@ -96,6 +111,7 @@ def main() -> None:
     # subset runs MERGE into an existing artifact (the scale-suite
     # convention) so re-auditing a few changed entries never drops
     # the rest of the registry's rows
+    audited = len(results)
     if only:
         try:
             merged = json.load(open(out))
@@ -104,7 +120,7 @@ def main() -> None:
         merged.update(results)
         results = merged
     json.dump(results, open(out, "w"), indent=1, sort_keys=True)
-    print(f"\n{len(results)} plans audited, {len(violations)} violations")
+    print(f"\n{audited} plans audited, {len(violations)} violations")
     for v in violations:
         print(f"  {v}")
     sys.exit(1 if violations else 0)
