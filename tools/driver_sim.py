@@ -147,6 +147,17 @@ def main():
         else:
             print(f"ok {name} rows={len(sr)} {results[name]['sec']}s", flush=True)
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    # subset runs MERGE into an existing artifact (the plan_audit /
+    # scale-suite convention): re-verifying a few changed entries
+    # must never drop the rest of a full-sweep record
+    if only:
+        try:
+            with open(out) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+        merged.update(results)
+        results = merged
     json.dump(results, open(out, "w"), indent=1)
     print(f"\n{len(results)} entries, {len(fails)} failures: {fails}")
     sys.exit(1 if fails else 0)
