@@ -444,36 +444,21 @@ FROM ranked WHERE rn = 1
 _ER_ROUNDS = 3  # min-label propagation rounds (cluster diameter bound)
 
 
-def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ENTITY RESOLUTION END-TO-END — the reference's core semantics
-    (match dirty records of one real-world entity across sources,
-    step3_attempt1.py's name matching writ large) as one pipeline:
-    a three-source registry is synthesized in-plan — entity names
-    are a 6-letter base-26 SKU code (from p_partkey) + the part
-    name, so names are DISTINCTIVE per entity (raw p_name has only
-    64 distinct values at any SF: ER over it degenerates into
-    name-family cliques whose candidate volume is Σ multiplicity² —
-    measured and rejected at sf1.0 while building this entry).
-    Sources: A = verbatim, B = every 3rd with the 3rd char
-    substituted, C = every 7th with the last char dropped. Blocking
-    is ERROR-POSITION-AWARE (the known-corruption-model ER move):
-    the key is the skip-gram of code chars 1-2 + 4-6 — B only
-    touches position 3 and C only the tail, so every true pair
-    shares the key while its ~26^5 cardinality keeps blocks
-    entity-sized — plus the (len div 8, (len+1) div 8) double band
-    for indel robustness. Scoring is levenshtein <= 2 INSIDE blocks
-    only (never all-pairs; near-key SKU collisions with an equal
-    part name are genuine candidate noise the threshold + clustering
-    absorb). Clustering is 3 unrolled rounds of min-label
-    propagation over the undirected edge set (both engines run the
-    identical rounds, so the labels agree whatever the true
-    diameter). Survivorship prefers source A, then the longest
-    name, then the smallest rec_id — one min(struct) per cluster.
-    Output: one row per multi-record cluster with its size, source
-    fan-out, and survivor. Scale shape: candidate cost is
-    O(Σ block²) with entity-sized blocks, propagation joins are
-    label-grid-sized, and nothing ever leaves the blocked
-    universe."""
+def _er_edges(pairs: DataFrame) -> DataFrame:
+    """Symmetrized candidate edge set (lazy — the entry checkpoints
+    it; the plan-shape pin reads this frame's blocked-join shape)."""
+    return pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _er_recs_and_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(records, candidate pairs) — both LAZY: the three-source
+    registry and the blocked levenshtein candidate join. Shared by
+    the entry (which checkpoints the symmetrized edges) and the
+    plan-shape pin (which explains the pre-checkpoint join shape)."""
     code = "concat(" + ", ".join(
         f"chr(97 + (p_partkey div {26 ** i}) % 26)" for i in range(5, -1, -1)
     ) + ")"
@@ -530,9 +515,53 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("ln", "rn") <= 2)
         .select("u", "v")
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    return recs, pairs
+
+
+def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION END-TO-END — the reference's core semantics
+    (match dirty records of one real-world entity across sources,
+    step3_attempt1.py's name matching writ large) as one pipeline:
+    a three-source registry is synthesized in-plan — entity names
+    are a 6-letter base-26 SKU code (from p_partkey) + the part
+    name, so names are DISTINCTIVE per entity (raw p_name has only
+    64 distinct values at any SF: ER over it degenerates into
+    name-family cliques whose candidate volume is Σ multiplicity² —
+    measured and rejected at sf1.0 while building this entry).
+    Sources: A = verbatim, B = every 3rd with the 3rd char
+    substituted, C = every 7th with the last char dropped. Blocking
+    is ERROR-POSITION-AWARE (the known-corruption-model ER move):
+    the key is the skip-gram of code chars 1-2 + 4-6 — B only
+    touches position 3 and C only the tail, so every true pair
+    shares the key while its ~26^5 cardinality keeps blocks
+    entity-sized — plus the (len div 8, (len+1) div 8) double band
+    for indel robustness. Scoring is levenshtein <= 2 INSIDE blocks
+    only (never all-pairs; near-key SKU collisions with an equal
+    part name are genuine candidate noise the threshold + clustering
+    absorb). Clustering is 3 unrolled rounds of min-label
+    propagation over the undirected edge set (both engines run the
+    identical rounds, so the labels agree whatever the true
+    diameter). Survivorship prefers source A, then the longest
+    name, then the smallest rec_id — one min(struct) per cluster.
+    Output: one row per multi-record cluster with its size, source
+    fan-out, and survivor. Scale shape: candidate cost is
+    O(Σ block²) with entity-sized blocks, propagation joins are
+    label-grid-sized, and nothing ever leaves the blocked
+    universe."""
+    recs, pairs = _er_recs_and_pairs(spark, sf_dir)
+    # DELIBERATELY UNMATERIALIZED: the formatted plan shows the pairs
+    # subtree fanned out across the symmetrization and the unrolled
+    # propagation rounds (~111 scan nodes), but at EXECUTION Spark's
+    # ReuseExchange serves every duplicate from the same shuffle
+    # files — only cheap post-shuffle map stages re-run. Measured
+    # same-window A/B of an eager-localCheckpoint variant (edges +
+    # per-round labels): 0.81x at sf0.1 (job-launch overhead
+    # shrinks) but 1.13x at sf1.0 (materializing the edge list and
+    # three label tables costs more than the reused map work) — the
+    # checkpoint variant was REJECTED because the 10x point is the
+    # one that predicts cluster behavior (r10 BENCH_NOTES
+    # determination).
+    edges = _er_edges(pairs)
     labels = recs.select("rec_id", F.col("rec_id").alias("lbl"))
     for _ in range(_ER_ROUNDS):
         nbr = (

@@ -650,11 +650,36 @@ def test_duplicate_payments_is_blocked_equi_join(spark):
 
 def test_er_pipeline_blocked_join_and_no_cartesian(spark):
     """er_pipeline_e2e's candidate generation is an equi-join on the
-    skip-gram block key; the whole multi-stage plan contains no
-    cartesian product."""
+    skip-gram block key — pinned on the pair front (the full plan's
+    fan-out makes node classes hard to attribute); the full plan must
+    stay cartesian-free. The fan-out itself is fine: ReuseExchange
+    serves the duplicated subtrees from one shuffle at execution (the
+    checkpoint alternative measured SLOWER at sf1.0 — see the r10
+    BENCH_NOTES determination)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.matching import (
+        _er_recs_and_pairs,
+    )
+
+    _, pairs = _er_recs_and_pairs(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    front = buf.getvalue()
+    assert "CartesianProduct" not in front
+    assert "BroadcastNestedLoopJoin" not in front
+    # any KEYED join form qualifies (tiny SF broadcasts; a cluster
+    # picks SMJ) — what's forbidden is an unkeyed pairing
+    assert (
+        "SortMergeJoin" in front
+        or "ShuffledHashJoin" in front
+        or "BroadcastHashJoin" in front
+    )
+
     plan = _plan(spark, "er_pipeline_e2e")
     assert "CartesianProduct" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
 def test_doc_perplexity_partial_aggregated_no_cartesian(spark):
