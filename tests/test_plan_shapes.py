@@ -532,10 +532,30 @@ def test_heavy_hitters_broadcast_confirm(spark):
 
 
 def test_market_basket_broadcasts_dim(spark):
-    """part is broadcast; the pair self-join equi-joins on the order
-    key (no cartesian)."""
+    """part is broadcast inside the basket-front BUILDER (the
+    registry entry serves the staged checkpoint, so the dim join
+    lives in `_brand_baskets_build`'s plan); the entry's pair
+    self-join equi-joins on the order key (no cartesian) and its
+    marginal/total joins stay broadcast."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _brand_baskets_build,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _brand_baskets_build(spark, SF).explain("formatted")
+    builder = buf.getvalue()
+    assert "BroadcastHashJoin" in builder
+    assert "CartesianProduct" not in builder
     plan = _plan(spark, "agg_market_basket")
-    assert "BroadcastHashJoin" in plan
+    # the entry consumes the checkpointed front (lineage-free RDD
+    # scan), never re-scanning lineitem parquet
+    assert "Scan ExistingRDD" in plan
+    assert "lineitem" not in plan
+    assert "BroadcastHashJoin" in plan  # lift marginals + total
     assert "CartesianProduct" not in plan
 
 
