@@ -517,10 +517,27 @@ def test_rolling_linreg_single_window_node(spark):
 
 def test_kmeans_broadcast_assignment(spark):
     """The N x K assignment is a broadcast join — vectors never
-    shuffle for assignment; only the (cluster, coord) grid does."""
+    shuffle for assignment; only the (cluster, coord) grid does.
+    Asserted on the front BUILDER (`_km_assign_build`) because the
+    registry entry serves the staged eager localCheckpoint."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _km_assign_build,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _km_assign_build(spark, SF).explain("formatted")
+    builder = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in builder or "BroadcastExchange" in builder
+    assert "CartesianProduct" not in builder
+    # the registry entry consumes the checkpointed front (lineage-free
+    # RDD scan), never re-running the Lloyd iteration subtree
     plan = _plan(spark, "ml_kmeans_fixed")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "embeddings" not in plan
 
 
 def test_heavy_hitters_broadcast_confirm(spark):
