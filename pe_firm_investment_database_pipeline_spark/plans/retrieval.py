@@ -21,8 +21,11 @@ shuffle-minimal:
   1-row broadcast; document frequencies for the QUERY terms only
   (a handful of rows) are computed once and broadcast back onto the
   per-document term frequencies, so the big side is touched by
-  exactly one explode + one groupBy(doc_id, term). Final top-k is a
-  TakeOrderedAndProject, not a global sort.
+  exactly one explode + one groupBy(doc_id, term) — and that work
+  lives in the staged forward-index front (``_tf_front``), built
+  once per (application, dataset) and shared by every BM25-shaped
+  consumer in the module. Final top-k is a TakeOrderedAndProject,
+  not a global sort.
 
 Cross-engine exactness: BM25 is usually computed in floating point
 (ln-based IDF), which would make the last-ulp of two engines'
@@ -50,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.session_cache import evict_stale_apps, register_cache
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from .textops import _TOKENS, _TOKENS_DUCK
@@ -65,6 +69,65 @@ POSTINGS_CAP = 20
 
 
 _IDX_BUCKETS = 32
+
+
+# The forward-index front (doc_id, dl, term, tf) and the 1-row corpus
+# stats (n_docs, s_tokens), each staged per (application, dataset):
+# every BM25-shaped consumer in this module (rag_bm25_topk, both
+# passes of rag_query_expansion plus its feedback mining, and through
+# them rag_context_packing / rag_hybrid_rrf) needs the same per-(doc,
+# term) frequencies — unstaged, each consumer re-ran the corpus
+# explode + groupBy (rag_query_expansion alone evaluated it four
+# times). tf-compression keeps the front small (vocab-bounded rows
+# per doc, far below the raw token stream); production retrieval
+# serves exactly this persisted forward/inverted index. n_docs MUST
+# come from the raw corpus, never the front — zero-token documents
+# have no term rows but still count toward n_docs and avgdl.
+_TF_FRONT_CACHE: dict[tuple, DataFrame] = register_cache({})
+_CORPUS_STATS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _tf_front_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus explode + one (doc, term) partial-agg shuffle —
+    the only corpus-sized work in the module once staged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+    dl = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
+    )
+    return (
+        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _tf_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "tf_front")
+    df = _TF_FRONT_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_TF_FRONT_CACHE, key[0])
+        df = _TF_FRONT_CACHE[key] = _tf_front_build(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return df
+
+
+def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "corpus_stats")
+    df = _CORPUS_STATS_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_CORPUS_STATS_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents")
+        df = _CORPUS_STATS_CACHE[key] = (
+            d.select(F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("dl").alias("s_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return df
 
 
 def idx_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,23 +204,13 @@ FROM pages GROUP BY term
 
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for the pinned query, exact-int64 scored
-    (module docstring). One explode + one (doc_id, term) groupBy on
-    the corpus; stats and per-term df are broadcast 1-row / Q-row
-    sides; top-k is TakeOrderedAndProject."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    dl = toks.select(
-        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
-    )
-    tf = (
-        dl.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .where(F.col("term").isin(*BM25_QUERY))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    (module docstring). The corpus-sized work (one explode + one
+    (doc_id, term) groupBy) lives in the staged forward-index front
+    (``_tf_front``); this entry filters it to the query terms, so
+    stats and per-term df are broadcast 1-row / Q-row sides and
+    top-k is TakeOrderedAndProject."""
+    stats = _corpus_stats(spark, sf_dir)
+    tf = _tf_front(spark, sf_dir).where(F.col("term").isin(*BM25_QUERY))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -208,31 +261,23 @@ def rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-int64 BM25 algebra; expansion terms are picked by
     fb_tf * scaled-idf with (score DESC, term ASC) determinism, and
     stopwords plus original query terms are excluded. Scale shape:
-    the feedback mining touches only the 3 feedback docs; the two
-    corpus passes are the same explode + (doc, term) partial-agg
-    shuffle as plain BM25, with the term sets broadcast — second
-    pass df comes from one corpus-side distinct count filtered to
-    the candidate set."""
+    the feedback mining touches only the 3 feedback docs; both
+    retrieval passes and the feedback mining run over the STAGED
+    forward-index front (``_tf_front`` — one corpus explode total,
+    not four), with the term sets broadcast — second pass df comes
+    from one front-side distinct count filtered to the candidate
+    set."""
     from .textops import STOPWORDS
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-    dl = toks.select(
-        "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("s_tokens")
-    )
-    exploded = dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+    stats = _corpus_stats(spark, sf_dir)
+    front = _tf_front(spark, sf_dir)
 
     def bm25(term_weights: DataFrame) -> DataFrame:
         # term_weights: (term, w) — w = 2 for original terms, 1 for
-        # expansion; plain BM25 contribution halves via div 2 below
-        tf = (
-            exploded.join(F.broadcast(term_weights), "term")
-            .groupBy("doc_id", "dl", "term", "w")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
+        # expansion; plain BM25 contribution halves via div 2 below.
+        # the front is already (doc, term)-aggregated, so the join
+        # only attaches w — no corpus groupBy remains in a pass
+        tf = front.join(F.broadcast(term_weights), "term")
         dfreq = tf.groupBy("term").agg(
             F.countDistinct("doc_id").alias("df")
         )
@@ -267,14 +312,17 @@ def rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     skip = tuple(BM25_QUERY) + tuple(STOPWORDS)
+    # occurrence counts in the feedback docs = sum of the front's
+    # per-(doc, term) tf over the 3 fb docs — identical to counting
+    # the raw token stream
     fb_tf = (
-        exploded.join(F.broadcast(fb), "doc_id")
+        front.join(F.broadcast(fb), "doc_id")
         .where(~F.col("term").isin(*skip))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("fb_tf"))
+        .agg(F.sum("tf").alias("fb_tf"))
     )
     cand_df = (
-        exploded.join(F.broadcast(fb_tf.select("term")), "term")
+        front.join(F.broadcast(fb_tf.select("term")), "term")
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
     )
