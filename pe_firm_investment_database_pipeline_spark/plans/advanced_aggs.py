@@ -2669,20 +2669,9 @@ FROM dau JOIN wau ON dau.d = wau.d
 # evt_survival_km — Kaplan-Meier survival with right-censoring
 # ---------------------------------------------------------------------------
 
-def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KAPLAN-MEIER survival estimate of customer lifetime (weeks
-    between first and last order), WITH right-censoring: customers
-    still ordering within the final 4 observed weeks are censored,
-    not churned — ignoring
-    that (the naive empirical survival curve) biases churn low, which
-    is exactly why KM exists. The product-limit estimator's chained
-    rational products cannot be exact in floats, so each step is the
-    INTEGER truncation acc' = acc·(n_k − d_k) div n_k from seed 1e6,
-    evaluated by the SAME fold on both engines: Spark `aggregate`
-    over the packed per-week (n_k, d_k) steps, DuckDB `list_reduce`
-    with the seed prepended (its first element IS the accumulator).
-    Steps pack as n·1e6 + d in one int64 so the fold list stays
-    primitive. All grid-sized work after one user-level rollup."""
+def _km_curve_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-staged Kaplan-Meier curve build — see evt_survival_km
+    for semantics. All grid-sized work after one user-level rollup."""
     uw = (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -2740,6 +2729,43 @@ def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_ppm"),
         )
     )
+
+
+# The KM curve front (a curve-sized frame), staged per (application,
+# dataset): the curve build self-consumes its user rollup and its
+# lifetime frame twice each, and evt_ltv_expected integrates the
+# same curve again — unstaged, the whole product-limit pipeline
+# re-ran per consumer.
+_KM_CURVE_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "km_curve")
+    df = _KM_CURVE_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_KM_CURVE_CACHE, key[0])
+        df = _KM_CURVE_CACHE[key] = _km_curve_build(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return df
+
+
+def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimate of customer lifetime (weeks
+    between first and last order), WITH right-censoring: customers
+    still ordering within the final 4 observed weeks are censored,
+    not churned — ignoring
+    that (the naive empirical survival curve) biases churn low, which
+    is exactly why KM exists. The product-limit estimator's chained
+    rational products cannot be exact in floats, so each step is the
+    INTEGER truncation acc' = acc·(n_k − d_k) div n_k from seed 1e6,
+    evaluated by the SAME fold on both engines: Spark `aggregate`
+    over the packed per-week (n_k, d_k) steps, DuckDB `list_reduce`
+    with the seed prepended (its first element IS the accumulator).
+    Steps pack as n·1e6 + d in one int64 so the fold list stays
+    primitive. The curve itself is staged per (app, dataset) — see
+    ``_km_curve`` — and shared with evt_ltv_expected's integral."""
+    return _km_curve(spark, sf_dir)
 
 
 _EVT_SURVIVAL_KM_SQL = """

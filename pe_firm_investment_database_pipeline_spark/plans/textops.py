@@ -1570,6 +1570,35 @@ _PMI_MIN_DF, _PMI_MAX_DF_PCT, _PMI_MIN_COOC, _PMI_TOP = 5, 60, 5, 50
 # the doc id; 1e5 windows = 800k tokens per doc before collision
 _PMI_CID = 100000
 
+# The distinct (window, token) co-occurrence front, staged per
+# (application, dataset): txt_pmi_pairs consumes it four times
+# (window count, token document frequencies, and both sides of the
+# in-window pair self-join) — unstaged, each consumer re-ran the
+# corpus posexplode + distinct.
+_PMI_WINDOWS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _pmi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "pmi_windows")
+    df = _PMI_WINDOWS_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_PMI_WINDOWS_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        words = d.select(
+            "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
+        )
+        df = _PMI_WINDOWS_CACHE[key] = (
+            words.select(
+                F.expr(
+                    f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}"
+                ).alias("cid"),
+                "tok",
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return df
+
 
 def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLLOCATION MINING: token pairs that co-occur inside 8-token
@@ -1583,15 +1612,11 @@ def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df >= 5, df <= 60% of windows) drops no-evidence and stop-like
     tokens BEFORE pairing; top-50 with a full deterministic tiebreak.
     The same shape mines entity co-mentions at 100 TB — band, pair
-    within container, lift."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = d.select(
-        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
-    )
-    dt = words.select(
-        F.expr(f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}").alias("cid"),
-        "tok",
-    ).distinct()
+    within container, lift. The distinct (window, token) front is
+    staged per (app, dataset) — see ``_pmi_windows``: unstaged, its
+    four consumers (window count, token dfs, both pair-join sides)
+    each re-ran the corpus explode + distinct."""
+    dt = _pmi_windows(spark, sf_dir)
     nwin = dt.select("cid").distinct().agg(
         F.count(F.lit(1)).alias("n_win")
     )
