@@ -95,25 +95,38 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_kalman_1d",
         "sec_dp_geometric",
         "ml_decision_stump",
-        # slots 34+: re-verdicts for r10-changed paths
+        # slots 34+: re-verdicts for r10-changed paths. The SCD2 pair
+        # + ks_drift are the r9-VERDICT-mandated re-verdicts; three
+        # graph entries represent the staged pair front (the other
+        # 12 consumers share its plan shape and the full local sweep);
+        # the rest are the late-r10 staged fronts (every entry whose
+        # physical plan changed to serve a memoized checkpoint),
+        # ordered by plan-delta size.
         "merge_scd2",
         "join_scd2_asof",
         "profile_ks_drift",
         "graph_pagerank",
         "graph_triangles",
-        "graph_clustering_coeff",
-        "graph_label_propagation",
-        "graph_neighbor_jaccard",
-        "graph_modularity",
-        "graph_assortativity",
-        "graph_kcore_peel",
-        "graph_common_neighbors",
-        "graph_bfs_distance",
         "graph_cc_incremental",
-        "graph_resource_alloc",
-        "dedup_connected_components",
+        "ml_kmeans_fixed",
+        "ml_cluster_medoid",
+        "rag_bm25_topk",
+        "agg_market_basket",
+        "dedup_simhash",
+        "dedup_method_compare",
+        "evt_survival_km",
+        "evt_ltv_expected",
+        "ts_outlier_repair",
+        "txt_rake_keywords",
+        "txt_keyphrase_textrank",
+        # slots 51+ (driver window usually ends ~50; these queue r11)
+        "txt_pmi_pairs",
+        "rag_context_packing",
+        "rag_hybrid_rrf",
+        "sketch_kmv_setops",
+        "dedup_ngram_prefix",
         "ts_downsample_lttb",
-        # round-10 new ops at slots 51+ (first driver verdicts r11)
+        # round-10 new ops (first driver verdicts r11)
         "txt_bpe_merge_rounds",
         "fin_npv_schedule",
     ]
