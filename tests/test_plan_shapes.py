@@ -548,6 +548,39 @@ def test_heavy_hitters_broadcast_confirm(spark):
     assert "LeftSemi" in plan
 
 
+# Every late-r10 staged-front entry must SERVE its memoized
+# checkpoint (lineage-free RDD scan) rather than rebuild the front;
+# where the front carries ALL of the entry's corpus-side work, the
+# base table must not appear in the plan at all. rag_context_packing
+# (documents re-scan for lengths) and evt_ltv_expected (orders scan
+# for the spend side) deliberately keep one base scan and are pinned
+# RDD-only.
+_STAGED_SERVING = [
+    ("txt_pmi_pairs", "documents"),
+    ("txt_rake_keywords", "documents"),
+    ("txt_keyphrase_textrank", "documents"),
+    ("rag_bm25_topk", "documents"),
+    ("rag_query_expansion", "documents"),
+    ("rag_context_packing", None),
+    ("evt_survival_km", "orders"),
+    ("evt_ltv_expected", None),
+    ("ts_outlier_repair", "events"),
+    ("ml_cluster_medoid", "embeddings"),
+    ("dedup_simhash", "documents"),
+    ("sketch_kmv_setops", "events"),
+]
+
+
+@pytest.mark.parametrize("op_id,absent", _STAGED_SERVING)
+def test_staged_entry_serves_checkpoint(spark, op_id, absent):
+    plan = _plan(spark, op_id)
+    assert "Scan ExistingRDD" in plan, f"{op_id} does not serve a checkpoint"
+    if absent is not None:
+        assert absent not in plan, (
+            f"{op_id} re-scans {absent} despite the staged front"
+        )
+
+
 def test_market_basket_broadcasts_dim(spark):
     """part is broadcast inside the basket-front BUILDER (the
     registry entry serves the staged checkpoint, so the dim join
