@@ -283,9 +283,13 @@ def main() -> None:
         return time.perf_counter() - t0
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for op_id in _full_headline():
         fn = registry[op_id].fn
-        timed_run(fn)  # cold run: pays staging/index builds, discarded
+        # cold run: pays staging/index builds — excluded from the
+        # headline (see BENCH_NOTES r11 convention statement) but
+        # recorded under "cold_sec" for build-inclusive visibility
+        cold[op_id] = round(timed_run(fn), 3)
         best = timed_run(fn)  # first warm run — keys the repeat count
         for _ in range(_runs_after_warm(best)):
             best = min(best, timed_run(fn))
@@ -305,6 +309,7 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "cold_sec": cold,
     }
     if prev:
         out["prev_total"] = prev.get("value")

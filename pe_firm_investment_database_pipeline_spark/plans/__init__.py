@@ -54,81 +54,58 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # Round-10 rotation (VERDICT r9 'Next round' #3): the 33
-        # entries never driver-verdicted in r1-r9 — the 27-entry tail
-        # of the r9 rotation plus the 6 r9 ops — sit at slots 1-33 so
-        # the driver's ~50-slot sample window closes the union at
-        # 380/380. Slots 34+ are re-verdicts for paths that changed
-        # this round (the staged SCD2 front, the staged graph pair
-        # front, the LTTB fold rework). Everything else keeps module
-        # order after the list.
-        "src_python_stream_source",
-        "snk_retention_vacuum",
-        "graph_hits_authority",
-        "agg_skyline_2d",
-        "txt_unicode_nfc_audit",
-        "fin_fifo_allocation",
-        "evt_did_analysis",
-        "evt_pattern_vshape",
-        "ml_map_at_k",
-        "evt_frequency_capping",
-        "snk_txn_log_snapshot",
-        "ts_ewma_irregular",
-        "join_bitemporal",
-        "dq_late_arrival_report",
-        "src_codec_matrix",
-        "graph_ppr_single_source",
-        "samp_reservoir_weighted",
-        "evt_alert_debounce",
-        "ts_dtw_distance",
-        "ml_conformal_interval",
-        "dq_duplicate_payments",
-        "ts_croston_intermittent",
-        "evt_att_stratified",
-        "ml_permutation_test",
-        "ml_kendall_tau",
-        "ml_spearman_rank",
-        "ml_mcc_matthews",
-        "txt_doc_perplexity",
-        "rag_query_expansion",
-        "fin_avg_cost_basis",
-        "ts_kalman_1d",
-        "sec_dp_geometric",
-        "ml_decision_stump",
-        # slots 34+: re-verdicts for r10-changed paths. The SCD2 pair
-        # + ks_drift are the r9-VERDICT-mandated re-verdicts; three
-        # graph entries represent the staged pair front (the other
-        # 12 consumers share its plan shape and the full local sweep);
-        # the rest are the late-r10 staged fronts (every entry whose
-        # physical plan changed to serve a memoized checkpoint),
-        # ordered by plan-delta size.
-        "merge_scd2",
-        "join_scd2_asof",
-        "profile_ks_drift",
-        "graph_pagerank",
-        "graph_triangles",
-        "graph_cc_incremental",
+        # Round-11 rotation (VERDICT r10 'Next round' #1): slots 1-2
+        # are the ONLY two entries with no official driver verdict
+        # ever (added after the r10 sample window) — first in line so
+        # the driver union closes at 382/382. Slots 3-20 are the
+        # staged-front consumers whose physical plans changed after
+        # the r10 sample (plus sketch_kmv_setops), re-verdicted
+        # officially. Slots 21+ are re-verdicts for paths touched
+        # this round: the BPE global-argmax rewrite
+        # (orderBy().limit(1) replaces the single-partition window)
+        # and the memoizer-refactor consumers whose staged fronts now
+        # key on the dataset fingerprint. Everything else keeps
+        # module order after the list.
+        "txt_bpe_merge_rounds",
+        "fin_npv_schedule",
+        # slots 3-5: round-11 new ops (first driver verdicts r11)
+        "dedup_passage_runs",
+        "fin_irr_bisection",
+        "ml_boost_stumps",
+        # slots 6-23: late-r10 staged-front consumers
+        "dedup_simhash",
+        "dedup_method_compare",
+        "dedup_ngram_prefix",
+        "agg_market_basket",
         "ml_kmeans_fixed",
         "ml_cluster_medoid",
         "rag_bm25_topk",
-        "agg_market_basket",
-        "dedup_simhash",
-        "dedup_method_compare",
+        "rag_context_packing",
+        "rag_hybrid_rrf",
+        "rag_query_expansion",
+        "idx_inverted",
+        "txt_pmi_pairs",
         "evt_survival_km",
         "evt_ltv_expected",
         "ts_outlier_repair",
         "txt_rake_keywords",
         "txt_keyphrase_textrank",
-        # slots 51+ (driver window usually ends ~50; these queue r11)
-        "txt_pmi_pairs",
-        "rag_context_packing",
-        "rag_hybrid_rrf",
         "sketch_kmv_setops",
-        "dedup_ngram_prefix",
-        "ts_downsample_lttb",
-        # round-10 new ops (first driver verdicts r11)
-        "txt_bpe_merge_rounds",
-        "fin_npv_schedule",
+        # slots 21+: r11-touched paths (memoizer-refactor consumers
+        # not already listed above + the BPE step twin)
+        "txt_bpe_train_step",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_connected_components",
+        "dedup_canonical_pick",
+        "graph_cc_incremental",
+        "merge_scd2",
+        "join_scd2_asof",
+        "txt_tfidf_topterms",
+        "sim_knn_blocked_full",
+        "ml_knn_classify",
+        "graph_pagerank",
+        "graph_triangles",
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions.exact import cents, qty_int
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from ..streaming.windows import GAP_S  # single source of truth for the gap
@@ -1833,14 +1833,13 @@ def _brand_baskets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _brand_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "brand_baskets")
-    df = _BASKETS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_BASKETS_CACHE, key[0])
-        df = _BASKETS_CACHE[key] = _brand_baskets_build(
-            spark, sf_dir
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _BASKETS_CACHE,
+        staged_key(spark, sf_dir, "brand_baskets"),
+        lambda: _brand_baskets_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
 
 
 def agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2740,14 +2739,11 @@ _KM_CURVE_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "km_curve")
-    df = _KM_CURVE_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_KM_CURVE_CACHE, key[0])
-        df = _KM_CURVE_CACHE[key] = _km_curve_build(
-            spark, sf_dir
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _KM_CURVE_CACHE,
+        staged_key(spark, sf_dir, "km_curve"),
+        lambda: _km_curve_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def evt_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3107,36 +3103,44 @@ FROM long l JOIN bounds b ON l.col_name = b.col_name
 _TS_FENCE_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _ts_daily_fence_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-staged MAD-fence build: events grid rollup + two
+    broadcast percentile passes. Kept separate from the memoizer so
+    the plan-shape pin can assert the builder keeps its two broadcast
+    joins (tests/test_plan_shapes.py), like the other staged
+    builders."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("d"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("v").alias("v"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.expr("abs(2 * v - med2)")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier", F.expr("2 * dev2 > 3 * mad4")
+    )
+
+
 def _ts_daily_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "ts_daily_fence")
-    df = _TS_FENCE_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_TS_FENCE_CACHE, key[0])
-        daily = (
-            load_table(spark, sf_dir, "events")
-            .select(
-                "event_type",
-                F.expr("unix_date(ts_date)").alias("d"),
-                cents("value").alias("v"),
-            )
-            .groupBy("event_type", "d")
-            .agg(F.sum("v").alias("v"))
-        )
-        med = daily.groupBy("event_type").agg(
-            F.expr("CAST(percentile(2 * v, 0.5) AS BIGINT)").alias("med2")
-        )
-        dev = daily.join(F.broadcast(med), "event_type").withColumn(
-            "dev2", F.expr("abs(2 * v - med2)")
-        )
-        mad = dev.groupBy("event_type").agg(
-            F.expr("CAST(percentile(2 * dev2, 0.5) AS BIGINT)").alias("mad4")
-        )
-        df = _TS_FENCE_CACHE[key] = (
-            dev.join(F.broadcast(mad), "event_type")
-            .withColumn("is_outlier", F.expr("2 * dev2 > 3 * mad4"))
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _TS_FENCE_CACHE,
+        staged_key(spark, sf_dir, "ts_daily_fence"),
+        lambda: _ts_daily_fence_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
 
 
 def ts_outlier_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8210,7 +8214,358 @@ FROM j
 """
 
 
+# ---------------------------------------------------------------------------
+# fin_irr_bisection — internal rate of return by fixed-round bisection
+# ---------------------------------------------------------------------------
+
+# IRR parameters: yearly cashflow horizon t = 0..7 (t = ship-year -
+# 1991; t = 0 is the synthetic outlay = 85% of nominal revenue),
+# bisection bracket [0, 1000] permille/yr, 12 rounds (bracket width
+# 1000 / 4096 < 1 ppk). The sign test clears denominators: NPV(r) has
+# the same sign as  sum_t cf_t * 1000^t * (1000+r)^(7-t)  — a pure
+# integer polynomial whose largest term (outlay * 2000^7 ~ 1e36) fits
+# DECIMAL(38,0)/HUGEINT, so no libm pow or float division ever
+# touches the comparison surface.
+_IRR_ROUNDS = 12
+_IRR_HORIZON = 7
+_IRR_OUTLAY_PCT = 85
+_IRR_BASE_YEAR = 1991
+_IRR_RATE_HI = 1000
+
+
+def _int_pow(base: str, exp: int, cast: str) -> str:
+    """base^exp as explicit repeated multiplication in exact integer
+    arithmetic (exp <= 7; no pow())."""
+    if exp == 0:
+        return f"CAST(1 AS {cast})"
+    return " * ".join([f"CAST({base} AS {cast})"] * exp)
+
+
+def _irr_sign_terms(cast: str) -> str:
+    """The cleared-denominator NPV sign polynomial as a CASE over t."""
+    whens = " ".join(
+        f"WHEN {t} THEN CAST(cf_c AS {cast})"
+        f" * {_int_pow('1000', t, cast)}"
+        f" * {_int_pow('(1000 + mid)', _IRR_HORIZON - t, cast)}"
+        for t in range(_IRR_HORIZON + 1)
+    )
+    return f"CASE t {whens} END"
+
+
+def fin_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERNAL RATE OF RETURN per supplier nation by FIXED-ROUND
+    BISECTION — the iterative root-find every deal model runs on top
+    of the NPV machinery (`fin_npv_schedule` prices at a GIVEN rate;
+    this op finds the rate that prices to zero). Cashflows: yearly
+    gross revenue (t = 1..7) against a synthetic t = 0 outlay of 85%
+    of nominal revenue — one sign change, so NPV(r) is monotone
+    decreasing and bisection is exact. THE EXACTNESS TRICK: instead
+    of evaluating NPV(r) with fractional discount factors, each
+    probe tests the SIGN of the cleared-denominator polynomial
+    sum_t cf_c * 1000^t * (1000+r)^(7-t) in DECIMAL(38,0)/HUGEINT
+    (see `_irr_sign_terms`) — integer-identical in both engines, no
+    pow(), no rounding drift across 12 rounds. Scale shape: ONE
+    corpus-sized (nation, year) rollup, eager-checkpointed, then
+    every round is a broadcast of the 25-row bracket state against
+    the ~200-row grid — the corpus is paid once and the iteration is
+    dimension-sized (the `txt_bpe_merge_rounds` loop discipline).
+    Output: bracket [irr_ppk, irr_hi_ppk) after 12 rounds (permille
+    per year), with nominal and outlay for audit."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.expr("year(CAST(l_shipdate AS DATE))") - _IRR_BASE_YEAR
+        ).alias("t"),
+        cents("l_extendedprice").alias("cf_c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .where((F.col("t") >= 1) & (F.col("t") <= _IRR_HORIZON))
+        .groupBy("n_name", "t")
+        .agg(F.sum("cf_c").alias("cf_c"))
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("cf_c").alias("nominal_c"))
+    grid = (
+        rev.unionByName(
+            tot.select(
+                "n_name",
+                F.lit(0).cast("int").alias("t"),
+                F.expr(
+                    f"-(({_IRR_OUTLAY_PCT} * nominal_c) div 100)"
+                ).alias("cf_c"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    # bracket state re-derived FROM the checkpointed grid (revenue
+    # rows are t >= 1) so the corpus subtree is evaluated exactly once
+    state = (
+        grid.where(F.col("t") >= 1)
+        .groupBy("n_name")
+        .agg(F.sum("cf_c").alias("nominal_c"))
+        .select(
+            "n_name",
+            "nominal_c",
+            F.lit(0).cast("long").alias("lo"),
+            F.lit(_IRR_RATE_HI).cast("long").alias("hi"),
+        )
+    )
+    sign_term = _irr_sign_terms("DECIMAL(38,0)")
+    for _ in range(_IRR_ROUNDS):
+        probe = state.withColumn("mid", F.expr("(lo + hi) div 2"))
+        v = (
+            grid.join(F.broadcast(probe), "n_name")
+            .groupBy("n_name", "nominal_c", "lo", "hi", "mid")
+            .agg(F.sum(F.expr(sign_term)).alias("s"))
+        )
+        state = v.select(
+            "n_name",
+            "nominal_c",
+            F.expr("CASE WHEN s >= 0 THEN mid ELSE lo END").alias("lo"),
+            F.expr("CASE WHEN s >= 0 THEN hi ELSE mid END").alias("hi"),
+        )
+    return state.select(
+        "n_name",
+        "nominal_c",
+        F.expr(f"({_IRR_OUTLAY_PCT} * nominal_c) div 100").alias("outlay_c"),
+        F.col("lo").alias("irr_ppk"),
+        F.col("hi").alias("irr_hi_ppk"),
+    )
+
+
+def _fin_irr_sql() -> str:
+    """Chained-CTE bisection replay: the identical 12 rounds with the
+    sign polynomial in HUGEINT."""
+    terms = _irr_sign_terms("HUGEINT")
+    parts = [
+        f"""WITH li AS (
+  SELECT l_suppkey,
+         CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT)
+           - {_IRR_BASE_YEAR} AS t,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cf_c
+  FROM lineitem
+), rev AS (
+  SELECT n.n_name, li.t, CAST(SUM(li.cf_c) AS BIGINT) AS cf_c
+  FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE li.t BETWEEN 1 AND {_IRR_HORIZON}
+  GROUP BY n.n_name, li.t
+), tot AS (
+  SELECT n_name, CAST(SUM(cf_c) AS BIGINT) AS nominal_c
+  FROM rev GROUP BY n_name
+), grid AS (
+  SELECT n_name, t, cf_c FROM rev
+  UNION ALL
+  SELECT n_name, 0 AS t,
+         -(({_IRR_OUTLAY_PCT} * nominal_c) // 100) AS cf_c
+  FROM tot
+), s0 AS (
+  SELECT n_name, nominal_c, CAST(0 AS BIGINT) AS lo,
+         CAST({_IRR_RATE_HI} AS BIGINT) AS hi
+  FROM tot
+)"""
+    ]
+    for r in range(1, _IRR_ROUNDS + 1):
+        parts.append(
+            f""", m{r} AS (
+  SELECT n_name, nominal_c, lo, hi, (lo + hi) // 2 AS mid FROM s{r - 1}
+), v{r} AS (
+  SELECT g.n_name, m.nominal_c, m.lo, m.hi, m.mid, SUM({terms}) AS s
+  FROM grid g JOIN m{r} m USING (n_name)
+  GROUP BY g.n_name, m.nominal_c, m.lo, m.hi, m.mid
+), s{r} AS (
+  SELECT n_name, nominal_c,
+         CASE WHEN s >= 0 THEN mid ELSE lo END AS lo,
+         CASE WHEN s >= 0 THEN hi ELSE mid END AS hi
+  FROM v{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT n_name, nominal_c,
+       ({_IRR_OUTLAY_PCT} * nominal_c) // 100 AS outlay_c,
+       lo AS irr_ppk, hi AS irr_hi_ppk
+FROM s{_IRR_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# ml_boost_stumps — integer-exact boosting over decision stumps
+# ---------------------------------------------------------------------------
+
+# Candidate stump slate: (feature, threshold, polarity). Feature 1 =
+# n_chars (thresholds 50..450), feature 2 = whitespace token count
+# (thresholds 50, 100 — the fixture's token counts top out ~90).
+# Polarity +1 predicts y=1 when feature > threshold; -1 the inverse.
+_BOOST_ROUNDS = 3
+_BOOST_THRS = (50, 100, 150, 200, 250, 300, 350, 400, 450)
+_BOOST_CAND = [
+    (f, t, p)
+    for f in (1, 2)
+    for t in _BOOST_THRS
+    for p in (1, -1)
+    if not (f == 2 and t > 100)
+]
+# label: n_chars + doc-hash noise over a fixed cut — carries real
+# n_chars signal (so round 1 finds a low-error stump and the
+# reweighting rounds visibly shift the argmin) plus hash noise (so
+# no stump is perfect and boosting has residuals to chase)
+_BOOST_LABEL = (
+    f"CASE WHEN n_chars + ({_AUC_HASH}) % 200 > 350 THEN 1 ELSE 0 END"
+)
+_BOOST_LABEL_DUCK = (
+    f"CASE WHEN n_chars + ({_AUC_HASH_DUCK}) % 200 > 350 THEN 1 ELSE 0 END"
+)
+_BOOST_PRED = (
+    "CASE WHEN (CASE WHEN feat = 1 THEN f1 ELSE f2 END > thr)"
+    " = (pol = 1) THEN 1 ELSE 0 END"
+)
+
+
+def ml_boost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOSTED DECISION STUMPS — 3 rounds of the integer-exact
+    weight-DOUBLING variant of AdaBoost (misclassified examples
+    double their weight each round; the multiplicative-weights
+    scheme of boost-by-majority, chosen over alpha = ln((1-e)/e)
+    reweighting because it keeps every weight an exact int64 — no
+    libm log near the comparison surface). Extends the single
+    `ml_decision_stump` to the ENSEMBLE setting: each round scores
+    the full 34-stump candidate slate against the CURRENT weights,
+    picks the weighted-error argmin (tiebreak feat, thr, pol asc),
+    and re-weights. Round 1 recovers the n_chars>250 cut the label
+    plants; the doubled residual weights then drag rounds 2-3 to
+    different thresholds — visible boosting dynamics, not three
+    copies of one stump. Scale shape: the feature/label/weight frame
+    is corpus-sized and eager-checkpointed once per round (the
+    `txt_bpe_merge_rounds` loop discipline); every round is ONE
+    broadcast of the 34-row slate fanned over it (map-side partial
+    agg, no shuffle of the corpus), one 34-row argmin via
+    orderBy().limit(1) (TakeOrderedAndProject — the single-partition-
+    window house rule), and one broadcast of the winning stump back.
+    Output: the merge-ledger twin — (round, feat, thr, pol, weighted
+    error, total weight, err_ppm)."""
+    cand_arr = ", ".join(
+        f"struct({f} AS feat, {t} AS thr, {p} AS pol)"
+        for f, t, p in _BOOST_CAND
+    )
+    cand = spark.range(1).select(F.expr(f"inline(array({cand_arr}))"))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.col("n_chars").cast("long").alias("f1"),
+            F.expr(f"CAST(size({_TOKENS_AA}) AS BIGINT)").alias("f2"),
+            F.expr(_BOOST_LABEL).cast("long").alias("y"),
+            F.lit(1).cast("long").alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for rnd in range(1, _BOOST_ROUNDS + 1):
+        err = (
+            docs.crossJoin(F.broadcast(cand))
+            .groupBy("feat", "thr", "pol")
+            .agg(
+                F.sum(
+                    F.expr(f"CASE WHEN {_BOOST_PRED} <> y THEN w ELSE 0 END")
+                ).alias("werr"),
+                F.sum("w").alias("wtot"),
+            )
+        )
+        best = err.orderBy("werr", "feat", "thr", "pol").limit(1)
+        rows.append(
+            best.select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("feat").cast("long").alias("feat"),
+                F.col("thr").cast("long").alias("thr"),
+                F.col("pol").cast("long").alias("pol"),
+                "werr",
+                "wtot",
+                F.expr("(werr * 1000000) div wtot").alias("err_ppm"),
+            )
+        )
+        if rnd < _BOOST_ROUNDS:
+            docs = (
+                docs.crossJoin(F.broadcast(best))
+                .select(
+                    "f1",
+                    "f2",
+                    "y",
+                    F.expr(
+                        f"CASE WHEN {_BOOST_PRED} <> y"
+                        " THEN w * 2 ELSE w END"
+                    ).alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _ml_boost_sql() -> str:
+    cand_rows = ", ".join(f"({f}, {t}, {p})" for f, t, p in _BOOST_CAND)
+    parts = [
+        f"""WITH docs0 AS (
+  SELECT CAST(n_chars AS BIGINT) AS f1,
+         CAST(len({_TOKENS_AA_DUCK}) AS BIGINT) AS f2,
+         CAST({_BOOST_LABEL_DUCK} AS BIGINT) AS y,
+         CAST(1 AS BIGINT) AS w
+  FROM documents
+), cand AS (
+  SELECT * FROM (VALUES {cand_rows}) AS c(feat, thr, pol)
+)"""
+    ]
+    pred = _BOOST_PRED
+    for r in range(1, _BOOST_ROUNDS + 1):
+        prev = f"docs{r - 1}"
+        parts.append(
+            f""", err{r} AS (
+  SELECT c.feat, c.thr, c.pol,
+         CAST(SUM(CASE WHEN {pred.replace('feat', 'c.feat').replace('thr', 'c.thr').replace('pol', 'c.pol').replace('f1', 'd.f1').replace('f2', 'd.f2')} <> d.y
+                  THEN d.w ELSE 0 END) AS BIGINT) AS werr,
+         CAST(SUM(d.w) AS BIGINT) AS wtot
+  FROM {prev} d CROSS JOIN cand c
+  GROUP BY c.feat, c.thr, c.pol
+), best{r} AS (
+  SELECT feat, thr, pol, werr, wtot FROM err{r}
+  ORDER BY werr, feat, thr, pol LIMIT 1
+), docs{r} AS (
+  SELECT d.f1, d.f2, d.y,
+         CASE WHEN {pred.replace('feat', 'b.feat').replace('thr', 'b.thr').replace('pol', 'b.pol').replace('f1', 'd.f1').replace('f2', 'd.f2')} <> d.y
+              THEN d.w * 2 ELSE d.w END AS w
+  FROM {prev} d CROSS JOIN best{r} b
+)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" CAST(feat AS BIGINT) AS feat, CAST(thr AS BIGINT) AS thr,"
+        f" CAST(pol AS BIGINT) AS pol, werr, wtot,"
+        f" (werr * 1000000) // wtot AS err_ppm FROM best{r}"
+        for r in range(1, _BOOST_ROUNDS + 1)
+    )
+    return "".join(parts) + sel
+
+
 QUERIES = {
+    "fin_irr_bisection": QuerySpec(
+        fin_irr_bisection,
+        _fin_irr_sql(),
+        ("finance", "iterative", "bisection"),
+    ),
+    "ml_boost_stumps": QuerySpec(
+        ml_boost_stumps,
+        _ml_boost_sql(),
+        ("ml", "boosting", "ensemble"),
+    ),
     "agg_skyline_2d": QuerySpec(
         agg_skyline_2d,
         _AGG_SKYLINE_SQL,

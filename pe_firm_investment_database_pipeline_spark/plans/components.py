@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from .textops import _DEDUP_MINHASH_LSH_SQL, dedup_minhash_lsh
@@ -65,16 +65,13 @@ _LSH_PAIRS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "lsh_pairs")
-    df = _LSH_PAIRS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_LSH_PAIRS_CACHE, key[0])
-        df = _LSH_PAIRS_CACHE[key] = (
-            dedup_minhash_lsh(spark, sf_dir)
-            .where(F.col("est_jaccard") >= 0.5)
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _LSH_PAIRS_CACHE,
+        staged_key(spark, sf_dir, "lsh_pairs"),
+        lambda: dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .localCheckpoint(eager=True),
+    )
 
 
 def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -139,14 +136,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster the MinHash-LSH candidate pairs (est_jaccard >= 0.5)
     into duplicate groups; emit one row per vertex with its cluster
     id (= min doc_id in the cluster) and a keeper flag."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    comps = _COMP_CACHE.get(key)
-    if comps is None:
-        evict_stale_apps(_COMP_CACHE, key[0])
-        pairs = _lsh_pairs(spark, sf_dir)
-        comps = _COMP_CACHE[key] = connected_components(
-            pairs, "doc1", "doc2"
-        )
+    comps = memoize(
+        _COMP_CACHE,
+        staged_key(spark, sf_dir),
+        lambda: connected_components(_lsh_pairs(spark, sf_dir), "doc1", "doc2"),
+    )
     return comps.select(
         F.col("v").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
@@ -295,13 +289,11 @@ def graph_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint's _COMP_CACHE, so repeated invocations time the
     # INCREMENTAL work, not a rebuild of state that production reads
     # from disk
-    old_key = (spark.sparkContext.applicationId, sf_dir, "inc_old")
-    old_labels = _OLD_LABELS_CACHE.get(old_key)
-    if old_labels is None:
-        evict_stale_apps(_OLD_LABELS_CACHE, old_key[0])
-        old_labels = _OLD_LABELS_CACHE[old_key] = connected_components(
-            old_pairs, "doc1", "doc2"
-        )
+    old_labels = memoize(
+        _OLD_LABELS_CACHE,
+        staged_key(spark, sf_dir, "inc_old"),
+        lambda: connected_components(old_pairs, "doc1", "doc2"),
+    )
     new_verts = (
         new_pairs.select(F.col("doc1").alias("v"))
         .union(new_pairs.select(F.col("doc2").alias("v")))

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from .textops import _TOKENS, _TOKENS_DUCK
@@ -103,31 +103,29 @@ def _tf_front_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tf_front(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "tf_front")
-    df = _TF_FRONT_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_TF_FRONT_CACHE, key[0])
-        df = _TF_FRONT_CACHE[key] = _tf_front_build(
-            spark, sf_dir
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _TF_FRONT_CACHE,
+        staged_key(spark, sf_dir, "tf_front"),
+        lambda: _tf_front_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def _corpus_stats_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("s_tokens"),
+    )
 
 
 def _corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "corpus_stats")
-    df = _CORPUS_STATS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_CORPUS_STATS_CACHE, key[0])
-        d = load_table(spark, sf_dir, "documents")
-        df = _CORPUS_STATS_CACHE[key] = (
-            d.select(F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("dl"))
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("dl").alias("s_tokens"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _CORPUS_STATS_CACHE,
+        staged_key(spark, sf_dir, "corpus_stats"),
+        lambda: _corpus_stats_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def idx_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:

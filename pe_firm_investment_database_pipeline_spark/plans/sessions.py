@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 from ..streaming.windows import GAP_S  # single source of truth for the gap
@@ -189,12 +189,11 @@ _SCD2_CACHE: dict[tuple, DataFrame] = register_cache({})
 def _scd2_front(
     spark: SparkSession, sf_dir: str, subset: str, e: DataFrame
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "scd2", subset)
-    df = _SCD2_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_SCD2_CACHE, key[0])
-        df = _SCD2_CACHE[key] = _scd2_changes(e).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _SCD2_CACHE,
+        staged_key(spark, sf_dir, "scd2", subset),
+        lambda: _scd2_changes(e).localCheckpoint(eager=True),
+    )
 
 
 def _scd2_changes(e: DataFrame) -> DataFrame:

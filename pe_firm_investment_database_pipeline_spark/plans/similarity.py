@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -195,11 +195,7 @@ def _staged(spark: SparkSession, key: tuple, build, src: DataFrame) -> DataFrame
     the only thing that hits."""
     app = spark.sparkContext.applicationId
     full_key = (app, *key, src.semanticHash())
-    cached = _STAGE_CACHE.get(full_key)
-    if cached is None:
-        evict_stale_apps(_STAGE_CACHE, app)
-        cached = _STAGE_CACHE[full_key] = build().persist()
-    return cached
+    return memoize(_STAGE_CACHE, full_key, lambda: build().persist())
 
 
 def _celled(
@@ -1552,14 +1548,11 @@ _KM_ASSIGN_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "km_assign")
-    df = _KM_ASSIGN_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_KM_ASSIGN_CACHE, key[0])
-        df = _KM_ASSIGN_CACHE[key] = _km_assign_build(
-            spark, sf_dir
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _KM_ASSIGN_CACHE,
+        staged_key(spark, sf_dir, "km_assign"),
+        lambda: _km_assign_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def ml_kmeans_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.session_cache import evict_stale_apps, register_cache
+from ..functions.session_cache import memoize, register_cache, staged_key
 from ..registry import QuerySpec
 from ..sources.tables import load_table
 
@@ -76,31 +76,26 @@ _SH_HASH_DUCK = (
 _SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = register_cache({})
 
 
+def _shingled_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_TOKENS).alias("toks")).select(
+        "doc_id",
+        F.when(F.size("toks") >= 3, F.expr(_SH_HASH))
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("sh"),
+    )
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, sh): distinct 48-bit 3-gram shingle
     hashes (guard: docs with < 3 tokens yield an empty set),
-    materialized once per (session, sf_dir)."""
-    # keyed by applicationId, not id(spark): Python can reuse a freed
-    # object's id for a new session, which would resurrect checkpoints
-    # of a stopped SparkContext.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    evict_stale_apps(_SHINGLE_CACHE, key[0])
-    d = load_table(spark, sf_dir, "documents")
-    df = (
-        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-        .select(
-            "doc_id",
-            F.when(F.size("toks") >= 3, F.expr(_SH_HASH))
-            .otherwise(F.array().cast("array<bigint>"))
-            .alias("sh"),
-        )
-        .localCheckpoint(eager=True)
+    materialized once per (session, dataset) — see
+    session_cache.staged_key for the key discipline."""
+    return memoize(
+        _SHINGLE_CACHE,
+        staged_key(spark, sf_dir),
+        lambda: _shingled_build(spark, sf_dir).localCheckpoint(eager=True),
     )
-    _SHINGLE_CACHE[key] = df
-    return df
 
 
 _SHINGLED_DUCK = f"""
@@ -531,13 +526,11 @@ _SHARED_COUNTS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
 def _shared_counts_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHARED_COUNTS_CACHE.get(key)
-    if cached is None:
-        evict_stale_apps(_SHARED_COUNTS_CACHE, key[0])
+    def build() -> DataFrame:
         sh = _shingled(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-        cached = _SHARED_COUNTS_CACHE[key] = _shared_shingle_counts(sh).persist()
-    return cached
+        return _shared_shingle_counts(sh).persist()
+
+    return memoize(_SHARED_COUNTS_CACHE, staged_key(spark, sf_dir), build)
 
 
 def _jaccard_pairs_from_shingles(sh: DataFrame) -> DataFrame:
@@ -703,31 +696,28 @@ FROM scored WHERE containment >= {_CONTAINMENT_T}
 _PREFIX_INDEX_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _prefix_index_build(sh_arr: DataFrame) -> DataFrame:
+    sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        sh.join(df_counts, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("doc_id")))
+    )
+    return ranked.where(
+        F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "s")
+
+
 def _prefix_index(
     spark: SparkSession, sf_dir: str, sh_arr: DataFrame
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "prefix_index")
-    df = _PREFIX_INDEX_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_PREFIX_INDEX_CACHE, key[0])
-        sh = sh_arr.select("doc_id", F.explode("sh").alias("s"))
-        df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-        w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
-        ranked = (
-            sh.join(df_counts, "s")
-            .withColumn("rn", F.row_number().over(w))
-            .withColumn(
-                "n", F.count(F.lit(1)).over(W.partitionBy("doc_id"))
-            )
-        )
-        df = _PREFIX_INDEX_CACHE[key] = (
-            ranked.where(
-                F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
-            )
-            .select("doc_id", "s")
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _PREFIX_INDEX_CACHE,
+        staged_key(spark, sf_dir, "prefix_index"),
+        lambda: _prefix_index_build(sh_arr).localCheckpoint(eager=True),
+    )
 
 
 def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,42 +1122,41 @@ _HAMMING4_DUCK = (
 _SIMHASH_BANDS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _simhash_bands_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("transform(array_distinct(toks), t -> md5(t))").alias(
+                "hs"
+            ),
+        )
+        .select("doc_id", F.expr(_SIMHASH64).alias("sig"))
+    )
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, element_at(sig, b + 1) AS bits))"
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bits").alias("bits"),
+    )
+
+
 def _simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "simhash_bands")
-    df = _SIMHASH_BANDS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_SIMHASH_BANDS_CACHE, key[0])
-        d = load_table(spark, sf_dir, "documents")
-        sigs = (
-            d.select("doc_id", F.expr(_TOKENS).alias("toks"))
-            .select(
-                "doc_id",
-                F.expr("transform(array_distinct(toks), t -> md5(t))").alias(
-                    "hs"
-                ),
-            )
-            .select("doc_id", F.expr(_SIMHASH64).alias("sig"))
-        )
-        df = _SIMHASH_BANDS_CACHE[key] = (
-            sigs.select(
-                "doc_id",
-                "sig",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, 3), b -> "
-                        "struct(b AS band, element_at(sig, b + 1) AS bits))"
-                    )
-                ).alias("bk"),
-            )
-            .select(
-                "doc_id",
-                "sig",
-                F.col("bk.band").alias("band"),
-                F.col("bk.bits").alias("bits"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _SIMHASH_BANDS_CACHE,
+        staged_key(spark, sf_dir, "simhash_bands"),
+        lambda: _simhash_bands_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1463,33 +1452,34 @@ _RAKE_TOP = 15
 _RAKE_WORDS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _rake_words_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "term")
+    ).select(
+        "doc_id",
+        "pos",
+        F.lower(F.col("term")).alias("w"),
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    marked = toks.withColumn(
+        "phrase_id",
+        F.sum(F.col("w").isin(*STOPWORDS).cast("int")).over(wdoc),
+    ).where(~F.col("w").isin(*STOPWORDS))
+    plen = marked.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    return marked.join(plen, ["doc_id", "phrase_id"])
+
+
 def _rake_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "rake_words")
-    df = _RAKE_WORDS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_RAKE_WORDS_CACHE, key[0])
-        d = load_table(spark, sf_dir, "documents")
-        toks = d.select(
-            "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "term")
-        ).select(
-            "doc_id",
-            "pos",
-            F.lower(F.col("term")).alias("w"),
-        )
-        wdoc = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
-            W.unboundedPreceding, W.currentRow
-        )
-        marked = toks.withColumn(
-            "phrase_id",
-            F.sum(F.col("w").isin(*STOPWORDS).cast("int")).over(wdoc),
-        ).where(~F.col("w").isin(*STOPWORDS))
-        plen = marked.groupBy("doc_id", "phrase_id").agg(
-            F.count(F.lit(1)).alias("plen")
-        )
-        df = _RAKE_WORDS_CACHE[key] = marked.join(
-            plen, ["doc_id", "phrase_id"]
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _RAKE_WORDS_CACHE,
+        staged_key(spark, sf_dir, "rake_words"),
+        lambda: _rake_words_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,26 +1589,23 @@ _PMI_CID = 100000
 _PMI_WINDOWS_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _pmi_windows_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
+    )
+    return words.select(
+        F.expr(f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}").alias("cid"),
+        "tok",
+    ).distinct()
+
+
 def _pmi_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "pmi_windows")
-    df = _PMI_WINDOWS_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_PMI_WINDOWS_CACHE, key[0])
-        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        words = d.select(
-            "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "tok")
-        )
-        df = _PMI_WINDOWS_CACHE[key] = (
-            words.select(
-                F.expr(
-                    f"doc_id * {_PMI_CID} + pos div {_PMI_WIN}"
-                ).alias("cid"),
-                "tok",
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-    return df
+    return memoize(
+        _PMI_WINDOWS_CACHE,
+        staged_key(spark, sf_dir, "pmi_windows"),
+        lambda: _pmi_windows_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def txt_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2834,31 +2821,32 @@ _TR_TOPK = 15
 _TEXTRANK_EDGES_CACHE: dict[tuple, DataFrame] = register_cache({})
 
 
+def _textrank_edges_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "t"))
+        .select("doc_id", "pos", F.lower("t").alias("w"))
+        .where(~F.col("w").isin(*STOPWORDS))
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
+    sym = seq.select(
+        F.col("prev").alias("a"), F.col("w").alias("b")
+    ).union(seq.select(F.col("w").alias("a"), F.col("prev").alias("b")))
+    edges_w = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
+    wdeg = edges_w.groupBy("a").agg(F.sum("wt").alias("wdeg"))
+    return edges_w.join(wdeg, "a")
+
+
 def _textrank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, "textrank_edges")
-    df = _TEXTRANK_EDGES_CACHE.get(key)
-    if df is None:
-        evict_stale_apps(_TEXTRANK_EDGES_CACHE, key[0])
-        d = load_table(spark, sf_dir, "documents")
-        toks = (
-            d.select(
-                "doc_id", F.posexplode(F.expr(_TOKENS)).alias("pos", "t")
-            )
-            .select("doc_id", "pos", F.lower("t").alias("w"))
-            .where(~F.col("w").isin(*STOPWORDS))
-        )
-        seq = toks.withColumn(
-            "prev", F.lag("w").over(W.partitionBy("doc_id").orderBy("pos"))
-        ).where(F.col("prev").isNotNull() & (F.col("prev") != F.col("w")))
-        sym = seq.select(
-            F.col("prev").alias("a"), F.col("w").alias("b")
-        ).union(seq.select(F.col("w").alias("a"), F.col("prev").alias("b")))
-        edges_w = sym.groupBy("a", "b").agg(F.count(F.lit(1)).alias("wt"))
-        wdeg = edges_w.groupBy("a").agg(F.sum("wt").alias("wdeg"))
-        df = _TEXTRANK_EDGES_CACHE[key] = edges_w.join(
-            wdeg, "a"
-        ).localCheckpoint(eager=True)
-    return df
+    return memoize(
+        _TEXTRANK_EDGES_CACHE,
+        staged_key(spark, sf_dir, "textrank_edges"),
+        lambda: _textrank_edges_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
 
 
 def txt_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3130,12 +3118,12 @@ def txt_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pair")
             .agg(F.sum("cnt").alias("pair_count"))
         )
+        # global top-1 as TakeOrderedAndProject (orderBy + limit), not
+        # a single-partition row_number window: the vocab-sized pair
+        # table never funnels through one task
         top = (
-            pairs.withColumn(
-                "rn",
-                F.row_number().over(W.orderBy(F.col("pair_count").desc(), "pair")),
-            )
-            .where(F.col("rn") == 1)
+            pairs.orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
             .select(
                 F.col("pair").alias("mp"),
                 F.col("pair_count").cast("long").alias("mc"),
@@ -3330,7 +3318,137 @@ FROM n
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_passage_runs — cross-document repeated-PASSAGE extraction
+# ---------------------------------------------------------------------------
+
+# Passage-mining parameters: 5-token shingles, document-frequency band
+# [2, 50] (df >= 2 because singleton grams can never pair — a free
+# 95% candidate cut; df <= 50 drops boilerplate grams shared by huge
+# doc sets, whose posting lists would otherwise go quadratic in the
+# pair join — the same guard every production passage-dedup pipeline
+# applies, and the df-capped passages ARE boilerplate, the class
+# txt_boilerplate_chunks handles), minimum passage length 12 tokens
+# (>= 8 consecutive matching 5-grams).
+_PASSAGE_N = 5
+_PASSAGE_DF_MIN = 2
+_PASSAGE_DF_MAX = 50
+_PASSAGE_MIN_TOKENS = 12
+
+
+def dedup_passage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT REPEATED-PASSAGE extraction — the passage-level
+    member of the dedup family (doc-level: minhash/simhash/jaccard;
+    this op finds the SHARED SPANS those methods only score): for
+    every ordered doc pair, the maximal runs of >= 12 consecutive
+    identical tokens, located by position in both docs. This is the
+    'dedup training data at the sequence level' operator from the
+    memorization literature (Lee et al. 2022 'Deduplicating Training
+    Data Makes Language Models Better' — their 50-token exact
+    substring unit, scaled to the fixture's short docs): doc-level
+    near-dup keeps one clone and drops the other, but a quoted or
+    templated PASSAGE inside otherwise-distinct documents survives
+    every doc-level method and still memorizes.
+
+    Shape: tokens -> per-doc 5-gram shingles by array slice (no
+    window), df-banded [2, 50] (rarity cut + boilerplate cap — see
+    the constants above), equi-join on the gram string to get
+    position pairs, then the gaps-and-islands identity per
+    (doc1, doc2, diagonal): consecutive matching grams share
+    p1 - p2, so run id = p1 - row_number() — the window is
+    partitioned by doc pair + diagonal, never global. A run of k
+    grams covers k + 4 tokens. Everything is equi-join + partitioned
+    window: no cartesian, no global sort, posting lists bounded by
+    the df cap at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") >= _PASSAGE_N
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_PASSAGE_N - 1}),"
+                f" i -> concat_ws(' ', slice(toks, i, {_PASSAGE_N})))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    banded = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(
+            (F.col("df") >= _PASSAGE_DF_MIN)
+            & (F.col("df") <= _PASSAGE_DF_MAX)
+        )
+        .select("gram")
+    )
+    g2 = grams.join(banded, "gram", "left_semi")
+    a = g2.select(
+        F.col("doc_id").alias("doc1"), F.col("pos").alias("p1"), "gram"
+    )
+    b = g2.select(
+        F.col("doc_id").alias("doc2"), F.col("pos").alias("p2"), "gram"
+    )
+    pairs = a.join(b, "gram").where(F.col("doc1") < F.col("doc2"))
+    wi = W.partitionBy("doc1", "doc2", "diag").orderBy("p1")
+    islands = pairs.withColumn("diag", F.col("p1") - F.col("p2")).withColumn(
+        "isl", F.col("p1") - F.row_number().over(wi)
+    )
+    return (
+        islands.groupBy("doc1", "doc2", "diag", "isl")
+        .agg(
+            F.min("p1").cast("long").alias("start1"),
+            F.min("p2").cast("long").alias("start2"),
+            (F.count(F.lit(1)) + _PASSAGE_N - 1).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .where(F.col("n_tokens") >= _PASSAGE_MIN_TOKENS)
+        .select("doc1", "doc2", "start1", "start2", "n_tokens")
+    )
+
+
+_DEDUP_PASSAGE_RUNS_SQL = f"""
+WITH toksrc AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+), posed AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {_PASSAGE_N - 2})) AS pos
+  FROM toksrc WHERE len(toks) >= {_PASSAGE_N}
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos:pos + {_PASSAGE_N - 1}], ' ') AS gram
+  FROM posed
+), banded AS (
+  SELECT gram FROM grams GROUP BY gram
+  HAVING COUNT(DISTINCT doc_id)
+         BETWEEN {_PASSAGE_DF_MIN} AND {_PASSAGE_DF_MAX}
+), g2 AS (
+  SELECT grams.doc_id, grams.pos, grams.gram
+  FROM grams JOIN banded USING (gram)
+), pairs AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.pos AS p1, b.pos AS p2
+  FROM g2 a JOIN g2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), islands AS (
+  SELECT doc1, doc2, p1 - p2 AS diag, p1, p2,
+         p1 - row_number()
+                OVER (PARTITION BY doc1, doc2, p1 - p2 ORDER BY p1) AS isl
+  FROM pairs
+)
+SELECT doc1, doc2,
+       CAST(MIN(p1) AS BIGINT) AS start1,
+       CAST(MIN(p2) AS BIGINT) AS start2,
+       CAST(COUNT(*) + {_PASSAGE_N - 1} AS BIGINT) AS n_tokens
+FROM islands GROUP BY doc1, doc2, diag, isl
+HAVING COUNT(*) + {_PASSAGE_N - 1} >= {_PASSAGE_MIN_TOKENS}
+"""
+
+
 QUERIES = {
+    "dedup_passage_runs": QuerySpec(
+        dedup_passage_runs,
+        _DEDUP_PASSAGE_RUNS_SQL,
+        ("dedup", "passage", "memorization"),
+    ),
     "txt_unicode_nfc_audit": QuerySpec(
         txt_unicode_nfc_audit,
         _TXT_NFC_SQL,

@@ -581,6 +581,27 @@ def test_staged_entry_serves_checkpoint(spark, op_id, absent):
         )
 
 
+def test_ts_daily_fence_builder_broadcasts(spark):
+    """The MAD-cascade front builder keeps BOTH percentile passes as
+    broadcast joins (median + MAD are per-type scalars joined back to
+    the grid) — pinned on the BUILDER (`_ts_daily_fence_build`)
+    because the registry entry serves the staged checkpoint."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _ts_daily_fence_build,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _ts_daily_fence_build(spark, SF).explain("formatted")
+    builder = buf.getvalue()
+    assert builder.count("BroadcastHashJoin") >= 2, builder
+    assert "CartesianProduct" not in builder
+    assert "SortMergeJoin" not in builder
+
+
 def test_market_basket_broadcasts_dim(spark):
     """part is broadcast inside the basket-front BUILDER (the
     registry entry serves the staged checkpoint, so the dim join

@@ -1,0 +1,119 @@
+"""Behavior pins for round-11 operators — mechanism-level assertions
+beyond the registry-wide oracle parity sweep (tests/test_parity.py).
+
+- dedup_passage_runs: every emitted passage is a REAL token-for-token
+  match at the claimed positions, and maximal (extending one token in
+  either direction breaks the match or leaves a document).
+- fin_irr_bisection: 12 rounds land a width-1 bracket whose sign
+  invariant (s(lo) >= 0 > s(hi)) replays in exact Python ints.
+- ml_boost_stumps: the weight-doubling recurrence is visible in the
+  ledger (wtot_{r+1} = wtot_r + werr_r) and round 1 beats chance.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pe_firm_investment_database_pipeline_spark.plans import all_queries
+from pe_firm_investment_database_pipeline_spark.sources.tables import load_table
+
+_Q = all_queries()
+
+
+def _doc_tokens(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )
+    return {r["doc_id"]: re.findall(r"\S+", r["text"]) for r in rows}
+
+
+def test_passage_runs_match_and_are_maximal(spark, sf_dir):
+    out = _Q["dedup_passage_runs"].fn(spark, sf_dir).collect()
+    assert out, "fixture corpus plants clone passages; none found"
+    toks = _doc_tokens(spark, sf_dir)
+    for r in out:
+        assert r["doc1"] < r["doc2"]
+        assert r["n_tokens"] >= 12
+        t1, t2 = toks[r["doc1"]], toks[r["doc2"]]
+        s1, s2, n = r["start1"] - 1, r["start2"] - 1, r["n_tokens"]
+        assert t1[s1 : s1 + n] == t2[s2 : s2 + n], (r, "span mismatch")
+        # maximality: one more token on either side breaks the match
+        # or runs off a document (df-banded grams can also end a run,
+        # so only assert when both extensions exist AND match — that
+        # would mean the run should have continued)
+        if s1 > 0 and s2 > 0:
+            assert t1[s1 - 1] != t2[s2 - 1], (r, "left-extensible")
+        if s1 + n < len(t1) and s2 + n < len(t2):
+            assert t1[s1 + n] != t2[s2 + n], (r, "right-extensible")
+
+
+def test_irr_bracket_and_sign_replay(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _IRR_BASE_YEAR,
+        _IRR_HORIZON,
+        _IRR_OUTLAY_PCT,
+    )
+
+    rows = _Q["fin_irr_bisection"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["irr_hi_ppk"] == r["irr_ppk"] + 1, "12 rounds -> width-1"
+        assert 0 <= r["irr_ppk"] < 1000
+        assert r["outlay_c"] == (_IRR_OUTLAY_PCT * r["nominal_c"]) // 100
+
+    # exact-integer sign replay for one nation: s(lo) >= 0 > s(hi)
+    target = rows[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.expr("year(CAST(l_shipdate AS DATE))") - _IRR_BASE_YEAR).alias("t"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cf_c"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == target["n_name"]
+    )
+    grid = {
+        r["t"]: r["cf"]
+        for r in li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .where((F.col("t") >= 1) & (F.col("t") <= _IRR_HORIZON))
+        .groupBy("t")
+        .agg(F.sum("cf_c").alias("cf"))
+        .collect()
+    }
+    grid[0] = -((_IRR_OUTLAY_PCT * sum(grid.values())) // 100)
+
+    def sign_poly(rate: int) -> int:
+        return sum(
+            cf * 1000**t * (1000 + rate) ** (_IRR_HORIZON - t)
+            for t, cf in grid.items()
+        )
+
+    assert sign_poly(target["irr_ppk"]) >= 0
+    assert sign_poly(target["irr_hi_ppk"]) < 0
+
+
+def test_boost_ledger_weight_recurrence(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _BOOST_CAND,
+    )
+
+    rows = sorted(
+        _Q["ml_boost_stumps"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert rows[0]["wtot"] == n_docs, "round-1 weights are all 1"
+    for prev, nxt in zip(rows, rows[1:]):
+        # doubling misclassified weight adds exactly werr to the pool
+        assert nxt["wtot"] == prev["wtot"] + prev["werr"]
+    for r in rows:
+        assert (r["feat"], r["thr"], r["pol"]) in _BOOST_CAND
+        assert r["err_ppm"] == (r["werr"] * 1_000_000) // r["wtot"]
+    # the planted n_chars signal: round 1 is clearly better than chance
+    assert rows[0]["err_ppm"] < 300_000

@@ -13,6 +13,13 @@ forbidden or budgeted at cluster scale:
 - ``BatchEvalPython`` — a row-at-a-time Python UDF in any plan is a
   bug (the package's Python boundary is Arrow-batched: pandas_udf /
   mapInPandas / mapInArrow / applyInPandas*).
+- ``single_partition_windows`` — Window/WindowGroupLimit nodes with
+  an EMPTY partition spec: the whole frame funnels through ONE task.
+  A global top-1/argmax should be ``orderBy().limit(1)``
+  (TakeOrderedAndProject) instead; a genuinely global running
+  computation must be exempted in ``GLOBAL_WINDOW_ALLOWED`` with a
+  written bounded-frame determination (vocab/grid/group-count sized
+  input, never raw-data sized).
 
 Every entry's counts land in PLAN_AUDIT.json so the audit is
 diffable round over round; the process exits non-zero on any
@@ -43,6 +50,98 @@ CARTESIAN_ALLOWED = {"join_nested_loop", "evt_peak_concurrency"}
 
 # No entry may plan a row-at-a-time Python UDF.
 BATCH_EVAL_ALLOWED: set[str] = set()
+
+# Entries whose single-partition Window runs over a frame that is
+# BOUNDED by construction (vocab-, grid-, or group-count-sized — never
+# raw-data-sized), with the determination written at the entry. A
+# global running total over N groups is fine when N is the number of
+# groups, not rows; a global top-1 over raw rows is NOT and must be
+# rewritten as orderBy().limit(1). Every exemption names the bounded
+# frame the window runs on (verified by reading the entry — each
+# docstring carries the same determination).
+GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
+    # day-/calendar-grid frames (events collapse to one row per day
+    # or (day, slot) before the ordered window)
+    "evt_pattern_vshape": "day-grid gaps-and-islands (3 windows on daily rollup + islands)",
+    "evt_calendar_heatmap": "day-grid running stats",
+    "evt_stickiness_dau_mau": "day-grid DAU/MAU ratio",
+    "evt_error_budget_burn": "day-grid burn-rate running sum",
+    "dq_freshness_sla": "per-day freshness grid (corpus_last = max over day grid)",
+    "evt_peak_concurrency": "weeks x in-week slot grid sweep (also CARTESIAN_ALLOWED)",
+    "evt_markov_stationary": "event-type^2 transition grid (pi ranking)",
+    "evt_att_stratified": "stratum-level ATT table",
+    # dimension-/group-cardinality frames
+    "agg_pareto_abc": "brand-level cumulative revenue share (dimension cardinality)",
+    "agg_wilson_rank": "brand-level Wilson lower-bound ranking",
+    "graph_modularity": "language-partition aggregate (communities, not edges)",
+    "profile_drift": "per-column profile cells (tot_early/tot_late over profile grid)",
+    "dq_benford_check": "9-row leading-digit histogram",
+    # vocab-/score-cardinality frames (occurrences compress to
+    # distinct-type counts before ranking)
+    "txt_zipf_check": "vocab-sized rank + rank-1 max (head-of-vocab shape check)",
+    "txt_vocab_coverage": "vocab-sized coverage curve (running share over distinct types)",
+    "ml_lift_gains": "score-cardinality cells then 10-row decile table",
+    # two-level prefix-sum offsets (the block table is rows/BLOCK —
+    # orders of magnitude below row count; the per-row window is
+    # partitioned by block)
+    "samp_pps_systematic": "block-offset table prefix sum (N/100 rows)",
+    "shard_by_token_budget": "block-offset table prefix sum",
+    "shard_manifest": "shard-level manifest running offsets",
+    "curation_pipeline_e2e": "block-offset prefix sum inside the packing stage",
+    "samp_neyman_alloc": "stratum allocation table (3 windows over strata)",
+    "samp_domain_mixture": "domain-stratum mixture weights + largest-remainder rank",
+    # literal-bounded input (vec_id < 200 compact demo; the volume
+    # twin sim_knn_blocked_full derives cells in-plan and is clean)
+    "sim_knn_blocked": "window-count cell derivation over literal-bounded <=200-row set",
+}
+
+
+_LIMIT_NODES = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "CollectLimitExec",
+    "LocalLimitExec",
+}
+
+
+def _subtree_has_limit(node) -> bool:
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.getClass().getSimpleName() in _LIMIT_NODES:
+            return True
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
+
+def _count_single_partition_windows(df) -> int:
+    """Walk the pre-adaptive physical plan via py4j and count
+    Window-family nodes whose partitionSpec is empty (the whole
+    input funnels through one task at execution time). A window whose
+    SUBTREE contains a limit node (TakeOrderedAndProject / Global/
+    Local/CollectLimit) is NOT counted: its input is limit-bounded by
+    construction — the repo's standard top-K-with-rank shape is
+    ``orderBy().limit(K)`` (distributed top-K merge) followed by a
+    row_number over the K survivors only."""
+    count = 0
+    stack = [df._jdf.queryExecution().sparkPlan()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"):
+            try:
+                if node.partitionSpec().isEmpty() and not _subtree_has_limit(
+                    node
+                ):
+                    count += 1
+            except Exception:
+                pass
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return count
 
 
 def main() -> None:
@@ -95,6 +194,7 @@ def main() -> None:
                 )
             ),
             "parquet_scans": plan.count("Scan parquet"),
+            "single_partition_windows": _count_single_partition_windows(df),
         }
         results[name] = row
         bad = []
@@ -102,6 +202,10 @@ def main() -> None:
             bad.append(f"CartesianProduct x{row['cartesian']}")
         if row["batch_eval_python"] and name not in BATCH_EVAL_ALLOWED:
             bad.append(f"BatchEvalPython x{row['batch_eval_python']}")
+        if row["single_partition_windows"] and name not in GLOBAL_WINDOW_ALLOWED:
+            bad.append(
+                f"single-partition Window x{row['single_partition_windows']}"
+            )
         if bad:
             violations.append(f"{name}: {', '.join(bad)}")
             print(f"FAIL {name}: {', '.join(bad)}", flush=True)
