@@ -8252,6 +8252,18 @@ def _irr_sign_terms(cast: str) -> str:
     return f"CASE t {whens} END"
 
 
+def _irr_fold_sign(mid: str) -> str:
+    """sum_t cf_arr[t+1] * 1000^t * (1000+mid)^(7-t) over the 8-cell
+    cashflow array, as one higher-order aggregate in DECIMAL(38,0)."""
+    terms = " + ".join(
+        f"element_at(cf_arr, {t + 1})"
+        f" * {_int_pow('1000', t, 'DECIMAL(38,0)')}"
+        f" * {_int_pow(f'(1000 + {mid})', _IRR_HORIZON - t, 'DECIMAL(38,0)')}"
+        for t in range(_IRR_HORIZON + 1)
+    )
+    return f"({terms})"
+
+
 def fin_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERNAL RATE OF RETURN per supplier nation by FIXED-ROUND
     BISECTION — the iterative root-find every deal model runs on top
@@ -8265,12 +8277,16 @@ def fin_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_t cf_c * 1000^t * (1000+r)^(7-t) in DECIMAL(38,0)/HUGEINT
     (see `_irr_sign_terms`) — integer-identical in both engines, no
     pow(), no rounding drift across 12 rounds. Scale shape: ONE
-    corpus-sized (nation, year) rollup, eager-checkpointed, then
-    every round is a broadcast of the 25-row bracket state against
-    the ~200-row grid — the corpus is paid once and the iteration is
-    dimension-sized (the `txt_bpe_merge_rounds` loop discipline).
-    Output: bracket [irr_ppk, irr_hi_ppk) after 12 rounds (permille
-    per year), with nominal and outlay for audit."""
+    corpus-sized (nation, year) rollup compresses each nation to its
+    8-cell cashflow ARRAY, and the entire 12-round bisection runs as
+    a single higher-order `aggregate` fold over sequence(1, 12) in
+    pure column expressions — zero joins, zero extra shuffles, no
+    per-round job launches (the ts_holt_winters / ts_downsample_lttb
+    fold discipline; a first cut ran the rounds as 12 chained
+    broadcast joins and paid ~0.3 s of job latency per round). The
+    oracle replays the SAME 12 rounds as chained CTEs. Output:
+    bracket [irr_ppk, irr_hi_ppk) after 12 rounds (permille per
+    year), with nominal and outlay for audit."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         (
@@ -8291,52 +8307,50 @@ def fin_irr_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "t")
         .agg(F.sum("cf_c").alias("cf_c"))
     )
-    tot = rev.groupBy("n_name").agg(F.sum("cf_c").alias("nominal_c"))
-    grid = (
-        rev.unionByName(
-            tot.select(
-                "n_name",
-                F.lit(0).cast("int").alias("t"),
-                F.expr(
-                    f"-(({_IRR_OUTLAY_PCT} * nominal_c) div 100)"
-                ).alias("cf_c"),
-            )
-        )
-        .localCheckpoint(eager=True)
+    # one nation-sized row per project: t -> cf map, densified to the
+    # 8-cell array with the t=0 outlay in slot 1
+    packed = rev.groupBy("n_name").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("t"), F.col("cf_c")))
+        ).alias("cf_map"),
+        F.sum("cf_c").alias("nominal_c"),
     )
-    # bracket state re-derived FROM the checkpointed grid (revenue
-    # rows are t >= 1) so the corpus subtree is evaluated exactly once
-    state = (
-        grid.where(F.col("t") >= 1)
-        .groupBy("n_name")
-        .agg(F.sum("cf_c").alias("nominal_c"))
-        .select(
-            "n_name",
-            "nominal_c",
-            F.lit(0).cast("long").alias("lo"),
-            F.lit(_IRR_RATE_HI).cast("long").alias("hi"),
-        )
+    arr = (
+        f"transform(sequence(0, {_IRR_HORIZON}), t -> CAST(CASE WHEN t = 0"
+        f" THEN -(({_IRR_OUTLAY_PCT} * nominal_c) div 100)"
+        f" ELSE coalesce(element_at(cf_map, t), 0) END AS DECIMAL(38,0)))"
     )
-    sign_term = _irr_sign_terms("DECIMAL(38,0)")
-    for _ in range(_IRR_ROUNDS):
-        probe = state.withColumn("mid", F.expr("(lo + hi) div 2"))
-        v = (
-            grid.join(F.broadcast(probe), "n_name")
-            .groupBy("n_name", "nominal_c", "lo", "hi", "mid")
-            .agg(F.sum(F.expr(sign_term)).alias("s"))
-        )
-        state = v.select(
-            "n_name",
-            "nominal_c",
-            F.expr("CASE WHEN s >= 0 THEN mid ELSE lo END").alias("lo"),
-            F.expr("CASE WHEN s >= 0 THEN hi ELSE mid END").alias("hi"),
-        )
-    return state.select(
+    # the 12-round bisection as one fold; the 1-element transform()
+    # array is the let-binding idiom for reusing mid / its sign
+    step = (
+        "(acc, i) -> element_at(transform("
+        "  array((acc.lo + acc.hi) div 2),"
+        f"  mid -> CASE WHEN {_irr_fold_sign('mid')} >= 0"
+        "          THEN struct(mid AS lo, acc.hi AS hi)"
+        "          ELSE struct(acc.lo AS lo, mid AS hi) END), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(1, {_IRR_ROUNDS}),"
+        " struct(CAST(0 AS BIGINT) AS lo,"
+        f" CAST({_IRR_RATE_HI} AS BIGINT) AS hi),"
+        f" {step})"
+    )
+    return packed.select(
         "n_name",
         "nominal_c",
         F.expr(f"({_IRR_OUTLAY_PCT} * nominal_c) div 100").alias("outlay_c"),
-        F.col("lo").alias("irr_ppk"),
-        F.col("hi").alias("irr_hi_ppk"),
+        F.expr(arr).alias("cf_arr"),
+    ).select(
+        "n_name",
+        "nominal_c",
+        "outlay_c",
+        F.expr(fold).alias("bracket"),
+    ).select(
+        "n_name",
+        "nominal_c",
+        "outlay_c",
+        F.col("bracket.lo").alias("irr_ppk"),
+        F.col("bracket.hi").alias("irr_hi_ppk"),
     )
 
 
