@@ -68,10 +68,12 @@ def all_queries() -> dict[str, QuerySpec]:
         # module order after the list.
         "txt_bpe_merge_rounds",
         "fin_npv_schedule",
-        # slots 3-5: round-11 new ops (first driver verdicts r11)
+        # slots 3-7: round-11 new ops (first driver verdicts r11)
         "dedup_passage_runs",
         "fin_irr_bisection",
         "ml_boost_stumps",
+        "fin_loan_amortization",
+        "ml_naive_bayes",
         # slots 6-23: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

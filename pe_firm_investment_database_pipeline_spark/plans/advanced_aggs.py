@@ -8569,7 +8569,147 @@ def _ml_boost_sql() -> str:
     return "".join(parts) + sel
 
 
+# ---------------------------------------------------------------------------
+# fin_loan_amortization — level-payment amortization schedule fold
+# ---------------------------------------------------------------------------
+
+# Loan parameters: principal = 80% of nominal revenue, 1%/month
+# interest (bal div 100 — truncating, identical both engines), level
+# payment = principal div (24 + nominal % 13) so payoff months VARY
+# per nation (a constant divisor paid every loan off in the same
+# month), 48-month simulation horizon.
+_AMORT_MONTHS = 48
+_AMORT_PRINCIPAL_PCT = 80
+
+
+def fin_loan_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOAN AMORTIZATION SCHEDULE per supplier nation — the debt-side
+    closer of the finance family (allocation: `fin_fifo_allocation`;
+    costing: `fin_avg_cost_basis`; pricing: `fin_npv_schedule`;
+    root-find: `fin_irr_bisection`; this op: the month-by-month paydown
+    every leveraged deal models): balance_{m+1} = balance + interest
+    - payment with 1%/month truncating interest, clamped at zero,
+    tracking accumulated interest and the payoff month. All int64
+    cents. Scale shape: ONE corpus rollup compresses each nation to
+    (nominal, principal, payment) scalars, then the 48-month schedule
+    runs as a single higher-order aggregate() fold over
+    sequence(1, 48) — zero joins, no per-month jobs (the
+    fin_irr_bisection fold discipline). Oracle: 48-level recursive
+    CTE carrying (bal, interest_acc, payoff_m). payoff_month is -1
+    if the loan survives the horizon (cannot happen at the chosen
+    payment floor, kept for honesty)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", cents("l_extendedprice").alias("cf_c")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    loan = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("cf_c").alias("nominal_c"))
+        .select(
+            "n_name",
+            "nominal_c",
+            F.expr(
+                f"({_AMORT_PRINCIPAL_PCT} * nominal_c) div 100"
+            ).alias("principal_c"),
+            F.expr(
+                f"(({_AMORT_PRINCIPAL_PCT} * nominal_c) div 100)"
+                " div (24 + nominal_c % 13)"
+            ).alias("pmt_c"),
+        )
+    )
+    step = (
+        "(acc, i) -> struct("
+        " CASE WHEN acc.bal = 0 THEN CAST(0 AS BIGINT)"
+        "      ELSE greatest(acc.bal + acc.bal div 100 - pmt_c,"
+        "                    CAST(0 AS BIGINT)) END AS bal,"
+        " acc.interest_acc + CASE WHEN acc.bal = 0 THEN 0"
+        "                         ELSE acc.bal div 100 END AS interest_acc,"
+        " coalesce(acc.payoff_m,"
+        "   CASE WHEN acc.bal > 0"
+        "         AND greatest(acc.bal + acc.bal div 100 - pmt_c,"
+        "                      CAST(0 AS BIGINT)) = 0"
+        "        THEN CAST(i AS BIGINT) END) AS payoff_m)"
+    )
+    fold = (
+        f"aggregate(sequence(1, {_AMORT_MONTHS}),"
+        " struct(principal_c AS bal, CAST(0 AS BIGINT) AS interest_acc,"
+        " CAST(NULL AS BIGINT) AS payoff_m),"
+        f" {step})"
+    )
+    return loan.select(
+        "n_name",
+        "nominal_c",
+        "principal_c",
+        "pmt_c",
+        F.expr(fold).alias("sched"),
+    ).select(
+        "n_name",
+        "nominal_c",
+        "principal_c",
+        "pmt_c",
+        F.col("sched.bal").alias("final_balance_c"),
+        F.col("sched.interest_acc").alias("total_interest_c"),
+        F.expr("coalesce(sched.payoff_m, CAST(-1 AS BIGINT))").alias(
+            "payoff_month"
+        ),
+    )
+
+
+_FIN_AMORT_SQL = f"""
+WITH li AS (
+  SELECT l_suppkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cf_c
+  FROM lineitem
+), tot AS (
+  SELECT n.n_name, CAST(SUM(li.cf_c) AS BIGINT) AS nominal_c
+  FROM li JOIN supplier s ON li.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+), loan AS (
+  SELECT n_name, nominal_c,
+         ({_AMORT_PRINCIPAL_PCT} * nominal_c) // 100 AS principal_c,
+         (({_AMORT_PRINCIPAL_PCT} * nominal_c) // 100)
+           // (24 + nominal_c % 13) AS pmt_c
+  FROM tot
+), rec AS (
+  WITH RECURSIVE amort(n_name, m, bal, interest_acc, payoff_m) AS (
+    SELECT n_name, 0, principal_c, CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM loan
+    UNION ALL
+    SELECT a.n_name, a.m + 1,
+           CASE WHEN a.bal = 0 THEN 0
+                ELSE greatest(a.bal + a.bal // 100 - l.pmt_c, 0) END,
+           a.interest_acc
+             + CASE WHEN a.bal = 0 THEN 0 ELSE a.bal // 100 END,
+           coalesce(a.payoff_m,
+             CASE WHEN a.bal > 0
+                   AND greatest(a.bal + a.bal // 100 - l.pmt_c, 0) = 0
+                  THEN a.m + 1 END)
+    FROM amort a JOIN loan l USING (n_name)
+    WHERE a.m < {_AMORT_MONTHS}
+  )
+  SELECT * FROM amort WHERE m = {_AMORT_MONTHS}
+)
+SELECT r.n_name, l.nominal_c, l.principal_c, l.pmt_c,
+       CAST(r.bal AS BIGINT) AS final_balance_c,
+       CAST(r.interest_acc AS BIGINT) AS total_interest_c,
+       CAST(coalesce(r.payoff_m, -1) AS BIGINT) AS payoff_month
+FROM rec r JOIN loan l USING (n_name)
+"""
+
+
 QUERIES = {
+    "fin_loan_amortization": QuerySpec(
+        fin_loan_amortization,
+        _FIN_AMORT_SQL,
+        ("finance", "iterative", "fold"),
+    ),
     "fin_irr_bisection": QuerySpec(
         fin_irr_bisection,
         _fin_irr_sql(),

@@ -3319,6 +3319,176 @@ FROM n
 
 
 # ---------------------------------------------------------------------------
+# ml_naive_bayes — multinomial NB language classifier in exact micro-bits
+# ---------------------------------------------------------------------------
+
+
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier, trained AND
+    applied in-plan — the fastText-quality-classifier shape every
+    pretraining pipeline runs (train a cheap linear model on labeled
+    docs, score the corpus, route on argmax), with the whole
+    log-space computation in EXACT integer micro-bits: Laplace-
+    smoothed token likelihoods p(tok|c) = (cnt+1)/(tot+V) and priors
+    scale to [1, 2^20] and -log2 decomposes as bin()-length exponent
+    + the shared 64-entry mantissa table (`_LOG2U_TABLE` — the
+    txt_doc_perplexity discipline, no libm near the comparison
+    surface). Class score = prior_bits + sum tf * bits; argmin by
+    min(struct(score, class)) — deterministic class-asc tiebreak,
+    identical lexicographic struct compare in both engines. Output
+    is the 5x5 confusion rollup on the training corpus itself
+    (mechanism surface, like ml_knn_classify: the synthetic corpus
+    shares vocabulary across langs so accuracy is modest — the pin
+    is it beats the majority class). Scale shape: token counts are
+    one partial-aggregable shuffle; the likelihood grid is
+    vocab x 5 (vocab-sized, built by broadcasting the 5-row class
+    dim); scoring is an equi-join on the token followed by a
+    (doc, class) partial agg — no cartesian wider than the
+    bounded class slate, no global window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    # ONE corpus explode + one (doc, tok) shuffle; the class-level
+    # count table, class totals, vocabulary, and vocab size all
+    # derive from tf (tf-sized work), so ReuseExchange serves the
+    # single corpus shuffle to every consumer
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cls = d.groupBy(F.col("lang").alias("c")).agg(
+        F.count(F.lit(1)).alias("n_docs_c")
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    cnt = tf.groupBy(F.col("lang").alias("c"), "tok").agg(
+        F.sum("tf").alias("cnt")
+    )
+    ctot = cnt.groupBy("c").agg(F.sum("cnt").alias("tot"))
+    vocab = cnt.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        vocab.crossJoin(F.broadcast(cls.join(ctot, "c")))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["c", "tok"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    ps_tok = (
+        "greatest(CAST((CAST(cnt + 1 AS DECIMAL(38,0)) * 1048576)"
+        " div (tot + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    tokbits = grid.select(
+        "c",
+        "tok",
+        F.expr(_nb_bits_spark(ps_tok)).alias("bits"),
+    )
+    ps_prior = (
+        "greatest(CAST((CAST(n_docs_c AS DECIMAL(38,0)) * 1048576)"
+        " div n_docs AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    priorbits = cls.crossJoin(F.broadcast(nd)).select(
+        "c", F.expr(_nb_bits_spark(ps_prior)).alias("pbits")
+    )
+    docscore = (
+        tf.join(tokbits, "tok")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(F.expr("tf * bits")).alias("tbits"))
+    )
+    scored = docscore.join(F.broadcast(priorbits), "c").select(
+        "doc_id",
+        "lang",
+        "c",
+        (F.col("tbits") + F.col("pbits")).alias("score"),
+    )
+    pred = scored.groupBy(
+        "doc_id", F.col("lang").alias("lang_actual")
+    ).agg(F.min(F.struct("score", "c")).alias("best"))
+    return (
+        pred.groupBy(
+            "lang_actual", F.col("best.c").alias("lang_pred")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _nb_bits_spark(ps: str) -> str:
+    e = f"CAST(length(bin({ps})) - 1 AS BIGINT)"
+    m = f"(({ps}) * 64) div shiftleft(CAST(1 AS BIGINT), {e})"
+    return (
+        f"(20000000 - ({e} * 1000000"
+        f" + element_at({_LOG2U_SPARK}, CAST({m} - 63 AS INT))))"
+    )
+
+
+def _nb_bits_duck(ps: str) -> str:
+    e = f"CAST(length(bin({ps})) - 1 AS BIGINT)"
+    m = f"(({ps}) * 64) // (CAST(1 AS BIGINT) << ({e}))"
+    return (
+        f"(20000000 - ({e} * 1000000"
+        f" + ({_LOG2U_DUCK})[CAST({m} - 63 AS INT)]))"
+    )
+
+
+def _ml_naive_bayes_sql() -> str:
+    ps_tok = (
+        "greatest(CAST((CAST(cnt + 1 AS HUGEINT) * 1048576)"
+        " // (tot + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    ps_prior = (
+        "greatest(CAST((CAST(n_docs_c AS HUGEINT) * 1048576)"
+        " // n_docs AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, lang, tok
+), cls AS (
+  SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs_c
+  FROM documents GROUP BY lang
+), nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), vocab AS (
+  SELECT DISTINCT tok FROM toks
+), vsize AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+), cnt AS (
+  SELECT lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY lang, tok
+), ctot AS (
+  SELECT c, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnt GROUP BY c
+), grid AS (
+  SELECT cls.c, vocab.tok, coalesce(cnt.cnt, 0) AS cnt, ctot.tot, vsize.v
+  FROM cls CROSS JOIN vocab
+  LEFT JOIN cnt ON cnt.c = cls.c AND cnt.tok = vocab.tok
+  JOIN ctot ON ctot.c = cls.c
+  CROSS JOIN vsize
+), tokbits AS (
+  SELECT c, tok, {_nb_bits_duck(ps_tok)} AS bits FROM grid
+), priorbits AS (
+  SELECT cls.c, {_nb_bits_duck(ps_prior)} AS pbits
+  FROM cls CROSS JOIN nd
+), docscore AS (
+  SELECT tf.doc_id, tf.lang, tb.c,
+         CAST(SUM(tf.tf * tb.bits) AS BIGINT) AS tbits
+  FROM tf JOIN tokbits tb ON tf.tok = tb.tok
+  GROUP BY tf.doc_id, tf.lang, tb.c
+), scored AS (
+  SELECT d.doc_id, d.lang, d.c, d.tbits + p.pbits AS score
+  FROM docscore d JOIN priorbits p ON d.c = p.c
+), pred AS (
+  SELECT doc_id, lang AS lang_actual,
+         min(struct_pack(score := score, c := c)) AS best
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT lang_actual, best.c AS lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang_actual, best.c
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_passage_runs — cross-document repeated-PASSAGE extraction
 # ---------------------------------------------------------------------------
 
@@ -3444,6 +3614,11 @@ HAVING COUNT(*) + {_PASSAGE_N - 1} >= {_PASSAGE_MIN_TOKENS}
 
 
 QUERIES = {
+    "ml_naive_bayes": QuerySpec(
+        ml_naive_bayes,
+        _ml_naive_bayes_sql(),
+        ("ml", "text", "classifier", "langid"),
+    ),
     "dedup_passage_runs": QuerySpec(
         dedup_passage_runs,
         _DEDUP_PASSAGE_RUNS_SQL,

@@ -117,3 +117,58 @@ def test_boost_ledger_weight_recurrence(spark, sf_dir):
         assert r["err_ppm"] == (r["werr"] * 1_000_000) // r["wtot"]
     # the planted n_chars signal: round 1 is clearly better than chance
     assert rows[0]["err_ppm"] < 300_000
+
+
+def test_amortization_replays_in_python(spark, sf_dir):
+    """Every nation's 48-month schedule replays exactly in plain
+    Python ints from (principal, pmt), and the ledger identities
+    hold: principal = interest + payments-net, payoff month in
+    bounds, balance zero iff paid off."""
+    rows = _Q["fin_loan_amortization"].fn(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["principal_c"] == (80 * r["nominal_c"]) // 100
+        assert r["pmt_c"] == r["principal_c"] // (24 + r["nominal_c"] % 13)
+        bal, interest, payoff = r["principal_c"], 0, None
+        for m in range(1, 49):
+            if bal == 0:
+                break
+            i = bal // 100
+            interest += i
+            nb = max(bal + i - r["pmt_c"], 0)
+            if nb == 0 and payoff is None:
+                payoff = m
+            bal = nb
+        assert bal == r["final_balance_c"]
+        assert interest == r["total_interest_c"]
+        assert (payoff if payoff is not None else -1) == r["payoff_month"]
+        assert 24 <= r["payoff_month"] <= 48
+
+
+def test_naive_bayes_confusion_is_consistent_and_beats_majority(
+    spark, sf_dir
+):
+    rows = _Q["ml_naive_bayes"].fn(spark, sf_dir).collect()
+    langs = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_docs = sum(langs.values())
+    # confusion matrix covers every doc exactly once
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    per_actual = {}
+    for r in rows:
+        assert r["lang_actual"] in langs and r["lang_pred"] in langs
+        per_actual[r["lang_actual"]] = (
+            per_actual.get(r["lang_actual"], 0) + r["n_docs"]
+        )
+    assert per_actual == langs
+    correct = sum(
+        r["n_docs"] for r in rows if r["lang_actual"] == r["lang_pred"]
+    )
+    assert correct > max(langs.values()), (
+        "NB must beat the majority-class baseline"
+    )
