@@ -74,6 +74,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "ml_boost_stumps",
         "fin_loan_amortization",
         "ml_naive_bayes",
+        "sec_aes_roundtrip",
+        "dedup_passage_overlap",
+        "ts_changepoint_binseg",
         # slots 6-23: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

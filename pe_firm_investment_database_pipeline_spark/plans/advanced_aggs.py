@@ -8704,7 +8704,169 @@ FROM rec r JOIN loan l USING (n_name)
 """
 
 
+# ---------------------------------------------------------------------------
+# ts_changepoint_binseg — two-level binary segmentation
+# ---------------------------------------------------------------------------
+
+
+def _binseg_best(daily, seg_cols: list) -> "DataFrame":
+    """Best split of each segment: k maximizes the cleared-denominator
+    CUSUM distance |c_k * n - tot * k| (c_k = running sum, n/tot =
+    segment size/total — multiplying the mean line by n keeps the
+    statistic exact int128-safe DECIMAL instead of a fractional
+    mean), tiebreak earliest day. The last point of a segment is not
+    a split (both children must be non-empty)."""
+    seg = [F.col(c) for c in seg_cols]
+    w_run = (
+        W.partitionBy(*seg).orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy(*seg)
+    scored = (
+        daily.withColumn("c_k", F.sum("v").over(w_run))
+        .withColumn("k", F.count(F.lit(1)).over(w_run))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("tot", F.sum("v").over(w_all))
+        .where(F.col("k") < F.col("n"))
+        .withColumn(
+            "score",
+            F.expr(
+                "abs(CAST(c_k AS DECIMAL(38,0)) * n"
+                " - CAST(tot AS DECIMAL(38,0)) * k)"
+            ),
+        )
+    )
+    return scored.groupBy(*seg).agg(
+        F.min(F.struct(F.expr("-score").alias("ns"), F.col("day"))).alias(
+            "best"
+        ),
+        F.max("n").alias("n_days"),
+    ).select(
+        *seg_cols,
+        F.col("best.day").alias("split_day"),
+        F.expr("CAST(-best.ns AS DECIMAL(38,0))").alias("score"),
+        "n_days",
+    )
+
+
+def ts_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL BINARY SEGMENTATION of the daily revenue series per
+    event type — the hierarchical extension of the single-monitor
+    `evt_cusum_changepoint`: level 1 finds the strongest mean-shift
+    split of the whole series; level 2 re-runs the same argmax INSIDE
+    each half (the recursion production changepoint detectors unroll;
+    two levels = up to 3 changepoints, the demonstration depth). The
+    statistic is the cleared-denominator CUSUM distance
+    |c_k*n - tot*k| in DECIMAL(38,0)/HUGEINT — no fractional segment
+    mean, no float, ties to the earliest day; both engines replay the
+    identical argmax. Scale shape: events collapse to the (type, day)
+    grid in one partial-aggregable shuffle; every window is
+    partitioned by (type [, segment]) over day-grid-bounded frames —
+    never a single-partition funnel, and the level-2 pass is one
+    broadcast of the 3-row level-1 split table. Output: one row per
+    (event_type, level, segment) with the split day, its score, and
+    the segment width."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_date(ts_date)").alias("day"),
+            cents("value").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").alias("v"))
+    )
+    l1 = _binseg_best(daily, ["event_type"])
+    split1 = l1.select(
+        "event_type", F.col("split_day").alias("d1")
+    )
+    seg2 = daily.join(F.broadcast(split1), "event_type").withColumn(
+        "seg", F.expr("CAST(day > d1 AS BIGINT)")
+    )
+    l2 = _binseg_best(seg2.select("event_type", "seg", "day", "v"),
+                      ["event_type", "seg"])
+    out1 = l1.select(
+        "event_type",
+        F.lit(1).cast("long").alias("level"),
+        F.lit(0).cast("long").alias("segment"),
+        "split_day",
+        F.expr("CAST(score AS BIGINT)").alias("score"),
+        F.col("n_days").alias("seg_days"),
+    )
+    out2 = l2.select(
+        "event_type",
+        F.lit(2).cast("long").alias("level"),
+        F.col("seg").alias("segment"),
+        "split_day",
+        F.expr("CAST(score AS BIGINT)").alias("score"),
+        F.col("n_days").alias("seg_days"),
+    )
+    return out1.unionByName(out2)
+
+
+_TS_BINSEG_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY event_type, epoch_us(ts::TIMESTAMP) // 86400000000
+), s1 AS (
+  SELECT event_type, day,
+         CAST(SUM(v) OVER w AS BIGINT) AS c_k,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)
+), sc1 AS (
+  SELECT event_type, day, n,
+         abs(CAST(c_k AS HUGEINT) * n - CAST(tot AS HUGEINT) * k) AS score
+  FROM s1 WHERE k < n
+), l1 AS (
+  SELECT event_type,
+         min(struct_pack(ns := -score, day := day)) AS best,
+         CAST(MAX(n) AS BIGINT) AS n_days
+  FROM sc1 GROUP BY event_type
+), seg2 AS (
+  SELECT d.event_type, d.day, d.v,
+         CAST(d.day > l1.best.day AS BIGINT) AS seg
+  FROM daily d JOIN l1 ON d.event_type = l1.event_type
+), s2 AS (
+  SELECT event_type, seg, day,
+         CAST(SUM(v) OVER w AS BIGINT) AS c_k,
+         CAST(COUNT(*) OVER w AS BIGINT) AS k,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, seg) AS BIGINT) AS n,
+         CAST(SUM(v) OVER (PARTITION BY event_type, seg) AS BIGINT) AS tot
+  FROM seg2
+  WINDOW w AS (PARTITION BY event_type, seg ORDER BY day
+               ROWS UNBOUNDED PRECEDING)
+), sc2 AS (
+  SELECT event_type, seg, day, n,
+         abs(CAST(c_k AS HUGEINT) * n - CAST(tot AS HUGEINT) * k) AS score
+  FROM s2 WHERE k < n
+), l2 AS (
+  SELECT event_type, seg,
+         min(struct_pack(ns := -score, day := day)) AS best,
+         CAST(MAX(n) AS BIGINT) AS n_days
+  FROM sc2 GROUP BY event_type, seg
+)
+SELECT event_type, CAST(1 AS BIGINT) AS level, CAST(0 AS BIGINT) AS segment,
+       best.day AS split_day, CAST(-best.ns AS BIGINT) AS score,
+       n_days AS seg_days
+FROM l1
+UNION ALL
+SELECT event_type, CAST(2 AS BIGINT) AS level, seg AS segment,
+       best.day AS split_day, CAST(-best.ns AS BIGINT) AS score,
+       n_days AS seg_days
+FROM l2
+"""
+
+
 QUERIES = {
+    "ts_changepoint_binseg": QuerySpec(
+        ts_changepoint_binseg,
+        _TS_BINSEG_SQL,
+        ("timeseries", "changepoint", "hierarchical"),
+    ),
     "fin_loan_amortization": QuerySpec(
         fin_loan_amortization,
         _FIN_AMORT_SQL,

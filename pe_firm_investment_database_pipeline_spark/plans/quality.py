@@ -2617,7 +2617,70 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# sec_aes_roundtrip — field-level encryption boundary
+# ---------------------------------------------------------------------------
+
+_AES_KEY = "0123456789abcdef"
+_AES_WRONG_KEY = "fedcba9876543210"
+
+
+def sec_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-LEVEL ENCRYPTION boundary — Spark's native aes_encrypt /
+    aes_decrypt / try_aes_decrypt over the customer name column, the
+    encrypt-at-rest column pattern (`sec_col_tokenize` is the
+    one-way-digest sibling; this is the reversible one). ECB mode is
+    chosen DELIBERATELY: GCM's random IV makes ciphertext
+    nondeterministic, which would put engine-local randomness on the
+    comparison surface (for real deployments GCM is the right mode —
+    the docstring trade-off is determinism-for-testability, the same
+    stance as sec_dp_geometric's seeded draw). The oracle cannot run
+    AES, so the comparison surface is the ROUNDTRIP INVARIANTS,
+    every one closed-form: ciphertext length is the plaintext length
+    rounded up to the next 16-byte block (PKCS#7 always pads, so
+    exact multiples gain a full block), decrypt(encrypt(x)) == x
+    flags 1, try_aes_decrypt under the WRONG key never RECOVERS the
+    plaintext (flags 0 — the flag tests recovery, not NULLness: a
+    wrong-key ECB decrypt passes PKCS#7 padding by accident ~1/256
+    of the time and returns garbage bytes, so an IS NULL test would
+    flake at scale while garbage == original never holds), and the
+    plaintext md5 checksum pins which value was protected. All
+    map-side expression work on one scan; no shuffle at all beyond
+    the scan."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enc = f"aes_encrypt(c_name, '{_AES_KEY}', 'ECB')"
+    return c.select(
+        "c_custkey",
+        F.expr(f"CAST(length({enc}) AS BIGINT)").alias("ct_len"),
+        F.expr(
+            f"CAST(CAST(aes_decrypt({enc}, '{_AES_KEY}', 'ECB')"
+            " AS STRING) = c_name AS BIGINT)"
+        ).alias("roundtrip_ok"),
+        F.expr(
+            "CAST(coalesce("
+            f"CAST(try_aes_decrypt({enc}, '{_AES_WRONG_KEY}', 'ECB')"
+            " AS STRING) = c_name, false) AS BIGINT)"
+        ).alias("wrong_key_recovers"),
+        F.expr("md5(c_name)").alias("plain_md5"),
+    )
+
+
+_SEC_AES_SQL = """
+SELECT c_custkey,
+       CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_len,
+       CAST(1 AS BIGINT) AS roundtrip_ok,
+       CAST(0 AS BIGINT) AS wrong_key_recovers,
+       md5(c_name) AS plain_md5
+FROM customer
+"""
+
+
 QUERIES = {
+    "sec_aes_roundtrip": QuerySpec(
+        sec_aes_roundtrip,
+        _SEC_AES_SQL,
+        ("security", "encryption", "crypto"),
+    ),
     "sec_rtbf_purge_audit": QuerySpec(
         sec_rtbf_purge_audit,
         _SEC_RTBF_SQL,

@@ -3613,7 +3613,75 @@ HAVING COUNT(*) + {_PASSAGE_N - 1} >= {_PASSAGE_MIN_TOKENS}
 """
 
 
+def dedup_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOC-PAIR OVERLAP LEDGER over the repeated-passage runs — the
+    triage table a dedup pipeline actually routes on: per (doc1,
+    doc2) pair with at least one >= 12-token shared passage, the run
+    count, the summed run length, the longest run, and the summed
+    run length as ppm of the SMALLER document's token count — the
+    containment-style score that separates 'shares a boilerplate
+    header' from 'is substantially the same document'. run_tokens
+    sums RUN lengths (overlapping runs on different diagonals can
+    cover the same token twice, so it is an upper bound on covered
+    tokens — documented, deterministic, and identical in both
+    engines; exact coverage would need an interval union per pair,
+    which `win_interval_merge` demonstrates separately). Shape: the
+    passage-run frame (equi-join + partitioned windows, see
+    `dedup_passage_runs`) collapses to one row per qualifying pair;
+    doc token counts broadcast onto the pair-level rollup."""
+    runs = dedup_passage_runs(spark, sf_dir)
+    pair = runs.groupBy("doc1", "doc2").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("n_tokens").alias("run_tokens"),
+        F.max("n_tokens").alias("max_run"),
+    )
+    dl = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("dl")
+    )
+    d1 = dl.select(F.col("doc_id").alias("doc1"), F.col("dl").alias("dl1"))
+    d2 = dl.select(F.col("doc_id").alias("doc2"), F.col("dl").alias("dl2"))
+    return (
+        pair.join(d1, "doc1")
+        .join(d2, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "n_runs",
+            "run_tokens",
+            "max_run",
+            F.expr(
+                "(run_tokens * 1000000) div least(dl1, dl2)"
+            ).alias("containment_ppm"),
+        )
+    )
+
+
+_DEDUP_PASSAGE_OVERLAP_SQL = f"""
+WITH runs AS ({_DEDUP_PASSAGE_RUNS_SQL}
+), pair AS (
+  SELECT doc1, doc2,
+         CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(SUM(n_tokens) AS BIGINT) AS run_tokens,
+         CAST(MAX(n_tokens) AS BIGINT) AS max_run
+  FROM runs GROUP BY doc1, doc2
+), dl AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS dl FROM documents
+)
+SELECT p.doc1, p.doc2, p.n_runs, p.run_tokens, p.max_run,
+       CAST((p.run_tokens * 1000000) // least(a.dl, b.dl) AS BIGINT)
+         AS containment_ppm
+FROM pair p
+JOIN dl a ON a.doc_id = p.doc1
+JOIN dl b ON b.doc_id = p.doc2
+"""
+
+
 QUERIES = {
+    "dedup_passage_overlap": QuerySpec(
+        dedup_passage_overlap,
+        _DEDUP_PASSAGE_OVERLAP_SQL,
+        ("dedup", "passage", "containment"),
+    ),
     "ml_naive_bayes": QuerySpec(
         ml_naive_bayes,
         _ml_naive_bayes_sql(),

@@ -172,3 +172,53 @@ def test_naive_bayes_confusion_is_consistent_and_beats_majority(
     assert correct > max(langs.values()), (
         "NB must beat the majority-class baseline"
     )
+
+
+def test_aes_roundtrip_invariants(spark, sf_dir):
+    rows = _Q["sec_aes_roundtrip"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "customer").count()
+    assert len(rows) == n
+    for r in rows:
+        assert r["roundtrip_ok"] == 1
+        assert r["wrong_key_recovers"] == 0
+        assert r["ct_len"] % 16 == 0 and r["ct_len"] > 0
+
+
+def test_passage_overlap_consistent_with_runs(spark, sf_dir):
+    runs = _Q["dedup_passage_runs"].fn(spark, sf_dir).collect()
+    overlap = _Q["dedup_passage_overlap"].fn(spark, sf_dir).collect()
+    by_pair = {}
+    for r in runs:
+        k = (r["doc1"], r["doc2"])
+        by_pair.setdefault(k, []).append(r["n_tokens"])
+    assert len(overlap) == len(by_pair)
+    for o in overlap:
+        lens = by_pair[(o["doc1"], o["doc2"])]
+        assert o["n_runs"] == len(lens)
+        assert o["run_tokens"] == sum(lens)
+        assert o["max_run"] == max(lens)
+        assert 0 < o["containment_ppm"]
+
+
+def test_binseg_levels_nest(spark, sf_dir):
+    """Level-2 splits live strictly inside their level-1 segment,
+    every event type emits exactly one L1 row, and each segment's
+    width bookkeeping is consistent (children partition the
+    parent)."""
+    rows = _Q["ts_changepoint_binseg"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        l1 = [r for r in rs if r["level"] == 1]
+        l2 = {r["segment"]: r for r in rs if r["level"] == 2}
+        assert len(l1) == 1
+        d1 = l1[0]["split_day"]
+        assert set(l2) <= {0, 1}
+        if 0 in l2:
+            assert l2[0]["split_day"] <= d1
+        if 1 in l2:
+            assert l2[1]["split_day"] > d1
+        assert sum(r["seg_days"] for r in l2.values()) == l1[0]["seg_days"]
+        for r in rs:
+            assert r["score"] >= 0
