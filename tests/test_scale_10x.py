@@ -197,6 +197,16 @@ HEAVY = [
     "agg_distinct_exact",
     "agg_metric_decompose",
     "stream_topk_windowed",
+    # round-11 wave: the passage pair-miner (planted clones grow its
+    # pair output quadratically BY CONSTRUCTION — the documented
+    # dedup-family property), the NB corpus classifier, the two
+    # corpus-rollup finance folds, and the two-level binseg
+    "dedup_passage_runs",
+    "dedup_passage_overlap",
+    "ml_naive_bayes",
+    "fin_irr_bisection",
+    "fin_loan_amortization",
+    "ts_changepoint_binseg",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
