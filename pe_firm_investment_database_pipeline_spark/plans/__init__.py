@@ -96,6 +96,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "txt_rake_keywords",
         "txt_keyphrase_textrank",
         "sketch_kmv_setops",
+        "sketch_kmv_distinct",
         # slots 21+: r11-touched paths (memoizer-refactor consumers
         # not already listed above + the BPE step twin)
         "txt_bpe_train_step",

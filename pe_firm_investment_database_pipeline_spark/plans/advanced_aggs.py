@@ -686,6 +686,33 @@ _KMV_BUCKETS = 16
 # hash domain: 15 hex chars of md5 = 60 uniform bits
 _KMV_M = 16**15
 
+# The KMV family's shared corpus front: distinct (type, user, hash),
+# memoized per (application, dataset) — both sketch entries (distinct
+# estimator + set algebra) and their exact twins read this frame;
+# per-call localCheckpoints re-ran the events distinct on every warm
+# invocation (~1.0 s of the old 1.6 s warm path at sf0.1).
+_KMV_HASHED_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _kmv_hashed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return e.select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+
+
+def _kmv_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoize(
+        _KMV_HASHED_CACHE,
+        staged_key(spark, sf_dir, "kmv_hashed"),
+        lambda: _kmv_hashed_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
 
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bottom-k (K-Minimum-Values) distinct-user estimator per event
@@ -704,15 +731,16 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator is the textbook (k-1) * M / h_k, computed in
     DECIMAL(38,0)/HUGEINT because (k-1)*M overflows int64; when a
     type has fewer than k distinct users the sketch is the exact set
-    and the estimate is its size."""
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    hashed = e.select(
-        "event_type",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
-            " 16, 10) AS BIGINT)"
-        ).alias("h"),
-    ).distinct()
+    and the estimate is its size. The corpus distinct is the STAGED
+    `_kmv_hashed` front shared with `sketch_kmv_setops`; the exact
+    twin counts the front's rows per type (the front is exactly the
+    distinct (type, user) set), so no second corpus pass exists. The
+    (type, h) projection re-distincts defensively — h is md5-derived
+    from user_id, so this is a no-op unless two users collide in the
+    60-bit space, and the oracle's SELECT DISTINCT(type, h) matches
+    either way."""
+    front = _kmv_hashed(spark, sf_dir)
+    hashed = front.select("event_type", "h").distinct()
     wb = W.partitionBy(
         "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
     ).orderBy("h")
@@ -723,8 +751,8 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bottom = pages.withColumn("rk", F.row_number().over(wt)).where(
         F.col("rk") <= _KMV_K
     )
-    exact = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_distinct")
+    exact = front.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     est = F.expr(
         f"CASE WHEN k_used < {_KMV_K} THEN k_used ELSE "
@@ -805,23 +833,12 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: per-type bottom-k reuses sketch_kmv_distinct's bucketed
     window discipline (bounded state); the pair algebra runs over
     <= types*k sketch rows — broadcast-scale regardless of corpus."""
-    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    # the corpus pass — ONE distinct over (type, user), materialized:
-    # three pair-algebra branches and their exact twins all read this
-    # frame; unstaged, Catalyst re-ran the events distinct once per
-    # branch (4 corpus passes total)
-    hashed = (
-        e.select(
-            "event_type",
-            "user_id",
-            F.expr(
-                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
-                " 16, 10) AS BIGINT)"
-            ).alias("h"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # the corpus pass — ONE distinct over (type, user), STAGED per
+    # (application, dataset) in `_kmv_hashed` and shared with
+    # sketch_kmv_distinct: three pair-algebra branches and their
+    # exact twins all read the memoized frame (a per-call
+    # localCheckpoint re-ran the events distinct on every warm run)
+    hashed = _kmv_hashed(spark, sf_dir)
     wb = W.partitionBy(
         "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
     ).orderBy("h")

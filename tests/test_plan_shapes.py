@@ -568,6 +568,9 @@ _STAGED_SERVING = [
     ("ml_cluster_medoid", "embeddings"),
     ("dedup_simhash", "documents"),
     ("sketch_kmv_setops", "events"),
+    # r11: the shared _kmv_hashed front carries ALL of the distinct
+    # estimator's corpus work too (exact twin counts front rows)
+    ("sketch_kmv_distinct", "events"),
 ]
 
 
