@@ -77,6 +77,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "sec_aes_roundtrip",
         "dedup_passage_overlap",
         "ts_changepoint_binseg",
+        "ivm_agg_merge",
+        "samp_interleave_wfq",
         # slots 6-23: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

@@ -8878,7 +8878,125 @@ FROM l2
 """
 
 
+# ---------------------------------------------------------------------------
+# ivm_agg_merge — incremental view maintenance of a grouped aggregate
+# ---------------------------------------------------------------------------
+
+# The standing materialized view: per-type (count, sum) over the
+# FIRST-epoch events (day < the in-plan midpoint of the time axis),
+# memoized per (application, dataset) — the persisted aggregate a
+# production refresh reads from disk instead of recomputing.
+_IVM_BASE_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _ivm_cutoff(e: DataFrame) -> DataFrame:
+    return e.agg(
+        F.expr("(min(day) + max(day)) div 2").alias("cut")
+    )
+
+
+def _ivm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_date(ts_date)").alias("day"),
+        cents("value").alias("v"),
+    )
+
+
+def _ivm_base_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _ivm_events(spark, sf_dir)
+    return (
+        e.crossJoin(F.broadcast(_ivm_cutoff(e)))
+        .where(F.col("day") < F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum("v").alias("sum_base_c"),
+        )
+    )
+
+
+def _ivm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoize(
+        _IVM_BASE_CACHE,
+        staged_key(spark, sf_dir, "ivm_base"),
+        lambda: _ivm_base_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
+def ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a grouped (count, sum)
+    aggregate — the warehouse refresh pattern next to
+    `graph_cc_incremental` (incremental clustering) and
+    `stream_upsert_foreachbatch` (CDC apply): the per-type aggregate
+    over the standing FIRST epoch is a persisted materialized view
+    (memoized `_ivm_base`, read — never recomputed — on refresh),
+    the SECOND epoch is the delta batch, and the refreshed view is a
+    merge of view + delta-aggregate because count/sum are
+    commutative monoids — the algebraic property IVM rests on. The
+    epoch cut is the in-plan midpoint of the day axis (the
+    profile_ks_drift split), so the fixture needs no external
+    timestamp. Output carries base/delta/total per type; the oracle
+    recomputes all three from scratch with a CASE split — equality
+    IS the IVM correctness theorem (merge(view, delta) =
+    full-recompute) checked end-to-end. Scale: a refresh does
+    delta-sized scan work plus a types-sized merge; only the first
+    build of the standing view pays the base epoch."""
+    e = _ivm_events(spark, sf_dir)
+    delta = (
+        e.crossJoin(F.broadcast(_ivm_cutoff(e)))
+        .where(F.col("day") >= F.col("cut"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum("v").alias("sum_delta_c"),
+        )
+    )
+    base = _ivm_base(spark, sf_dir)
+    return (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            (
+                F.coalesce("n_base", F.lit(0))
+                + F.coalesce("n_delta", F.lit(0))
+            ).alias("n_total"),
+            (
+                F.coalesce("sum_base_c", F.lit(0))
+                + F.coalesce("sum_delta_c", F.lit(0))
+            ).alias("sum_total_c"),
+        )
+    )
+
+
+_IVM_AGG_MERGE_SQL = """
+WITH e AS (
+  SELECT event_type,
+         epoch_us(ts::TIMESTAMP) // 86400000000 AS day,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), cut AS (
+  SELECT (MIN(day) + MAX(day)) // 2 AS cut FROM e
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_delta,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(v) AS BIGINT) AS sum_total_c
+FROM e CROSS JOIN cut
+GROUP BY event_type
+"""
+
+
 QUERIES = {
+    "ivm_agg_merge": QuerySpec(
+        ivm_agg_merge,
+        _IVM_AGG_MERGE_SQL,
+        ("ivm", "incremental", "materialized-view"),
+    ),
     "ts_changepoint_binseg": QuerySpec(
         ts_changepoint_binseg,
         _TS_BINSEG_SQL,

@@ -1491,7 +1491,94 @@ FROM rec GROUP BY lang, shard, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# samp_interleave_wfq — weighted-fair-queueing mixture interleave
+# ---------------------------------------------------------------------------
+
+_WFQ_HEAD = 100
+
+
+def samp_interleave_wfq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-ORDER MATERIALIZATION: the first 100 positions of a
+    deterministic domain-mixture interleave — the dataloader step
+    after `samp_domain_mixture` decides WEIGHTS: something must turn
+    per-domain streams + weights into ONE consumption order, and the
+    classic answer is weighted fair queueing — the k-th doc of
+    domain d is consumed at virtual finish time k / w_d, so heavier
+    domains appear proportionally more often and the prefix of the
+    order realizes the mixture at every cut (no epoch-sized batches
+    of one domain). Integer-exact: w_d = the domain's char-mass share
+    in ppm; vft = k * 1e9 div share_ppm (cleared to int64); in-domain
+    order k is the md5(doc_id) hash order (deterministic shuffle
+    within domain). Scale shape: one groupBy for shares (broadcast
+    back), one per-domain window for k (partitioned by source), then
+    the head is orderBy(vft).limit(100) — a distributed top-K, never
+    a global sort; the final position stamp is a row_number over the
+    100 survivors only (limit-bounded, the audit-exempt shape)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("nc")
+    )
+    shares = d.groupBy("source").agg(F.sum("nc").alias("mass"))
+    tot = shares.agg(F.sum("mass").alias("tot"))
+    sh = shares.crossJoin(F.broadcast(tot)).select(
+        "source", F.expr("(mass * 1000000) div tot").alias("share_ppm")
+    )
+    wk = W.partitionBy("source").orderBy(
+        F.expr("md5(CAST(doc_id AS STRING))"), "doc_id"
+    )
+    ranked = d.join(F.broadcast(sh), "source").select(
+        "doc_id",
+        "source",
+        "share_ppm",
+        F.row_number().over(wk).cast("long").alias("k"),
+    )
+    head = ranked.withColumn(
+        "vft", F.expr("(k * 1000000000) div share_ppm")
+    ).orderBy("vft", "doc_id").limit(_WFQ_HEAD)
+    w_pos = W.orderBy("vft", "doc_id")
+    return head.select(
+        F.row_number().over(w_pos).cast("long").alias("pos"),
+        "doc_id",
+        "source",
+        "k",
+        "vft",
+    )
+
+
+_SAMP_WFQ_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc FROM documents
+), shares AS (
+  SELECT source, CAST(SUM(nc) AS BIGINT) AS mass FROM d GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(mass) AS BIGINT) AS tot FROM shares
+), sh AS (
+  SELECT source, (mass * 1000000) // tot AS share_ppm
+  FROM shares CROSS JOIN tot
+), ranked AS (
+  SELECT d.doc_id, d.source, sh.share_ppm,
+         CAST(row_number() OVER (PARTITION BY d.source
+              ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS BIGINT) AS k
+  FROM d JOIN sh USING (source)
+), head AS (
+  SELECT doc_id, source, k,
+         CAST((k * 1000000000) // share_ppm AS BIGINT) AS vft
+  FROM ranked
+  ORDER BY vft, doc_id LIMIT {_WFQ_HEAD}
+)
+SELECT CAST(row_number() OVER (ORDER BY vft, doc_id) AS BIGINT) AS pos,
+       doc_id, source, k, vft
+FROM head
+"""
+
+
 QUERIES = {
+    "samp_interleave_wfq": QuerySpec(
+        samp_interleave_wfq,
+        _SAMP_WFQ_SQL,
+        ("sampling", "mixture", "dataloader"),
+    ),
     "pack_sequences_nfd": QuerySpec(
         pack_sequences_nfd,
         _PACK_NFD_SQL,

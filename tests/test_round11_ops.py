@@ -200,6 +200,56 @@ def test_passage_overlap_consistent_with_runs(spark, sf_dir):
         assert 0 < o["containment_ppm"]
 
 
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    """The IVM theorem end-to-end: merge(standing view, delta agg)
+    equals a from-scratch recompute, and the standing view is served
+    from the memoized checkpoint on the second call (same Python
+    object — the 'read from disk, never recompute' property)."""
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _ivm_base,
+    )
+
+    rows = {r["event_type"]: r for r in _Q["ivm_agg_merge"].fn(spark, sf_dir).collect()}
+    full = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(full)
+    for et, r in rows.items():
+        assert r["n_base"] + r["n_delta"] == r["n_total"] == full[et]["n"]
+        assert r["sum_total_c"] == full[et]["s"]
+        assert r["n_base"] > 0 and r["n_delta"] > 0, "both epochs non-empty"
+    assert _ivm_base(spark, sf_dir) is _ivm_base(spark, sf_dir)
+
+
+def test_wfq_head_realizes_mixture(spark, sf_dir):
+    """WFQ invariants: dense positions, nondecreasing virtual finish
+    times, each domain consumed as a PREFIX of its in-domain order
+    (ks are exactly 1..count), and the head is a genuine mixture
+    (many domains present), not one domain's batch."""
+    rows = sorted(
+        _Q["samp_interleave_wfq"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["pos"],
+    )
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(a["vft"] <= b["vft"] for a, b in zip(rows, rows[1:]))
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["k"])
+    for src, ks in by_src.items():
+        assert sorted(ks) == list(range(1, len(ks) + 1)), (
+            src,
+            "not a prefix of the domain stream",
+        )
+    assert len(by_src) >= 15, "head must realize the mixture"
+
+
 def test_binseg_levels_nest(spark, sf_dir):
     """Level-2 splits live strictly inside their level-1 segment,
     every event type emits exactly one L1 row, and each segment's
