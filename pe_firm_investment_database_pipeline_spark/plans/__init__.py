@@ -79,6 +79,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "ts_changepoint_binseg",
         "ivm_agg_merge",
         "samp_interleave_wfq",
+        "samp_dsir_importance",
+        "dedup_semdedup",
         # slots 6-23: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

@@ -1482,6 +1482,116 @@ SELECT keeper_id, dup_id, label, cosine FROM pairs WHERE cosine >= 0.9999
 
 
 # ---------------------------------------------------------------------------
+# dedup_semdedup — semantic dedup inside k-means clusters (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMDEDUP (Abbas et al. 2023) — semantic deduplication scoped
+    to k-means clusters: embed, cluster, and search for near-dup
+    pairs ONLY within a cluster, the design that made embedding-level
+    dedup tractable on web-scale corpora (pair cost N²/K instead of
+    N², with K grown ~N/c̄ in production — here K is the fixture's
+    fixed `_KM_K`, documented). This engine composes it from two
+    STAGED fronts it already maintains: the Lloyd assignment
+    (`_km_assign`, shared with ml_kmeans_fixed/ml_cluster_medoid) and
+    the hyperplane-LSH signature frame (`_celled` under the SAME
+    stage key as dedup_embedding_cosine — one signature build serves
+    both entries), so candidates must agree on (cluster, cell) — the
+    cluster is SemDeDup's scoping, the cell keeps the within-cluster
+    search sub-quadratic at any cluster size. Fixture corpus has no
+    natural near-dups, so each vector is planted an exact copy
+    (vec_id + 1_000_000) whose assignment provably equals its
+    source's (identical vector, same centroid argmin) — every
+    original must rediscover its copy WITH the cluster label
+    attached, making the run a functional check of the whole
+    cluster-scoped pipeline. Output adds the cluster size (the
+    quantity SemDeDup's cost model is about); keeper = lower
+    vec_id."""
+    emb = _emb_q(spark, sf_dir)
+    planted = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "label", "q", "nrm"
+    )
+    allv = _celled(
+        emb.unionByName(planted), _NBITS_PAIR, stage_key=(sf_dir, "dedup_cos_sigs")
+    )
+    asg = _km_assign(spark, sf_dir).select(
+        F.col("vec_id").alias("src_id"), "cluster_id"
+    )
+    csize = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cluster")
+    )
+    allc = allv.withColumn(
+        "src_id",
+        F.expr(
+            "CASE WHEN vec_id >= 1000000 THEN vec_id - 1000000"
+            " ELSE vec_id END"
+        ),
+    ).join(asg, "src_id")
+    a = allc.select(
+        F.col("vec_id").alias("keeper_id"),
+        "cluster_id",
+        "cell",
+        F.col("q").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    b = allc.select(
+        F.col("vec_id").alias("dup_id"),
+        "cluster_id",
+        "cell",
+        F.col("q").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(_DOT.format(a="qa", b="qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, ["cluster_id", "cell"])
+        .where(F.col("keeper_id") < F.col("dup_id"))
+        .select("cluster_id", "keeper_id", "dup_id", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.9999)
+        .join(F.broadcast(csize), "cluster_id")
+        .select("cluster_id", "n_cluster", "keeper_id", "dup_id", "cosine")
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH asg AS MATERIALIZED (
+  SELECT * FROM ({_kmeans_sql()})
+), eq AS MATERIALIZED (
+  SELECT vec_id, label, {_QUANT_DUCK} AS q,
+         {_DOT_DUCK.format(a=_QUANT_DUCK, b=_QUANT_DUCK)} AS nrm
+  FROM embeddings
+), allv AS MATERIALIZED (
+  SELECT vec_id, label, q, nrm FROM eq
+  UNION ALL
+  SELECT vec_id + 1000000, label, q, nrm FROM eq
+), {_celled_duck("allv", _NBITS_PAIR)}, csize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_cluster
+  FROM asg GROUP BY cluster_id
+), allc AS (
+  SELECT c.vec_id, c.q, c.nrm, c.cell, a.cluster_id
+  FROM celled c
+  JOIN asg a ON a.vec_id = CASE WHEN c.vec_id >= 1000000
+                                THEN c.vec_id - 1000000
+                                ELSE c.vec_id END
+), pairs AS (
+  SELECT a.cluster_id, a.vec_id AS keeper_id, b.vec_id AS dup_id,
+         CAST({_DOT_DUCK.format(a="a.q", b="b.q")} AS DOUBLE)
+           / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+           AS cosine
+  FROM allc a
+  JOIN allc b ON a.cluster_id = b.cluster_id AND a.cell = b.cell
+             AND a.vec_id < b.vec_id
+)
+SELECT p.cluster_id, c.n_cluster, p.keeper_id, p.dup_id, p.cosine
+FROM pairs p JOIN csize c USING (cluster_id)
+WHERE p.cosine >= 0.9999
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_kmeans_fixed — fixed-iteration Lloyd's k-means, exact integer
 # ---------------------------------------------------------------------------
 
@@ -2423,6 +2533,9 @@ QUERIES = {
     ),
     "dedup_embedding_cosine": QuerySpec(
         dedup_embedding_cosine, _DEDUP_EMBEDDING_COSINE_SQL, ("similarity", "dedup")
+    ),
+    "dedup_semdedup": QuerySpec(
+        dedup_semdedup, _semdedup_sql(), ("similarity", "dedup", "semdedup")
     ),
     "sim_knn_blocked": QuerySpec(
         sim_knn_blocked, _SIM_KNN_BLOCKED_SQL, ("similarity", "knn")

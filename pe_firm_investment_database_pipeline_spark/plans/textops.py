@@ -3489,6 +3489,131 @@ FROM pred GROUP BY lang_actual, best.c
 
 
 # ---------------------------------------------------------------------------
+# samp_dsir_importance — DSIR-style importance weighting for data selection
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP = 50
+
+
+def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SELECTION WITH IMPORTANCE RESAMPLING (DSIR, Xie et al.
+    2023) — the curation step that picks raw-corpus documents that
+    LOOK LIKE a target domain: fit a cheap unigram LM on the target
+    slice (here lang = 'en') and one on the full raw corpus, weight
+    every document by its log-likelihood RATIO under the two, and
+    keep the top of the ranking (the resampling step; the paper's
+    hashed-ngram variant is this with feature hashing, which
+    `ml_feature_hashing` covers separately). Log-space weights are
+    EXACT integer micro-bits via the shared bin()-length + mantissa
+    table (the ml_naive_bayes/`txt_doc_perplexity` discipline):
+    w(doc) = sum_tok tf * (bits_raw(tok) - bits_target(tok)) — both
+    LMs Laplace-smoothed over the SHARED vocabulary, so out-of-target
+    tokens penalize rather than crash. Positive w = the target LM
+    finds the doc more likely than the raw LM. Output: the top-50
+    docs by weight (distributed top-K via orderBy().limit — never a
+    global sort) with per-doc token count and weight; deterministic
+    tiebreak by doc_id. Scale shape: one corpus explode into the tf
+    shuffle, vocab-sized LM tables broadcast-joined back, map-side
+    partial agg to per-doc weights."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cnt = tf.groupBy("tok").agg(
+        F.sum("tf").alias("cnt_raw"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(
+                0
+            )
+        ).alias("cnt_tgt"),
+    )
+    tots = cnt.agg(
+        F.sum("cnt_raw").alias("tot_raw"),
+        F.sum("cnt_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    ps_raw = (
+        "greatest(CAST((CAST(cnt_raw + 1 AS DECIMAL(38,0)) * 1048576)"
+        " div (tot_raw + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    ps_tgt = (
+        "greatest(CAST((CAST(cnt_tgt + 1 AS DECIMAL(38,0)) * 1048576)"
+        " div (tot_tgt + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    lm = cnt.crossJoin(F.broadcast(tots)).select(
+        "tok",
+        F.expr(_nb_bits_spark(ps_raw)).alias("bits_raw"),
+        F.expr(_nb_bits_spark(ps_tgt)).alias("bits_tgt"),
+    )
+    weights = (
+        tf.join(lm, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.expr("tf * (bits_raw - bits_tgt)")
+            ).alias("w_microbits"),
+        )
+    )
+    return (
+        weights.orderBy(F.desc("w_microbits"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+        .select("doc_id", "lang", "n_tokens", "w_microbits")
+    )
+
+
+def _samp_dsir_sql() -> str:
+    ps_raw = (
+        "greatest(CAST((CAST(cnt_raw + 1 AS HUGEINT) * 1048576)"
+        " // (tot_raw + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    ps_tgt = (
+        "greatest(CAST((CAST(cnt_tgt + 1 AS HUGEINT) * 1048576)"
+        " // (tot_tgt + v) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({_TOKENS_DUCK}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, lang, tok
+), cnt AS (
+  SELECT tok,
+         CAST(SUM(tf) AS BIGINT) AS cnt_raw,
+         CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN tf
+                       ELSE 0 END) AS BIGINT) AS cnt_tgt
+  FROM tf GROUP BY tok
+), tots AS (
+  SELECT CAST(SUM(cnt_raw) AS BIGINT) AS tot_raw,
+         CAST(SUM(cnt_tgt) AS BIGINT) AS tot_tgt,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM cnt
+), lm AS (
+  SELECT tok, {_nb_bits_duck(ps_raw)} AS bits_raw,
+         {_nb_bits_duck(ps_tgt)} AS bits_tgt
+  FROM cnt CROSS JOIN tots
+), weights AS (
+  SELECT tf.doc_id, tf.lang,
+         CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(SUM(tf.tf * (lm.bits_raw - lm.bits_tgt)) AS BIGINT)
+           AS w_microbits
+  FROM tf JOIN lm USING (tok)
+  GROUP BY tf.doc_id, tf.lang
+)
+SELECT doc_id, lang, n_tokens, w_microbits
+FROM weights
+ORDER BY w_microbits DESC, doc_id ASC
+LIMIT {_DSIR_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_passage_runs — cross-document repeated-PASSAGE extraction
 # ---------------------------------------------------------------------------
 
@@ -3677,6 +3802,11 @@ JOIN dl b ON b.doc_id = p.doc2
 
 
 QUERIES = {
+    "samp_dsir_importance": QuerySpec(
+        samp_dsir_importance,
+        _samp_dsir_sql(),
+        ("sampling", "curation", "dsir", "importance"),
+    ),
     "dedup_passage_overlap": QuerySpec(
         dedup_passage_overlap,
         _DEDUP_PASSAGE_OVERLAP_SQL,

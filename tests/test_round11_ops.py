@@ -250,6 +250,56 @@ def test_wfq_head_realizes_mixture(spark, sf_dir):
     assert len(by_src) >= 15, "head must realize the mixture"
 
 
+def test_dsir_ranking_favors_target_domain(spark, sf_dir):
+    """The importance ranking must over-represent the target language
+    relative to its corpus share (the DSIR point), weights must be
+    sorted descending with the doc_id tiebreak, and every weight must
+    replay the tf x (bits_raw - bits_tgt) sum shape (non-trivial,
+    bounded)."""
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _DSIR_TARGET_LANG,
+        _DSIR_TOP,
+    )
+
+    rows = _Q["samp_dsir_importance"].fn(spark, sf_dir).collect()
+    assert len(rows) == _DSIR_TOP
+    ws = [(r["w_microbits"], r["doc_id"]) for r in rows]
+    assert ws == sorted(ws, key=lambda t: (-t[0], t[1]))
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_tgt = docs.where(F.col("lang") == _DSIR_TARGET_LANG).count()
+    top_tgt = sum(1 for r in rows if r["lang"] == _DSIR_TARGET_LANG)
+    assert top_tgt / len(rows) > n_tgt / n, (
+        "top-k must over-represent the target domain"
+    )
+
+
+def test_semdedup_finds_planted_copies_with_clusters(spark, sf_dir):
+    """Every original must rediscover exactly its planted copy
+    (keeper + 1e6 == dup — identical vectors always share cluster
+    AND cell), and the cluster bookkeeping must be consistent with
+    the shared k-means front."""
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _km_assign,
+    )
+
+    rows = _Q["dedup_semdedup"].fn(spark, sf_dir).collect()
+    n_vecs = _km_assign(spark, sf_dir).count()
+    assert len(rows) == n_vecs
+    asg = {
+        r["vec_id"]: r["cluster_id"]
+        for r in _km_assign(spark, sf_dir).select("vec_id", "cluster_id").collect()
+    }
+    sizes = {}
+    for c in asg.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    for r in rows:
+        assert r["dup_id"] == r["keeper_id"] + 1_000_000
+        assert r["cosine"] >= 0.9999
+        assert r["cluster_id"] == asg[r["keeper_id"]]
+        assert r["n_cluster"] == sizes[r["cluster_id"]]
+
+
 def test_binseg_levels_nest(spark, sf_dir):
     """Level-2 splits live strictly inside their level-1 segment,
     every event type emits exactly one L1 row, and each segment's
