@@ -207,6 +207,8 @@ HEAVY = [
     "fin_irr_bisection",
     "fin_loan_amortization",
     "ts_changepoint_binseg",
+    "samp_dsir_importance",
+    "dedup_semdedup",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
