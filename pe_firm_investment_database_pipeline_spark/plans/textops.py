@@ -3345,19 +3345,13 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim); scoring is an equi-join on the token followed by a
     (doc, class) partial agg — no cartesian wider than the
     bounded class slate, no global window."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("tok")
-    )
-    # ONE corpus explode + one (doc, tok) shuffle; the class-level
-    # count table, class totals, vocabulary, and vocab size all
-    # derive from tf (tf-sized work), so ReuseExchange serves the
-    # single corpus shuffle to every consumer
-    tf = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # the tf frame is the STAGED `_tf_lang` front (shared with
+    # samp_dsir_importance); the class-level count table, class
+    # totals, vocabulary, and vocab size all derive from it
+    # (tf-sized work). Priors come from the documents table itself —
+    # zero-token docs have no tf rows but still count toward priors.
+    tf = _tf_lang(spark, sf_dir)
     cls = d.groupBy(F.col("lang").alias("c")).agg(
         F.count(F.lit(1)).alias("n_docs_c")
     )
@@ -3492,6 +3486,34 @@ FROM pred GROUP BY lang_actual, best.c
 # samp_dsir_importance — DSIR-style importance weighting for data selection
 # ---------------------------------------------------------------------------
 
+# The language-labeled term-frequency front: (doc_id, lang, tok, tf),
+# memoized per (application, dataset) — ml_naive_bayes and
+# samp_dsir_importance both train unigram LMs over exactly this
+# frame; unstaged, each warm run re-ran the corpus explode + tf
+# shuffle (retrieval._tf_front is the lang-free BM25 sibling).
+_TF_LANG_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _tf_lang_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("tok")
+    )
+    return toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def _tf_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoize(
+        _TF_LANG_CACHE,
+        staged_key(spark, sf_dir, "tf_lang"),
+        lambda: _tf_lang_build(spark, sf_dir).localCheckpoint(eager=True),
+    )
+
+
 _DSIR_TARGET_LANG = "en"
 _DSIR_TOP = 50
 
@@ -3516,15 +3538,7 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak by doc_id. Scale shape: one corpus explode into the tf
     shuffle, vocab-sized LM tables broadcast-joined back, map-side
     partial agg to per-doc weights."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "text"
-    )
-    toks = d.select(
-        "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    tf = _tf_lang(spark, sf_dir)
     cnt = tf.groupBy("tok").agg(
         F.sum("tf").alias("cnt_raw"),
         F.sum(

@@ -571,6 +571,11 @@ _STAGED_SERVING = [
     # r11: the shared _kmv_hashed front carries ALL of the distinct
     # estimator's corpus work too (exact twin counts front rows)
     ("sketch_kmv_distinct", "events"),
+    # r11: the shared _tf_lang front (NB keeps one documents scan
+    # for priors — zero-token docs count toward priors but have no
+    # tf rows, so the prior side must read the table)
+    ("samp_dsir_importance", "documents"),
+    ("ml_naive_bayes", None),
 ]
 
 
