@@ -81,6 +81,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_interleave_wfq",
         "samp_dsir_importance",
         "dedup_semdedup",
+        "evt_att_nn_matching",
         # slots 15+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

@@ -2618,6 +2618,160 @@ FROM g
 
 
 # ---------------------------------------------------------------------------
+# evt_att_nn_matching — 1-NN caliper matching on a continuous covariate
+# ---------------------------------------------------------------------------
+
+_NN_BLK = 5000  # cents — block width AND caliper (equal by design)
+
+
+def evt_att_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-NEIGHBOR CALIPER MATCHING ATT — the causal quintet's
+    continuous-confounder leg (`evt_att_stratified` subclassifies an
+    exact small-int confounder; matching is what you do when the
+    confounder — pre-period SPEND in cents — is continuous and
+    stratification would need a binning model): each treated user is
+    matched to the control with the closest pre-spend within a
+    5000-cent caliper, and the ATT is the matched-pair mean of
+    post-spend deltas. THE SCALE TRICK is the blocked 1-D NN join:
+    treated users explode into their covariate block and both
+    neighbors (x div B - 1, x div B, x div B + 1) and candidates
+    equi-join on the block — with caliper == block width B, any
+    control within the caliper is in one of the three blocks, so the
+    blocked argmin EQUALS the global caliper-NN (exactness by
+    construction) while the join stays O(pairs-within-3-blocks),
+    never treated x control (the join_interval_bin identity on the
+    covariate axis). Deterministic match: min over
+    struct(|dx|, control_x, control_id); unmatched treated
+    (no control within the caliper) are counted, not imputed. Signed
+    millicent means via sign-split truncating division. Output is the
+    one-row matching ledger (n_treated / n_matched / n_unmatched /
+    att_mc / mean |dx|)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        F.when(F.col("event_type") == "purchase", cents("value"))
+        .otherwise(0)
+        .alias("v"),
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    users = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid"), F.col("v")).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid"), F.col("v")).otherwise(
+                    0
+                )
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("user_id") % 2).cast("long"))
+    )
+    t3 = (
+        users.where(F.col("arm") == 1)
+        .select(
+            F.col("user_id").alias("t_id"),
+            F.col("x").alias("tx"),
+            F.col("y").alias("ty"),
+            F.explode(
+                F.expr(
+                    f"array(x div {_NN_BLK} - 1, x div {_NN_BLK},"
+                    f" x div {_NN_BLK} + 1)"
+                )
+            ).alias("blk"),
+        )
+    )
+    c = users.where(F.col("arm") == 0).select(
+        F.col("user_id").alias("c_id"),
+        F.col("x").alias("cx"),
+        F.col("y").alias("cy"),
+        F.expr(f"x div {_NN_BLK}").alias("blk"),
+    )
+    cand = (
+        t3.join(c, "blk")
+        .withColumn("adx", F.expr("abs(tx - cx)"))
+        .where(F.col("adx") <= _NN_BLK)
+    )
+    best = cand.groupBy("t_id").agg(
+        F.max("ty").alias("ty"),
+        F.min(F.struct("adx", "cx", "c_id", "cy")).alias("b"),
+    )
+    nt = users.where(F.col("arm") == 1).agg(
+        F.count(F.lit(1)).alias("n_treated")
+    )
+    agg = best.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.expr("ty - b.cy")).alias("s_delta"),
+        F.sum(F.expr("b.adx")).alias("s_adx"),
+    )
+    return (
+        nt.crossJoin(F.broadcast(agg))
+        .select(
+            "n_treated",
+            "n_matched",
+            (F.col("n_treated") - F.col("n_matched")).alias("n_unmatched"),
+            F.expr(
+                "CASE WHEN s_delta >= 0"
+                " THEN (s_delta * 1000) div n_matched"
+                " ELSE -((-s_delta * 1000) div n_matched) END"
+            ).alias("att_mc"),
+            F.expr("(s_adx * 1000) div n_matched").alias("mean_adx_mc"),
+        )
+    )
+
+
+_EVT_ATT_NN_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS v
+  FROM events
+), lim AS (
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+), users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN us < mid THEN v ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN us >= mid THEN v ELSE 0 END) AS BIGINT) AS y,
+         CAST(user_id % 2 AS BIGINT) AS arm
+  FROM e CROSS JOIN lim GROUP BY user_id
+), t3 AS (
+  SELECT user_id AS t_id, x AS tx, y AS ty,
+         unnest([x // {_NN_BLK} - 1, x // {_NN_BLK}, x // {_NN_BLK} + 1])
+           AS blk
+  FROM users WHERE arm = 1
+), c AS (
+  SELECT user_id AS c_id, x AS cx, y AS cy, x // {_NN_BLK} AS blk
+  FROM users WHERE arm = 0
+), cand AS (
+  SELECT t_id, tx, ty, c_id, cx, cy, abs(tx - cx) AS adx
+  FROM t3 JOIN c USING (blk)
+  WHERE abs(tx - cx) <= {_NN_BLK}
+), best AS (
+  SELECT t_id, MAX(ty) AS ty,
+         min(struct_pack(adx := adx, cx := cx, c_id := c_id, cy := cy)) AS b
+  FROM cand GROUP BY t_id
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_treated FROM users WHERE arm = 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(ty - b.cy) AS BIGINT) AS s_delta,
+         CAST(SUM(b.adx) AS BIGINT) AS s_adx
+  FROM best
+)
+SELECT nt.n_treated, agg.n_matched,
+       CAST(nt.n_treated - agg.n_matched AS BIGINT) AS n_unmatched,
+       CAST(CASE WHEN agg.s_delta >= 0
+            THEN (agg.s_delta * 1000) // agg.n_matched
+            ELSE -((-agg.s_delta * 1000) // agg.n_matched) END
+         AS BIGINT) AS att_mc,
+       CAST((agg.s_adx * 1000) // agg.n_matched AS BIGINT) AS mean_adx_mc
+FROM nt CROSS JOIN agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # sec_aes_roundtrip — field-level encryption boundary
 # ---------------------------------------------------------------------------
 
@@ -2676,6 +2830,11 @@ FROM customer
 
 
 QUERIES = {
+    "evt_att_nn_matching": QuerySpec(
+        evt_att_nn_matching,
+        _EVT_ATT_NN_SQL,
+        ("events", "causal", "matching"),
+    ),
     "sec_aes_roundtrip": QuerySpec(
         sec_aes_roundtrip,
         _SEC_AES_SQL,

@@ -300,6 +300,63 @@ def test_semdedup_finds_planted_copies_with_clusters(spark, sf_dir):
         assert r["n_cluster"] == sizes[r["cluster_id"]]
 
 
+def test_nn_matching_replays_in_python(spark, sf_dir):
+    """Brute-force 1-NN caliper matching in plain Python over the
+    collected user table must reproduce the ledger exactly — the
+    blocked join is an exactness-preserving optimization, not an
+    approximation."""
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _NN_BLK,
+    )
+
+    row = _Q["evt_att_nn_matching"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(0)
+        .alias("v"),
+    )
+    mid = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2")).collect()[0][0]
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts_us") < mid, F.col("v")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("ts_us") >= mid, F.col("v")).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    treated = [(u["user_id"], u["x"], u["y"]) for u in users if u["user_id"] % 2 == 1]
+    control = [(u["user_id"], u["x"], u["y"]) for u in users if u["user_id"] % 2 == 0]
+    s_delta, s_adx, n_matched = 0, 0, 0
+    for tid, tx, ty in treated:
+        cands = [
+            (abs(tx - cx), cx, cid, cy)
+            for cid, cx, cy in control
+            if abs(tx - cx) <= _NN_BLK
+        ]
+        if not cands:
+            continue
+        adx, cx, cid, cy = min(cands)
+        n_matched += 1
+        s_delta += ty - cy
+        s_adx += adx
+    assert row["n_treated"] == len(treated)
+    assert row["n_matched"] == n_matched
+    assert row["n_unmatched"] == len(treated) - n_matched
+    att = (
+        (s_delta * 1000) // n_matched
+        if s_delta >= 0
+        else -((-s_delta * 1000) // n_matched)
+    )
+    assert row["att_mc"] == att
+    assert row["mean_adx_mc"] == (s_adx * 1000) // n_matched
+    assert row["n_matched"] > 0
+
+
 def test_binseg_levels_nest(spark, sf_dir):
     """Level-2 splits live strictly inside their level-1 segment,
     every event type emits exactly one L1 row, and each segment's
