@@ -209,6 +209,7 @@ HEAVY = [
     "ts_changepoint_binseg",
     "samp_dsir_importance",
     "dedup_semdedup",
+    "evt_att_nn_matching",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
