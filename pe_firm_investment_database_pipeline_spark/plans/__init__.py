@@ -58,17 +58,17 @@ def all_queries() -> dict[str, QuerySpec]:
         # are the ONLY two entries with no official driver verdict
         # ever (added after the r10 sample window) — first in line so
         # the driver union closes at 382/382 of the r10 registry.
-        # Slots 3-14: the twelve round-11 ops (first verdicts).
-        # Slots 15-34: the late-r10 staged-front consumers whose
+        # Slots 3-15: the thirteen round-11 ops (first verdicts).
+        # Slots 16-35: the late-r10 staged-front consumers whose
         # physical plans changed after the r10 sample, plus the two
         # KMV entries re-verdicted after the _kmv_hashed staging.
-        # Slots 35+: re-verdicts for other r11-touched paths (the
+        # Slots 36+: re-verdicts for other r11-touched paths (the
         # BPE global-argmax rewrite, the memoizer-refactor consumers
         # whose staged fronts now key on the dataset fingerprint).
         # Everything else keeps module order after the list.
         "txt_bpe_merge_rounds",
         "fin_npv_schedule",
-        # slots 3-14: round-11 new ops (first driver verdicts r11)
+        # slots 3-15: round-11 new ops (first driver verdicts r11)
         "dedup_passage_runs",
         "fin_irr_bisection",
         "ml_boost_stumps",
@@ -82,7 +82,7 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_dsir_importance",
         "dedup_semdedup",
         "evt_att_nn_matching",
-        # slots 15+: late-r10 staged-front consumers
+        # slots 16+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",
         "dedup_ngram_prefix",
