@@ -82,7 +82,14 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_dsir_importance",
         "dedup_semdedup",
         "evt_att_nn_matching",
-        # slots 16+: late-r10 staged-front consumers
+        # slots 16-21: the round-11b wave (first driver verdicts)
+        "evt_uplift_qini",
+        "graph_louvain_move",
+        "rag_late_interaction",
+        "dedup_cdc_chunks",
+        "ml_bradley_terry",
+        "ts_matrix_profile",
+        # slots 20+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",
         "dedup_ngram_prefix",

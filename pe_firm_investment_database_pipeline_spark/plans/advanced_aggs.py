@@ -8991,7 +8991,371 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# ml_bradley_terry — pairwise-preference strength fitting (2 MM rounds)
+# ---------------------------------------------------------------------------
+
+_BT_SCALE = 1000000  # strengths carried in ppm
+
+
+def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY STRENGTH FITTING over pairwise outcomes — the
+    aggregation step behind every preference dataset (RLHF reward
+    modeling, A/B ranker evals, tournament seeding): given win/loss
+    counts between items, fit a strength w_i such that
+    P(i beats j) = w_i / (w_i + w_j). Matches here are derived
+    in-plan: on each calendar day, event type i 'beats' type j if it
+    logged strictly more events (ties = no game), so the pair table
+    is (type-pair x day-grid)-sized — never event-sized. Two rounds
+    of Hunter's MM update, exact-integer throughout:
+
+        w_i <- W_i / sum_j g_ij / (w_i + w_j)
+
+    with each division truncating at a fixed scale (terms at 1e12
+    over ppm strengths; identical in both engines), then strengths
+    renormalized to sum 5e6 so rounds are comparable. Scale shape:
+    ONE event scan -> (day, type) rollup; everything after lives on
+    the 5-type / 10-pair grid (broadcast-sized at any corpus). The
+    iteration is a bounded 2-step unroll over a dimension-sized
+    frame — the `graph_kcore_peel` discipline, not a join chain over
+    data-sized state."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_date(ts_date)").alias("day"), "event_type"
+    )
+    daily = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = daily.select(
+        "day", F.col("event_type").alias("ta"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("tb"), F.col("c").alias("cb")
+    )
+    # the pair table is 10 rows (type-pair grid) but its lineage is
+    # corpus-sized; the 2-round MM chain below consumes it ~6 times,
+    # so flatten the lineage ONCE per call — the rag_mmr_rerank
+    # small-slate eager-checkpoint discipline (this is a per-call
+    # grid checkpoint, not a staged corpus front)
+    pairs = (
+        a.join(b, "day")
+        .where(F.col("ta") < F.col("tb"))
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("games"),
+            F.sum((F.col("ca") > F.col("cb")).cast("long"))
+            .cast("long")
+            .alias("wins_a"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        pairs.select(
+            F.col("ta").alias("t"),
+            F.col("games"),
+            F.col("wins_a").alias("wins"),
+        )
+        .union(
+            pairs.select(
+                F.col("tb").alias("t"),
+                F.col("games"),
+                (F.col("games") - F.col("wins_a")).alias("wins"),
+            )
+        )
+        .groupBy("t")
+        .agg(
+            F.sum("games").cast("long").alias("games"),
+            F.sum("wins").cast("long").alias("wins"),
+        )
+    )
+    # directed game view: (t, opp, g, w_t) both directions
+    directed = pairs.select(
+        F.col("ta").alias("t"), F.col("tb").alias("opp"), "games"
+    ).union(
+        pairs.select(
+            F.col("tb").alias("t"), F.col("ta").alias("opp"), "games"
+        )
+    )
+    weights = totals.select(
+        "t", F.lit(_BT_SCALE).cast("long").alias("w")
+    )
+    hist = []
+    for _ in range(2):
+        wt = weights.select(F.col("t"), F.col("w").alias("w_t"))
+        wo = weights.select(
+            F.col("t").alias("opp"), F.col("w").alias("w_o")
+        )
+        denom = (
+            directed.join(F.broadcast(wt), "t")
+            .join(F.broadcast(wo), "opp")
+            .groupBy("t")
+            .agg(
+                F.sum(
+                    F.expr(
+                        "(CAST(games AS DECIMAL(38,0)) * 1000000000000)"
+                        " div (w_t + w_o)"
+                    )
+                ).alias("d")
+            )
+        )
+        raw = (
+            totals.join(F.broadcast(denom), "t")
+            .select(
+                "t",
+                F.expr(
+                    "CASE WHEN d = 0 THEN CAST(1000000 AS BIGINT) ELSE"
+                    " CAST((CAST(wins AS DECIMAL(38,0)) * 1000000000000)"
+                    " div d AS BIGINT) END"
+                ).alias("w_raw"),
+            )
+        )
+        tot_w = raw.agg(F.sum("w_raw").alias("s"))
+        weights = raw.crossJoin(F.broadcast(tot_w)).select(
+            "t",
+            F.expr(
+                "CAST((CAST(w_raw AS DECIMAL(38,0)) * 5000000) div s"
+                " AS BIGINT)"
+            ).alias("w"),
+        )
+        hist.append(
+            weights.select("t", F.col("w").alias(f"w{len(hist) + 1}_ppm"))
+        )
+    return (
+        totals.join(F.broadcast(hist[0]), "t")
+        .join(F.broadcast(hist[1]), "t")
+        .select(
+            F.col("t").alias("event_type"),
+            "games",
+            "wins",
+            "w1_ppm",
+            "w2_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _bt_sql() -> str:
+    it = """
+, denom{k} AS (
+  SELECT d.t,
+         CAST(SUM((CAST(d.games AS HUGEINT) * 1000000000000)
+                  // (wt.w + wo.w)) AS HUGEINT) AS dn
+  FROM directed d
+  JOIN w{p} wt ON wt.t = d.t
+  JOIN w{p} wo ON wo.t = d.opp
+  GROUP BY d.t
+), raw{k} AS (
+  SELECT tt.t,
+         CASE WHEN dn = 0 THEN CAST(1000000 AS BIGINT)
+              ELSE CAST((CAST(tt.wins AS HUGEINT) * 1000000000000)
+                        // dn AS BIGINT) END AS w_raw
+  FROM totals tt JOIN denom{k} USING (t)
+), w{k} AS (
+  SELECT t, CAST((CAST(w_raw AS HUGEINT) * 5000000)
+                 // (SELECT SUM(w_raw) FROM raw{k}) AS BIGINT) AS w
+  FROM raw{k}
+)"""
+    return (
+        """
+WITH daily AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', ts::DATE) AS BIGINT) AS day, event_type, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(COUNT(*) AS BIGINT) AS games,
+         CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+           AS wins_a
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+  WHERE a.c <> b.c
+  GROUP BY 1, 2
+), totals AS (
+  SELECT t, CAST(SUM(games) AS BIGINT) AS games,
+         CAST(SUM(wins) AS BIGINT) AS wins
+  FROM (
+    SELECT ta AS t, games, wins_a AS wins FROM pairs
+    UNION ALL
+    SELECT tb, games, games - wins_a FROM pairs)
+  GROUP BY t
+), directed AS (
+  SELECT ta AS t, tb AS opp, games FROM pairs
+  UNION ALL
+  SELECT tb, ta, games FROM pairs
+), w0 AS (
+  SELECT t, CAST(1000000 AS BIGINT) AS w FROM totals
+)"""
+        + it.format(k=1, p=0)
+        + it.format(k=2, p=1)
+        + """
+SELECT tt.t AS event_type, tt.games, tt.wins,
+       w1.w AS w1_ppm, w2.w AS w2_ppm
+FROM totals tt
+JOIN w1 ON w1.t = tt.t
+JOIN w2 ON w2.t = tt.t
+ORDER BY event_type
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_matrix_profile — nearest-neighbor subsequence profile (discords)
+# ---------------------------------------------------------------------------
+
+_MP_M = 3  # subsequence length (days)
+_MP_EXCL = 3  # trivial-match exclusion zone: |i - j| >= m
+
+
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX-PROFILE DISCORD DISCOVERY (Yeh et al. 2016) per event
+    type — for every length-3 window of the daily-count series, the
+    squared distance to its nearest NON-TRIVIAL neighbor (|i-j| >= 3
+    excludes self-overlap); the window whose nearest neighbor is
+    FARTHEST is the series' top discord, the strongest anomaly
+    primitive time-series mining has. Exact int64 distances (counts
+    are integers), deterministic ties (smallest index). Scale shape:
+    events compress to the (type, day) grid FIRST, so the all-pairs
+    subsequence join is calendar-bounded per type — day-grid squared,
+    independent of corpus row count (the evt_peak_concurrency grid
+    discipline); the subsequence frame itself comes from two lead()
+    windows partitioned by type. Output: one discord row per type."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_date(ts_date)").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    # the subsequence frame is day-grid sized but both join sides
+    # consume it — flatten the corpus lineage once per call (grid
+    # checkpoint, same note as ml_bradley_terry)
+    sub = (
+        daily.withColumn("c1", F.lead("c", 1).over(w))
+        .withColumn("c2", F.lead("c", 2).over(w))
+        .withColumn("i", F.row_number().over(w))
+        .where(F.col("c2").isNotNull())
+        .select("event_type", "i", "day", "c", "c1", "c2")
+        .localCheckpoint(eager=True)
+    )
+    a = sub.select(
+        "event_type",
+        F.col("i").alias("ia"),
+        F.col("day").alias("day_a"),
+        F.col("c").alias("a0"),
+        F.col("c1").alias("a1"),
+        F.col("c2").alias("a2"),
+    )
+    b = sub.select(
+        "event_type",
+        F.col("i").alias("ib"),
+        F.col("c").alias("b0"),
+        F.col("c1").alias("b1"),
+        F.col("c2").alias("b2"),
+    )
+    d2 = (
+        "(a0 - b0) * (a0 - b0) + (a1 - b1) * (a1 - b1)"
+        " + (a2 - b2) * (a2 - b2)"
+    )
+    nn = (
+        a.join(b, "event_type")
+        .where(F.expr(f"abs(ia - ib) >= {_MP_EXCL}"))
+        .groupBy("event_type", "ia", "day_a")
+        .agg(
+            F.min(
+                F.struct(
+                    F.expr(d2).alias("d2"), F.col("ib").alias("nn_i")
+                )
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            "ia",
+            "day_a",
+            F.col("m.d2").alias("d2"),
+            F.col("m.nn_i").alias("nn_i"),
+        )
+    )
+    return (
+        nn.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.min(
+                F.struct(
+                    (-F.col("d2")).alias("nd2"),
+                    F.col("ia").alias("ia"),
+                    F.col("day_a").alias("day_a"),
+                    F.col("nn_i").alias("nn_i"),
+                )
+            ).alias("m"),
+        )
+        .select(
+            "event_type",
+            "n_windows",
+            F.col("m.ia").cast("long").alias("discord_idx"),
+            F.col("m.day_a").cast("long").alias("discord_day"),
+            (-F.col("m.nd2")).cast("long").alias("mp_dist2"),
+            F.col("m.nn_i").cast("long").alias("nn_idx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TS_MATRIX_PROFILE_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(datediff('day', DATE '1970-01-01', ts::DATE) AS BIGINT) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), sub AS (
+  SELECT event_type, day,
+         row_number() OVER w AS i,
+         c AS c0,
+         lead(c, 1) OVER w AS c1,
+         lead(c, 2) OVER w AS c2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), subf AS (
+  SELECT * FROM sub WHERE c2 IS NOT NULL
+), dist AS (
+  SELECT a.event_type, a.i AS ia, a.day AS day_a, b.i AS ib,
+         (a.c0 - b.c0) * (a.c0 - b.c0)
+         + (a.c1 - b.c1) * (a.c1 - b.c1)
+         + (a.c2 - b.c2) * (a.c2 - b.c2) AS d2
+  FROM subf a JOIN subf b
+    ON a.event_type = b.event_type AND abs(a.i - b.i) >= {_MP_EXCL}
+), nn AS (
+  SELECT event_type, ia, day_a, d2, ib FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type, ia
+                                 ORDER BY d2, ib) AS rn
+    FROM dist)
+  WHERE rn = 1
+)
+SELECT event_type,
+       CAST(n_windows AS BIGINT) AS n_windows,
+       CAST(ia AS BIGINT) AS discord_idx,
+       CAST(day_a AS BIGINT) AS discord_day,
+       CAST(d2 AS BIGINT) AS mp_dist2,
+       CAST(ib AS BIGINT) AS nn_idx
+FROM (
+  SELECT *, COUNT(*) OVER (PARTITION BY event_type) AS n_windows,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY d2 DESC, ia) AS rn
+  FROM nn)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
 QUERIES = {
+    "ml_bradley_terry": QuerySpec(
+        ml_bradley_terry,
+        _bt_sql(),
+        ("ml", "preference", "bradley-terry"),
+    ),
+    "ts_matrix_profile": QuerySpec(
+        ts_matrix_profile,
+        _TS_MATRIX_PROFILE_SQL,
+        ("timeseries", "matrix-profile", "discord"),
+    ),
     "ivm_agg_merge": QuerySpec(
         ivm_agg_merge,
         _IVM_AGG_MERGE_SQL,

@@ -1659,7 +1659,178 @@ FROM a1s a FULL OUTER JOIN h1s h ON h.u = a.v
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_louvain_move — one synchronous Louvain local-move round
+# ---------------------------------------------------------------------------
+
+
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE SYNCHRONOUS LOUVAIN LOCAL-MOVE ROUND over the near-dup
+    graph, seeded from the LANGUAGE partition — the community-
+    REFINEMENT primitive next to the community-SCORING one
+    (`graph_modularity` computes Q of the lang partition; this entry
+    executes the move step that improves it): every vertex v
+    evaluates, for each community c found among its neighbors, the
+    modularity gain of leaving its current community a for c,
+
+        gain = (k_in(v,c) - k_in(v,a)) / m
+             - k_v * (tot(c) - (tot(a) - k_v)) / (2 m^2)
+
+    and takes the best strictly-positive move (ties -> smallest
+    community label). The comparison is exact: cleared of
+    denominators by 2m^2,
+
+        gain2 = 2m*(k_in_c - k_in_a) - k_v*(tot_c - tot_a + k_v)
+
+    — pure int64/DECIMAL products, so both engines pick identical
+    moves (distributed Louvain is the standard synchronous variant:
+    all vertices decide against the SAME pre-move snapshot, exactly
+    what one Spark round expresses). Scale shape: the graph is the
+    LSH pair output (corpus never shuffles); k_in is one adjacency
+    join + grouped count; tot(c)/m are community-count- and 1-row
+    broadcasts; output rolls up to the community grid. Reference
+    semantics ancestry: the reference dedups by best-scored match
+    (utils/search_utils.py); community refinement is the same
+    'regroup by affinity' need at corpus scale."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    e = pairs.select(
+        F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
+    ).distinct()
+    sym = e.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
+        e.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    lang = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("v"), F.col("lang").alias("comm")
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("k_v"))
+    nodes = deg.join(lang, "v")
+    tot = nodes.groupBy("comm").agg(F.sum("k_v").cast("long").alias("tot"))
+    m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
+    # k_in(v, c): edges from v into each community present among its
+    # neighbors (the only candidate targets Louvain must consider)
+    kin = (
+        sym.join(
+            nodes.select(F.col("v").alias("n"), F.col("comm").alias("ncomm")),
+            "n",
+        )
+        .groupBy("v", "ncomm")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_in"))
+    )
+    own = (
+        nodes.join(
+            kin.select("v", F.col("ncomm").alias("comm"), F.col("k_in").alias("k_in_a")),
+            ["v", "comm"],
+            "left",
+        )
+        .na.fill({"k_in_a": 0})
+        .join(F.broadcast(tot.select(F.col("comm"), F.col("tot").alias("tot_a"))), "comm")
+    )
+    cand = (
+        own.join(kin, "v")
+        .where(F.col("ncomm") != F.col("comm"))
+        .join(
+            F.broadcast(
+                tot.select(F.col("comm").alias("ncomm"), F.col("tot").alias("tot_c"))
+            ),
+            "ncomm",
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "gain2",
+            F.expr(
+                "2 * CAST(m_edges AS DECIMAL(38,0)) * (k_in - k_in_a)"
+                " - CAST(k_v AS DECIMAL(38,0)) * (tot_c - tot_a + k_v)"
+            ),
+        )
+        .where(F.col("gain2") > 0)
+        .groupBy("v")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("gain2")).alias("ng"), F.col("ncomm").alias("ncomm")
+                )
+            ).alias("best")
+        )
+        .select("v", F.col("best.ncomm").alias("new_comm"))
+    )
+    moved = (
+        nodes.join(cand, "v", "left")
+        .select(
+            "v",
+            F.col("comm").alias("old_comm"),
+            F.coalesce("new_comm", "comm").alias("comm"),
+        )
+    )
+    return (
+        moved.groupBy("comm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum((F.col("old_comm") != F.col("comm")).cast("long"))
+            .cast("long")
+            .alias("n_moved_in"),
+        )
+        .orderBy("comm")
+    )
+
+
+_GRAPH_LOUVAIN_SQL = f"""
+WITH mh_pairs AS MATERIALIZED (
+  SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
+), e AS (
+  SELECT DISTINCT LEAST(doc1, doc2) AS a, GREATEST(doc1, doc2) AS b
+  FROM mh_pairs
+), sym AS (
+  SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS k_v FROM sym GROUP BY v
+), nodes AS (
+  SELECT d.v, d.k_v, doc.lang AS comm
+  FROM deg d JOIN documents doc ON doc.doc_id = d.v
+), tot AS (
+  SELECT comm, CAST(SUM(k_v) AS BIGINT) AS tot FROM nodes GROUP BY comm
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e
+), kin AS (
+  SELECT s.v, nn.comm AS ncomm, CAST(COUNT(*) AS BIGINT) AS k_in
+  FROM sym s JOIN nodes nn ON nn.v = s.n
+  GROUP BY s.v, nn.comm
+), own AS (
+  SELECT n.v, n.k_v, n.comm, COALESCE(k.k_in, 0) AS k_in_a, t.tot AS tot_a
+  FROM nodes n
+  LEFT JOIN kin k ON k.v = n.v AND k.ncomm = n.comm
+  JOIN tot t ON t.comm = n.comm
+), cand AS (
+  SELECT o.v, k.ncomm,
+         2 * CAST(m.m_edges AS HUGEINT) * (k.k_in - o.k_in_a)
+         - CAST(o.k_v AS HUGEINT) * (tc.tot - o.tot_a + o.k_v) AS gain2
+  FROM own o
+  JOIN kin k ON k.v = o.v AND k.ncomm <> o.comm
+  JOIN tot tc ON tc.comm = k.ncomm
+  CROSS JOIN m
+), pick AS (
+  SELECT v, ncomm AS new_comm FROM (
+    SELECT v, ncomm,
+           row_number() OVER (PARTITION BY v
+                              ORDER BY gain2 DESC, ncomm) AS rn
+    FROM cand WHERE gain2 > 0)
+  WHERE rn = 1
+), moved AS (
+  SELECT n.v, n.comm AS old_comm, COALESCE(p.new_comm, n.comm) AS comm
+  FROM nodes n LEFT JOIN pick p ON p.v = n.v
+)
+SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(CASE WHEN old_comm <> comm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved_in
+FROM moved GROUP BY comm ORDER BY comm
+"""
+
+
 QUERIES = {
+    "graph_louvain_move": QuerySpec(
+        graph_louvain_move,
+        _GRAPH_LOUVAIN_SQL,
+        ("graph", "community", "louvain"),
+    ),
     "graph_hits_authority": QuerySpec(
         graph_hits_authority,
         _GRAPH_HITS_SQL,

@@ -2829,7 +2829,215 @@ FROM customer
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_uplift_qini — uplift-by-decile readout with the Qini curve
+# ---------------------------------------------------------------------------
+
+_QINI_DECILES = 10
+
+
+def evt_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPLIFT-MODEL QINI CURVE — the readout that decides whether a
+    targeting model is worth deploying: rank users by a model score
+    (here: PRE-period activity, the natural engagement prior), cut
+    the ranking into deciles, and report per-decile treatment uplift
+    (treated minus control POST-period conversion) plus the running
+    Qini numerator — the cumulative extra conversions the treatment
+    bought among the targeted top-k, control-normalized. Complements
+    the existing causal ladder (`evt_ab_test` -> `evt_cuped_adjust`
+    -> `evt_did_analysis` -> `evt_att_*`): those estimate ONE
+    effect; this ranks WHO to treat.
+
+    Determinism / scale shape: the decile cut is NOT a global
+    ntile() over raw users (that would single-partition-shuffle the
+    user table). Instead the score distribution compresses to its
+    VALUE GRID (one row per distinct score — bounded by max per-user
+    activity, never user-count-sized), a grid-window running sum
+    yields each value's global rank offset, and each user's position
+    is offset + row_number within its score partition (partitioned
+    window, tie-broken by user_id) — the compressed-grid ntile both
+    engines reproduce bit-for-bit. All rates are exact integer ppm
+    via sign-split truncating division (the `evt_cuped_adjust`
+    discipline). One event scan, one user-level shuffle, grid-sized
+    windows everywhere else."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+    )
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    users = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), 1).otherwise(0)
+            ).alias("score"),
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), F.col("is_p")).otherwise(0)
+            ).alias("pre_p"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid_us"), F.col("is_p")).otherwise(0)
+            ).alias("post_p"),
+        )
+        # conversion = the user ACCELERATED (more post- than pre-period
+        # purchases) — self-normalizing at any data scale, so the
+        # readout never saturates at 0%/100% the way a fixed count
+        # threshold would as per-user volume grows with the corpus
+        .withColumn("conv", (F.col("post_p") > F.col("pre_p")).cast("long"))
+        .withColumn("treated", (F.col("user_id") % 2 == 0).cast("long"))
+    )
+    # score-value grid: global rank offset of each distinct score
+    # (higher score ranks first); the frame is the DISTINCT-score
+    # grid, not users — bounded by max per-user event count
+    grid = users.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    gw = (
+        W.orderBy(F.desc("score"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    grid = grid.select(
+        "score", F.coalesce(F.sum("cnt").over(gw), F.lit(0)).alias("rk_off")
+    )
+    n_tot = users.agg(F.count(F.lit(1)).alias("n_users"))
+    rnw = W.partitionBy("score").orderBy("user_id")
+    dec = (
+        users.withColumn("rn", F.row_number().over(rnw))
+        .join(F.broadcast(grid), "score")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "decile",
+            F.expr(
+                f"((rk_off + rn - 1) * {_QINI_DECILES}) div n_users + 1"
+            ),
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum("treated").cast("long").alias("n_t"),
+            F.sum(F.expr("1 - treated")).cast("long").alias("n_c"),
+            F.sum(F.expr("treated * conv")).cast("long").alias("conv_t"),
+            F.sum(F.expr("(1 - treated) * conv")).cast("long").alias("conv_c"),
+        )
+    )
+    cw = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = (
+        dec.withColumn("cum_n_t", F.sum("n_t").over(cw))
+        .withColumn("cum_n_c", F.sum("n_c").over(cw))
+        .withColumn("cum_conv_t", F.sum("conv_t").over(cw))
+        .withColumn("cum_conv_c", F.sum("conv_c").over(cw))
+    )
+
+    def _sdiv(num: str, den: str, scale: int = 1000000) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * {scale}) div ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * {scale}) div ({den}) AS BIGINT) END"
+        )
+
+    up = "(CAST(conv_t AS DECIMAL(38,0)) * n_c - CAST(conv_c AS DECIMAL(38,0)) * n_t)"
+    nn = "(CAST(n_t AS DECIMAL(38,0)) * n_c)"
+    cup = (
+        "(CAST(cum_conv_t AS DECIMAL(38,0)) * cum_n_c"
+        " - CAST(cum_conv_c AS DECIMAL(38,0)) * cum_n_t)"
+    )
+    cnn = "(CAST(cum_n_t AS DECIMAL(38,0)) * cum_n_c)"
+    return cum.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_t",
+        "n_c",
+        "conv_t",
+        "conv_c",
+        F.expr(
+            f"CASE WHEN {nn} = 0 THEN NULL ELSE {_sdiv(up, nn)} END"
+        ).alias("uplift_ppm"),
+        F.expr(
+            f"CASE WHEN {cnn} = 0 THEN NULL ELSE {_sdiv(cup, cnn)} END"
+        ).alias("cum_uplift_ppm"),
+        F.expr(
+            f"CASE WHEN cum_n_c = 0 THEN NULL"
+            f" ELSE {_sdiv(cup, 'cum_n_c', 1000)} END"
+        ).alias("qini_x1000"),
+    )
+
+
+def _qini_sql() -> str:
+    def sdiv(num: str, den: str, scale: int = 1000000) -> str:
+        return (
+            f"CASE WHEN ({num}) >= 0"
+            f" THEN CAST((({num}) * {scale}) // ({den}) AS BIGINT)"
+            f" ELSE -CAST(((-({num})) * {scale}) // ({den}) AS BIGINT) END"
+        )
+
+    up = "(CAST(conv_t AS HUGEINT) * n_c - CAST(conv_c AS HUGEINT) * n_t)"
+    nn = "(CAST(n_t AS HUGEINT) * n_c)"
+    cup = (
+        "(CAST(cum_conv_t AS HUGEINT) * cum_n_c"
+        " - CAST(cum_conv_c AS HUGEINT) * cum_n_t)"
+    )
+    cnn = "(CAST(cum_n_t AS HUGEINT) * cum_n_c)"
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS ts_us,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), users AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS score,
+         CASE WHEN SUM(CASE WHEN ts_us >= mid_us THEN is_p ELSE 0 END)
+                   > SUM(CASE WHEN ts_us < mid_us THEN is_p ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv,
+         CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated
+  FROM ev CROSS JOIN lim GROUP BY user_id
+), grid AS (
+  SELECT score,
+         CAST(COALESCE(SUM(cnt) OVER (
+           ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS rk_off
+  FROM (SELECT score, COUNT(*) AS cnt FROM users GROUP BY score)
+), n_tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM users
+), pos AS (
+  SELECT u.treated, u.conv,
+         ((g.rk_off + row_number() OVER (
+             PARTITION BY u.score ORDER BY u.user_id) - 1)
+          * {_QINI_DECILES}) // n.n_users + 1 AS decile
+  FROM users u JOIN grid g ON g.score = u.score CROSS JOIN n_tot n
+), dec AS (
+  SELECT decile,
+         CAST(SUM(treated) AS BIGINT) AS n_t,
+         CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+         CAST(SUM(treated * conv) AS BIGINT) AS conv_t,
+         CAST(SUM((1 - treated) * conv) AS BIGINT) AS conv_c
+  FROM pos GROUP BY decile
+), cum AS (
+  SELECT *,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cum_n_t,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cum_n_c,
+         CAST(SUM(conv_t) OVER w AS BIGINT) AS cum_conv_t,
+         CAST(SUM(conv_c) OVER w AS BIGINT) AS cum_conv_c
+  FROM dec
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c, conv_t, conv_c,
+       CASE WHEN {nn} = 0 THEN NULL ELSE {sdiv(up, nn)} END AS uplift_ppm,
+       CASE WHEN {cnn} = 0 THEN NULL
+            ELSE {sdiv(cup, cnn)} END AS cum_uplift_ppm,
+       CASE WHEN cum_n_c = 0 THEN NULL
+            ELSE {sdiv(cup, "cum_n_c", 1000)} END AS qini_x1000
+FROM cum
+"""
+
+
 QUERIES = {
+    "evt_uplift_qini": QuerySpec(
+        evt_uplift_qini,
+        _qini_sql(),
+        ("events", "causal", "uplift", "qini"),
+    ),
     "evt_att_nn_matching": QuerySpec(
         evt_att_nn_matching,
         _EVT_ATT_NN_SQL,

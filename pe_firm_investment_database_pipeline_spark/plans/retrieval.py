@@ -239,6 +239,118 @@ def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Late-interaction (ColBERT-style MaxSim) parameters: embedding
+# dimensionality and the integer value range of each coordinate.
+# Token embeddings are DERIVED, not learned: coordinate d of term t is
+# the 48-bit md5 prefix of "t:d" reduced mod 13 into [-6, 6] — the
+# deterministic stand-in for a token-embedding table lookup (the real
+# table is a model artifact this container doesn't ship; the
+# SPARK-SIDE SHAPE — vocab-level dot table, per-(doc, query-term) max,
+# per-doc sum, TakeOrderedAndProject — is exactly the production
+# MaxSim plan and is what this entry pins).
+_LI_DIMS = 16
+
+
+def _li_emb(col: str) -> str:
+    """Integer token embedding of `col` as an array<long> expression
+    (identical 48-bit-md5 derivation in the DuckDB oracle)."""
+    return (
+        f"transform(sequence(0, {_LI_DIMS - 1}), d -> "
+        f"CAST(conv(substring(md5(concat({col}, ':', CAST(d AS STRING))),"
+        f" 1, 12), 16, 10) AS BIGINT) % 13 - 6)"
+    )
+
+
+def rag_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-INTERACTION RERANKING (ColBERT MaxSim, Khattab & Zaharia
+    2020) — the third retrieval scorer next to lexical BM25
+    (`rag_bm25_topk`) and doc-level dense retrieval
+    (`rag_retrieve_docs`): score(doc) = sum over QUERY tokens of the
+    MAX dot product against the doc's token embeddings, which
+    rewards documents that cover every query facet instead of
+    matching one facet strongly. Exact integer end to end (derived
+    int embeddings, int dots), so both engines rank identically.
+
+    Scale shape — the part that matters at 100 TB: MaxSim over
+    identical tokens is tf-invariant, so the doc side collapses to
+    the DISTINCT (doc, term) pairs already materialized in the
+    staged forward-index front (`_tf_front`); the dot table is
+    computed once per VOCAB term x |Q| (vocab-sized, never
+    corpus-sized) and joined back on the term key; per-(doc, qterm)
+    max and per-doc sum are ordinary partial aggregates; the final
+    cut is TakeOrderedAndProject. No token-level corpus re-scan, no
+    embedding matrix shuffle."""
+    tf = _tf_front(spark, sf_dir)
+    pairs = tf.select("doc_id", "term")  # distinct by construction
+    vocab = tf.select("term").distinct()
+    qterms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in BM25_QUERY])).alias("qterm")
+    )
+    dots = (
+        vocab.crossJoin(F.broadcast(qterms))
+        .withColumn("et", F.expr(_li_emb("term")))
+        .withColumn("eq", F.expr(_li_emb("qterm")))
+        .select(
+            "term",
+            "qterm",
+            F.expr(
+                "aggregate(zip_with(eq, et, (x, y) -> x * y),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+    )
+    scored = (
+        pairs.join(dots, "term")
+        .groupBy("doc_id", "qterm")
+        .agg(F.max("dot").alias("maxsim"))
+        .groupBy("doc_id")
+        .agg(F.sum("maxsim").cast("long").alias("maxsim_total"))
+    )
+    top = scored.orderBy(F.desc("maxsim_total"), F.asc("doc_id")).limit(10)
+    w = W.orderBy(F.desc("maxsim_total"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "doc_id",
+        "maxsim_total",
+    )
+
+
+_RAG_LATE_INTERACTION_SQL = f"""
+WITH tf AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents)
+), vocab AS (
+  SELECT DISTINCT term FROM tf
+), q AS (
+  SELECT unnest({_QUERY_SQL.replace("(", "[").replace(")", "]")}) AS qterm
+), dots AS (
+  SELECT v.term, q.qterm,
+         CAST(SUM(
+           (CAST(('0x' || substr(md5(q.qterm || ':' ||
+                CAST(r.d AS VARCHAR)), 1, 12)) AS BIGINT) % 13 - 6)
+           * (CAST(('0x' || substr(md5(v.term || ':' ||
+                CAST(r.d AS VARCHAR)), 1, 12)) AS BIGINT) % 13 - 6)
+         ) AS BIGINT) AS dot
+  FROM vocab v
+  CROSS JOIN q
+  CROSS JOIN (SELECT range AS d FROM range(0, {_LI_DIMS})) r
+  GROUP BY v.term, q.qterm
+), scored AS (
+  SELECT doc_id, CAST(SUM(maxsim) AS BIGINT) AS maxsim_total FROM (
+    SELECT t.doc_id, d.qterm, MAX(d.dot) AS maxsim
+    FROM tf t JOIN dots d ON d.term = t.term
+    GROUP BY t.doc_id, d.qterm)
+  GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER
+         (ORDER BY maxsim_total DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, maxsim_total
+FROM scored
+ORDER BY maxsim_total DESC, doc_id
+LIMIT 10
+"""
+
+
 # Rocchio pseudo-relevance-feedback parameters: top-3 feedback docs,
 # top-2 expansion terms, expansion contributions at half weight
 # (beta = 1/2 — implemented as (contrib * w) div 2 with w in {2, 1},
@@ -754,6 +866,11 @@ QUERIES = {
     ),
     "rag_bm25_topk": QuerySpec(
         rag_bm25_topk, _RAG_BM25_TOPK_SQL, ("retrieval", "ranking")
+    ),
+    "rag_late_interaction": QuerySpec(
+        rag_late_interaction,
+        _RAG_LATE_INTERACTION_SQL,
+        ("retrieval", "colbert", "maxsim"),
     ),
     "rag_context_packing": QuerySpec(
         rag_context_packing,

@@ -3815,7 +3815,122 @@ JOIN dl b ON b.doc_id = p.doc2
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks — content-defined chunking dedup (rsync/FastCDC shape)
+# ---------------------------------------------------------------------------
+
+_CDC_DIV = 16  # boundary probability 1/16 -> expected ~16-token chunks
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING DEDUP — the storage-dedup primitive
+    (rsync, LBFS, FastCDC): cut every document at positions where a
+    local content hash fires, so identical passages produce identical
+    chunks REGARDLESS of their byte offset (a fixed-size chunker
+    loses all alignment after one inserted word — the exact failure
+    CDC exists to fix), then find the chunks shared across distinct
+    documents by one hash groupBy. Complements the pairwise passage
+    ops (`dedup_passage_runs` joins doc PAIRS on shingles): CDC is
+    the SINGLE-PASS shape — O(corpus) chunking + one aggregate, no
+    pair join anywhere, which is why storage systems run it at
+    exabyte scale. Boundary rule: a new chunk starts before token i
+    iff the 48-bit md5 of the adjacent token pair (t[i-1], t[i])
+    is 0 mod 16 (expected chunk ~16 tokens). Chunking is a pure
+    per-doc array computation (zero shuffle); the only shuffle
+    carries (chunk_fp, doc) — compressed, not corpus-sized. Output:
+    chunks recurring in >= 2 distinct docs, worst first, with the
+    dedup savings each would buy."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
+        F.size("toks") > 0
+    )
+    h48 = (
+        "CAST(conv(substring(md5(concat(toks[i-1], ' ', toks[i])),"
+        " 1, 12), 16, 10) AS BIGINT)"
+    )
+    # 0-based: boundary BEFORE token i for i in [1, n-1]; the >=2
+    # guard sits inside the expression (sequence(1, 0) descends)
+    bnd = (
+        f"CASE WHEN size(toks) >= 2 THEN "
+        f"filter(sequence(1, size(toks) - 1), i -> {h48} % {_CDC_DIV} = 0) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    chunk_end = "IF(j = size(starts) - 1, size(toks), starts[j+1])"
+    chunks = (
+        f"transform(sequence(0, size(starts) - 1), j -> struct("
+        f"md5(concat_ws(' ', slice(toks, starts[j] + 1,"
+        f" {chunk_end} - starts[j]))) AS fp,"
+        f" CAST({chunk_end} - starts[j] AS BIGINT) AS clen))"
+    )
+    per = (
+        staged.withColumn("starts", F.expr(f"concat(array(0), {bnd})"))
+        .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select("doc_id", F.col("c.fp").alias("chunk_fp"), F.col("c.clen"))
+    )
+    return (
+        per.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.max("clen").cast("long").alias("chunk_tokens"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .withColumn(
+            "dup_tokens", F.expr("CAST((n_occ - 1) * chunk_tokens AS BIGINT)")
+        )
+        .orderBy(
+            F.desc("dup_tokens"), F.desc("n_docs"), F.asc("chunk_fp")
+        )
+        .limit(20)
+    )
+
+
+_DEDUP_CDC_CHUNKS_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+  WHERE len({_TOKENS_DUCK}) > 0
+), st AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         list_prepend(CAST(1 AS BIGINT),
+           CASE WHEN len(toks) >= 2 THEN
+             list_filter(range(2, len(toks) + 1), i ->
+               CAST(('0x' || substr(md5(toks[i-1] || ' ' || toks[i]),
+                     1, 12)) AS BIGINT) % {_CDC_DIV} = 0)
+           ELSE [] END) AS starts
+  FROM staged
+), expl AS (
+  SELECT doc_id, toks, n, starts,
+         unnest(range(1, len(starts) + 1)) AS j
+  FROM st
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           toks[starts[j] :
+                CASE WHEN j = len(starts) THEN n
+                     ELSE starts[j+1] - 1 END], ' ')) AS chunk_fp,
+         CASE WHEN j = len(starts) THEN n ELSE starts[j+1] - 1 END
+           - starts[j] + 1 AS clen
+  FROM expl
+)
+SELECT * FROM (
+  SELECT chunk_fp,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occ,
+         CAST(MAX(clen) AS BIGINT) AS chunk_tokens,
+         CAST((COUNT(*) - 1) * MAX(clen) AS BIGINT) AS dup_tokens
+  FROM ch GROUP BY chunk_fp)
+WHERE n_docs >= 2
+ORDER BY dup_tokens DESC, n_docs DESC, chunk_fp
+LIMIT 20
+"""
+
+
 QUERIES = {
+    "dedup_cdc_chunks": QuerySpec(
+        dedup_cdc_chunks,
+        _DEDUP_CDC_CHUNKS_SQL,
+        ("dedup", "cdc", "chunking", "storage"),
+    ),
     "samp_dsir_importance": QuerySpec(
         samp_dsir_importance,
         _samp_dsir_sql(),

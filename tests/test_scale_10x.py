@@ -210,6 +210,18 @@ HEAVY = [
     "samp_dsir_importance",
     "dedup_semdedup",
     "evt_att_nn_matching",
+    # round-11b wave: the compressed-grid ntile + decile rollup, the
+    # one-round synchronous Louvain (adjacency join + community-grid
+    # broadcasts), the vocab x |Q| MaxSim dot table, and the
+    # single-pass CDC chunker (pure array compute + one fp groupBy)
+    "evt_uplift_qini",
+    "graph_louvain_move",
+    "rag_late_interaction",
+    "dedup_cdc_chunks",
+    # round-11b second wave: the day-grid pair table + 5-type MM
+    # iteration, and the calendar-bounded all-pairs subsequence join
+    "ml_bradley_terry",
+    "ts_matrix_profile",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).

@@ -70,6 +70,12 @@ GLOBAL_WINDOW_ALLOWED: dict[str, str] = {
     "evt_peak_concurrency": "weeks x in-week slot grid sweep (also CARTESIAN_ALLOWED)",
     "evt_markov_stationary": "event-type^2 transition grid (pi ranking)",
     "evt_att_stratified": "stratum-level ATT table",
+    "evt_uplift_qini": (
+        "two bounded-grid windows: running rank-offset over the"
+        " DISTINCT-score grid (bounded by max per-user event count,"
+        " never user-count-sized) + cumulative sums over the 10-row"
+        " decile grid"
+    ),
     # dimension-/group-cardinality frames
     "agg_pareto_abc": "brand-level cumulative revenue share (dimension cardinality)",
     "agg_wilson_rank": "brand-level Wilson lower-bound ranking",
