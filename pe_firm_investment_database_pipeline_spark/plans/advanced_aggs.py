@@ -9014,11 +9014,12 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     with each division truncating at a fixed scale (terms at 1e12
     over ppm strengths; identical in both engines), then strengths
     renormalized to sum 5e6 so rounds are comparable. Scale shape:
-    ONE event scan -> (day, type) rollup; everything after lives on
-    the 5-type / 10-pair grid (broadcast-sized at any corpus). The
-    iteration is a bounded 2-step unroll over a dimension-sized
-    frame — the `graph_kcore_peel` discipline, not a join chain over
-    data-sized state."""
+    ONE event scan -> (day, type) rollup -> the pair grid collects
+    to a single row (<= 10 pair structs at any corpus size) and BOTH
+    MM rounds run as higher-order array expressions over it — the
+    `fin_irr_bisection` fold discipline; the first cut chained the
+    rounds through ~10 broadcast joins and paid ~6 s of job latency
+    for a grid-sized computation."""
     ev = load_table(spark, sf_dir, "events").select(
         F.expr("unix_date(ts_date)").alias("day"), "event_type"
     )
@@ -9031,11 +9032,6 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = daily.select(
         "day", F.col("event_type").alias("tb"), F.col("c").alias("cb")
     )
-    # the pair table is 10 rows (type-pair grid) but its lineage is
-    # corpus-sized; the 2-round MM chain below consumes it ~6 times,
-    # so flatten the lineage ONCE per call — the rag_mmr_rerank
-    # small-slate eager-checkpoint discipline (this is a per-call
-    # grid checkpoint, not a staged corpus front)
     pairs = (
         a.join(b, "day")
         .where(F.col("ta") < F.col("tb"))
@@ -9047,88 +9043,94 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wins_a"),
         )
-        .localCheckpoint(eager=True)
     )
-    totals = (
-        pairs.select(
-            F.col("ta").alias("t"),
-            F.col("games"),
-            F.col("wins_a").alias("wins"),
-        )
-        .union(
-            pairs.select(
-                F.col("tb").alias("t"),
-                F.col("games"),
-                (F.col("games") - F.col("wins_a")).alias("wins"),
-            )
-        )
-        .groupBy("t")
-        .agg(
-            F.sum("games").cast("long").alias("games"),
-            F.sum("wins").cast("long").alias("wins"),
-        )
+    # MM rounds as pure expressions over the COLLECTED pair grid (one
+    # row, <= 10 pair structs) — the fin_irr_bisection fold lesson: a
+    # 2-round update chain over a dimension-sized frame pays ~0.3 s of
+    # job latency per join, so the first join-chain cut ran ~6-10 s
+    # warm; as array expressions the whole fit is one tiny job. All
+    # arithmetic is long-safe: games is day-grid bounded (calendar),
+    # so games * 1e12 < 2^63 at any corpus size.
+    one = pairs.groupBy().agg(
+        F.expr(
+            "sort_array(collect_list(struct(ta, tb, games, wins_a)))"
+        ).alias("ps")
     )
-    # directed game view: (t, opp, g, w_t) both directions
-    directed = pairs.select(
-        F.col("ta").alias("t"), F.col("tb").alias("opp"), "games"
-    ).union(
-        pairs.select(
-            F.col("tb").alias("t"), F.col("ta").alias("opp"), "games"
-        )
-    )
-    weights = totals.select(
-        "t", F.lit(_BT_SCALE).cast("long").alias("w")
-    )
-    hist = []
-    for _ in range(2):
-        wt = weights.select(F.col("t"), F.col("w").alias("w_t"))
-        wo = weights.select(
-            F.col("t").alias("opp"), F.col("w").alias("w_o")
-        )
-        denom = (
-            directed.join(F.broadcast(wt), "t")
-            .join(F.broadcast(wo), "opp")
-            .groupBy("t")
-            .agg(
-                F.sum(
-                    F.expr(
-                        "(CAST(games AS DECIMAL(38,0)) * 1000000000000)"
-                        " div (w_t + w_o)"
-                    )
-                ).alias("d")
-            )
-        )
-        raw = (
-            totals.join(F.broadcast(denom), "t")
-            .select(
-                "t",
-                F.expr(
-                    "CASE WHEN d = 0 THEN CAST(1000000 AS BIGINT) ELSE"
-                    " CAST((CAST(wins AS DECIMAL(38,0)) * 1000000000000)"
-                    " div d AS BIGINT) END"
-                ).alias("w_raw"),
-            )
-        )
-        tot_w = raw.agg(F.sum("w_raw").alias("s"))
-        weights = raw.crossJoin(F.broadcast(tot_w)).select(
-            "t",
+    one = (
+        one.withColumn(
+            "types",
             F.expr(
-                "CAST((CAST(w_raw AS DECIMAL(38,0)) * 5000000) div s"
-                " AS BIGINT)"
-            ).alias("w"),
+                "array_sort(array_distinct(concat("
+                "transform(ps, p -> p.ta), transform(ps, p -> p.tb))))"
+            ),
         )
-        hist.append(
-            weights.select("t", F.col("w").alias(f"w{len(hist) + 1}_ppm"))
+        .withColumn(
+            "winsv",
+            F.expr(
+                "transform(types, t -> aggregate(ps, 0L, (a, p) ->"
+                " a + CASE WHEN p.ta = t THEN p.wins_a"
+                " WHEN p.tb = t THEN p.games - p.wins_a"
+                " ELSE 0L END))"
+            ),
         )
+        .withColumn(
+            "gmsv",
+            F.expr(
+                "transform(types, t -> aggregate(ps, 0L, (a, p) ->"
+                " a + IF(p.ta = t OR p.tb = t, p.games, 0L)))"
+            ),
+        )
+    )
+
+    def mm_round(w: str) -> tuple[str, str]:
+        """(raw, normalized) array exprs for one MM update of `w`."""
+        raw = (
+            "transform(types, t -> element_at(transform(array("
+            "aggregate(ps, 0L, (a, p) -> a + CASE"
+            f" WHEN p.ta = t THEN (p.games * 1000000000000)"
+            f" div (element_at({w}, CAST(array_position(types, t) AS INT))"
+            f" + element_at({w}, CAST(array_position(types, p.tb) AS INT)))"
+            f" WHEN p.tb = t THEN (p.games * 1000000000000)"
+            f" div (element_at({w}, CAST(array_position(types, t) AS INT))"
+            f" + element_at({w}, CAST(array_position(types, p.ta) AS INT)))"
+            " ELSE 0L END)), d -> CASE WHEN d = 0 THEN 1000000L"
+            " ELSE (element_at(winsv, CAST(array_position(types, t) AS INT))"
+            " * 1000000000000) div d END), 1))"
+        )
+        return raw
+
+    one = (
+        one.withColumn(
+            "raw1", F.expr(mm_round("transform(types, x -> 1000000L)"))
+        )
+        .withColumn(
+            "w1",
+            F.expr(
+                "transform(raw1, r -> (r * 5000000)"
+                " div aggregate(raw1, 0L, (a, x) -> a + x))"
+            ),
+        )
+        .withColumn("raw2", F.expr(mm_round("w1")))
+        .withColumn(
+            "w2",
+            F.expr(
+                "transform(raw2, r -> (r * 5000000)"
+                " div aggregate(raw2, 0L, (a, x) -> a + x))"
+            ),
+        )
+    )
     return (
-        totals.join(F.broadcast(hist[0]), "t")
-        .join(F.broadcast(hist[1]), "t")
+        one.select(
+            F.explode(
+                F.expr("arrays_zip(types, gmsv, winsv, w1, w2)")
+            ).alias("z")
+        )
         .select(
-            F.col("t").alias("event_type"),
-            "games",
-            "wins",
-            "w1_ppm",
-            "w2_ppm",
+            F.col("z.types").alias("event_type"),
+            F.col("z.gmsv").cast("long").alias("games"),
+            F.col("z.winsv").cast("long").alias("wins"),
+            F.col("z.w1").cast("long").alias("w1_ppm"),
+            F.col("z.w2").cast("long").alias("w2_ppm"),
         )
         .orderBy("event_type")
     )
