@@ -549,20 +549,20 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-grid-sized, and nothing ever leaves the blocked
     universe."""
     recs, pairs = _er_recs_and_pairs(spark, sf_dir)
-    # DELIBERATELY UNMATERIALIZED: the formatted plan shows the pairs
-    # subtree fanned out across the symmetrization and the unrolled
-    # propagation rounds (~111 scan nodes), but at EXECUTION Spark's
-    # ReuseExchange serves every duplicate from the same shuffle
-    # files — only cheap post-shuffle map stages re-run. Measured
-    # same-window A/B of an eager-localCheckpoint variant (edges +
-    # per-round labels): 0.81x at sf0.1 (job-launch overhead
-    # shrinks) but 1.13x at sf1.0 (materializing the edge list and
-    # three label tables costs more than the reused map work) — the
-    # checkpoint variant was REJECTED because the 10x point is the
-    # one that predicts cluster behavior (r10 BENCH_NOTES
-    # determination).
-    edges = _er_edges(pairs)
-    labels = recs.select("rec_id", F.col("rec_id").alias("lbl"))
+    # EAGER-CHECKPOINTED edge list + per-round labels. This decision
+    # is RE-VERDICTED each round (the alternative leaves the pairs
+    # subtree unmaterialized and lets ReuseExchange serve the ~111-
+    # node fan-out from one shuffle): the r10 A/B favored
+    # unmaterialized at sf1.0 (1.13x for the checkpoint), but the
+    # r11 extension-session quiet-window A/B flipped — checkpoint
+    # 0.59x at sf0.1 (3.7 vs 6.2 s) and 0.93x at sf1.0 (10.6 vs
+    # 11.3 s best-of-3 alternating) — job-launch latency on the
+    # re-run map stages now outweighs the materialization cost at
+    # both scales (r11 BENCH_NOTES determination).
+    edges = _er_edges(pairs).localCheckpoint(eager=True)
+    labels = recs.select(
+        "rec_id", F.col("rec_id").alias("lbl")
+    ).localCheckpoint(eager=True)
     for _ in range(_ER_ROUNDS):
         nbr = (
             edges.join(labels, edges.v == labels.rec_id)
@@ -577,6 +577,7 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
                 ).alias("lbl"),
             )
+            .localCheckpoint(eager=True)
         )
     clustered = recs.join(labels, "rec_id")
     surv = clustered.groupBy("lbl").agg(

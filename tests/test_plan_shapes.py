@@ -751,10 +751,11 @@ def test_er_pipeline_blocked_join_and_no_cartesian(spark):
     """er_pipeline_e2e's candidate generation is an equi-join on the
     skip-gram block key — pinned on the pair front (the full plan's
     fan-out makes node classes hard to attribute); the full plan must
-    stay cartesian-free. The fan-out itself is fine: ReuseExchange
-    serves the duplicated subtrees from one shuffle at execution (the
-    checkpoint alternative measured SLOWER at sf1.0 — see the r10
-    BENCH_NOTES determination)."""
+    stay cartesian-free. The entry now eager-checkpoints the edges
+    and per-round labels — the r11 quiet-window A/B flipped the r10
+    decision (checkpoint 0.59x at sf0.1, 0.93x at sf1.0; see the r11
+    BENCH_NOTES determination), so the front pin here is the one
+    place the blocked-join shape stays visible."""
     import io
     from contextlib import redirect_stdout
 
