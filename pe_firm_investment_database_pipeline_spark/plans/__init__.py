@@ -89,7 +89,13 @@ def all_queries() -> dict[str, QuerySpec]:
         "dedup_cdc_chunks",
         "ml_bradley_terry",
         "ts_matrix_profile",
-        # slots 20+: late-r10 staged-front consumers
+        # slot 22: plan flipped to the checkpointed variant this
+        # session (r11 BENCH_NOTES er determination) — re-verdict
+        "er_pipeline_e2e",
+        # slots 23-24: the real-codec multimodal legs (first verdicts)
+        "mm_decode_ppm",
+        "mm_decode_wav",
+        # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",
         "dedup_ngram_prefix",

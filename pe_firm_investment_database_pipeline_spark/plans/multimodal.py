@@ -2,9 +2,13 @@
 ``binary`` payload columns with typed metadata, decoded / feature-
 extracted / frame-sampled through Arrow-batched ``mapInPandas`` stages.
 
-The image/audio codec libraries are not in this container, so the
-DECODE step is stubbed (``decode_image_real`` raises
-NotImplementedError) behind a deterministic fake, but the Spark-side
+COMPRESSED codec libraries (PNG/JPEG/MP4) are not in this container,
+so that decode step is stubbed (``decode_image_real`` raises
+NotImplementedError) behind a deterministic fake — but the
+UNCOMPRESSED container formats need no library, and ``mm_decode_ppm``
+/ ``mm_decode_wav`` run REAL byte-level decodes (P6 header token
+parse; RIFF chunk walk + PCM16 samples) over genuine binary columns,
+closed-form oracle-checked. For the stubbed entries the Spark-side
 plumbing — binary schema, Arrow batch transfer, UDF signatures, 1→N
 frame explosion, partition behavior — is real and oracle-checked:
 every fake feature is a pure function of the payload bytes that DuckDB
@@ -798,7 +802,273 @@ FROM spine s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# mm_decode_ppm / mm_decode_wav — REAL codec legs (no library needed)
+# ---------------------------------------------------------------------------
+#
+# The compressed-codec decode (PNG/JPEG/MP4) remains the documented
+# environment stub above (decode_image_real) — but the UNCOMPRESSED
+# container formats need no codec library at all, so these two entries
+# run a genuinely real encode -> binary column -> parse-the-bytes
+# decode round trip: mm_decode_ppm writes and parses binary P6 PPM
+# (header tokens read FROM THE PAYLOAD, not from metadata), and
+# mm_decode_wav writes and walks a real RIFF/WAVE chunk layout
+# (fmt + data chunks located by tag scan) with PCM16-LE samples.
+# Payload content is a deterministic function of doc_id alone, so the
+# DuckDB oracle recomputes every decoded statistic CLOSED-FORM — the
+# decode path is hash-checked end to end. Scale shape: both stages are
+# Arrow-batched mapInPandas (batch in, batch out), embarrassingly
+# parallel per partition; the binary column travels between the encode
+# and decode stages exactly as real media bytes would.
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    import numpy as np
+
+    w, h = _ppm_dims(doc_id)
+    px = (doc_id * 131 + 17 * np.arange(3 * w * h, dtype=np.int64)) % 256
+    return f"P6\n{w} {h}\n255\n".encode() + px.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse binary P6 from the BYTES: magic, whitespace-separated
+    width/height/maxval tokens, then w*h*3 raw samples. Returns
+    (w, h, n_bytes, r_sum, g_sum, b_sum)."""
+    import numpy as np
+
+    assert payload[:2] == b"P6", "not a P6 PPM"
+    toks, pos, tok = [], 2, b""
+    while len(toks) < 3:
+        c = payload[pos : pos + 1]
+        pos += 1
+        if c.isspace():
+            if tok:
+                toks.append(int(tok))
+                tok = b""
+        else:
+            tok += c
+    w, h, maxval = toks
+    assert maxval == 255, "only 8-bit PPM supported"
+    raw = np.frombuffer(payload, dtype=np.uint8, count=3 * w * h, offset=pos)
+    raw = raw.astype(np.int64)
+    return (
+        w,
+        h,
+        len(payload),
+        int(raw[0::3].sum()),
+        int(raw[1::3].sum()),
+        int(raw[2::3].sum()),
+    )
+
+
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode over a binary column — P6 PPM needs no codec
+    library, so unlike the PNG/JPEG stub this entry truly parses the
+    payload bytes (module note above). Encode and decode are separate
+    Arrow-batched mapInPandas stages with the binary column between
+    them; every decoded statistic is closed-form recomputable by the
+    oracle because pixels are a pure function of doc_id."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_ppm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_ppm(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "height": pd.Series([r[1] for r in rows], dtype="int64"),
+                    "n_bytes": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "r_sum": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "g_sum": pd.Series([r[4] for r in rows], dtype="int64"),
+                    "b_sum": pd.Series([r[5] for r in rows], dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, width long, height long, n_bytes long,"
+            " r_sum long, g_sum long, b_sum long"
+        ),
+    )
+
+
+_MM_DECODE_PPM_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT d.doc_id, d.w, d.h, t.k,
+         (d.doc_id * 131 + t.k * 17) % 256 AS v
+  FROM dims d, UNNEST(range(0, 3 * d.w * d.h)) AS t(k)
+)
+SELECT doc_id,
+       CAST(MIN(w) AS BIGINT) AS width,
+       CAST(MIN(h) AS BIGINT) AS height,
+       CAST(length('P6' || chr(10) || MIN(w) || ' ' || MIN(h)
+                   || chr(10) || '255' || chr(10))
+            + 3 * MIN(w) * MIN(h) AS BIGINT) AS n_bytes,
+       CAST(SUM(CASE WHEN k % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+       CAST(SUM(CASE WHEN k % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+       CAST(SUM(CASE WHEN k % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+FROM px
+GROUP BY doc_id
+"""
+
+
+_WAV_RATE = 8000
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    return 200 + (doc_id % 50) * 4
+
+
+def encode_wav(doc_id: int) -> bytes:
+    import struct
+
+    import numpy as np
+
+    n = _wav_n_samples(doc_id)
+    s = ((doc_id * 31 + 7 * np.arange(n, dtype=np.int64)) % 4096) - 2048
+    data = s.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_RATE, _WAV_RATE * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Walk the RIFF chunk layout from the BYTES: verify RIFF/WAVE,
+    locate the fmt and data chunks by tag scan (not fixed offsets),
+    parse PCM16-LE samples. Returns (rate, n_samples, s_min, s_max,
+    s_sum, ss_sum)."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE", "not WAVE"
+    pos, rate, bits, samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body)
+            assert channels == 1 and bits == 16
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.int64)
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    assert rate is not None and samples is not None
+    return (
+        rate,
+        len(samples),
+        int(samples.min()),
+        int(samples.max()),
+        int(samples.sum()),
+        int((samples * samples).sum()),
+    )
+
+
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over a binary column — uncompressed
+    RIFF/WAVE PCM16 needs no codec library (module note above): the
+    decode stage walks the chunk layout from the payload bytes and
+    parses the samples with numpy. Oracle is closed-form over the
+    deterministic sample generator."""
+    ids = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    payloads = ids.mapInPandas(enc, schema="doc_id long, payload binary")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "n_samples": pd.Series(
+                        [r[1] for r in rows], dtype="int64"
+                    ),
+                    "s_min": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "s_max": pd.Series([r[3] for r in rows], dtype="int64"),
+                    "s_sum": pd.Series([r[4] for r in rows], dtype="int64"),
+                    "ss_sum": pd.Series([r[5] for r in rows], dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(
+        dec,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long,"
+            " s_min long, s_max long, s_sum long, ss_sum long"
+        ),
+    )
+
+
+_MM_DECODE_WAV_SQL = f"""
+WITH spec AS (
+  SELECT doc_id, 200 + (doc_id % 50) * 4 AS n FROM documents
+), smp AS (
+  SELECT s.doc_id, s.n,
+         (s.doc_id * 31 + t.k * 7) % 4096 - 2048 AS v
+  FROM spec s, UNNEST(range(0, s.n)) AS t(k)
+)
+SELECT doc_id,
+       CAST({_WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(MIN(n) AS BIGINT) AS n_samples,
+       CAST(MIN(v) AS BIGINT) AS s_min,
+       CAST(MAX(v) AS BIGINT) AS s_max,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(SUM(v * v) AS BIGINT) AS ss_sum
+FROM smp
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "mm_decode_ppm": QuerySpec(
+        mm_decode_ppm,
+        _MM_DECODE_PPM_SQL,
+        ("multimodal", "codec", "real-decode"),
+    ),
+    "mm_decode_wav": QuerySpec(
+        mm_decode_wav,
+        _MM_DECODE_WAV_SQL,
+        ("multimodal", "codec", "real-decode"),
+    ),
     "mm_binary_meta": QuerySpec(
         mm_binary_meta, _MM_BINARY_META_SQL, ("multimodal", "binary")
     ),

@@ -375,3 +375,67 @@ def test_matrix_profile_replays_brute_force(spark, sf_dir):
         assert out[t]["discord_day"] == best[2], t
         assert out[t]["mp_dist2"] == -best[0], t
         assert out[t]["nn_idx"] == best[3], t
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_ppm / mm_decode_wav — the REAL codec legs
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_decode_is_real_parsing():
+    import struct
+
+    import pytest
+
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    # roundtrip on edge dims and larger ids
+    for d in (0, 3, 4, 19, 123456):
+        w, h, n_bytes, r, g, b = decode_ppm(encode_ppm(d))
+        assert (w, h) == (4 + d % 5, 3 + d % 4)
+        payload = encode_ppm(d)
+        assert n_bytes == len(payload)
+    # corrupt magic must be REJECTED (a fake decoder wouldn't care)
+    bad = b"P5" + encode_ppm(7)[2:]
+    with pytest.raises(AssertionError):
+        decode_ppm(bad)
+    # a maxval other than 255 must be rejected
+    bad2 = encode_ppm(7).replace(b"255\n", b"65535\n", 1)
+    with pytest.raises(AssertionError):
+        decode_ppm(bad2)
+    del struct
+
+
+def test_wav_decode_walks_chunks():
+    import struct
+
+    import pytest
+
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        _wav_n_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate, n, s_min, s_max, s_sum, ss = decode_wav(encode_wav(11))
+    assert rate == 8000 and n == _wav_n_samples(11)
+    # decode must WALK chunks, not assume fixed offsets: insert an
+    # unknown odd-sized chunk between fmt and data (with RIFF pad
+    # byte) and the parse must still find the data chunk
+    raw = encode_wav(11)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    patched = (
+        raw[:4]
+        + struct.pack("<I", struct.unpack("<I", raw[4:8])[0] + len(extra))
+        + raw[8:fmt_end]
+        + extra
+        + raw[fmt_end:]
+    )
+    assert decode_wav(patched) == (rate, n, s_min, s_max, s_sum, ss)
+    # non-WAVE container rejected
+    with pytest.raises(AssertionError):
+        decode_wav(b"RIFF" + raw[4:8] + b"AVI " + raw[12:])

@@ -222,6 +222,9 @@ HEAVY = [
     # iteration, and the calendar-bounded all-pairs subsequence join
     "ml_bradley_terry",
     "ts_matrix_profile",
+    # round-11b third wave: the real-codec Arrow decode legs
+    "mm_decode_ppm",
+    "mm_decode_wav",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
