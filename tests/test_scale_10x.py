@@ -225,6 +225,13 @@ HEAVY = [
     # round-11b third wave: the real-codec Arrow decode legs
     "mm_decode_ppm",
     "mm_decode_wav",
+    # heavy-tail closure for the (elevated-window) r11 record: the
+    # four >1.5 s readings without sf1.0 rows — the star join and the
+    # three windowed-streaming entries (fixed state-store cost)
+    "join_star_q5_local",
+    "stream_session",
+    "stream_sliding",
+    "stream_tumbling",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
