@@ -95,6 +95,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # slots 23-24: the real-codec multimodal legs (first verdicts)
         "mm_decode_ppm",
         "mm_decode_wav",
+        # slot 25: exact micro-bits PSI (first verdict)
+        "profile_psi_bits",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

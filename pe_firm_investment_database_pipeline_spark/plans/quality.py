@@ -2830,6 +2830,142 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# profile_psi_bits — Population Stability Index in exact micro-bits
+# ---------------------------------------------------------------------------
+
+
+def _log2u(x: str) -> str:
+    """floor(log2({x}) * 1e6) for a positive int64 expression, exact:
+    exponent from the bin()-string length, mantissa from the shared
+    64-entry Python-precomputed table (the txt_doc_perplexity
+    decomposition — never libm inside a hash-compared query)."""
+    from .textops import _LOG2U_SPARK
+
+    e = f"CAST(length(bin({x})) - 1 AS BIGINT)"
+    m = f"(({x}) * 64) div shiftleft(CAST(1 AS BIGINT), {e})"
+    return f"({e} * 1000000 + element_at({_LOG2U_SPARK}, CAST({m} - 63 AS INT)))"
+
+
+def profile_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX — the drift metric every ML
+    monitoring stack reports (banking's standard go/no-go for model
+    retraining): PSI = sum over bins of (actual_share -
+    expected_share) * log(actual_share / expected_share), here in
+    exact integer MICRO-BITS (log base 2 — a fixed log2(e) factor
+    off the nats convention, monotone in it, and hash-identical
+    across engines). Bins are the event types; expected = early-
+    epoch share, actual = late-epoch share (the `profile_drift`
+    epoch split at the in-plan time-axis midpoint), both
+    Laplace-smoothed ((cnt+1)/(tot+bins)) so an absent bin never
+    hits log(0). Each bin's term is >= 0 by construction (both
+    factors share a sign; the floor-log2 is weakly monotone). Scale
+    shape: one event scan -> per-(type, epoch) counts; everything
+    after is type-grid expressions + one 1-row broadcast of the
+    epoch totals and the PSI total."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts_us")
+    lim = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid_us"))
+    # the (type, epoch) count grid is bins-sized but its lineage is
+    # corpus-sized and three consumers read it (totals, shares, PSI
+    # total) — flatten once per call (the ml_bradley_terry grid-
+    # checkpoint discipline)
+    cnt = (
+        ev.crossJoin(F.broadcast(lim))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_us") < F.col("mid_us"), 1).otherwise(0)
+            ).alias("cnt_early"),
+            F.sum(
+                F.when(F.col("ts_us") >= F.col("mid_us"), 1).otherwise(0)
+            ).alias("cnt_late"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.agg(
+        F.sum("cnt_early").alias("tot_early"),
+        F.sum("cnt_late").alias("tot_late"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    shares = cnt.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("cnt_early").cast("long").alias("cnt_early"),
+        F.col("cnt_late").cast("long").alias("cnt_late"),
+        F.expr(
+            "((cnt_early + 1) * 1000000) div (tot_early + n_bins)"
+        ).alias("e_ppm"),
+        F.expr(
+            "((cnt_late + 1) * 1000000) div (tot_late + n_bins)"
+        ).alias("a_ppm"),
+    )
+    term = (
+        f"CAST((a_ppm - e_ppm) * ({_log2u('a_ppm')} - {_log2u('e_ppm')})"
+        " div 1000000 AS BIGINT)"
+    )
+    perbin = shares.withColumn("psi_term_ubits", F.expr(term))
+    psi = perbin.agg(
+        F.sum("psi_term_ubits").cast("long").alias("psi_total_ubits")
+    )
+    return (
+        perbin.crossJoin(F.broadcast(psi))
+        .select(
+            "event_type",
+            "cnt_early",
+            "cnt_late",
+            "e_ppm",
+            "a_ppm",
+            "psi_term_ubits",
+            "psi_total_ubits",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _psi_sql() -> str:
+    from .textops import _LOG2U_DUCK
+
+    def log2u(x: str) -> str:
+        e = f"CAST(length(bin({x})) - 1 AS BIGINT)"
+        m = f"(({x}) * 64) // (CAST(1 AS BIGINT) << ({e}))"
+        return f"({e} * 1000000 + {_LOG2U_DUCK}[CAST({m} - 63 AS INT)])"
+
+    term = (
+        f"CAST((a_ppm - e_ppm) * ({log2u('a_ppm')} - {log2u('e_ppm')})"
+        " // 1000000 AS BIGINT)"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts::TIMESTAMP) AS ts_us FROM events
+), lim AS (
+  SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid_us FROM ev
+), cnt AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt_early,
+         CAST(SUM(CASE WHEN ts_us >= mid_us THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt_late
+  FROM ev CROSS JOIN lim GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(cnt_early) AS BIGINT) AS tot_early,
+         CAST(SUM(cnt_late) AS BIGINT) AS tot_late,
+         CAST(COUNT(*) AS BIGINT) AS n_bins
+  FROM cnt
+), shares AS (
+  SELECT event_type, cnt_early, cnt_late,
+         ((cnt_early + 1) * 1000000) // (tot_early + n_bins) AS e_ppm,
+         ((cnt_late + 1) * 1000000) // (tot_late + n_bins) AS a_ppm
+  FROM cnt CROSS JOIN tot
+), perbin AS (
+  SELECT *, {term} AS psi_term_ubits FROM shares
+)
+SELECT event_type, cnt_early, cnt_late, e_ppm, a_ppm, psi_term_ubits,
+       CAST((SELECT SUM(psi_term_ubits) FROM perbin) AS BIGINT)
+         AS psi_total_ubits
+FROM perbin
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # evt_uplift_qini — uplift-by-decile readout with the Qini curve
 # ---------------------------------------------------------------------------
 
@@ -3033,6 +3169,11 @@ FROM cum
 
 
 QUERIES = {
+    "profile_psi_bits": QuerySpec(
+        profile_psi_bits,
+        _psi_sql(),
+        ("profile", "drift", "psi", "monitoring"),
+    ),
     "evt_uplift_qini": QuerySpec(
         evt_uplift_qini,
         _qini_sql(),

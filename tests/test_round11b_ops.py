@@ -439,3 +439,56 @@ def test_wav_decode_walks_chunks():
     # non-WAVE container rejected
     with pytest.raises(AssertionError):
         decode_wav(b"RIFF" + raw[4:8] + b"AVI " + raw[12:])
+
+
+# ---------------------------------------------------------------------------
+# profile_psi_bits
+# ---------------------------------------------------------------------------
+
+
+def test_psi_replays_in_python(spark, sf_dir):
+    import math
+
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _LOG2U_TABLE,
+    )
+
+    def log2u(x):
+        e = x.bit_length() - 1
+        m = (x * 64) // (1 << e)
+        return e * 1000000 + _LOG2U_TABLE[m - 64]
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts_us")
+        .collect()
+    )
+    ts = [r["ts_us"] for r in ev]
+    mid = (min(ts) + max(ts)) // 2
+    early, late = Counter(), Counter()
+    for r in ev:
+        (early if r["ts_us"] < mid else late)[r["event_type"]] += 1
+    types = sorted(set(early) | set(late))
+    te, tl, nb = sum(early.values()), sum(late.values()), len(types)
+    expect = {}
+    total = 0
+    for t in types:
+        e_ppm = ((early[t] + 1) * 1000000) // (te + nb)
+        a_ppm = ((late[t] + 1) * 1000000) // (tl + nb)
+        term = (a_ppm - e_ppm) * (log2u(a_ppm) - log2u(e_ppm)) // 1000000
+        assert term >= 0, "PSI terms are non-negative by construction"
+        # floor-log2 is within 1/64-step of true log2
+        assert abs(log2u(a_ppm) / 1e6 - math.log2(a_ppm)) < 0.023
+        expect[t] = (early[t], late[t], e_ppm, a_ppm, term)
+        total += term
+    out = _Q["profile_psi_bits"].fn(spark, sf_dir).collect()
+    assert len(out) == nb
+    for r in out:
+        assert expect[r["event_type"]] == (
+            r["cnt_early"],
+            r["cnt_late"],
+            r["e_ppm"],
+            r["a_ppm"],
+            r["psi_term_ubits"],
+        ), r["event_type"]
+        assert r["psi_total_ubits"] == total

@@ -232,6 +232,8 @@ HEAVY = [
     "stream_session",
     "stream_sliding",
     "stream_tumbling",
+    # exact micro-bits PSI: one event scan + type-grid expressions
+    "profile_psi_bits",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
