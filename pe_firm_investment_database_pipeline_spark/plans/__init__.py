@@ -97,6 +97,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "mm_decode_wav",
         # slot 25: exact micro-bits PSI (first verdict)
         "profile_psi_bits",
+        # slot 26: tokenizer fertility audit (first verdict)
+        "txt_tokenizer_fertility",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

@@ -1395,6 +1395,86 @@ FROM staged
 
 
 # ---------------------------------------------------------------------------
+# txt_tokenizer_fertility — tokenizer efficiency per language
+# ---------------------------------------------------------------------------
+
+
+def txt_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY per language — the tokenizer-efficiency
+    audit every multilingual pretraining run reports: fertility =
+    subword pieces per whitespace word (how many pieces the
+    tokenizer shatters a word into; high-fertility languages pay
+    more sequence length per sentence) and bytes per piece
+    (compression of the byte stream into the model's unit). The
+    subword unit here is the FIXED-STRIDE proxy ceil(len(word)/4) —
+    a real tokenizer's piece count is model-weight-dependent, but
+    the stride proxy has the same shape (monotone in word length,
+    sums per corpus) and, unlike a pretokenizer regex on this
+    punctuation-free fixture, actually varies by language. Exact
+    integer ratios over corpus-level sums (ppm / milli), one
+    document scan, language-grid output — the per-language token
+    budget table that feeds sampling-temperature choices upstream of
+    `samp_domain_mixture`."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        F.expr(f"CAST(size({_TOKENS}) AS BIGINT)").alias("words"),
+        F.expr(
+            f"aggregate({_TOKENS}, 0L,"
+            " (a, w) -> a + (length(w) + 3) div 4)"
+        ).alias("pieces"),
+        F.expr("CAST(octet_length(text) AS BIGINT)").alias("bytes"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("pieces").cast("long").alias("subword_pieces"),
+        F.sum("bytes").cast("long").alias("text_bytes"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "words",
+        "subword_pieces",
+        "text_bytes",
+        F.expr(
+            "CASE WHEN words = 0 THEN NULL"
+            " ELSE (subword_pieces * 1000000) div words END"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CASE WHEN subword_pieces = 0 THEN NULL"
+            " ELSE (text_bytes * 1000) div subword_pieces END"
+        ).alias("bytes_per_piece_milli"),
+    ).orderBy("lang")
+
+
+_TXT_TOKENIZER_FERTILITY_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS words,
+         CAST(list_sum(list_transform({_TOKENS_DUCK},
+              w -> (length(w) + 3) // 4)) AS BIGINT) AS pieces,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+  FROM documents
+), g AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(words) AS BIGINT) AS words,
+         CAST(SUM(pieces) AS BIGINT) AS subword_pieces,
+         CAST(SUM(bytes) AS BIGINT) AS text_bytes
+  FROM per GROUP BY lang
+)
+SELECT lang, n_docs, words, subword_pieces, text_bytes,
+       CASE WHEN words = 0 THEN NULL
+            ELSE (subword_pieces * 1000000) // words END AS fertility_ppm,
+       CASE WHEN subword_pieces = 0 THEN NULL
+            ELSE (text_bytes * 1000) // subword_pieces END
+         AS bytes_per_piece_milli
+FROM g
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # txt_ngram_stats — corpus-level n-gram frequencies (top-k)
 # ---------------------------------------------------------------------------
 
@@ -3926,6 +4006,11 @@ LIMIT 20
 
 
 QUERIES = {
+    "txt_tokenizer_fertility": QuerySpec(
+        txt_tokenizer_fertility,
+        _TXT_TOKENIZER_FERTILITY_SQL,
+        ("text", "tokenizer", "fertility", "multilingual"),
+    ),
     "dedup_cdc_chunks": QuerySpec(
         dedup_cdc_chunks,
         _DEDUP_CDC_CHUNKS_SQL,

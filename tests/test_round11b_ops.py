@@ -492,3 +492,34 @@ def test_psi_replays_in_python(spark, sf_dir):
             r["psi_term_ubits"],
         ), r["event_type"]
         assert r["psi_total_ubits"] == total
+
+
+# ---------------------------------------------------------------------------
+# txt_tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_fertility_replays_in_python(spark, sf_dir):
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "text")
+        .collect()
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs words pieces bytes
+    for r in rows:
+        ws = re.findall(r"\S+", r["text"])
+        a = agg[r["lang"]]
+        a[0] += 1
+        a[1] += len(ws)
+        a[2] += sum((len(w) + 3) // 4 for w in ws)
+        a[3] += len(r["text"].encode())
+    out = _Q["txt_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    assert len(out) == len(agg)
+    for r in out:
+        d, w, p, b = agg[r["lang"]]
+        assert (r["n_docs"], r["words"], r["subword_pieces"],
+                r["text_bytes"]) == (d, w, p, b), r["lang"]
+        assert r["fertility_ppm"] == ((p * 1000000) // w if w else None)
+        assert r["bytes_per_piece_milli"] == ((b * 1000) // p if p else None)
+        # fixed-stride fertility is >= 1 word-for-word
+        assert r["fertility_ppm"] >= 1000000

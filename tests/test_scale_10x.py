@@ -234,6 +234,8 @@ HEAVY = [
     "stream_tumbling",
     # exact micro-bits PSI: one event scan + type-grid expressions
     "profile_psi_bits",
+    # tokenizer fertility: one doc scan, language-grid output
+    "txt_tokenizer_fertility",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).

@@ -86,6 +86,13 @@ def main():
     parts = os.environ.get("SPARK_GRAFT_SIM_SHUFFLE")
     if parts:
         builder = builder.config("spark.sql.shuffle.partitions", parts)
+    # Optional probe: every result must be PHYSICAL-PLAN-INVARIANT
+    # under adaptive execution — AQE re-plans joins/partitions at
+    # runtime, and no operator may leak that choice into its output
+    # (the broadcast-vs-SMJ and coalesced-partition classes).
+    # SPARK_GRAFT_SIM_AQE=0 runs the sweep with AQE disabled.
+    if os.environ.get("SPARK_GRAFT_SIM_AQE") == "0":
+        builder = builder.config("spark.sql.adaptive.enabled", "false")
     spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
