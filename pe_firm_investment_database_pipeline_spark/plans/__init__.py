@@ -99,6 +99,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "profile_psi_bits",
         # slot 26: tokenizer fertility audit (first verdict)
         "txt_tokenizer_fertility",
+        # slots 27-28: the Markov pair (first verdicts)
+        "evt_path_entropy",
+        "evt_markov_absorption",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

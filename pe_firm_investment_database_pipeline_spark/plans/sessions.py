@@ -1154,7 +1154,269 @@ FROM live GROUP BY snap, live_day
 """
 
 
+# ---------------------------------------------------------------------------
+# evt_path_entropy — next-action entropy per state (micro-bits)
+# ---------------------------------------------------------------------------
+
+
+def evt_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEXT-ACTION ENTROPY per event type — how PREDICTABLE a user's
+    next step is from each state (the behavioral-predictability score
+    next to `evt_transition_matrix`'s raw probabilities; low entropy
+    = funnel-like deterministic flow, high = browsing): H(state) =
+    sum_j p_ij * -log2 p_ij over the outgoing transition
+    distribution, in exact integer MICRO-BITS. -log2 p decomposes as
+    log2(total) - log2(n) with each log2 computed by the shared
+    bin()-length + mantissa-table machinery (`profile_psi_bits`
+    discipline) — no libm anywhere. Scale shape: one lag() window on
+    the user axis + the |types|^2 grid; entropy is grid expressions.
+    Entropy is >= 0 by construction (log2u is weakly monotone and
+    n <= total)."""
+    from .quality import _log2u
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wf = W.partitionBy("from_type")
+    terms = pairs.withColumn(
+        "tot", F.sum("n").over(wf).cast("long")
+    ).withColumn(
+        "term_ub",
+        F.expr(
+            f"CAST(n * ({_log2u('tot')} - {_log2u('n')}) div tot AS BIGINT)"
+        ),
+    )
+    return (
+        terms.groupBy("from_type")
+        .agg(
+            F.max("tot").cast("long").alias("n_out"),
+            F.count(F.lit(1)).cast("long").alias("n_next_types"),
+            F.sum("term_ub").cast("long").alias("entropy_ubits"),
+        )
+        .orderBy("from_type")
+    )
+
+
+def _evt_path_entropy_sql() -> str:
+    from .quality import _psi_sql  # noqa: F401  (machinery parity)
+    from .textops import _LOG2U_DUCK
+
+    def log2u(x: str) -> str:
+        e = f"CAST(length(bin({x})) - 1 AS BIGINT)"
+        m = f"(({x}) * 64) // (CAST(1 AS BIGINT) << ({e}))"
+        return f"({e} * 1000000 + {_LOG2U_DUCK}[CAST({m} - 63 AS INT)])"
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), pr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS from_type,
+         event_type AS to_type
+  FROM ev
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pr WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+), terms AS (
+  SELECT from_type, n,
+         CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS tot
+  FROM pairs
+)
+SELECT from_type,
+       CAST(MAX(tot) AS BIGINT) AS n_out,
+       CAST(COUNT(*) AS BIGINT) AS n_next_types,
+       CAST(SUM(n * ({log2u("tot")} - {log2u("n")}) // tot)
+            AS BIGINT) AS entropy_ubits
+FROM terms
+GROUP BY from_type
+ORDER BY from_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# evt_markov_absorption — truncated Neumann absorption analysis
+# ---------------------------------------------------------------------------
+
+_ABSORB_STATE = "purchase"
+_ABSORB_TERMS = 3  # N ~ I + Q + Q^2 + Q^3 (truncated Neumann series)
+
+
+def evt_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSORPTION ANALYSIS of the event-type Markov chain — treat
+    'purchase' as the absorbing state and ask, from each transient
+    state: how likely is next-step absorption, and how many visits
+    does the chain spend in transient states before converting? The
+    fundamental matrix N = (I - Q)^-1 needs an inverse; at fixed
+    precision the production shape is the TRUNCATED NEUMANN SERIES
+    N ~ I + Q + Q^2 + Q^3 (documented truncation — each extra term
+    adds one grid matmul), with Q in exact integer permille and each
+    matmul element flooring ONCE after its 4-term dot product —
+    bit-identical in both engines. Scale shape: one lag() window
+    derives the pair counts; the count grid (<= |types|^2 structs)
+    collects to ONE row and all three matmuls run as higher-order
+    array expressions over it (the ml_bradley_terry fold discipline
+    — a 16-row matmul join chain would pay job latency for
+    grid-sized math). Output per transient state: outgoing total,
+    1-step absorption permille, and expected transient visits x1000
+    (the row sum of N)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    one = pairs.groupBy().agg(
+        F.expr(
+            "sort_array(collect_list(struct(from_type, to_type, n)))"
+        ).alias("ps")
+    )
+    # transient state list: every from-state except the absorber
+    one = one.withColumn(
+        "sts",
+        F.expr(
+            "array_sort(array_distinct(filter(transform(ps,"
+            f" p -> p.from_type), t -> t != '{_ABSORB_STATE}')))"
+        ),
+    ).withColumn("k", F.expr("size(sts)"))
+    # helper exprs over the one-row frame
+    cnt = (
+        "aggregate(ps, 0L, (a, p) -> a +"
+        " IF(p.from_type = {f} AND p.to_type = {t}, p.n, 0L))"
+    )
+    tot_f = "aggregate(ps, 0L, (a, p) -> a + IF(p.from_type = {f}, p.n, 0L))"
+    one = one.withColumn(
+        "q",
+        F.expr(
+            "transform(sequence(0, k * k - 1), c ->"
+            " element_at(transform(array(struct("
+            "   element_at(sts, CAST(c div k AS INT) + 1) AS f,"
+            "   element_at(sts, CAST(c % k AS INT) + 1) AS t)), z ->"
+            f" ({cnt.format(f='z.f', t='z.t')} * 1000)"
+            f" div greatest({tot_f.format(f='z.f')}, 1L)), 1))"
+        ),
+    )
+
+    def matmul(a: str, b: str) -> str:
+        return (
+            "transform(sequence(0, k * k - 1), c ->"
+            " aggregate(sequence(0, k - 1), 0L, (acc, m) -> acc"
+            f" + element_at({a}, CAST(c div k AS INT) * k + m + 1)"
+            f" * element_at({b}, m * k + CAST(c % k AS INT) + 1))"
+            " div 1000)"
+        )
+
+    one = one.withColumn("q2", F.expr(matmul("q", "q"))).withColumn(
+        "q3", F.expr(matmul("q2", "q"))
+    )
+    one = one.withColumn(
+        "nmat",
+        F.expr(
+            "transform(sequence(0, k * k - 1), c ->"
+            " IF(c div k = c % k, 1000L, 0L) + element_at(q, CAST(c AS INT)"
+            " + 1) + element_at(q2, CAST(c AS INT) + 1)"
+            " + element_at(q3, CAST(c AS INT) + 1))"
+        ),
+    )
+    rows = one.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, k - 1), i -> struct("
+                " element_at(sts, CAST(i AS INT) + 1) AS from_type,"
+                f" {tot_f.format(f='element_at(sts, CAST(i AS INT) + 1)')}"
+                "   AS n_out,"
+                f" ({cnt.format(f='element_at(sts, CAST(i AS INT) + 1)', t=repr(_ABSORB_STATE))}"
+                "  * 1000) div greatest("
+                f" {tot_f.format(f='element_at(sts, CAST(i AS INT) + 1)')},"
+                " 1L) AS p_absorb_pml,"
+                " aggregate(sequence(0, k - 1), 0L, (acc, j) -> acc"
+                " + element_at(nmat, CAST(i AS INT) * k + j + 1))"
+                "   AS visits_x1000))"
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.from_type").alias("from_type"),
+        F.col("r.n_out").cast("long").alias("n_out"),
+        F.col("r.p_absorb_pml").cast("long").alias("p_absorb_pml"),
+        F.col("r.visits_x1000").cast("long").alias("visits_x1000"),
+    ).orderBy("from_type")
+
+
+def _evt_markov_absorption_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us, event_id
+  FROM events
+), pr AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS from_type,
+         event_type AS to_type
+  FROM ev
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pr WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+), tots AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+  FROM pairs GROUP BY from_type
+), sts AS (
+  SELECT from_type AS s FROM tots WHERE from_type <> '{_ABSORB_STATE}'
+), q AS (
+  SELECT a.s AS i, b.s AS j,
+         COALESCE((p.n * 1000) // GREATEST(t.tot, 1), 0) AS v
+  FROM sts a
+  CROSS JOIN sts b
+  JOIN tots t ON t.from_type = a.s
+  LEFT JOIN pairs p ON p.from_type = a.s AND p.to_type = b.s
+), q2 AS (
+  SELECT a.i, b.j, CAST(SUM(a.v * b.v) // 1000 AS BIGINT) AS v
+  FROM q a JOIN q b ON a.j = b.i GROUP BY a.i, b.j
+), q3 AS (
+  SELECT a.i, b.j, CAST(SUM(a.v * b.v) // 1000 AS BIGINT) AS v
+  FROM q2 a JOIN q b ON a.j = b.i GROUP BY a.i, b.j
+), nmat AS (
+  SELECT i, j, CAST(SUM(v) AS BIGINT) AS v FROM (
+    SELECT s AS i, s AS j, CAST(1000 AS BIGINT) AS v FROM sts
+    UNION ALL SELECT i, j, v FROM q
+    UNION ALL SELECT i, j, v FROM q2
+    UNION ALL SELECT i, j, v FROM q3)
+  GROUP BY i, j
+)
+SELECT s.s AS from_type,
+       CAST(t.tot AS BIGINT) AS n_out,
+       CAST(COALESCE((p.n * 1000) // GREATEST(t.tot, 1), 0) AS BIGINT)
+         AS p_absorb_pml,
+       CAST((SELECT SUM(v) FROM nmat WHERE nmat.i = s.s) AS BIGINT)
+         AS visits_x1000
+FROM sts s
+JOIN tots t ON t.from_type = s.s
+LEFT JOIN pairs p ON p.from_type = s.s AND p.to_type = '{_ABSORB_STATE}'
+ORDER BY from_type
+"""
+
+
 QUERIES = {
+    "evt_path_entropy": QuerySpec(
+        evt_path_entropy,
+        _evt_path_entropy_sql(),
+        ("events", "markov", "entropy", "predictability"),
+    ),
+    "evt_markov_absorption": QuerySpec(
+        evt_markov_absorption,
+        _evt_markov_absorption_sql(),
+        ("events", "markov", "absorption", "neumann"),
+    ),
     "evt_peak_concurrency": QuerySpec(
         evt_peak_concurrency,
         _peak_concurrency_sql(),

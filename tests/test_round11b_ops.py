@@ -523,3 +523,98 @@ def test_tokenizer_fertility_replays_in_python(spark, sf_dir):
         assert r["bytes_per_piece_milli"] == ((b * 1000) // p if p else None)
         # fixed-stride fertility is >= 1 word-for-word
         assert r["fertility_ppm"] >= 1000000
+
+
+# ---------------------------------------------------------------------------
+# evt_path_entropy / evt_markov_absorption
+# ---------------------------------------------------------------------------
+
+
+def _transition_counts(spark, sf_dir):
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .collect()
+    )
+    byu = defaultdict(list)
+    for r in ev:
+        byu[r["user_id"]].append((r["ts_us"], r["event_id"], r["event_type"]))
+    pairs = Counter()
+    for seq in byu.values():
+        seq.sort()
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a[2], b[2])] += 1
+    return pairs
+
+
+def _log2u_py(x):
+    from pe_firm_investment_database_pipeline_spark.plans.textops import (
+        _LOG2U_TABLE,
+    )
+
+    e = x.bit_length() - 1
+    return e * 1000000 + _LOG2U_TABLE[(x * 64 >> e) - 64]
+
+
+def test_path_entropy_replays_and_is_bounded(spark, sf_dir):
+    pairs = _transition_counts(spark, sf_dir)
+    tot = Counter()
+    for (f, _), n in pairs.items():
+        tot[f] += n
+    out = _Q["evt_path_entropy"].fn(spark, sf_dir).collect()
+    for r in out:
+        f = r["from_type"]
+        terms = [
+            n * (_log2u_py(tot[f]) - _log2u_py(n)) // tot[f]
+            for (ff, _), n in pairs.items()
+            if ff == f
+        ]
+        assert r["n_out"] == tot[f]
+        assert r["entropy_ubits"] == sum(terms), f
+        # bounded by log2(branching factor) + one mantissa step of
+        # floor slack (the 64-entry table quantizes log2 to ~1/64
+        # bit = 22,566 micro-bits; each term's two floored log2u
+        # calls can overstate the true -log2 p by at most one step)
+        assert (
+            0
+            <= r["entropy_ubits"]
+            <= _log2u_py(r["n_next_types"]) + 22566
+        )
+
+
+def test_markov_absorption_replays_matmuls(spark, sf_dir):
+    pairs = _transition_counts(spark, sf_dir)
+    tot = Counter()
+    for (f, _), n in pairs.items():
+        tot[f] += n
+    sts = sorted(f for f in tot if f != "purchase")
+    k = len(sts)
+    q = [
+        [(pairs.get((a, b), 0) * 1000) // max(tot[a], 1) for b in sts]
+        for a in sts
+    ]
+
+    def mm(a, b):
+        return [
+            [
+                sum(a[i][m] * b[m][j] for m in range(k)) // 1000
+                for j in range(k)
+            ]
+            for i in range(k)
+        ]
+
+    q2 = mm(q, q)
+    q3 = mm(q2, q)
+    out = _Q["evt_markov_absorption"].fn(spark, sf_dir).collect()
+    assert [r["from_type"] for r in out] == sts
+    for i, r in enumerate(out):
+        a = sts[i]
+        assert r["n_out"] == tot[a]
+        assert r["p_absorb_pml"] == (
+            pairs.get((a, "purchase"), 0) * 1000
+        ) // max(tot[a], 1)
+        visits = sum(
+            (1000 if i == j else 0) + q[i][j] + q2[i][j] + q3[i][j]
+            for j in range(k)
+        )
+        assert r["visits_x1000"] == visits, a

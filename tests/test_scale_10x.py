@@ -236,6 +236,9 @@ HEAVY = [
     "profile_psi_bits",
     # tokenizer fertility: one doc scan, language-grid output
     "txt_tokenizer_fertility",
+    # Markov pair: one user-axis lag window + grid expressions
+    "evt_path_entropy",
+    "evt_markov_absorption",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
