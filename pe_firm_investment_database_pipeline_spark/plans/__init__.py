@@ -102,6 +102,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # slots 27-28: the Markov pair (first verdicts)
         "evt_path_entropy",
         "evt_markov_absorption",
+        # slot 29: join-view IVM (first verdict)
+        "ivm_join_delta",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

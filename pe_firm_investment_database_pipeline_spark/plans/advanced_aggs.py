@@ -8992,6 +8992,134 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# ivm_join_delta — incremental maintenance of a JOIN view
+# ---------------------------------------------------------------------------
+
+_IVM_JOIN_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _ivm_join_splits(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        cents("o_totalprice").alias("price_c"),
+        (F.col("o_orderkey") % 2 == 0).alias("o_old"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        (F.col("c_custkey") % 11 != 0).alias("c_old"),
+    )
+    return o, c
+
+
+def _ivm_join_base_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, c = _ivm_join_splits(spark, sf_dir)
+    return (
+        o.where("o_old")
+        .join(F.broadcast(c.where("c_old")), o.o_custkey == c.c_custkey)
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_base"),
+            F.sum("price_c").cast("long").alias("sum_base_c"),
+        )
+    )
+
+
+def _ivm_join_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoize(
+        _IVM_JOIN_CACHE,
+        staged_key(spark, sf_dir, "ivm_join_base"),
+        lambda: _ivm_join_base_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE of a JOIN view — the bilinear
+    twin of `ivm_agg_merge`'s monoid case and the identity every
+    materialized join view rests on:
+
+        (A u dA) x (B u dB) = AxB  u  dAxB  u  AxdB  u  dAxdB
+
+    The standing per-nation rollup of old-orders x old-customers is
+    a memoized materialized view (read, never recomputed, on
+    refresh); the three delta components each touch AT MOST one full
+    side (new-orders x old-customers, old-orders x new-customers,
+    new x new), so a refresh pays delta-sized join work plus a
+    nation-grid merge — never the base x base join again. The oracle
+    recomputes everything from the full join with a CASE component
+    split, so hash parity IS the bilinear identity checked
+    end-to-end, component by component. Splits are key-mod slices
+    (orders by parity = ~50% delta; customers by % 11 = ~9% new) so
+    both engines see identical epochs with no side files."""
+    o, c = _ivm_join_splits(spark, sf_dir)
+    base = _ivm_join_base(spark, sf_dir)
+
+    def comp(of: str, cf: str, tag: str) -> DataFrame:
+        return (
+            o.where(of)
+            .join(F.broadcast(c.where(cf)), o.o_custkey == c.c_custkey)
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+                F.sum("price_c").cast("long").alias(f"sum_{tag}_c"),
+            )
+        )
+
+    da_b = comp("NOT o_old", "c_old", "da_b")
+    a_db = comp("o_old", "NOT c_old", "a_db")
+    da_db = comp("NOT o_old", "NOT c_old", "da_db")
+    out = (
+        base.join(da_b, "nation", "full_outer")
+        .join(a_db, "nation", "full_outer")
+        .join(da_db, "nation", "full_outer")
+    )
+    z = lambda col: F.coalesce(F.col(col), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        "nation",
+        z("n_base").alias("n_base"),
+        z("n_da_b").alias("n_da_b"),
+        z("n_a_db").alias("n_a_db"),
+        z("n_da_db").alias("n_da_db"),
+        (z("n_base") + z("n_da_b") + z("n_a_db") + z("n_da_db")).alias(
+            "n_total"
+        ),
+        (
+            z("sum_base_c")
+            + z("sum_da_b_c")
+            + z("sum_a_db_c")
+            + z("sum_da_db_c")
+        ).alias("sum_total_c"),
+    ).orderBy("nation")
+
+
+_IVM_JOIN_DELTA_SQL = """
+WITH j AS (
+  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_c,
+         (o.o_orderkey % 2 = 0) AS o_old,
+         (c.c_custkey % 11 <> 0) AS c_old
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT nation,
+       CAST(SUM(CASE WHEN o_old AND c_old THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_base,
+       CAST(SUM(CASE WHEN NOT o_old AND c_old THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_da_b,
+       CAST(SUM(CASE WHEN o_old AND NOT c_old THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_a_db,
+       CAST(SUM(CASE WHEN NOT o_old AND NOT c_old THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_da_db,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(price_c) AS BIGINT) AS sum_total_c
+FROM j
+GROUP BY nation
+ORDER BY nation
+"""
+
+
+# ---------------------------------------------------------------------------
 # ml_bradley_terry — pairwise-preference strength fitting (2 MM rounds)
 # ---------------------------------------------------------------------------
 
@@ -9362,6 +9490,11 @@ QUERIES = {
         ivm_agg_merge,
         _IVM_AGG_MERGE_SQL,
         ("ivm", "incremental", "materialized-view"),
+    ),
+    "ivm_join_delta": QuerySpec(
+        ivm_join_delta,
+        _IVM_JOIN_DELTA_SQL,
+        ("ivm", "incremental", "join-view", "bilinear"),
     ),
     "ts_changepoint_binseg": QuerySpec(
         ts_changepoint_binseg,

@@ -618,3 +618,40 @@ def test_markov_absorption_replays_matmuls(spark, sf_dir):
             for j in range(k)
         )
         assert r["visits_x1000"] == visits, a
+
+
+# ---------------------------------------------------------------------------
+# ivm_join_delta
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_join_delta_equals_full_recompute(spark, sf_dir):
+    from pe_firm_investment_database_pipeline_spark.plans.advanced_aggs import (
+        _ivm_join_base,
+        _ivm_join_splits,
+    )
+
+    out = {r["nation"]: r for r in _Q["ivm_join_delta"].fn(spark, sf_dir).collect()}
+    # full recompute from scratch (no epoch split) — the bilinear
+    # identity says the component-merged view must equal this exactly
+    o, c = _ivm_join_splits(spark, sf_dir)
+    full = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nation")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_c").alias("s"))
+        .collect()
+    )
+    assert len(full) == len(out)
+    for r in full:
+        got = out[r["nation"]]
+        assert got["n_total"] == r["n"], r["nation"]
+        assert got["sum_total_c"] == r["s"], r["nation"]
+        assert got["n_total"] == (
+            got["n_base"] + got["n_da_b"] + got["n_a_db"] + got["n_da_db"]
+        )
+    # the standing view is MEMOIZED: a second call serves the same
+    # checkpointed frame (identity, not just equality)
+    assert _ivm_join_base(spark, sf_dir) is _ivm_join_base(spark, sf_dir)
+    # deltas are genuinely non-trivial on the fixture
+    assert sum(r["n_da_b"] for r in out.values()) > 0
+    assert sum(r["n_a_db"] for r in out.values()) > 0

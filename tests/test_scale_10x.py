@@ -239,6 +239,8 @@ HEAVY = [
     # Markov pair: one user-axis lag window + grid expressions
     "evt_path_entropy",
     "evt_markov_absorption",
+    # join-view IVM: delta-sized joins + nation-grid merge
+    "ivm_join_delta",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
