@@ -104,6 +104,9 @@ def all_queries() -> dict[str, QuerySpec]:
         "evt_markov_absorption",
         # slot 29: join-view IVM (first verdict)
         "ivm_join_delta",
+        # slots 30-31: multitouch attribution + walk-forward CV
+        "evt_attribution_multitouch",
+        "samp_walkforward_cv",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

@@ -8992,6 +8992,209 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# evt_attribution_multitouch — linear + time-decay credit splitting
+# ---------------------------------------------------------------------------
+
+_MT_DECAY_WINDOW = 8  # time-decay credits the last 8 touches (2^-d)
+
+
+def evt_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TOUCH ATTRIBUTION — the credit-splitting models between
+    `evt_attribution`'s last-touch and `evt_attribution_shapley`'s
+    game-theoretic extreme: every view/click in the 7-DAY
+    ATTRIBUTION WINDOW before a purchase shares the credit, (a)
+    LINEAR — equal ppm split with the floor remainder assigned to
+    the most recent touch so each purchase's credits sum to exactly
+    1e6, and (b) TIME-DECAY — weight 2^-d for distance d from the
+    purchase, windowed to the last 8 touches so the shift never
+    overflows and the denominator has the closed form
+    256 - 2^(8-min(k,8)) (exact integers, identical in both
+    engines). Scale shape: the purchase-to-touch pairing is a
+    TIME-BANDED join per user (the `join_range_asof` class — pair
+    count is bounded by event rate x window, never events x events),
+    off one user-keyed shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("p_ts"),
+    )
+    touches = e.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_us").alias("t_ts"),
+    )
+    win_us = 7 * 86_400_000_000
+    paired = buys.join(touches, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.lit(win_us))
+    )
+    wp = W.partitionBy("purchase_id").orderBy("t_ts", "touch_id")
+    ranked = (
+        paired.withColumn("pos", F.row_number().over(wp))
+        .withColumn(
+            "k", F.count(F.lit(1)).over(W.partitionBy("purchase_id"))
+        )
+    )
+    dist = "(k - pos)"  # 0 = most recent touch
+    wgt = (
+        f"IF({dist} < {_MT_DECAY_WINDOW},"
+        f" shiftleft(CAST(1 AS BIGINT), {_MT_DECAY_WINDOW} - 1 - {dist}),"
+        " CAST(0 AS BIGINT))"
+    )
+    den = (
+        f"(256 - shiftleft(CAST(1 AS BIGINT),"
+        f" {_MT_DECAY_WINDOW} - least(k, {_MT_DECAY_WINDOW})))"
+    )
+    return ranked.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("k").cast("long").alias("k_touches"),
+        F.expr(
+            "CAST(1000000 div k + IF(pos = k, 1000000 % k, 0) AS BIGINT)"
+        ).alias("linear_ppm"),
+        F.expr(f"CAST(({wgt} * 1000000) div {den} AS BIGINT)").alias(
+            "decay_ppm"
+        ),
+    )
+
+
+_EVT_MULTITOUCH_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts::TIMESTAMP) AS ts_us
+  FROM events
+), buys AS (
+  SELECT user_id, event_id AS purchase_id, ts_us AS p_ts
+  FROM e WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         ts_us AS t_ts
+  FROM e WHERE event_type IN ('view', 'click')
+), ranked AS (
+  SELECT b.purchase_id, b.user_id, t.touch_id, t.touch_type,
+         row_number() OVER (PARTITION BY b.purchase_id
+                            ORDER BY t.t_ts, t.touch_id) AS pos,
+         COUNT(*) OVER (PARTITION BY b.purchase_id) AS k
+  FROM buys b JOIN touches t
+    ON t.user_id = b.user_id AND t.t_ts < b.p_ts
+   AND t.t_ts >= b.p_ts - 604800000000
+)
+SELECT purchase_id, user_id, touch_id, touch_type,
+       CAST(pos AS BIGINT) AS pos,
+       CAST(k AS BIGINT) AS k_touches,
+       CAST(1000000 // k + CASE WHEN pos = k THEN 1000000 % k ELSE 0 END
+            AS BIGINT) AS linear_ppm,
+       CAST((CASE WHEN k - pos < {_MT_DECAY_WINDOW}
+                  THEN (CAST(1 AS BIGINT)
+                        << ({_MT_DECAY_WINDOW} - 1 - (k - pos)))
+                  ELSE 0 END * 1000000)
+            // (256 - (CAST(1 AS BIGINT)
+                       << ({_MT_DECAY_WINDOW}
+                           - LEAST(k, {_MT_DECAY_WINDOW}))))
+            AS BIGINT) AS decay_ppm
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# samp_walkforward_cv — expanding-window temporal cross-validation
+# ---------------------------------------------------------------------------
+
+_WF_SEGMENTS = 5  # day axis cut into 5 equal spans -> 4 folds
+
+
+def samp_walkforward_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALK-FORWARD (expanding-window) CROSS-VALIDATION splits — the
+    temporal counterpart of `ml_cv_folds`'s random folds: random CV
+    LEAKS THE FUTURE for any time-dependent signal, so forecasting
+    and drift-sensitive model evals train on days < cut_k and test
+    on the next segment. The day axis cuts into 5 equal integer
+    spans (boundaries d_min + (span * k) div 5 — exact in both
+    engines); fold k trains on segments 1..k and tests on segment
+    k+1, so train windows EXPAND and every test row is strictly
+    after its train window. One event scan; the fold table is a
+    4-row conditional-aggregate grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_date(ts_date)").alias("day")
+    )
+    lim = ev.agg(
+        F.min("day").alias("d0"), (F.max("day") + 1).alias("d1")
+    )
+    folds = (
+        ev.crossJoin(F.broadcast(lim))
+        .select(
+            "day",
+            "d0",
+            "d1",
+            F.explode(
+                F.expr(f"sequence(1, {_WF_SEGMENTS - 1})")
+            ).alias("fold"),
+        )
+        .withColumn(
+            "cut", F.expr(f"d0 + ((d1 - d0) * fold) div {_WF_SEGMENTS}")
+        )
+        .withColumn(
+            "test_end",
+            F.expr(f"d0 + ((d1 - d0) * (fold + 1)) div {_WF_SEGMENTS}"),
+        )
+        .groupBy("fold", "cut", "test_end")
+        .agg(
+            F.sum((F.col("day") < F.col("cut")).cast("long"))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(
+                (
+                    (F.col("day") >= F.col("cut"))
+                    & (F.col("day") < F.col("test_end"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_test"),
+        )
+    )
+    return folds.select(
+        F.col("fold").cast("long").alias("fold"),
+        F.col("cut").cast("long").alias("train_end_day"),
+        F.col("test_end").cast("long").alias("test_end_day"),
+        "n_train",
+        "n_test",
+    ).orderBy("fold")
+
+
+_SAMP_WALKFORWARD_SQL = f"""
+WITH ev AS (
+  SELECT CAST(datediff('day', DATE '1970-01-01', ts::DATE) AS BIGINT) AS day
+  FROM events
+), lim AS (
+  SELECT MIN(day) AS d0, MAX(day) + 1 AS d1 FROM ev
+), folds AS (
+  SELECT e.day, l.d0, l.d1, f.fold,
+         l.d0 + ((l.d1 - l.d0) * f.fold) // {_WF_SEGMENTS} AS cut,
+         l.d0 + ((l.d1 - l.d0) * (f.fold + 1)) // {_WF_SEGMENTS} AS test_end
+  FROM ev e
+  CROSS JOIN lim l
+  CROSS JOIN (SELECT unnest(range(1, {_WF_SEGMENTS})) AS fold) f
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(cut AS BIGINT) AS train_end_day,
+       CAST(test_end AS BIGINT) AS test_end_day,
+       CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(SUM(CASE WHEN day >= cut AND day < test_end THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test
+FROM folds
+GROUP BY fold, cut, test_end
+ORDER BY fold
+"""
+
+
+# ---------------------------------------------------------------------------
 # ivm_join_delta — incremental maintenance of a JOIN view
 # ---------------------------------------------------------------------------
 
@@ -9495,6 +9698,16 @@ QUERIES = {
         ivm_join_delta,
         _IVM_JOIN_DELTA_SQL,
         ("ivm", "incremental", "join-view", "bilinear"),
+    ),
+    "evt_attribution_multitouch": QuerySpec(
+        evt_attribution_multitouch,
+        _EVT_MULTITOUCH_SQL,
+        ("events", "attribution", "multitouch", "time-decay"),
+    ),
+    "samp_walkforward_cv": QuerySpec(
+        samp_walkforward_cv,
+        _SAMP_WALKFORWARD_SQL,
+        ("sampling", "cv", "temporal", "walk-forward"),
     ),
     "ts_changepoint_binseg": QuerySpec(
         ts_changepoint_binseg,

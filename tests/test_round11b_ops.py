@@ -655,3 +655,62 @@ def test_ivm_join_delta_equals_full_recompute(spark, sf_dir):
     # deltas are genuinely non-trivial on the fixture
     assert sum(r["n_da_b"] for r in out.values()) > 0
     assert sum(r["n_a_db"] for r in out.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# evt_attribution_multitouch / samp_walkforward_cv
+# ---------------------------------------------------------------------------
+
+
+def test_multitouch_credits_partition_exactly(spark, sf_dir):
+    out = _Q["evt_attribution_multitouch"].fn(spark, sf_dir).collect()
+    assert out
+    byp = defaultdict(list)
+    for r in out:
+        byp[r["purchase_id"]].append(r)
+    ks = {len(rs) for rs in byp.values()}
+    assert max(ks) > 8, "decay window saturation must be exercised"
+    for pid, rs in byp.items():
+        k = rs[0]["k_touches"]
+        assert len(rs) == k
+        assert sorted(r["pos"] for r in rs) == list(range(1, k + 1))
+        # linear credits partition exactly 1e6
+        assert sum(r["linear_ppm"] for r in rs) == 1000000, pid
+        # decay: floored, monotone non-decreasing in recency, zero
+        # beyond the 8-touch window, and summing to <= 1e6 with at
+        # most one floor-unit lost per credited touch
+        rs.sort(key=lambda r: r["pos"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["decay_ppm"] <= b["decay_ppm"]
+        for r in rs:
+            if k - r["pos"] >= 8:
+                assert r["decay_ppm"] == 0
+        s = sum(r["decay_ppm"] for r in rs)
+        assert 1000000 - min(k, 8) <= s <= 1000000, pid
+        # most recent touch gets exactly 128/denominator
+        den = 256 - (1 << (8 - min(k, 8)))
+        assert rs[-1]["decay_ppm"] == (128 * 1000000) // den
+
+
+def test_walkforward_folds_expand_and_are_disjoint(spark, sf_dir):
+    rows = _Q["samp_walkforward_cv"].fn(spark, sf_dir).collect()
+    assert [r["fold"] for r in rows] == [1, 2, 3, 4]
+    days = [
+        r["day"]
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.expr("unix_date(ts_date)").alias("day"))
+        .collect()
+    ]
+    d0, d1 = min(days), max(days) + 1
+    prev_train = 0
+    for r in rows:
+        k = r["fold"]
+        cut = d0 + ((d1 - d0) * k) // 5
+        te = d0 + ((d1 - d0) * (k + 1)) // 5
+        assert (r["train_end_day"], r["test_end_day"]) == (cut, te)
+        assert r["n_train"] == sum(1 for d in days if d < cut)
+        assert r["n_test"] == sum(1 for d in days if cut <= d < te)
+        # expanding window: each fold trains on strictly more data
+        assert r["n_train"] > prev_train
+        prev_train = r["n_train"]
+        assert r["n_test"] > 0

@@ -241,6 +241,9 @@ HEAVY = [
     "evt_markov_absorption",
     # join-view IVM: delta-sized joins + nation-grid merge
     "ivm_join_delta",
+    # attribution-window banded join + the fold grid
+    "evt_attribution_multitouch",
+    "samp_walkforward_cv",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
