@@ -107,6 +107,8 @@ def all_queries() -> dict[str, QuerySpec]:
         # slots 30-31: multitouch attribution + walk-forward CV
         "evt_attribution_multitouch",
         "samp_walkforward_cv",
+        # slot 32: bloom-sketch PSI cardinality (first verdict)
+        "sec_bloom_psi",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

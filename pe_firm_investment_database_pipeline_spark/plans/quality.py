@@ -2830,6 +2830,160 @@ FROM customer
 
 
 # ---------------------------------------------------------------------------
+# sec_bloom_psi — private-set-intersection cardinality from Blooms
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bloom width (bits)
+_BLOOM_K = 3  # hash count
+_LN2_PPM = 693147  # floor(ln 2 * 1e6) — shared literal, both engines
+
+
+def sec_bloom_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIVATE-SET-INTERSECTION CARDINALITY from Bloom filters — the
+    privacy-preserving audience-overlap primitive (two parties learn
+    |A intersect B| without exchanging member ids, only m-bit
+    sketches): party A = purchasing users, party B = clicking users;
+    each inserts members at k = 3 md5-salted positions mod m = 4096,
+    and the classic estimator n(t) = -(m/k) ln(1 - t/m) inverts each
+    popcount t, with the intersection from inclusion-exclusion
+    n_A + n_B - n_OR. EVERYTHING IS EXACT INTEGERS: the popcounts
+    and the true intersection are plain distinct counts, and the ln
+    is the shared bin()-length + mantissa-table log2 times the
+    floor(ln 2 * 1e6) literal — so even the ESTIMATES hash-compare
+    across engines (the `agg_distinct_approx` exact-twin discipline,
+    except here the estimator itself is reproducible, not just
+    flagged). Scale shape: one event scan -> per-party member sets
+    -> position sets bounded by m bits; every join after the scan is
+    over <= m rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    # party membership must be SELF-NORMALIZING (a raw has-event-type
+    # predicate makes A == B == all users at any SF — every fixture
+    # user has every type): A = users who purchase more than they
+    # click, B = users who click more than they view — scale-free
+    # overlapping cohorts from one per-user rollup
+    prof = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+        F.sum((F.col("event_type") == "click").cast("long")).alias("nc"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+    )
+    members = {
+        "a": prof.where("np > nc"),
+        "b": prof.where("nc > nv"),
+    }
+    pos = {}
+    for tag, df in members.items():
+        pos[tag] = (
+            df.select(F.col("user_id").cast("string").alias("u"))
+            .distinct()
+            .select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, {_BLOOM_K - 1}), s ->"
+                        " CAST(conv(substring(md5(concat(u, ':',"
+                        " CAST(s AS STRING))), 1, 12), 16, 10) AS BIGINT)"
+                        f" % {_BLOOM_M})"
+                    )
+                ).alias("p")
+            )
+            .distinct()
+        )
+    t_a = pos["a"].agg(F.count(F.lit(1)).cast("long").alias("t_a"))
+    t_b = pos["b"].agg(F.count(F.lit(1)).cast("long").alias("t_b"))
+    t_or = (
+        pos["a"]
+        .union(pos["b"])
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("t_or"))
+    )
+    exact = (
+        members["a"]
+        .select("user_id")
+        .distinct()
+        .join(members["b"].select("user_id").distinct(), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    def est(t: str) -> str:
+        # n(t) = (m/k) * ln(m / (m - t)), in exact integer x1000:
+        # ln x = log2u(x) [micro-log2] * LN2_PPM [ppm] -> 1e-12 scale
+        return (
+            f"({_BLOOM_M} * ({_log2u(str(_BLOOM_M))} - {_log2u(f'greatest({_BLOOM_M} - {t}, 1)')})"
+            f" * CAST({_LN2_PPM} AS DECIMAL(38,0)))"
+            f" div (CAST({_BLOOM_K} AS DECIMAL(38,0)) * 1000000000)"
+        )
+
+    one = (
+        t_a.crossJoin(F.broadcast(t_b))
+        .crossJoin(F.broadcast(t_or))
+        .crossJoin(F.broadcast(exact))
+    )
+    return one.select(
+        "t_a",
+        "t_b",
+        "t_or",
+        F.expr(f"CAST({est('t_a')} AS BIGINT)").alias("est_a_x1000"),
+        F.expr(f"CAST({est('t_b')} AS BIGINT)").alias("est_b_x1000"),
+        F.expr(f"CAST({est('t_or')} AS BIGINT)").alias("est_or_x1000"),
+        F.expr(
+            f"CAST({est('t_a')} + {est('t_b')} - {est('t_or')} AS BIGINT)"
+        ).alias("est_inter_x1000"),
+        "exact_inter",
+    )
+
+
+def _bloom_psi_sql() -> str:
+    from .textops import _LOG2U_DUCK
+
+    def log2u(x: str) -> str:
+        e = f"CAST(length(bin({x})) - 1 AS BIGINT)"
+        m = f"(({x}) * 64) // (CAST(1 AS BIGINT) << ({e}))"
+        return f"({e} * 1000000 + {_LOG2U_DUCK}[CAST({m} - 63 AS INT)])"
+
+    def est(t: str) -> str:
+        return (
+            f"({_BLOOM_M} * ({log2u(str(_BLOOM_M))} - {log2u(f'GREATEST({_BLOOM_M} - {t}, 1)')})"
+            f" * CAST({_LN2_PPM} AS HUGEINT))"
+            f" // (CAST({_BLOOM_K} AS HUGEINT) * 1000000000)"
+        )
+
+    def posq(pred: str) -> str:
+        return f"""
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+           || ':' || CAST(s.s AS VARCHAR)), 1, 12)) AS BIGINT)
+           % {_BLOOM_M} AS p
+  FROM (SELECT user_id FROM prof WHERE {pred}) u
+  CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS s) s"""
+
+    return f"""
+WITH prof AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv
+  FROM events GROUP BY user_id
+), pa AS ({posq("np > nc")}
+), pb AS ({posq("nc > nv")}
+), t AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pa) AS t_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pb) AS t_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT p FROM pa UNION SELECT p FROM pb)) AS t_or,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT user_id FROM prof WHERE np > nc
+             INTERSECT
+             SELECT user_id FROM prof WHERE nc > nv)) AS exact_inter
+)
+SELECT t_a, t_b, t_or,
+       CAST({est("t_a")} AS BIGINT) AS est_a_x1000,
+       CAST({est("t_b")} AS BIGINT) AS est_b_x1000,
+       CAST({est("t_or")} AS BIGINT) AS est_or_x1000,
+       CAST({est("t_a")} + {est("t_b")} - {est("t_or")} AS BIGINT)
+         AS est_inter_x1000,
+       exact_inter
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
 # profile_psi_bits — Population Stability Index in exact micro-bits
 # ---------------------------------------------------------------------------
 
@@ -3169,6 +3323,11 @@ FROM cum
 
 
 QUERIES = {
+    "sec_bloom_psi": QuerySpec(
+        sec_bloom_psi,
+        _bloom_psi_sql(),
+        ("security", "privacy", "bloom", "psi"),
+    ),
     "profile_psi_bits": QuerySpec(
         profile_psi_bits,
         _psi_sql(),

@@ -714,3 +714,54 @@ def test_walkforward_folds_expand_and_are_disjoint(spark, sf_dir):
         assert r["n_train"] > prev_train
         prev_train = r["n_train"]
         assert r["n_test"] > 0
+
+
+# ---------------------------------------------------------------------------
+# sec_bloom_psi
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_psi_replays_and_estimates_accurately(spark, sf_dir):
+    import math
+
+    from pe_firm_investment_database_pipeline_spark.plans.quality import (
+        _BLOOM_K,
+        _BLOOM_M,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    prof = defaultdict(Counter)
+    for r in ev:
+        prof[r["user_id"]][r["event_type"]] += 1
+    a = {u for u, c in prof.items() if c["purchase"] > c["click"]}
+    b = {u for u, c in prof.items() if c["click"] > c["view"]}
+
+    def bloom(users):
+        return {
+            _h48(f"{u}:{s}") % _BLOOM_M
+            for u in users
+            for s in range(_BLOOM_K)
+        }
+
+    pa, pb = bloom(a), bloom(b)
+    out = _Q["sec_bloom_psi"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["t_a"], r["t_b"], r["t_or"]) == (
+        len(pa),
+        len(pb),
+        len(pa | pb),
+    )
+    assert r["exact_inter"] == len(a & b)
+    # the integer-log estimator tracks the float closed form within
+    # the table's quantization (one mantissa step on the log diff)
+    for t, col in [(len(pa), "est_a_x1000"), (len(pb), "est_b_x1000")]:
+        true = -(_BLOOM_M / _BLOOM_K) * math.log(1 - t / _BLOOM_M) * 1000
+        assert abs(r[col] - true) < _BLOOM_M * 23 / _BLOOM_K + 2, col
+    # and the intersection estimate lands near the exact count
+    # (fixture-deterministic; the bracket is generous vs n ~ tens)
+    assert abs(r["est_inter_x1000"] - r["exact_inter"] * 1000) < 15000

@@ -244,6 +244,8 @@ HEAVY = [
     # attribution-window banded join + the fold grid
     "evt_attribution_multitouch",
     "samp_walkforward_cv",
+    # bloom-sketch PSI: one scan -> per-user rollup -> <= m-bit sets
+    "sec_bloom_psi",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
