@@ -109,6 +109,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_walkforward_cv",
         # slot 32: bloom-sketch PSI cardinality (first verdict)
         "sec_bloom_psi",
+        # slot 33: Louvain phase-2 coarsening (first verdict)
+        "graph_coarsen_communities",
         # slots 23+: late-r10 staged-front consumers
         "dedup_simhash",
         "dedup_method_compare",

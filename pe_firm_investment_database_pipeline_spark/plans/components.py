@@ -1664,34 +1664,11 @@ FROM a1s a FULL OUTER JOIN h1s h ON h.u = a.v
 # ---------------------------------------------------------------------------
 
 
-def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ONE SYNCHRONOUS LOUVAIN LOCAL-MOVE ROUND over the near-dup
-    graph, seeded from the LANGUAGE partition — the community-
-    REFINEMENT primitive next to the community-SCORING one
-    (`graph_modularity` computes Q of the lang partition; this entry
-    executes the move step that improves it): every vertex v
-    evaluates, for each community c found among its neighbors, the
-    modularity gain of leaving its current community a for c,
-
-        gain = (k_in(v,c) - k_in(v,a)) / m
-             - k_v * (tot(c) - (tot(a) - k_v)) / (2 m^2)
-
-    and takes the best strictly-positive move (ties -> smallest
-    community label). The comparison is exact: cleared of
-    denominators by 2m^2,
-
-        gain2 = 2m*(k_in_c - k_in_a) - k_v*(tot_c - tot_a + k_v)
-
-    — pure int64/DECIMAL products, so both engines pick identical
-    moves (distributed Louvain is the standard synchronous variant:
-    all vertices decide against the SAME pre-move snapshot, exactly
-    what one Spark round expresses). Scale shape: the graph is the
-    LSH pair output (corpus never shuffles); k_in is one adjacency
-    join + grouped count; tot(c)/m are community-count- and 1-row
-    broadcasts; output rolls up to the community grid. Reference
-    semantics ancestry: the reference dedups by best-scored match
-    (utils/search_utils.py); community refinement is the same
-    'regroup by affinity' need at corpus scale."""
+def _louvain_moved(spark: SparkSession, sf_dir: str):
+    """Shared Louvain local-move body: returns (undirected edge
+    frame, per-vertex (v, old_comm, comm) after one synchronous
+    round) — consumed by graph_louvain_move's rollup and
+    graph_coarsen_communities' phase-2 super-graph."""
     pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
@@ -1706,8 +1683,6 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = deg.join(lang, "v")
     tot = nodes.groupBy("comm").agg(F.sum("k_v").cast("long").alias("tot"))
     m = e.agg(F.count(F.lit(1)).cast("long").alias("m_edges"))
-    # k_in(v, c): edges from v into each community present among its
-    # neighbors (the only candidate targets Louvain must consider)
     kin = (
         sym.join(
             nodes.select(F.col("v").alias("n"), F.col("comm").alias("ncomm")),
@@ -1761,6 +1736,38 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("new_comm", "comm").alias("comm"),
         )
     )
+    return e, moved
+
+
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE SYNCHRONOUS LOUVAIN LOCAL-MOVE ROUND over the near-dup
+    graph, seeded from the LANGUAGE partition — the community-
+    REFINEMENT primitive next to the community-SCORING one
+    (`graph_modularity` computes Q of the lang partition; this entry
+    executes the move step that improves it): every vertex v
+    evaluates, for each community c found among its neighbors, the
+    modularity gain of leaving its current community a for c,
+
+        gain = (k_in(v,c) - k_in(v,a)) / m
+             - k_v * (tot(c) - (tot(a) - k_v)) / (2 m^2)
+
+    and takes the best strictly-positive move (ties -> smallest
+    community label). The comparison is exact: cleared of
+    denominators by 2m^2,
+
+        gain2 = 2m*(k_in_c - k_in_a) - k_v*(tot_c - tot_a + k_v)
+
+    — pure int64/DECIMAL products, so both engines pick identical
+    moves (distributed Louvain is the standard synchronous variant:
+    all vertices decide against the SAME pre-move snapshot, exactly
+    what one Spark round expresses). Scale shape: the graph is the
+    LSH pair output (corpus never shuffles); k_in is one adjacency
+    join + grouped count; tot(c)/m are community-count- and 1-row
+    broadcasts; output rolls up to the community grid. Reference
+    semantics ancestry: the reference dedups by best-scored match
+    (utils/search_utils.py); community refinement is the same
+    'regroup by affinity' need at corpus scale."""
+    _, moved = _louvain_moved(spark, sf_dir)
     return (
         moved.groupBy("comm")
         .agg(
@@ -1773,7 +1780,7 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAPH_LOUVAIN_SQL = f"""
+_LOUVAIN_BODY_SQL = f"""
 WITH mh_pairs AS MATERIALIZED (
   SELECT doc1, doc2 FROM ({_DEDUP_MINHASH_LSH_SQL}) WHERE est_jaccard >= 0.5
 ), e AS (
@@ -1818,14 +1825,83 @@ WITH mh_pairs AS MATERIALIZED (
   SELECT n.v, n.comm AS old_comm, COALESCE(p.new_comm, n.comm) AS comm
   FROM nodes n LEFT JOIN pick p ON p.v = n.v
 )
+"""
+
+_GRAPH_LOUVAIN_SQL = (
+    _LOUVAIN_BODY_SQL
+    + """
 SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
        CAST(SUM(CASE WHEN old_comm <> comm THEN 1 ELSE 0 END) AS BIGINT)
          AS n_moved_in
 FROM moved GROUP BY comm ORDER BY comm
 """
+)
+
+
+
+# ---------------------------------------------------------------------------
+# graph_coarsen_communities — Louvain phase 2 (super-graph build)
+# ---------------------------------------------------------------------------
+
+
+def graph_coarsen_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOUVAIN PHASE 2 — GRAPH COARSENING: after the local-move round
+    (`graph_louvain_move`, shared body `_louvain_moved`), collapse
+    each community to a SUPER-NODE and each inter-community edge
+    bundle to one weighted super-edge (intra-community edges become
+    self-loops) — the multilevel primitive every scalable community
+    detector iterates (Louvain/Leiden run move -> coarsen -> move on
+    the coarse graph until Q stops improving). Exact and
+    deterministic: super-edge key = (least, greatest) of the two
+    endpoint communities, weight = edge count. The total weight
+    conservation (sum of super-weights = m) is what the pin asserts
+    — coarsening must lose no edges. Scale shape: one label join per
+    edge endpoint + a community-grid aggregate; the coarse graph is
+    communities^2-bounded, the input to the NEXT move round at a
+    fraction of the size."""
+    e, moved = _louvain_moved(spark, sf_dir)
+    la = moved.select(F.col("v").alias("a"), F.col("comm").alias("ca"))
+    lb = moved.select(F.col("v").alias("b"), F.col("comm").alias("cb"))
+    return (
+        e.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("ca", "cb").alias("comm_a"),
+            F.greatest("ca", "cb").alias("comm_b"),
+        )
+        .groupBy("comm_a", "comm_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .withColumn(
+            "is_self", (F.col("comm_a") == F.col("comm_b")).cast("long")
+        )
+        .orderBy("comm_a", "comm_b")
+    )
+
+
+_GRAPH_COARSEN_SQL = (
+    _LOUVAIN_BODY_SQL
+    + """
+SELECT LEAST(ma.comm, mb.comm) AS comm_a,
+       GREATEST(ma.comm, mb.comm) AS comm_b,
+       CAST(COUNT(*) AS BIGINT) AS weight,
+       CAST(CASE WHEN ma.comm = mb.comm THEN 1 ELSE 0 END AS BIGINT)
+         AS is_self
+FROM e
+JOIN moved ma ON ma.v = e.a
+JOIN moved mb ON mb.v = e.b
+GROUP BY LEAST(ma.comm, mb.comm), GREATEST(ma.comm, mb.comm),
+         CASE WHEN ma.comm = mb.comm THEN 1 ELSE 0 END
+ORDER BY comm_a, comm_b
+"""
+)
 
 
 QUERIES = {
+    "graph_coarsen_communities": QuerySpec(
+        graph_coarsen_communities,
+        _GRAPH_COARSEN_SQL,
+        ("graph", "community", "coarsening", "multilevel"),
+    ),
     "graph_louvain_move": QuerySpec(
         graph_louvain_move,
         _GRAPH_LOUVAIN_SQL,

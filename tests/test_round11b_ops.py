@@ -765,3 +765,34 @@ def test_bloom_psi_replays_and_estimates_accurately(spark, sf_dir):
     # and the intersection estimate lands near the exact count
     # (fixture-deterministic; the bracket is generous vs n ~ tens)
     assert abs(r["est_inter_x1000"] - r["exact_inter"] * 1000) < 15000
+
+
+# ---------------------------------------------------------------------------
+# graph_coarsen_communities
+# ---------------------------------------------------------------------------
+
+
+def test_coarsening_conserves_edges_and_matches_move(spark, sf_dir):
+    out = _Q["graph_coarsen_communities"].fn(spark, sf_dir).collect()
+    pairs = (
+        _Q["dedup_minhash_lsh"]
+        .fn(spark, sf_dir)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc1", "doc2")
+        .collect()
+    )
+    m = len({tuple(sorted((r["doc1"], r["doc2"]))) for r in pairs})
+    # edge conservation: coarsening loses no edges
+    assert sum(r["weight"] for r in out) == m
+    for r in out:
+        assert r["comm_a"] <= r["comm_b"]
+        assert r["is_self"] == (1 if r["comm_a"] == r["comm_b"] else 0)
+    # the coarse graph is strictly smaller than the vertex graph
+    louvain = _Q["graph_louvain_move"].fn(spark, sf_dir).collect()
+    n_vertices = sum(r["n_nodes"] for r in louvain)
+    assert len(out) < n_vertices
+    # every super-node with a self-loop is a community the move
+    # round actually populated
+    comms = {r["comm"] for r in louvain}
+    for r in out:
+        assert r["comm_a"] in comms and r["comm_b"] in comms

@@ -246,6 +246,8 @@ HEAVY = [
     "samp_walkforward_cv",
     # bloom-sketch PSI: one scan -> per-user rollup -> <= m-bit sets
     "sec_bloom_psi",
+    # Louvain phase 2: label joins + community-grid aggregate
+    "graph_coarsen_communities",
 ]
 
 # (table, [key columns shifted by copy * (max(first key col) + 1)]).
