@@ -237,6 +237,32 @@ def _runs_after_warm(warm_run_sec: float) -> int:
     return RUNS - 2 if warm_run_sec < 1.5 else 0
 
 
+def _calibration_probe(spark=None) -> dict:
+    """Fixed-work host probe (r11 verdict #2): times a deterministic
+    CPU-bound SHA-256 chain (~0.5 s on an idle core) and, when a
+    session is supplied, a fixed sf0.001 parquet scan-to-noop.
+    Recorded before AND after the sweep so environmental-window
+    determinations (the r7/r9/r11 busy-window class) are quantified
+    inside the artifact instead of adjudicated post-hoc from loadavg
+    prose. The work is bit-identical across rounds — its wall time
+    moves only with host CPU contention / frequency / IO pressure, so
+    round-over-round query ratios can be read against the probe ratio."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-host-calibration"
+    for _ in range(500_000):
+        h = hashlib.sha256(h).digest()
+    out = {"cpu_hash_sec": round(time.perf_counter() - t0, 4)}
+    if spark is not None:
+        t0 = time.perf_counter()
+        spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).write.format("noop").mode("overwrite").save()
+        out["parquet_scan_sec"] = round(time.perf_counter() - t0, 4)
+    return out
+
+
 def _loadavg() -> list[float] | None:
     """1/5/15-min load at sampling time — recorded in the output so
     environmental-window determinations (the r7/r9 busy-window class)
@@ -256,16 +282,30 @@ def main() -> None:
     registry = all_queries()
 
     # JVM/codegen warmup on the smallest sf so headline timings measure
-    # the query, not first-call initialization. The second warmup query
-    # starts the Python/Arrow worker pool (pandas-UDF queries otherwise
-    # pay ~2 s x 32 workers inside their first timed run).
+    # the query, not first-call initialization. The r12 record's
+    # position analysis showed the OLD two-query warmup (flagship +
+    # one pandas-UDF entry) left the first ~100 sweep entries 1.1-1.2x
+    # slow while mid-sweep matched or beat prior rounds — tiered JIT
+    # (C2), codegen compile cache, shuffle/sort/broadcast machinery
+    # and the Arrow serializers only warm on the code paths actually
+    # exercised. So: run the ENTIRE pinned HEADLINE cohort once at
+    # sf0.001 (~20 s, untimed — it spans joins, windows, streams,
+    # dedup/sim, multimodal, sinks), then evict the sf0.001 staged
+    # fronts so the timed sweep starts with clean cache state.
     warm_dir = "/root/testdata/sf0.001"
-    registry["flagship_revenue_by_nation"].fn(spark, warm_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    registry["sim_knn_blocked"].fn(spark, warm_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    for warm_op in HEADLINE:
+        try:
+            registry[warm_op].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass  # warmup is best-effort; the sweep itself will report
+
+    from pe_firm_investment_database_pipeline_spark.functions.session_cache import (
+        evict_staged,
+    )
+
+    evict_staged()
     # also warm the TARGET sf's lineitem/orders scan (OS page cache +
     # footer reads): the first timed entry otherwise pays the cold
     # filesystem once per session, which the old uniform best-of-3
@@ -273,6 +313,8 @@ def main() -> None:
     registry["flagship_revenue_by_nation"].fn(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
+
+    calib_start = _calibration_probe(spark)
 
     prev = _load_prev_bench()
     prev_queries = (prev or {}).get("queries", {})
@@ -309,6 +351,8 @@ def main() -> None:
         "sf": sf,
         "loadavg_start": load_start,
         "loadavg_end": _loadavg(),
+        "calib_start": calib_start,
+        "calib_end": _calibration_probe(spark),
         "cold_sec": cold,
     }
     if prev:
@@ -335,10 +379,6 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
     # Memory hygiene for anything running after the sweep in the same
     # process: drop every memoized staged index (rebuilt on next use).
-    from pe_firm_investment_database_pipeline_spark.functions.session_cache import (
-        evict_staged,
-    )
-
     evict_staged()
     print(json.dumps(out))
     spark.stop()

@@ -54,98 +54,34 @@ def all_queries() -> dict[str, QuerySpec]:
         enrichment.QUERIES,
     )
     priority = [
-        # Round-11 rotation (VERDICT r10 'Next round' #1): slots 1-2
-        # are the ONLY two entries with no official driver verdict
-        # ever (added after the r10 sample window) — first in line so
-        # the driver union closes at 382/382 of the r10 registry.
-        # Slots 3-15: the thirteen round-11 ops (first verdicts).
-        # Slots 16-35: the late-r10 staged-front consumers whose
-        # physical plans changed after the r10 sample, plus the two
-        # KMV entries re-verdicted after the _kmv_hashed staging.
-        # Slots 36+: re-verdicts for other r11-touched paths (the
-        # BPE global-argmax rewrite, the memoizer-refactor consumers
-        # whose staged fronts now key on the dataset fingerprint).
-        # Everything else keeps module order after the list.
-        "txt_bpe_merge_rounds",
-        "fin_npv_schedule",
-        # slots 3-15: round-11 new ops (first driver verdicts r11)
-        "dedup_passage_runs",
-        "fin_irr_bisection",
-        "ml_boost_stumps",
-        "fin_loan_amortization",
-        "ml_naive_bayes",
-        "sec_aes_roundtrip",
-        "dedup_passage_overlap",
-        "ts_changepoint_binseg",
-        "ivm_agg_merge",
-        "samp_interleave_wfq",
-        "samp_dsir_importance",
-        "dedup_semdedup",
-        "evt_att_nn_matching",
-        # slots 16-21: the round-11b wave (first driver verdicts)
-        "evt_uplift_qini",
-        "graph_louvain_move",
-        "rag_late_interaction",
-        "dedup_cdc_chunks",
-        "ml_bradley_terry",
-        "ts_matrix_profile",
-        # slot 22: plan flipped to the checkpointed variant this
-        # session (r11 BENCH_NOTES er determination) — re-verdict
-        "er_pipeline_e2e",
-        # slots 23-24: the real-codec multimodal legs (first verdicts)
-        "mm_decode_ppm",
-        "mm_decode_wav",
-        # slot 25: exact micro-bits PSI (first verdict)
+        # Round-12 rotation (VERDICT r11 'Next round' #7): the union
+        # is 412/412 latest-green, so this round re-verdicts every
+        # entry whose PHYSICAL PLAN changed after the r11 sample.
+        # Slot 1: the one new r12 op (first driver verdict).
+        "mm_decode_png",
+        # Slots 2-6: plans edited this round — the PSI share clamp,
+        # the IVM broadcast-hint removal, the Bradley-Terry assertive
+        # games bound, and the two Louvain consumers of the newly
+        # staged _louvain_moved checkpoint front.
         "profile_psi_bits",
-        # slot 26: tokenizer fertility audit (first verdict)
-        "txt_tokenizer_fertility",
-        # slots 27-28: the Markov pair (first verdicts)
-        "evt_path_entropy",
-        "evt_markov_absorption",
-        # slot 29: join-view IVM (first verdict)
         "ivm_join_delta",
-        # slots 30-31: multitouch attribution + walk-forward CV
-        "evt_attribution_multitouch",
-        "samp_walkforward_cv",
-        # slot 32: bloom-sketch PSI cardinality (first verdict)
-        "sec_bloom_psi",
-        # slot 33: Louvain phase-2 coarsening (first verdict)
+        "ml_bradley_terry",
+        "graph_louvain_move",
         "graph_coarsen_communities",
-        # slots 23+: late-r10 staged-front consumers
-        "dedup_simhash",
-        "dedup_method_compare",
-        "dedup_ngram_prefix",
-        "agg_market_basket",
-        "ml_kmeans_fixed",
-        "ml_cluster_medoid",
-        "rag_bm25_topk",
-        "rag_context_packing",
-        "rag_hybrid_rrf",
-        "rag_query_expansion",
-        "idx_inverted",
-        "txt_pmi_pairs",
-        "evt_survival_km",
-        "evt_ltv_expected",
-        "ts_outlier_repair",
-        "txt_rake_keywords",
-        "txt_keyphrase_textrank",
+        # Slots 7-9: r11-verdict-ordered re-verdicts — the er
+        # checkpoint flip and the two KMV consumers of the
+        # _kmv_hashed staged front (both landed after the r11
+        # sample window).
+        "er_pipeline_e2e",
         "sketch_kmv_setops",
         "sketch_kmv_distinct",
-        # slots 21+: r11-touched paths (memoizer-refactor consumers
-        # not already listed above + the BPE step twin)
-        "txt_bpe_train_step",
-        "dedup_minhash_lsh",
-        "dedup_ngram_jaccard",
-        "dedup_connected_components",
-        "dedup_canonical_pick",
-        "graph_cc_incremental",
-        "merge_scd2",
-        "join_scd2_asof",
-        "txt_tfidf_topterms",
-        "sim_knn_blocked_full",
-        "ml_knn_classify",
-        "graph_pagerank",
-        "graph_triangles",
+        # Slots 10-13: the late-r11b ops sampled officially only once
+        # (added in the final r11 commits).
+        "sec_bloom_psi",
+        "evt_attribution_multitouch",
+        "samp_walkforward_cv",
+        "ts_matrix_profile",
+        # Everything else keeps module order after the list.
     ]
     assert all(name in merged for name in priority), "stale priority list"
     return {

@@ -9217,9 +9217,13 @@ def _ivm_join_splits(spark: SparkSession, sf_dir: str):
 
 def _ivm_join_base_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     o, c = _ivm_join_splits(spark, sf_dir)
+    # no broadcast hint: c_old keeps ~91% of customers, so the base
+    # build's small side is near-full — F.broadcast ignores the size
+    # threshold and would be a driver OOM hazard at large SF (r11
+    # ADVICE). AQE picks BHJ while it fits and SMJ beyond.
     return (
         o.where("o_old")
-        .join(F.broadcast(c.where("c_old")), o.o_custkey == c.c_custkey)
+        .join(c.where("c_old"), o.o_custkey == c.c_custkey)
         .groupBy("nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_base"),
@@ -9260,9 +9264,16 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _ivm_join_base(spark, sf_dir)
 
     def comp(of: str, cf: str, tag: str) -> DataFrame:
+        # broadcast ONLY the genuinely delta-sized customer slices
+        # (NOT c_old ~= 9%); the c_old side is ~91% of customers, so
+        # force-broadcasting it contradicts the delta-sized-refresh
+        # scale claim (r11 ADVICE) — there AQE chooses the strategy.
+        cs = c.where(cf)
+        if cf.startswith("NOT"):
+            cs = F.broadcast(cs)
         return (
             o.where(of)
-            .join(F.broadcast(c.where(cf)), o.o_custkey == c.c_custkey)
+            .join(cs, o.o_custkey == c.c_custkey)
             .groupBy("nation")
             .agg(
                 F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
@@ -9375,13 +9386,32 @@ def ml_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wins_a"),
         )
     )
+    # Assertive int64 bound (r11 ADVICE): the MM arithmetic below is
+    # long-safe only because games is day-grid bounded (one game per
+    # pair per calendar day). games * 1e12 < 2^63 needs games <=
+    # 9.2e6, and the raw * 5e6 renormalization products are dominated
+    # by the same bound (raw_t <= W_t*1e12/d_t <= 5e6 once d_t >=
+    # G_t*1e12/sum(w)). Rather than trusting the comment, enforce it:
+    # a finer-than-daily grid variant that violates the bound fails
+    # loudly here instead of wrapping silently in non-ANSI mode while
+    # the HUGEINT oracle stays exact.
+    pairs = pairs.select(
+        "ta",
+        "tb",
+        F.expr(
+            "CASE WHEN games <= 4000000 THEN games ELSE"
+            " CAST(raise_error('ml_bradley_terry: games exceeds the"
+            " int64-safe bound; carry the MM intermediates in"
+            " DECIMAL(38,0) for finer-than-daily grids') AS BIGINT)"
+            " END"
+        ).alias("games"),
+        "wins_a",
+    )
     # MM rounds as pure expressions over the COLLECTED pair grid (one
     # row, <= 10 pair structs) — the fin_irr_bisection fold lesson: a
     # 2-round update chain over a dimension-sized frame pays ~0.3 s of
     # job latency per join, so the first join-chain cut ran ~6-10 s
-    # warm; as array expressions the whole fit is one tiny job. All
-    # arithmetic is long-safe: games is day-grid bounded (calendar),
-    # so games * 1e12 < 2^63 at any corpus size.
+    # warm; as array expressions the whole fit is one tiny job.
     one = pairs.groupBy().agg(
         F.expr(
             "sort_array(collect_list(struct(ta, tb, games, wins_a)))"

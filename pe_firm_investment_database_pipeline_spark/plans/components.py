@@ -1664,15 +1664,40 @@ FROM a1s a FULL OUTER JOIN h1s h ON h.u = a.v
 # ---------------------------------------------------------------------------
 
 
+# The post-move vertex frame is consumed by BOTH graph_louvain_move
+# and graph_coarsen_communities; without staging, the coarsener
+# re-plans the whole move chain (71 exchanges in the r11 PLAN_AUDIT —
+# the registry's highest). Memoized per (applicationId, dataset
+# fingerprint) with an eager checkpoint, the same staged-front
+# discipline as _lsh_pairs itself (r11 verdict #4).
+_LOUVAIN_MOVED_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
 def _louvain_moved(spark: SparkSession, sf_dir: str):
     """Shared Louvain local-move body: returns (undirected edge
     frame, per-vertex (v, old_comm, comm) after one synchronous
     round) — consumed by graph_louvain_move's rollup and
-    graph_coarsen_communities' phase-2 super-graph."""
+    graph_coarsen_communities' phase-2 super-graph. The move frame is
+    a memoized eager checkpoint (vertex-grid-sized: one row per
+    LSH-graph vertex), so the second consumer pays a checkpoint scan,
+    not the move chain."""
     pairs = _lsh_pairs(spark, sf_dir)
     e = pairs.select(
         F.least("doc1", "doc2").alias("a"), F.greatest("doc1", "doc2").alias("b")
     ).distinct()
+    moved = memoize(
+        _LOUVAIN_MOVED_CACHE,
+        staged_key(spark, sf_dir, "louvain_moved"),
+        lambda: _louvain_moved_build(spark, sf_dir, e).localCheckpoint(
+            eager=True
+        ),
+    )
+    return e, moved
+
+
+def _louvain_moved_build(
+    spark: SparkSession, sf_dir: str, e: DataFrame
+) -> DataFrame:
     sym = e.select(F.col("a").alias("v"), F.col("b").alias("n")).union(
         e.select(F.col("b").alias("v"), F.col("a").alias("n"))
     )
@@ -1728,15 +1753,11 @@ def _louvain_moved(spark: SparkSession, sf_dir: str):
         )
         .select("v", F.col("best.ncomm").alias("new_comm"))
     )
-    moved = (
-        nodes.join(cand, "v", "left")
-        .select(
-            "v",
-            F.col("comm").alias("old_comm"),
-            F.coalesce("new_comm", "comm").alias("comm"),
-        )
+    return nodes.join(cand, "v", "left").select(
+        "v",
+        F.col("comm").alias("old_comm"),
+        F.coalesce("new_comm", "comm").alias("comm"),
     )
-    return e, moved
 
 
 def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:

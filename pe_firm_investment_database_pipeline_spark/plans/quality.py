@@ -3044,11 +3044,18 @@ def profile_psi_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("cnt_early").cast("long").alias("cnt_early"),
         F.col("cnt_late").cast("long").alias("cnt_late"),
+        # greatest(..., 1): the Laplace-smoothed ppm share floors to 0
+        # once an epoch total exceeds ~1e6*(cnt+1) (possible at large
+        # SF for a bin absent from one epoch), and _log2u(0) would
+        # index the log table at -63 — a garbage term (r11 ADVICE).
+        # Same guard sec_bloom_psi uses (greatest(m - t, 1)).
         F.expr(
-            "((cnt_early + 1) * 1000000) div (tot_early + n_bins)"
+            "greatest(((cnt_early + 1) * 1000000)"
+            " div (tot_early + n_bins), CAST(1 AS BIGINT))"
         ).alias("e_ppm"),
         F.expr(
-            "((cnt_late + 1) * 1000000) div (tot_late + n_bins)"
+            "greatest(((cnt_late + 1) * 1000000)"
+            " div (tot_late + n_bins), CAST(1 AS BIGINT))"
         ).alias("a_ppm"),
     )
     term = (
@@ -3105,8 +3112,10 @@ WITH ev AS (
   FROM cnt
 ), shares AS (
   SELECT event_type, cnt_early, cnt_late,
-         ((cnt_early + 1) * 1000000) // (tot_early + n_bins) AS e_ppm,
-         ((cnt_late + 1) * 1000000) // (tot_late + n_bins) AS a_ppm
+         GREATEST(((cnt_early + 1) * 1000000)
+                  // (tot_early + n_bins), 1) AS e_ppm,
+         GREATEST(((cnt_late + 1) * 1000000)
+                  // (tot_late + n_bins), 1) AS a_ppm
   FROM cnt CROSS JOIN tot
 ), perbin AS (
   SELECT *, {term} AS psi_term_ubits FROM shares

@@ -86,6 +86,45 @@ def test_bench_notes_match_newest_local_record():
     )
 
 
+def test_scale_rows_cover_governing_record_heavy_tail():
+    """r11 verdict #5: the ">1.5 s at sf0.1 => sf1.0 SCALE row"
+    invariant is bound to a NAMED record. The governing record is the
+    newest BENCH_LOCAL_r*.json AS COMMITTED at HEAD (same convention
+    as test_bench_notes_match_newest_local_record: the driver
+    overwrites the file in place after the builder's final commit, so
+    the working-tree copy can postdate everything the builder could
+    have acted on; the committed copy is the one the repo's evidence
+    chain vouches for). Every entry reading > 1.5 s warm in that
+    record must carry a SCALE_LOCAL.json row — isolated quiet-window
+    probes argued in BENCH_NOTES never substitute for a row."""
+    import glob
+    import json
+    import subprocess
+
+    records = sorted(glob.glob(os.path.join(_REPO, "BENCH_LOCAL_r*.json")))
+    assert records, "no BENCH_LOCAL record shipped"
+    name = os.path.basename(records[-1])
+    try:
+        committed = subprocess.run(
+            ["git", "show", f"HEAD:{name}"],
+            cwd=_REPO, capture_output=True, text=True, timeout=30,
+        )
+        raw = committed.stdout if committed.returncode == 0 else None
+    except OSError:
+        raw = None
+    governing = json.loads(raw) if raw else json.load(open(records[-1]))
+    with open(os.path.join(_REPO, "SCALE_LOCAL.json")) as f:
+        scale_rows = json.load(f)
+    heavy = sorted(
+        op for op, sec in governing["queries"].items() if sec > 1.5
+    )
+    missing = [op for op in heavy if op not in scale_rows]
+    assert missing == [], (
+        f"governing record {name} (committed) has >1.5 s entries "
+        f"without sf1.0 SCALE_LOCAL rows: {missing}"
+    )
+
+
 def test_survey_mentions_every_r10_op():
     """Every op added in round 10's wave has a SURVEY §2 row."""
     survey = _read("SURVEY.md")

@@ -246,6 +246,9 @@ HEAVY = [
     "samp_walkforward_cv",
     # bloom-sketch PSI: one scan -> per-user rollup -> <= m-bit sets
     "sec_bloom_psi",
+    # round-12: the stdlib-zlib PNG leg (per-doc Python encode +
+    # inflate/unfilter decode — embarrassingly parallel, doc-linear)
+    "mm_decode_png",
     # Louvain phase 2: label joins + community-grid aggregate
     "graph_coarsen_communities",
 ]
