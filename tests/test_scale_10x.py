@@ -249,6 +249,14 @@ HEAVY = [
     # round-12: the stdlib-zlib PNG leg (per-doc Python encode +
     # inflate/unfilter decode — embarrassingly parallel, doc-linear)
     "mm_decode_png",
+    # r12 heavy-tail closure: four entries entered the 1.5-1.8 s band
+    # in the committed clean-window record (early-sweep cold-start
+    # band; all ~1.1-1.4 s in r10) — rows close the governing-record
+    # invariant regardless of which side of 1.5 s they settle on
+    "math_score_rank",
+    "portco_pipeline_e2e",
+    "profile_cardinality_report",
+    "udaf_grouped_pandas",
     # Louvain phase 2: label joins + community-grid aggregate
     "graph_coarsen_communities",
 ]
