@@ -75,6 +75,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "er_pipeline_e2e",
         "sketch_kmv_setops",
         "sketch_kmv_distinct",
+        # r12 in-round perf fix (slate checkpoints): re-verdict
+        "rag_query_expansion",
         # Slots 10-13: the late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",

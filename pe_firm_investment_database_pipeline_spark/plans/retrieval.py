@@ -415,11 +415,20 @@ def rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q1 = spark.createDataFrame(
         [(t, 2) for t in BM25_QUERY], "term string, w long"
     )
+    # Eager small-slate checkpoints (the ml_bradley_terry grid rule,
+    # and the r12 fix for a 2.5 -> 3.6 s three-round creep): fb_tf is
+    # consumed TWICE below (cand_df's term filter and the rocchio
+    # join), so without materialization the whole pass-1 BM25 subtree
+    # under it executes at least twice per call. Both slates are
+    # query-bounded (3 doc ids / feedback-vocab rows), so this is a
+    # per-call materialization of tiny frames, not a corpus rebuild
+    # (the sketch_kmv anti-pattern).
     fb = (
         bm25(q1)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(_PRF_FB_DOCS)
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     skip = tuple(BM25_QUERY) + tuple(STOPWORDS)
     # occurrence counts in the feedback docs = sum of the front's
@@ -430,6 +439,7 @@ def rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(~F.col("term").isin(*skip))
         .groupBy("term")
         .agg(F.sum("tf").alias("fb_tf"))
+        .localCheckpoint(eager=True)
     )
     cand_df = (
         front.join(F.broadcast(fb_tf.select("term")), "term")
