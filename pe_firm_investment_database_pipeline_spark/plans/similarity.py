@@ -931,14 +931,10 @@ def _ann_join(
     )
 
 
-def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN join (Q queries x corpus top-k): the query relation (every
-    100th vector) retrieves its top-5 corpus neighbors through the
-    IVF index — the retrieval shape (RAG lookup, eval-set probing)
-    that the self-join ANN entries don't cover. Shares the staged IVF
-    index with `sim_ivf_multiprobe` via the same stage key, so running
-    both builds the index once. Recall >= 0.9 on planted neighbors is
-    pinned by tests/test_scale_blocking.py::test_ann_join_recall."""
+def _ann_join_result_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN retrieval plan itself (plan pins assert HERE):
+    query relation = every 100th vector, top-5 through the staged
+    IVF index. See sim_ann_join for the serving front."""
     corpus = _emb_q(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -946,6 +942,36 @@ def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qnrm"),
     )
     return _ann_join(corpus, queries, stage_key=(sf_dir, "ivf"))
+
+
+# The ANN top-k RESULT is a memoized front (the _kmv_hashed
+# discipline): FOUR registry entries consume it — sim_ann_join
+# itself, rag_retrieve_docs (payload resolution), rag_hybrid_rrf
+# (vector leg), and samp_hard_negatives (five references in one
+# plan) — and only the IVF index below it was staged, so each
+# consumer re-planned the probe join + top-k window per reference.
+# The frame is Q x k (~queries are a fixed 1% sample), tiny at any
+# SF; one eager localCheckpoint per (app, dataset) serves them all.
+_ANN_RESULT_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN join (Q queries x corpus top-k): the query relation (every
+    100th vector) retrieves its top-5 corpus neighbors through the
+    IVF index — the retrieval shape (RAG lookup, eval-set probing)
+    that the self-join ANN entries don't cover. Shares the staged IVF
+    index with `sim_ivf_multiprobe` via the same stage key, so running
+    both builds the index once; the top-k RESULT is itself a memoized
+    front (see _ANN_RESULT_CACHE) serving this entry plus the three
+    downstream consumers. Recall >= 0.9 on planted neighbors is
+    pinned by tests/test_scale_blocking.py::test_ann_join_recall."""
+    return memoize(
+        _ANN_RESULT_CACHE,
+        staged_key(spark, sf_dir, "annjoin-result"),
+        lambda: _ann_join_result_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
 
 
 _SIM_ANN_JOIN_SQL = f"""

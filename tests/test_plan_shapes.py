@@ -184,10 +184,31 @@ def test_ann_join_broadcasts_centroids(spark):
     """sim_ann_join's query-probe assignment must broadcast the
     ~sqrt(N) centroid relation (never shuffle the corpus for it), and
     candidate pairing must stay equi-join (no CartesianProduct of
-    data rows)."""
-    plan = _plan(spark, "sim_ann_join")
+    data rows). Asserted on the BUILDER (_ann_join_result_build):
+    the registry entry serves the memoized eager checkpoint
+    (_ANN_RESULT_CACHE) — a lineage-free scan (pinned below)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+        _ann_join_result_build,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        _ann_join_result_build(spark, SF).explain("formatted")
+    plan = buf.getvalue()
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_join_entry_serves_checkpoint(spark):
+    """The registry entry must serve the materialized front — its
+    plan is a checkpoint-RDD scan, never a re-derivation of the
+    probe join (which would re-execute per consumer reference)."""
+    plan = _plan(spark, "sim_ann_join")
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_scd2_single_exchange(spark):

@@ -417,8 +417,24 @@ def test_candidate_joins_are_equi_not_cross(spark, sf_dir, op_id):
     """The row-pairing join must be a hash/merge EQUI-join on the
     blocking key. (The similarity ops also contain one
     BroadcastNestedLoopJoin — the 1-row nbits scalar glued onto the
-    scan — which is fine; a CartesianProduct of data rows is not.)"""
-    plan = _plan(spark, op_id, sf_dir)
+    scan — which is fine; a CartesianProduct of data rows is not.)
+    sim_ann_join is asserted on its BUILDER: the registry entry
+    serves the memoized result checkpoint (_ANN_RESULT_CACHE), whose
+    plan is a lineage-free RDD scan with no joins at all."""
+    if op_id == "sim_ann_join":
+        import io
+        from contextlib import redirect_stdout
+
+        from pe_firm_investment_database_pipeline_spark.plans.similarity import (
+            _ann_join_result_build,
+        )
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            _ann_join_result_build(spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+    else:
+        plan = _plan(spark, op_id, sf_dir)
     assert "CartesianProduct" not in plan
     assert (
         "SortMergeJoin" in plan
