@@ -77,6 +77,12 @@ def all_queries() -> dict[str, QuerySpec]:
         "sketch_kmv_distinct",
         # r12 in-round perf fix (slate checkpoints): re-verdict
         "rag_query_expansion",
+        # r12 in-round ANN-result front (similarity._ANN_RESULT_CACHE):
+        # all four consumers' plans changed — re-verdict officially.
+        "sim_ann_join",
+        "rag_retrieve_docs",
+        "rag_hybrid_rrf",
+        "samp_hard_negatives",
         # Slots 10-13: the late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",
