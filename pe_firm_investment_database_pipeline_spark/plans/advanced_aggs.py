@@ -429,20 +429,26 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # ONE pass over the fact subtree: the exact twin rides in the
+    # same per-nation aggregate as the sketch (a customer belongs to
+    # exactly ONE nation, so region exact-distinct == the SUM of
+    # per-nation exact-distincts — no second fact scan; the old
+    # separate region branch re-planned all four scans + the join
+    # because column pruning differentiated the subtrees and defeated
+    # ReuseExchange).
     nation_sketches = fact.groupBy("r_name", "n_name").agg(
         F.expr(f"hll_sketch_agg(o_custkey, {_HLL_LGK})").alias("sk"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
-    region = fact.groupBy("r_name").agg(
-        F.expr("count(distinct o_custkey)").alias("exact_distinct_customers")
+        F.expr("count(distinct o_custkey)").alias("nd"),
     )
     merged = nation_sketches.groupBy("r_name").agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_orders").alias("n_orders"),
+        F.sum("nd").alias("exact_distinct_customers"),
     )
     return (
-        merged.join(region, "r_name")
+        merged
         .select(
             "r_name",
             "n_nations",
