@@ -83,6 +83,8 @@ def all_queries() -> dict[str, QuerySpec]:
         "rag_retrieve_docs",
         "rag_hybrid_rrf",
         "samp_hard_negatives",
+        # r12 in-round one-fact-pass rewrite: re-verdict
+        "agg_hll_rollup",
         # Slots 10-13: the late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",
