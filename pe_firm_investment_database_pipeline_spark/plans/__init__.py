@@ -57,8 +57,9 @@ def all_queries() -> dict[str, QuerySpec]:
         # Round-12 rotation (VERDICT r11 'Next round' #7): the union
         # is 412/412 latest-green, so this round re-verdicts every
         # entry whose PHYSICAL PLAN changed after the r11 sample.
-        # Slot 1: the one new r12 op (first driver verdict).
+        # Slots 1-2: the two new r12 ops (first driver verdicts).
         "mm_decode_png",
+        "mm_decode_jpeg",
         # Slots 2-6: plans edited this round — the PSI share clamp,
         # the IVM broadcast-hint removal, the Bradley-Terry assertive
         # games bound, and the two Louvain consumers of the newly

@@ -137,3 +137,98 @@ def test_psi_share_clamp_guards_log_of_zero():
     assert raw == 0  # the r11 ADVICE failure mode is real
     clamped = max(raw, 1)
     assert clamped.bit_length() - 1 == 0  # _log2u(1) is defined
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_jpeg — baseline-JFIF codec leg (r12 second wave)
+# ---------------------------------------------------------------------------
+
+def _jpg_expected(doc_id: int) -> tuple[int, int, int, int, int, int]:
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        _jpg_block_v,
+        _jpg_dims,
+    )
+
+    w, h = _jpg_dims(doc_id)
+    nb = (w // 8) * (h // 8)
+    vs = [_jpg_block_v(doc_id, b) for b in range(nb)]
+    return (w, h, nb, sum(64 * v for v in vs), min(vs), max(vs))
+
+
+def test_jpeg_roundtrip_matches_closed_form():
+    """The DC-only fixture is exactly lossless through the full
+    marker-walk + Huffman + dequant + zigzag + IDCT pipeline."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    for doc_id in (0, 1, 2, 3, 4, 5, 6, 7, 11, 100, 999, 4999, 123457):
+        assert decode_jpeg(encode_jpeg(doc_id)) == _jpg_expected(doc_id)
+
+
+def test_jpeg_ac_runlength_and_zrl_coefficient_roundtrip():
+    """The AC entropy machinery (run/size RLE, ZRL for >=16-zero
+    runs, EOB) is exact at the quantized-coefficient level — the
+    integer surface where bitstream parity is provable (IDCT of
+    irrational AC bases stays out of hash-compared outputs)."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        decode_jpeg_coeffs,
+        encode_jpeg_blocks,
+    )
+
+    blk = [5] + [0] * 63
+    blk[3] = 7     # short zero run
+    blk[25] = -3   # negative value, longer run
+    blk[45] = 1    # 19 zeros since last nonzero -> forces a ZRL
+    w, h, qtab, blocks = decode_jpeg_coeffs(
+        encode_jpeg_blocks(16, 8, [blk, list(blk)])
+    )
+    assert (w, h) == (16, 8)
+    assert blocks[0] == blk and blocks[1] == blk
+    assert qtab[0] == 8 and qtab[1] == 16  # DQT de-zigzags correctly
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """A stream whose entropy bytes contain 0xFF must be stuffed
+    (0xFF 0x00) by the writer and un-stuffed by the reader — pinned
+    on a planted coefficient vector known to produce one."""
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        decode_jpeg_coeffs,
+        encode_jpeg_blocks,
+    )
+
+    blk = [-128] + [0] * 63
+    blk[1] = -40
+    payload = encode_jpeg_blocks(8, 8, [blk])
+    sos = payload.find(b"\xFF\xDA")
+    assert b"\xFF\x00" in payload[sos + 10 : -2], "vector lost stuffing"
+    _, _, _, blocks = decode_jpeg_coeffs(payload)
+    assert blocks[0] == blk
+
+
+def test_jpeg_corruption_rejected_or_visible():
+    """Bad SOI and truncation raise; flipping ANY entropy byte either
+    raises or changes the decoded statistics — no silent survival."""
+    import pytest
+
+    from pe_firm_investment_database_pipeline_spark.plans.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    p = encode_jpeg(7)
+    with pytest.raises(AssertionError, match="SOI"):
+        decode_jpeg(b"\x00" + p[1:])
+    with pytest.raises(AssertionError, match="truncated"):
+        decode_jpeg(p[:-4])
+    good = decode_jpeg(p)
+    start = p.find(b"\xFF\xDA") + 10
+    for off in range(start, len(p) - 2):
+        bad = bytearray(p)
+        bad[off] ^= 0x40
+        try:
+            assert decode_jpeg(bytes(bad)) != good
+        except AssertionError as ex:
+            if "!=" in str(ex) or not str(ex):
+                raise

@@ -249,6 +249,9 @@ HEAVY = [
     # round-12: the stdlib-zlib PNG leg (per-doc Python encode +
     # inflate/unfilter decode — embarrassingly parallel, doc-linear)
     "mm_decode_png",
+    # round-12 second wave: the baseline-JFIF Huffman leg (same
+    # embarrassingly-parallel per-doc shape)
+    "mm_decode_jpeg",
     # r12 heavy-tail closure: four entries entered the 1.5-1.8 s band
     # in the committed clean-window record (early-sweep cold-start
     # band; all ~1.1-1.4 s in r10) — rows close the governing-record
