@@ -2668,6 +2668,12 @@ def evt_att_nn_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("y"),
         )
         .withColumn("arm", (F.col("user_id") % 2).cast("long"))
+        # referenced by BOTH arm branches (t3 / c) — without this the
+        # events scan + per-user aggregation re-planned twice (the
+        # multi-referenced-frame class). The frame is the compressed
+        # per-user grid (user-count sized, never event-sized), so the
+        # eager checkpoint is one events pass + a grid materialize.
+        .localCheckpoint(eager=True)
     )
     t3 = (
         users.where(F.col("arm") == 1)
@@ -2861,10 +2867,20 @@ def sec_bloom_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user has every type): A = users who purchase more than they
     # click, B = users who click more than they view — scale-free
     # overlapping cohorts from one per-user rollup
-    prof = ev.groupBy("user_id").agg(
-        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
-        F.sum((F.col("event_type") == "click").cast("long")).alias("nc"),
-        F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+    prof = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+                "np"
+            ),
+            F.sum((F.col("event_type") == "click").cast("long")).alias("nc"),
+            F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+        )
+        # referenced SIX times (two member predicates x pos/exact
+        # branches) — each re-planned the events scan + rollup (6
+        # scans / 18 exchanges). The frame is the compressed per-user
+        # grid, so one events pass materializes it for all consumers.
+        .localCheckpoint(eager=True)
     )
     members = {
         "a": prof.where("np > nc"),
@@ -2886,6 +2902,9 @@ def sec_bloom_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("p")
             )
             .distinct()
+            # <= m = 4096 rows, referenced twice (own popcount + the
+            # OR union): small-slate eager checkpoint.
+            .localCheckpoint(eager=True)
         )
     t_a = pos["a"].agg(F.count(F.lit(1)).cast("long").alias("t_a"))
     t_b = pos["b"].agg(F.count(F.lit(1)).cast("long").alias("t_b"))
@@ -3185,6 +3204,11 @@ def evt_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # threshold would as per-user volume grows with the corpus
         .withColumn("conv", (F.col("post_p") > F.col("pre_p")).cast("long"))
         .withColumn("treated", (F.col("user_id") % 2 == 0).cast("long"))
+        # referenced THREE times (score grid / n_tot / decile cut) —
+        # each re-planned the events scan + rollup (6 scans per
+        # call). Compressed per-user grid: one events pass
+        # materializes it for all three consumers.
+        .localCheckpoint(eager=True)
     )
     # score-value grid: global rank offset of each distinct score
     # (higher score ranks first); the frame is the DISTINCT-score

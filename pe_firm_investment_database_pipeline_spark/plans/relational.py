@@ -1058,18 +1058,41 @@ def sql_null_semantics_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle never uses IN/EXISTS at all — it reconstructs every count
     from first principles (LEFT-JOIN match counts + explicit 3VL
     case analysis), so agreement certifies the ENGINE's predicate
-    semantics, not the SQL text."""
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_nsm")
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_cust_nsm")
+    semantics, not the SQL text.
+
+    Scale shape: the nine probes MUST execute as nine native
+    predicate plans (that is the conformance surface), but they do
+    not need nine table scans — the NULLed 2-column orders
+    projection and the key list are eagerly localCheckpointed once
+    per call (small-slate rule; the first cut planned 14 parquet
+    scans — orders x9, customer x5 — the registry's worst
+    multi-referenced-frame outlier), so each probe replans from the
+    materialized narrow frames and each base table is scanned
+    exactly once."""
+    (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.expr(
+                "CASE WHEN o_orderkey % 13 = 0 THEN NULL"
+                " ELSE o_custkey END"
+            ).alias("ck"),
+        )
+        .localCheckpoint(eager=True)
+        .createOrReplaceTempView("v_orders_nsm")
+    )
+    (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .localCheckpoint(eager=True)
+        .createOrReplaceTempView("v_cust_nsm")
+    )
     return spark.sql(
         """
         WITH o AS (
-          SELECT o_orderkey,
-                 CASE WHEN o_orderkey % 13 = 0 THEN NULL
-                      ELSE o_custkey END AS ck
-          FROM v_orders_nsm
+          SELECT o_orderkey, ck FROM v_orders_nsm
         ), keys AS (
-          SELECT c_custkey AS k FROM v_cust_nsm
+          SELECT k FROM v_cust_nsm
         ), aug AS (
           SELECT k FROM keys UNION ALL SELECT CAST(NULL AS BIGINT)
         )

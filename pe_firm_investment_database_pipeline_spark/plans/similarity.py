@@ -1273,6 +1273,12 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cid") < _PQ_K)
         .select("sub", "cid", F.col("svec").alias("cvec"))
+        # K×subspaces rows (128), but referenced TWICE (encode join +
+        # ADC table) and its lineage carries a full corpus scan (the
+        # stride filter is not pushable), so each reference re-planned
+        # the scan. Small-slate eager checkpoint: the codebook is
+        # built once and both consumers read the 128-row slate.
+        .localCheckpoint(eager=True)
     )
     # encode: per (vec, sub) the nearest centroid
     dist = F.expr(_PQ_SQDIST.format(a="svec", b="cvec"))
@@ -2050,8 +2056,20 @@ def ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     rational 2·tp·1e6 div (pred + support) (the harmonic mean
     identity on counts — no intermediate float precision/recall).
     Classes never predicted or never present still appear via the
-    full outer key union with zero counts."""
-    pred = ml_knn_classify(spark, sf_dir).select("true_label", "pred_label")
+    full outer key union with zero counts.
+
+    Scale shape: the prediction relation is referenced THREE times
+    (support / predicted / tp) and each reference re-planned the
+    entire kNN classify underneath it (6 parquet scans per call);
+    it is row-bounded (one row per eval example) and eagerly
+    localCheckpointed per the small-slate rule, so the classifier
+    runs once and the three aggregates read the materialized
+    frame."""
+    pred = (
+        ml_knn_classify(spark, sf_dir)
+        .select("true_label", "pred_label")
+        .localCheckpoint(eager=True)
+    )
     support = pred.groupBy(F.col("true_label").alias("label")).agg(
         F.count(F.lit(1)).alias("support")
     )
@@ -2263,7 +2281,17 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroid values <= |q|max, so products stay < 2^53 and the
     final floor(dot/(|a||b|)*1e6) lands on the same integer in both
     engines — the rag_mmr_rerank fixed-point-cosine argument).
-    Corpus centroid broadcasts onto the per-lang join."""
+    Corpus centroid broadcasts onto the per-lang join.
+
+    Scale shape: ONE pass over the corpus. The per-(lang, dim)
+    partial sums are the sufficient statistic for everything
+    downstream — the corpus centroid is the lang-sum of the
+    per-lang sums and n_vecs is the per-lang row count at any dim
+    (q is fixed-width, so every vector contributes one row per
+    dim) — so the lang×64 aggregate is eagerly localCheckpointed
+    (small-slate rule) and the centroid/cosine algebra runs off it.
+    The first cut re-planned the emb⋈docs explode THREE times
+    (per-lang / global / counts branches — 6 parquet scans)."""
     emb = _emb_q(spark, sf_dir).select("vec_id", "q")
     lang = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
@@ -2275,14 +2303,15 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdiv = (
         "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
     )
-    per_lang = (
+    base = (
         dims.groupBy("lang", "dim")
         .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("lang", "dim", F.expr(sdiv).alias("c"))
+        .localCheckpoint(eager=True)
     )
+    per_lang = base.select("lang", "dim", F.expr(sdiv).alias("c"))
     global_c = (
-        dims.groupBy("dim")
-        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        base.groupBy("dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .select("dim", F.expr(sdiv).alias("g"))
     )
     stats = (
@@ -2294,11 +2323,7 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("g * g")).alias("ng"),
         )
     )
-    counts = (
-        emb.join(lang, "vec_id").groupBy("lang").agg(
-            F.count(F.lit(1)).alias("n_vecs")
-        )
-    )
+    counts = base.groupBy("lang").agg(F.max("n").alias("n_vecs"))
     return (
         stats.join(counts, "lang")
         .select(

@@ -2805,36 +2805,43 @@ def sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern — sketch internals are engine-specific in general, but
     THIS sketch is deterministic md5 arithmetic, so even est is
     hash-compared). Scale shape: occurrences compress to the
-    vocab-sized count table FIRST; the d×w sketch build is a 4-way
-    explode of that table into 64 cells, and the probe is a
-    vocab-sized join against the broadcast sketch — the raw stream
-    is never touched twice."""
+    vocab-sized count table FIRST and that table is eagerly
+    localCheckpointed (the small-slate rule — the first cut built
+    cells and probes as two 4-way UNIONs over the lazy `counts`,
+    and every branch re-planned the corpus scan+explode+groupBy: 8
+    parquet scans per call); the d-row hashing is now a single
+    explode over the checkpointed table, so the raw stream is
+    touched exactly once, the sketch build is a 64-cell aggregate
+    of the vocab×d frame, and the probe is a vocab-sized join
+    against the broadcast sketch."""
     tok = load_table(spark, sf_dir, "documents").select(
         F.explode(F.expr(_TOKENS)).alias("token")
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
-    cells = None
-    for r in range(_CMS_D):
-        c = counts.select(
-            F.lit(r).alias("row_id"),
-            F.expr(_cms_bucket_spark(r)).alias("bucket"),
-            "freq",
-        )
-        cells = c if cells is None else cells.union(c)
-    cms = cells.groupBy("row_id", "bucket").agg(
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    hashed = counts.select(
+        "token",
+        "freq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row_id"),
+                        F.expr(_cms_bucket_spark(r)).alias("bucket"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("h"),
+    ).select("token", "freq", "h.row_id", "h.bucket")
+    cms = hashed.groupBy("row_id", "bucket").agg(
         F.sum("freq").alias("cell_sum")
     )
-    probes = None
-    for r in range(_CMS_D):
-        p = counts.select(
-            "token",
-            "freq",
-            F.lit(r).alias("row_id"),
-            F.expr(_cms_bucket_spark(r)).alias("bucket"),
-        )
-        probes = p if probes is None else probes.union(p)
     est = (
-        probes.join(F.broadcast(cms), ["row_id", "bucket"])
+        hashed.join(F.broadcast(cms), ["row_id", "bucket"])
         .groupBy("token")
         .agg(
             F.max("freq").alias("freq"),
