@@ -86,7 +86,18 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_hard_negatives",
         # r12 in-round one-fact-pass rewrite: re-verdict
         "agg_hll_rollup",
-        # Slots 10-13: the late-r11b ops sampled officially only once
+        # r12 third-session scan-count fixes (small-slate checkpoints
+        # of multi-referenced frames): all eight plans changed —
+        # re-verdict officially. sec_bloom_psi is also a late-r11b op
+        # sampled officially only once.
+        "sql_null_semantics_matrix",
+        "sketch_cms_heavy",
+        "ml_eval_confusion",
+        "profile_embedding_drift",
+        "sim_pq_topk",
+        "evt_att_nn_matching",
+        "evt_uplift_qini",
+        # Late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",
         "evt_attribution_multitouch",
