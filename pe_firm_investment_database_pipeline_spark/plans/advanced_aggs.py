@@ -2578,6 +2578,10 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .groupBy("p_brand")
         .agg(F.sum("price_c").alias("revenue_c"))
+        # ~25-brand slate consumed by the total AND the ranked grid —
+        # the lazy form re-ran the lineitem join+rollup twice (4
+        # scans). One fact pass.
+        .localCheckpoint(eager=True)
     )
     w = W.orderBy(F.desc("revenue_c"), F.asc("p_brand"))
     total = rev.agg(F.sum("revenue_c").alias("total_c"))
@@ -2925,6 +2929,10 @@ def agg_metric_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "m")
         .agg(F.sum("qty").alias("qty"), F.sum("rev_c").alias("rev_c"))
+        # (brand, month) grid consumed by both sides of the
+        # month-over-month self-join — the lazy form re-ran the
+        # lineitem join+rollup twice (4 scans). One fact pass.
+        .localCheckpoint(eager=True)
     )
     prev = monthly.select(
         F.col("p_brand").alias("pb"),
@@ -3358,6 +3366,12 @@ def ts_forecast_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.sum("v").alias("v"))
+        # the calendar-bounded grid is referenced four times (both
+        # sides of the lag-7 self-join; scored then feeds the MAE
+        # rollup and the final join) — each reference re-planned the
+        # events scan (4 scans per call). Small-slate checkpoint: one
+        # events pass, every consumer reads the grid.
+        .localCheckpoint(eager=True)
     )
     prev = daily.select(
         F.col("event_type").alias("pt"),
@@ -3536,6 +3550,9 @@ def ts_pct_change_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "d")
         .agg(F.sum("v").alias("v"))
+        # both sides of the lag-7 self-join re-planned the events
+        # scan; the grid is calendar-bounded — one events pass.
+        .localCheckpoint(eager=True)
     )
     prev = daily.select(
         F.col("event_type").alias("pt"),
@@ -4951,6 +4968,12 @@ def evt_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
         .distinct()
+        # the compressed (user, activity-day) table is referenced by
+        # the interval chain AND the DAU rollup, and the interval
+        # frame is itself consumed twice (boundary union) — the lazy
+        # form re-planned the events scan + distinct four times.
+        # One events pass materializes the activity table.
+        .localCheckpoint(eager=True)
     )
     w = W.partitionBy("user_id").orderBy("day")
     isl = (
@@ -7124,15 +7147,19 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("rev_c"),
     )
-    rev = (
-        ev.groupBy("day")
-        .agg(F.sum("rev_c").alias("y"))
-    )
-    daily = (
+    # ONE events pass: the per-(type, day) grid with both the volume
+    # count and the partial revenue sum is the sufficient statistic —
+    # the day-level revenue is its type-sum. The first cut planned 4
+    # events scans (rev and daily each scanned, then the grid
+    # self-join re-planned both). The grid is calendar-bounded, so
+    # the eager checkpoint is a small-slate materialize.
+    base = (
         ev.groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("x"))
-        .join(rev, "day")
+        .agg(F.count(F.lit(1)).alias("x"), F.sum("rev_c").alias("rc"))
+        .localCheckpoint(eager=True)
     )
+    rev = base.groupBy("day").agg(F.sum("rc").alias("y"))
+    daily = base.join(rev, "day").select("event_type", "day", "x", "y")
     l, r = daily.alias("l"), daily.alias("r")
     pairs = l.join(
         r,

@@ -589,7 +589,14 @@ def _pack_shards(toks: DataFrame) -> DataFrame:
     """The distributed cumsum + budget packing over a (doc_id,
     n_tokens) frame — shared by the standalone shard entry and the
     composed curation pipeline (any extra columns on `toks` ride
-    along)."""
+    along).
+
+    `toks` is consumed by the width probe AND the blocked frame
+    (which is itself read twice: block totals + the final join), so
+    the lazy form re-planned the upstream scan/pipeline four times
+    per call. The frame is doc-count sized and narrow — one upstream
+    pass materializes it for all consumers."""
+    toks = toks.localCheckpoint(eager=True)
     params = (
         toks.select("doc_id")
         .agg(F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx"))

@@ -542,6 +542,12 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(conv(substring(md5(payload), 1, 15), 16, 10) AS BIGINT)"
             ).alias("sig"),
         )
+        # both sides of the banded self-join re-planned the payload
+        # scan + md5 (4 parquet scans per call); the signature frame
+        # is two int columns per image — one payload pass
+        # materializes it and the band expansion re-derives from the
+        # slate on each side.
+        .localCheckpoint(eager=True)
     )
     bands = sigs.select(
         "doc_id",

@@ -2462,7 +2462,13 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
-    base = ranked.select("qid").distinct()
+    # the zero-overlap spine: every probe query pairs with the whole
+    # corpus (vec_id != qid), so the distinct qids in `ranked` are
+    # exactly the rows of the broadcast-small `qs` — deriving the
+    # spine from qs avoids re-planning the corpus-sized double-window
+    # subtree (the lazy ranked.select("qid").distinct() re-ran the
+    # whole pair scoring a second time: 2 extra parquet scans).
+    base = qs.select("qid")
     return (
         base.join(overlap, "qid", "left")
         .na.fill({"n_overlap": 0})

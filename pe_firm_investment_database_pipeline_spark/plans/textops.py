@@ -2631,12 +2631,27 @@ def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id", "lang", F.explode(F.expr(_TOKENS)).alias("token")
     ).distinct()
-    a = dt.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("a_docs"))
-    t_tot = dt.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("t_tot")
+    # ONE pass over the exploded-token frame and ONE over documents:
+    # the per-(lang, token) presence counts are checkpointed (vocab x
+    # langs — a small slate) and the per-token totals derive from
+    # them (each doc has exactly one lang, so countDistinct(doc_id)
+    # per token = the lang-sum of a_docs); n_tot likewise derives
+    # from the per-class totals (which must come from the raw docs —
+    # zero-token docs count toward classes but have no token rows).
+    # The lazy form re-planned the docs scan + explode + distinct
+    # four times.
+    a = (
+        dt.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("a_docs"))
+        .localCheckpoint(eager=True)
     )
-    c_tot = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c_tot"))
-    n_tot = d.agg(F.count(F.lit(1)).alias("n_tot"))
+    t_tot = a.groupBy("token").agg(F.sum("a_docs").alias("t_tot"))
+    c_tot = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c_tot"))
+        .localCheckpoint(eager=True)
+    )
+    n_tot = c_tot.agg(F.sum("c_tot").alias("n_tot"))
     full = (
         a.join(t_tot, "token")
         .join(F.broadcast(c_tot), "lang")
