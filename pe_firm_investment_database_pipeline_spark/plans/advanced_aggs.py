@@ -1356,8 +1356,15 @@ def evt_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast); Jaccard = |A∩B| / (|A|+|B|-|A∩B|) is a division of
     exact integers."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
-    per_user = ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        # compressed per-user type-set grid; the per-type sizes now
+        # derive from it (|users with type t| = count of sets
+        # containing t), so ONE events pass serves both the pair
+        # explode and the size table (the lazy form scanned events
+        # once per branch).
+        .localCheckpoint(eager=True)
     )
     pairs = per_user.select(
         F.explode(
@@ -1371,8 +1378,10 @@ def evt_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = pairs.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).alias("n_both")
     )
-    sizes = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users")
+    sizes = (
+        per_user.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
     a = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
     b = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
@@ -2456,6 +2465,11 @@ def evt_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("first_view_us"))
+        # per-user slate read by the purchase join AND the final
+        # left join — the lazy form re-planned its pruned events
+        # scan + rollup twice. The two remaining scans (view /
+        # purchase) carry pushed literal filters and stay.
+        .localCheckpoint(eager=True)
     )
     fp = (
         ev.where(F.col("event_type") == "purchase")
@@ -2646,6 +2660,11 @@ def evt_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id", F.expr("unix_date(ts_date)").alias("day"))
         .distinct()
+        # the compressed (user, day) grid feeds the spine, the DAU
+        # rollup AND the trailing-window join — the lazy form
+        # re-planned the events scan + distinct three times. One
+        # events pass materializes it.
+        .localCheckpoint(eager=True)
     )
     spine = ud.select("day").distinct().withColumnRenamed("day", "d")
     dau = ud.groupBy(F.col("day").alias("d")).agg(
@@ -3613,6 +3632,11 @@ def evt_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.expr("unix_date(ts_date) div 7").alias("week")
         )
         .distinct()
+        # the compressed user-week grid feeds the first-week rollup
+        # and the cell join (and `first` is itself read twice) — the
+        # lazy form re-planned the events scan + distinct three
+        # times. One events pass.
+        .localCheckpoint(eager=True)
     )
     first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     cells = (

@@ -1288,8 +1288,14 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     `evt_cusum_changepoint` block identity on the id axis. Selection
     ((cum div step) > ((cum - w) div step)) is pure integer; the
     draw is deterministic, reproducible, and oracle-checkable."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.col("n_chars").cast("long").alias("w")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("n_chars").cast("long").alias("w"))
+        # 2-int narrow doc frame read by the within-block window, the
+        # block totals AND (via btot) the grand total — the lazy form
+        # scanned documents three times. One pass; the grand total
+        # now derives from the block totals.
+        .localCheckpoint(eager=True)
     )
     blocked = d.withColumn("blk", F.expr(f"doc_id div {_PPS_BLOCK}"))
     wb = W.partitionBy("blk").orderBy("doc_id").rowsBetween(
@@ -1301,7 +1307,7 @@ def samp_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     offsets = btot.withColumn(
         "off", F.coalesce(F.sum("bw").over(woff), F.lit(0))
     ).select("blk", "off")
-    tot = d.agg(F.sum("w").alias("tw"))
+    tot = btot.agg(F.sum("bw").alias("tw"))
     cum = (
         within.join(F.broadcast(offsets), "blk")
         .crossJoin(F.broadcast(tot))
@@ -1530,8 +1536,14 @@ def samp_interleave_wfq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head is orderBy(vft).limit(100) — a distributed top-K, never
     a global sort; the final position stamp is a row_number over the
     100 survivors only (limit-bounded, the audit-exempt shape)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.col("n_chars").cast("long").alias("nc")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.col("n_chars").cast("long").alias("nc")
+        )
+        # narrow doc frame read by the share rollup AND the ranked
+        # join — one documents pass instead of two.
+        .localCheckpoint(eager=True)
     )
     shares = d.groupBy("source").agg(F.sum("nc").alias("mass"))
     tot = shares.agg(F.sum("mass").alias("tot"))

@@ -993,11 +993,17 @@ def sec_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {_LDIV_BAND_C}"
         ).alias("band"),
     )
-    cb = c.groupBy("c_nationkey", "c_mktsegment", "band").agg(
-        F.count(F.lit(1)).alias("n_cb")
+    cb = (
+        c.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n_cb"))
+        # observed (class, band) grid — the sufficient statistic:
+        # global band counts and N are its band-sums, so ONE
+        # customer pass serves all three surfaces (the lazy form
+        # scanned customer once per branch).
+        .localCheckpoint(eager=True)
     )
-    g = c.groupBy("band").agg(F.count(F.lit(1)).alias("g_b"))
-    n = c.agg(F.count(F.lit(1)).alias("n_tot"))
+    g = cb.groupBy("band").agg(F.sum("n_cb").alias("g_b"))
+    n = g.agg(F.sum("g_b").alias("n_tot"))
     cb2 = cb.withColumn(
         "cls_n",
         F.sum("n_cb").over(W.partitionBy("c_nationkey", "c_mktsegment")),
@@ -1796,7 +1802,12 @@ def evt_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v011": (0, 1, 1), "v111": (1, 1, 1),
     }.items():
         aggs.append(F.expr(v(*t)).alias(label))
-    g = users.agg(*aggs)
+    # ONE row — but the per-channel union below reads it three
+    # times, and each read re-planned the events scan + per-user
+    # rollup. The eager checkpoint keeps "all 8 coalition values
+    # from ONE scan" true in the physical plan, not just the
+    # logical one.
+    g = users.agg(*aggs).localCheckpoint(eager=True)
 
     # phi x6 for channel i: 2[v(i)-v(0)] + [v(ij)-v(j)] + [v(ik)-v(k)]
     # + 2[v(full)-v(full\i)]

@@ -905,13 +905,12 @@ def txt_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rag_bm25_topk), document frequencies are a small broadcast
     (vocabulary-sized), and the top-3 cut is a window partitioned by
     doc_id — per-document state, perfectly parallel, no global
-    sort."""
-    d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    sort. The (doc, term, tf) table is the staged forward-index
+    front shared with the BM25 family — the per-entry rebuild
+    re-planned the corpus explode three times (stats / dfreq /
+    scored); riding the memoized front leaves zero corpus scans in
+    the warm plan."""
+    tf = _tf_front(spark, sf_dir).select("doc_id", "term", "tf")
     stats = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (

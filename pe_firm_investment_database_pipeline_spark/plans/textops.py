@@ -2137,7 +2137,15 @@ def txt_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # bigram-vocab slate consumed by the unigram rollup AND the prob
+    # join — the lazy form re-ran the corpus explode+count per
+    # reference. The occurrence frame (bg) stays lazy: train+apply
+    # is genuinely two passes over it.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     probs = c2.join(c1, "w1").select(
         "w1", "w2", F.expr("(c2 * 1000000) div c1").alias("p_ppm")
@@ -2229,7 +2237,14 @@ def txt_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # same bigram-vocab slate shape as txt_bigram_prob — checkpoint
+    # the LM count table so the two consumers (unigram rollup, LM
+    # join) don't re-run the corpus explode+count.
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     ps = "greatest((c2 * 1048576) div c1, CAST(1 AS BIGINT))"
     e = f"CAST(length(bin({ps})) - 1 AS BIGINT)"
