@@ -97,6 +97,32 @@ def all_queries() -> dict[str, QuerySpec]:
         "sim_pq_topk",
         "evt_att_nn_matching",
         "evt_uplift_qini",
+        # r12 third-session batches 2-3 of the same sweep (all plans
+        # changed; grid/slate checkpoints + sufficient-statistic
+        # restructures): re-verdict officially.
+        "ml_kendall_tau",
+        "ts_forecast_snaive",
+        "ts_pct_change_wow",
+        "evt_stickiness_dau_mau",
+        "ml_chi2_feature_select",
+        "shard_by_token_budget",
+        "curation_pipeline_e2e",
+        "shard_manifest",
+        "sim_matryoshka_recall",
+        "mm_phash_neardup",
+        "agg_pareto_abc",
+        "agg_metric_decompose",
+        "evt_audience_overlap",
+        "evt_active_users",
+        "evt_cohort_triangle",
+        "evt_time_to_convert",
+        "evt_attribution_shapley",
+        "sec_t_closeness",
+        "txt_bigram_prob",
+        "txt_doc_perplexity",
+        "samp_pps_systematic",
+        "samp_interleave_wfq",
+        "txt_tfidf_topterms",
         # Late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",
