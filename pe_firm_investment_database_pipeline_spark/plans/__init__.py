@@ -123,6 +123,15 @@ def all_queries() -> dict[str, QuerySpec]:
         "samp_pps_systematic",
         "samp_interleave_wfq",
         "txt_tfidf_topterms",
+        # r12 fourth-session optimizations (union-min label
+        # propagation, PK-keyset distinct removal, dA-side component
+        # merge, passage-run result front): all plans changed —
+        # re-verdict officially. (ivm_join_delta and er_pipeline_e2e
+        # are already queued above for their earlier edits; the new
+        # plans supersede.)
+        "dq_fk_orphans",
+        "dedup_passage_runs",
+        "dedup_passage_overlap",
         # Late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",

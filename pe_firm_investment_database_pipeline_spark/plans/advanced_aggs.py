@@ -9338,9 +9338,31 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    da_b = comp("NOT o_old", "c_old", "da_b")
+    # r12 optimization round: the two dA-side components share one
+    # join — dA x (B u dB) computed in a single pass over the new
+    # orders, split on c_old AFTER the nation rollup (the grid is
+    # <= 2 x 25 rows, eagerly checkpointed so the two component
+    # reads don't re-plan the join). Scans drop 6 -> 4 per refresh
+    # and the delta work is still dA-driven: the full customer side
+    # is the join's probe dimension exactly as it was in the
+    # separate dAxB leg. a_db keeps its broadcast-delta shape.
+    da_grid = (
+        o.where("NOT o_old")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("nation", "c_old")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price_c").cast("long").alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    da_b = da_grid.where("c_old").select(
+        "nation", F.col("n").alias("n_da_b"), F.col("s").alias("sum_da_b_c")
+    )
+    da_db = da_grid.where("NOT c_old").select(
+        "nation", F.col("n").alias("n_da_db"), F.col("s").alias("sum_da_db_c")
+    )
     a_db = comp("o_old", "NOT c_old", "a_db")
-    da_db = comp("NOT o_old", "NOT c_old", "da_db")
     out = (
         base.join(da_b, "nation", "full_outer")
         .join(a_db, "nation", "full_outer")

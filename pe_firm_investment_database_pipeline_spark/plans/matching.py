@@ -564,19 +564,21 @@ def er_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rec_id", F.col("rec_id").alias("lbl")
     ).localCheckpoint(eager=True)
     for _ in range(_ER_ROUNDS):
-        nbr = (
-            edges.join(labels, edges.v == labels.rec_id)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nl"))
+        # union-min propagation (r12 optimization round): new label =
+        # min(own, min over neighbors) == min-aggregate over the
+        # union of the self-labels and the neighbor-carried labels.
+        # One join + one groupBy per round, where the old shape was
+        # join + groupBy(u) + left-join-back + least/coalesce — the
+        # second join (and its exchange) per round is gone and the
+        # result is identical: least(lbl, coalesce(min nl, lbl)) ==
+        # min over ({lbl} ∪ {neighbor lbls}).
+        nbr = edges.join(labels, edges.v == labels.rec_id).select(
+            F.col("u").alias("rec_id"), "lbl"
         )
         labels = (
-            labels.join(nbr, labels.rec_id == nbr.u, "left")
-            .select(
-                "rec_id",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
+            labels.unionByName(nbr)
+            .groupBy("rec_id")
+            .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
     clustered = recs.join(labels, "rec_id")

@@ -735,19 +735,25 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     no matter how many of its FKs are audited (lineitem's three
     edges are three left joins against DISTINCT parent key sets
     hanging off one scan, unpivoted with stack()) — never one scan
-    per edge; parent key sets are distinct-compressed before the
-    join so the build side is keys, not rows; counts are
-    partial-aggregable conditional sums. Fixture integrity is clean
+    per edge; parent build sides are the bare key column (each
+    audited parent key is a primary key, so no distinct-compression
+    aggregate is spent on it; a non-unique parent key would need
+    one); counts are partial-aggregable conditional sums. Fixture integrity is clean
     by construction, so the interesting column — orphan_ppm — is the
     zero every healthy load shows; the mechanism (child-count
     reconciliation per edge, clean-audit zeros) is pinned in
     tests/test_round7_ops.py."""
 
     def keyset(tbl: str, col: str, alias: str) -> DataFrame:
+        # every audited parent column is that table's PRIMARY key, so
+        # the former .distinct() was a semantic no-op costing one
+        # full aggregate+exchange per parent (4 in the plan) before
+        # the broadcast — dropped in the r12 optimization round. For
+        # a non-unique parent key a distinct-compression belongs
+        # here (a duplicate build row would double-count children).
         return (
             load_table(spark, sf_dir, tbl)
             .select(F.col(col).alias(alias))
-            .distinct()
             .withColumn(f"hit_{alias}", F.lit(1))
         )
 

@@ -3762,6 +3762,27 @@ _PASSAGE_DF_MAX = 50
 _PASSAGE_MIN_TOKENS = 12
 
 
+# The passage-run RESULT is a memoized front (r12 optimization round,
+# the _ann_join_result discipline): TWO registry entries consume it —
+# dedup_passage_runs itself and dedup_passage_overlap's pair rollup —
+# and each call re-planned the whole shingle+df-band+self-join+window
+# pipeline (4 parquet scans; the self-join reads the gram frame
+# twice). The frame is one row per detected >= 12-token shared run —
+# duplicate-evidence-sized, never corpus-sized — so an eager
+# localCheckpoint per (app, dataset) serves both entries.
+_PASSAGE_RUNS_CACHE: dict[tuple, DataFrame] = register_cache({})
+
+
+def _passage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return memoize(
+        _PASSAGE_RUNS_CACHE,
+        staged_key(spark, sf_dir, "passage_runs"),
+        lambda: _passage_runs_build(spark, sf_dir).localCheckpoint(
+            eager=True
+        ),
+    )
+
+
 def dedup_passage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CROSS-DOCUMENT REPEATED-PASSAGE extraction — the passage-level
     member of the dedup family (doc-level: minhash/simhash/jaccard;
@@ -3785,7 +3806,12 @@ def dedup_passage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by doc pair + diagonal, never global. A run of k
     grams covers k + 4 tokens. Everything is equi-join + partitioned
     window: no cartesian, no global sort, posting lists bounded by
-    the df cap at any corpus size."""
+    the df cap at any corpus size. Served from the memoized
+    passage-run front (_passage_runs; build plan below)."""
+    return _passage_runs(spark, sf_dir)
+
+
+def _passage_runs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKENS).alias("toks")).where(
         F.size("toks") >= _PASSAGE_N
@@ -3884,8 +3910,9 @@ def dedup_passage_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     which `win_interval_merge` demonstrates separately). Shape: the
     passage-run frame (equi-join + partitioned windows, see
     `dedup_passage_runs`) collapses to one row per qualifying pair;
-    doc token counts broadcast onto the pair-level rollup."""
-    runs = dedup_passage_runs(spark, sf_dir)
+    doc token counts broadcast onto the pair-level rollup. Rides the
+    memoized passage-run front shared with dedup_passage_runs."""
+    runs = _passage_runs(spark, sf_dir)
     pair = runs.groupBy("doc1", "doc2").agg(
         F.count(F.lit(1)).alias("n_runs"),
         F.sum("n_tokens").alias("run_tokens"),

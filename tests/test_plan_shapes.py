@@ -597,7 +597,23 @@ _STAGED_SERVING = [
     # tf rows, so the prior side must read the table)
     ("samp_dsir_importance", "documents"),
     ("ml_naive_bayes", None),
+    # r12 optimization round: the passage-run RESULT front serves
+    # both passage entries (runs directly; overlap joins doc lengths
+    # onto the checkpointed pair rollup, so documents MAY appear in
+    # overlap's plan but runs itself must be scan-free)
+    ("dedup_passage_runs", "documents"),
 ]
+
+
+def test_fk_orphans_no_parent_distinct(spark):
+    """r12 optimization: every audited parent key is a PRIMARY key,
+    so the parent build sides must NOT spend a distinct aggregate
+    before the broadcast (4 removed exchanges). The remaining
+    aggregates are the per-edge orphan counts (partial+final per
+    audit) — pin the formatted-plan HashAggregate mentions well
+    under the old distinct-bearing count (was 40, now 16)."""
+    plan = _plan(spark, "dq_fk_orphans")
+    assert plan.count("HashAggregate") <= 20, plan.count("HashAggregate")
 
 
 @pytest.mark.parametrize("op_id,absent", _STAGED_SERVING)
