@@ -48,26 +48,27 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.path.join(tempfile.gettempdir(), "pe_spark_warehouse"),
         )
-        # File-sink I/O layer (guide §6, r12 optimization round): the
-        # default file:// filesystem is ChecksumFileSystem, which
-        # shadows EVERY written file with a .crc sibling — for the
-        # file-heavy sink entries (snk_compact_files stages 1920
-        # fragment files per run) that doubles file creations for a
-        # redundancy local disks already provide; RawLocalFileSystem
-        # drops the shadow files (measured: fragment-stage write 2.7x
-        # faster, file count exactly halved). Commit algorithm v2
-        # renames task output straight to the destination instead of
-        # task->job->final double renames — one rename per file saved;
-        # the v1 default only matters for mid-job visibility on
+        # File-sink I/O layer (guide §6, r12 optimization round):
+        # commit algorithm v2 renames task output straight to the
+        # destination instead of task->job->final double renames —
+        # one rename per output file saved on every file sink; the
+        # v1 default only matters for mid-job visibility on
         # non-atomic cloud stores, not POSIX-rename local/HDFS dirs.
-        # On a real cluster the equivalents are the object-store
-        # committers (magic/S3A) — the principle (no per-file shadow
-        # work, no double rename) carries over; _SUCCESS markers stay
+        # On a real cluster the equivalent posture is the
+        # object-store committers (magic/S3A). _SUCCESS markers stay
         # ON (the staged-front reuse gate at io_ops.py reads them).
-        .config(
-            "spark.hadoop.fs.file.impl",
-            "org.apache.hadoop.fs.RawLocalFileSystem",
-        )
+        # NOTE: overriding fs.file.impl with RawLocalFileSystem (to
+        # drop ChecksumFileSystem's per-file .crc shadows — measured
+        # 2.7x on the fragment-stage write) was tried and REVERTED:
+        # Hadoop's FileSystem.getLocal() hard-casts the file:// fs
+        # to LocalFileSystem, and the RocksDB state-store file
+        # manager calls it — the cast ClassCastExceptions and the
+        # RocksDB backend (the pinned 100 TB state backend,
+        # tests/test_streaming.py::test_stateful_ops_run_on_rocksdb_backend)
+        # cannot commit. No Hadoop conf disables local checksum
+        # writing without that cast breaking, so the .crc win is
+        # only available cluster-side (HDFS/object stores don't
+        # write client-side shadow files).
         .config(
             "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
             "2",
