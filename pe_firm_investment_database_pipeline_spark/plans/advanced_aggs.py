@@ -3930,12 +3930,22 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "              'b', element_at(s, 2).x - element_at(s, 1).x),"
         f" (acc, e) -> {step})"
     )
+    # fold ONCE into a struct, then project fields: interpolating the
+    # aggregate() per output column left 4 copies in the optimized
+    # plan (higher-order functions are CodegenFallback, so Catalyst
+    # subexpression elimination never merges them; CollapseProject
+    # keeps the two-Project shape because the alias is non-cheap and
+    # multiply referenced)
     return ser.select(
         "event_type",
         F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
-        F.expr(f"{fold}.l").alias("level"),
-        F.expr(f"{fold}.b").alias("trend"),
-        F.expr(f"{fold}.l + {_HOLT_H} * {fold}.b").alias("forecast_7d"),
+        F.expr(fold).alias("acc"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("acc.l").alias("level"),
+        F.col("acc.b").alias("trend"),
+        (F.col("acc.l") + _HOLT_H * F.col("acc.b")).alias("forecast_7d"),
     )
 
 
@@ -6878,19 +6888,24 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"   'ss', concat(slice(acc.ss, 2, {_HW_M - 1}),"
         f"                array({sn}))))"
     )
+    # fold ONCE (ts_holt_linear discipline: 8 interpolated copies of
+    # the aggregate() survived in the optimized plan otherwise)
     return ser.select(
         "event_type",
         F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
-        F.expr(f"{fold}.l").alias("level"),
-        F.expr(f"{fold}.b").alias("trend"),
-        F.expr(f"element_at({fold}.ss, 1)").alias("season_next"),
-        F.expr(f"element_at({fold}.ss, {_HW_M})").alias("season_last"),
-        F.expr(f"{fold}.l + {fold}.b + element_at({fold}.ss, 1)").alias(
+        F.expr(fold).alias("acc"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("acc.l").alias("level"),
+        F.col("acc.b").alias("trend"),
+        F.expr("element_at(acc.ss, 1)").alias("season_next"),
+        F.expr(f"element_at(acc.ss, {_HW_M})").alias("season_last"),
+        F.expr("acc.l + acc.b + element_at(acc.ss, 1)").alias(
             "forecast_1d"
         ),
         F.expr(
-            f"{fold}.l + {_HW_M} * {fold}.b"
-            f" + element_at({fold}.ss, {_HW_M})"
+            f"acc.l + {_HW_M} * acc.b + element_at(acc.ss, {_HW_M})"
         ).alias("forecast_7d"),
     )
 
@@ -7004,13 +7019,18 @@ def ts_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"  'k', {k},"
         f"  'innov', {innov}))"
     )
+    # fold ONCE (ts_holt_linear discipline)
     return ser.select(
         "event_type",
         F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
-        F.expr(f"{fold}.x").alias("level_milli"),
-        F.expr(f"{fold}.p").alias("var_milli"),
-        F.expr(f"{fold}.k").alias("gain_ppm"),
-        F.expr(f"{fold}.innov").alias("last_innov_milli"),
+        F.expr(fold).alias("acc"),
+    ).select(
+        "event_type",
+        "n_days",
+        F.col("acc.x").alias("level_milli"),
+        F.col("acc.p").alias("var_milli"),
+        F.col("acc.k").alias("gain_ppm"),
+        F.col("acc.innov").alias("last_innov_milli"),
     )
 
 
@@ -7442,14 +7462,17 @@ def ts_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "              'pd', element_at(xs, 1).day),"
         f" (acc, x) -> {step})"
     )
+    # fold ONCE (ts_holt_linear discipline)
     return ser.select(
         "user_id",
         F.expr("CAST(size(xs) AS BIGINT)").alias("n_points"),
-        F.expr(f"{fold}.z").alias("size_ewma"),
-        F.expr(f"{fold}.p").alias("gap_ewma"),
-        F.expr(f"({fold}.z * 1000) div {fold}.p").alias(
-            "rate_permille"
-        ),
+        F.expr(fold).alias("acc"),
+    ).select(
+        "user_id",
+        "n_points",
+        F.col("acc.z").alias("size_ewma"),
+        F.col("acc.p").alias("gap_ewma"),
+        F.expr("(acc.z * 1000) div acc.p").alias("rate_permille"),
     )
 
 
@@ -7762,11 +7785,16 @@ def ts_ewma_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         "         CAST(least(x.day - acc.pd, 62) AS INT)),"
         "   'pd', x.day))"
     )
+    # fold ONCE (ts_holt_linear discipline)
     return ser.select(
         "user_id",
         F.expr("CAST(size(s) AS BIGINT)").alias("n_days"),
-        F.expr(f"{fold}.pd").alias("last_day"),
-        F.expr(f"{fold}.ew").alias("ewma_c"),
+        F.expr(fold).alias("acc"),
+    ).select(
+        "user_id",
+        "n_days",
+        F.col("acc.pd").alias("last_day"),
+        F.col("acc.ew").alias("ewma_c"),
     )
 
 
@@ -8080,13 +8108,19 @@ def fin_avg_cost_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  'realized', CAST(0 AS BIGINT), 'unfilled', CAST(0 AS BIGINT)),"
         f" (acc, e) -> {step})"
     )
+    # fold ONCE (ts_holt_linear discipline: 4 interpolated copies of
+    # the aggregate() survived in the optimized plan otherwise)
     return ser.select(
         "l_suppkey",
         F.expr("CAST(size(s) AS BIGINT)").alias("n_months"),
-        F.expr(f"{fold}.qty").alias("end_qty"),
-        F.expr(f"{fold}.cost").alias("end_cost_c"),
-        F.expr(f"{fold}.realized").alias("realized_pnl_c"),
-        F.expr(f"{fold}.unfilled").alias("unfilled_qty"),
+        F.expr(fold).alias("acc"),
+    ).select(
+        "l_suppkey",
+        "n_months",
+        F.col("acc.qty").alias("end_qty"),
+        F.col("acc.cost").alias("end_cost_c"),
+        F.col("acc.realized").alias("realized_pnl_c"),
+        F.col("acc.unfilled").alias("unfilled_qty"),
     )
 
 

@@ -1455,12 +1455,18 @@ def pack_sequences_nfd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "             named_struct('n', acc.n, 't', acc.f)),"
         "     'n', CAST(1 AS BIGINT), 'f', x.tok) END)"
     )
+    # fold ONCE into a struct, then close the open bin: the three
+    # interpolated copies of the aggregate() all survived in the
+    # optimized plan (HOFs are CodegenFallback — no CSE)
     bins = ser.select(
         "lang",
         "shard",
+        F.expr(fold).alias("acc"),
+    ).select(
+        "lang",
+        "shard",
         F.expr(
-            f"array_append({fold}.bins,"
-            f" named_struct('n', {fold}.n, 't', {fold}.f))"
+            "array_append(acc.bins, named_struct('n', acc.n, 't', acc.f))"
         ).alias("bins"),
     )
     return bins.select(

@@ -392,11 +392,15 @@ def join_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = (
         dirty.join(master, "blk")
+        # threshold form (Spark 3.5+): banded O(len*k) DP with early
+        # exit instead of the full O(len^2) matrix; distance > 2
+        # returns the -1 sentinel, so the keep-filter is `>= 0`
+        # (surviving rows carry the exact distance, identical output)
         .withColumn(
             "dist",
-            F.levenshtein("dirty_name", "master_name").cast("long"),
+            F.levenshtein("dirty_name", "master_name", 2).cast("long"),
         )
-        .where(F.col("dist") <= 2)
+        .where(F.col("dist") >= 0)
     )
     best = cands.groupBy("dirty_key").agg(
         F.min(F.struct(F.col("dist"), F.col("master_key"))).alias("b")
@@ -512,7 +516,8 @@ def _er_recs_and_pairs(
             F.col("r.name").alias("rn"),
         )
         .distinct()
-        .where(F.levenshtein("ln", "rn") <= 2)
+        # threshold form: banded O(len*2) DP, -1 sentinel when > 2
+        .where(F.levenshtein("ln", "rn", 2) >= 0)
         .select("u", "v")
     )
     return recs, pairs
