@@ -132,6 +132,17 @@ def all_queries() -> dict[str, QuerySpec]:
         "dq_fk_orphans",
         "dedup_passage_runs",
         "dedup_passage_overlap",
+        # r12 fifth-session-tail optimizations (banded threshold
+        # levenshtein; single-eval struct folds): all plans changed —
+        # re-verdict officially. (er_pipeline_e2e queued above.)
+        "join_fuzzy_name",
+        "ts_holt_linear",
+        "ts_holt_winters",
+        "ts_kalman_1d",
+        "ts_croston_intermittent",
+        "ts_ewma_irregular",
+        "fin_avg_cost_basis",
+        "pack_sequences_nfd",
         # Late-r11b ops sampled officially only once
         # (added in the final r11 commits).
         "sec_bloom_psi",
