@@ -229,6 +229,58 @@ def _full_headline() -> list[str]:
 RUNS = 3
 RATIO_BAND = (0.8, 1.25)
 
+# Result-front accounting (r12 verdict "Next round" #1): entries whose
+# DECLARED RESULT is itself a memoized front previously recorded a
+# warm best-of-N that timed a cache read (8–94 ms against 0.6–4.4 s
+# cold). Before EVERY timed run of such an entry — cold, warm repeats
+# and the outlier-pin sample alike — the bench now drops that entry's
+# OWN front (and only it: the shared amortized index structures that
+# other entries legitimately query, e.g. the IVF index or the LSH
+# band/pair fronts, stay warm), so every recorded number is
+# build+serve. Consumers that run later in the sweep still find the
+# front warm because the owner's LAST timed run leaves it built —
+# the shared-materialized-view story is unchanged; only the owner's
+# headline stops billing a dict lookup as query time. The values are
+# (cache_name, *key_match) tuples for session_cache.evict_named.
+_RESULT_FRONT_OWNERS: dict[str, tuple] = {
+    "sim_ann_join": (("ann_result",),),
+    "sim_knn_blocked_full": (("sim_stage", "knn_full_topk"),),
+    "ml_kmeans_fixed": (("km_assign",),),
+    "evt_survival_km": (("km_curve",),),
+    "dedup_passage_runs": (("passage_runs",),),
+    "graph_louvain_move": (("louvain_moved",),),
+    "merge_scd2": (("scd2", "all"),),
+    "ts_outlier_repair": (("ts_daily_fence",),),
+    "src_python_stream_source": (("pyss",),),
+}
+
+# Same accounting rule for the three streaming entries that persist a
+# checkpoint per (application, sf_dir) and therefore take the
+# restart-RECOVERY path on warm repeats (zero batches, read state
+# back): their state/checkpoint/sink dirs are dropped before each
+# timed run so every recorded run re-processes the staged feed. The
+# feed STAGING itself (_prepare_input) stays memoized — it is input
+# fixturing, the analogue of the parquet dataset, not query work.
+_STREAM_STATE_OWNERS = (
+    "stream_dedup_lsh",
+    "stream_upsert_foreachbatch",
+    "stream_cdc_changelog",
+)
+
+
+def _force_gc(spark) -> None:
+    """System.gc() through the private Py4J gateway, guarded: under a
+    session type with no `_jvm` (e.g. Spark Connect) the fence is
+    skipped with a note instead of crashing the bench (ADVICE r12)."""
+    jvm = getattr(getattr(spark, "sparkContext", None), "_jvm", None)
+    if jvm is None:
+        print("gc fence skipped: no JVM gateway", file=sys.stderr)
+        return
+    try:
+        jvm.System.gc()
+    except Exception as exc:  # pragma: no cover - gateway teardown race
+        print(f"gc fence skipped: {exc}", file=sys.stderr)
+
 
 def _runs_after_warm(warm_run_sec: float) -> int:
     """Repeats remaining AFTER the discarded cold run + first warm
@@ -302,7 +354,11 @@ def main() -> None:
             pass  # warmup is best-effort; the sweep itself will report
 
     from pe_firm_investment_database_pipeline_spark.functions.session_cache import (
+        evict_named,
         evict_staged,
+    )
+    from pe_firm_investment_database_pipeline_spark.streaming.windows import (
+        evict_stream_state,
     )
 
     evict_staged()
@@ -324,7 +380,7 @@ def main() -> None:
     # timed sweep then starts from a clean heap. Timed action per
     # entry is UNCHANGED.
     for _ in range(2):
-        spark.sparkContext._jvm.System.gc()
+        _force_gc(spark)
         time.sleep(4)
 
     calib_start = _calibration_probe(spark)
@@ -354,22 +410,38 @@ def main() -> None:
         # same way while billing the pause to nobody. Timed action
         # per entry is UNCHANGED.
         if time.monotonic() - last_gc > 75:
-            spark.sparkContext._jvm.System.gc()
-            time.sleep(1.0)  # let the ContextCleaner queue drain
+            _force_gc(spark)
+            # 1 s drain pause: empirically sufficient at sf0.1 (the
+            # r12 record chain shows no post-fence bleed at this
+            # figure); the cleaner queue here is one entry's worth of
+            # blocks, not the post-warmup 380-query backlog that the
+            # 2x-GC+4s quiesce above absorbs (ADVICE r12 note).
+            time.sleep(1.0)
             last_gc = time.monotonic()
         fn = registry[op_id].fn
+
+        # result-front accounting (see _RESULT_FRONT_OWNERS above):
+        # drop the entry's OWN memoized result/state before every
+        # timed sample, so cold ≈ warm ≈ build+serve for front owners
+        def run_once(op_id=op_id, fn=fn) -> float:
+            for spec in _RESULT_FRONT_OWNERS.get(op_id, ()):
+                evict_named(*spec)
+            if op_id in _STREAM_STATE_OWNERS:
+                evict_stream_state(spark, sf_dir, op_id)
+            return timed_run(fn)
+
         # cold run: pays staging/index builds — excluded from the
         # headline (see BENCH_NOTES r11 convention statement) but
         # recorded under "cold_sec" for build-inclusive visibility
-        cold[op_id] = round(timed_run(fn), 3)
-        best = timed_run(fn)  # first warm run — keys the repeat count
+        cold[op_id] = round(run_once(), 3)
+        best = run_once()  # first warm run — keys the repeat count
         for _ in range(_runs_after_warm(best)):
-            best = min(best, timed_run(fn))
+            best = min(best, run_once())
         prev_t = prev_queries.get(op_id)
         if prev_t and not (
             RATIO_BAND[0] <= best / prev_t <= RATIO_BAND[1]
         ):
-            best = min(best, timed_run(fn))  # outlier pin: one more sample
+            best = min(best, run_once())  # outlier pin: one more sample
         timings[op_id] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

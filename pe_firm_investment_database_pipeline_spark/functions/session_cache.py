@@ -34,6 +34,15 @@ from typing import Callable, TypeVar
 # between entry families without knowing module internals.
 _ALL_CACHES: list[dict] = []
 
+# Caches registered WITH a name can additionally be evicted one at a
+# time (``evict_named``). The r12 verdict's result-front accounting
+# rule needs this granularity: a registry entry whose declared result
+# is itself a memoized front must have THAT front (and only that
+# front) dropped before each timed benchmark run, so the recorded
+# time is build+serve rather than a cache read — while the amortized
+# index fronts other entries legitimately share stay warm.
+_NAMED_CACHES: dict[str, dict] = {}
+
 # One process-wide lock for all miss paths: front builds are rare and
 # heavyweight (a localCheckpoint executes the build job under the
 # lock), so a single lock costs nothing and removes any lock-ordering
@@ -43,9 +52,34 @@ _MEMO_LOCK = threading.RLock()
 T = TypeVar("T")
 
 
-def register_cache(cache: dict) -> dict:
+def register_cache(cache: dict, name: str | None = None) -> dict:
     _ALL_CACHES.append(cache)
+    if name is not None:
+        _NAMED_CACHES[name] = cache
     return cache
+
+
+def evict_named(name: str, *match) -> int:
+    """Unpersist and drop entries of ONE named cache — the targeted
+    sibling of ``evict_staged``. When ``match`` elements are given,
+    only entries whose key tuple contains every element are dropped
+    (e.g. the ``("scd2", "all")`` subset of a cache shared by two
+    entries under distinct subset keys). Unknown names evict nothing
+    (0) rather than raising, so a sweep harness can carry a static
+    owner map across code versions. Returns the eviction count."""
+    cache = _NAMED_CACHES.get(name)
+    if cache is None:
+        return 0
+    n = 0
+    with _MEMO_LOCK:
+        for k in [k for k in cache if all(m in k for m in match)]:
+            df = cache.pop(k)
+            n += 1
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # stopped session / non-persisted frame
+    return n
 
 
 def dataset_fingerprint(sf_dir: str) -> tuple[int, int]:

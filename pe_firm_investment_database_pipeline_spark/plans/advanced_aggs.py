@@ -2781,7 +2781,7 @@ def _km_curve_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lifetime frame twice each, and evt_ltv_expected integrates the
 # same curve again — unstaged, the whole product-limit pipeline
 # re-ran per consumer.
-_KM_CURVE_CACHE: dict[tuple, DataFrame] = register_cache({})
+_KM_CURVE_CACHE: dict[tuple, DataFrame] = register_cache({}, name="km_curve")
 
 
 def _km_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3150,7 +3150,7 @@ FROM long l JOIN bounds b ON l.col_name = b.col_name
 # staged per (application, dataset): the events scan + grid rollup +
 # two broadcast percentile passes otherwise re-run for every one of
 # the entry's five consumers of the flagged frame.
-_TS_FENCE_CACHE: dict[tuple, DataFrame] = register_cache({})
+_TS_FENCE_CACHE: dict[tuple, DataFrame] = register_cache({}, name="ts_daily_fence")
 
 
 def _ts_daily_fence_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1670,7 +1670,7 @@ FROM a1s a FULL OUTER JOIN h1s h ON h.u = a.v
 # the registry's highest). Memoized per (applicationId, dataset
 # fingerprint) with an eager checkpoint, the same staged-front
 # discipline as _lsh_pairs itself (r11 verdict #4).
-_LOUVAIN_MOVED_CACHE: dict[tuple, DataFrame] = register_cache({})
+_LOUVAIN_MOVED_CACHE: dict[tuple, DataFrame] = register_cache({}, name="louvain_moved")
 
 
 def _louvain_moved(spark: SparkSession, sf_dir: str):

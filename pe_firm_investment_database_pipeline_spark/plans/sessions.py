@@ -183,7 +183,7 @@ FROM nation
 # non-purchase update stream) stage their fronts under distinct
 # subset keys; the eager localCheckpoint makes every consumer after
 # the first start from a materialized, lineage-free local frame.
-_SCD2_CACHE: dict[tuple, DataFrame] = register_cache({})
+_SCD2_CACHE: dict[tuple, DataFrame] = register_cache({}, name="scd2")
 
 
 def _scd2_front(

@@ -183,7 +183,7 @@ _NBITS_IVF = (
 # when CacheManager dedups the plans. Returning the SAME Python
 # DataFrame bounds live storage at one block set per (session, data
 # dir, index kind).
-_STAGE_CACHE: dict[tuple, DataFrame] = register_cache({})
+_STAGE_CACHE: dict[tuple, DataFrame] = register_cache({}, name="sim_stage")
 
 
 def _staged(spark: SparkSession, key: tuple, build, src: DataFrame) -> DataFrame:
@@ -952,7 +952,7 @@ def _ann_join_result_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # consumer re-planned the probe join + top-k window per reference.
 # The frame is Q x k (~queries are a fixed 1% sample), tiny at any
 # SF; one eager localCheckpoint per (app, dataset) serves them all.
-_ANN_RESULT_CACHE: dict[tuple, DataFrame] = register_cache({})
+_ANN_RESULT_CACHE: dict[tuple, DataFrame] = register_cache({}, name="ann_result")
 
 
 def sim_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,7 +1686,7 @@ def _km_assign_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unrolled iteration per consumer. Production persists the
 # assignment as the clustering artifact, so the staged shape is the
 # realistic one.
-_KM_ASSIGN_CACHE: dict[tuple, DataFrame] = register_cache({})
+_KM_ASSIGN_CACHE: dict[tuple, DataFrame] = register_cache({}, name="km_assign")
 
 
 def _km_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3770,7 +3770,7 @@ _PASSAGE_MIN_TOKENS = 12
 # twice). The frame is one row per detected >= 12-token shared run —
 # duplicate-evidence-sized, never corpus-sized — so an eager
 # localCheckpoint per (app, dataset) serves both entries.
-_PASSAGE_RUNS_CACHE: dict[tuple, DataFrame] = register_cache({})
+_PASSAGE_RUNS_CACHE: dict[tuple, DataFrame] = register_cache({}, name="passage_runs")
 
 
 def _passage_runs(spark: SparkSession, sf_dir: str) -> DataFrame:

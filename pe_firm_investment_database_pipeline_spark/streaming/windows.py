@@ -88,6 +88,43 @@ def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# The three entries below persist checkpoint + state/sink dirs per
+# (application, sf_dir), so a re-invocation inside one session takes
+# the RESTART-RECOVERY path: the availableNow trigger finds no new
+# files, zero batches run, and the result is read back from the
+# on-disk state. That is correct streaming semantics — but it means
+# a warm benchmark repeat times recovery, not feed processing. The
+# r12 verdict's result-front accounting rule applies: the bench
+# drops these dirs before each timed run so every recorded run
+# re-processes the staged feed end to end (the feed STAGING itself —
+# _prepare_input / _prepare_docs_input — stays memoized: it is input
+# fixturing, the analogue of the parquet dataset, not query work).
+_STREAM_STATE_DIRS = {
+    "stream_dedup_lsh": ("pe_stream_lshdedup_", "pe_stream_lshdedup_ck_"),
+    "stream_upsert_foreachbatch": ("pe_upsert_", "pe_upsert_ck_"),
+    "stream_cdc_changelog": ("pe_cdc_", "pe_cdc_ck_"),
+}
+
+
+def evict_stream_state(spark: SparkSession, sf_dir: str, entry: str) -> None:
+    """Delete the persisted checkpoint/state/sink dirs of one
+    checkpoint-recovering streaming entry (no-op for other names), so
+    its next invocation processes the staged feed instead of
+    recovering. Results are identical either way — recovery reads the
+    fixpoint a fresh pass rewrites."""
+    import shutil
+
+    prefixes = _STREAM_STATE_DIRS.get(entry)
+    if not prefixes:
+        return
+    slot = _slot(spark, sf_dir)
+    for p in prefixes:
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), f"{p}{slot}"),
+            ignore_errors=True,
+        )
+
+
 def _read_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(_EVENT_SCHEMA).parquet(path)
 
