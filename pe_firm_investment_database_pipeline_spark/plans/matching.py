@@ -501,6 +501,14 @@ def _er_recs_and_pairs(
             )
         ).alias("band"),
     ).distinct()
+    # A length-difference pre-cut (|len(l)-len(r)| <= 2, implied by
+    # levenshtein <= 2) in the join condition was A/B'd in r13 and
+    # REJECTED: the skip-gram + double length band blocking already
+    # confines length drift, so the cut removes only 392 of 16544
+    # candidate rows (2.4%) at sf0.1 and measured band-neutral
+    # (best-of-3 alternating 3.87 vs 3.83 s); the threshold
+    # levenshtein's internal length early-exit already covers the
+    # comparison-cost side. Determination in OPTIMIZATION_r13.md.
     pairs = (
         posted.alias("l")
         .join(

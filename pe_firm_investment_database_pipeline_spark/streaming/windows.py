@@ -70,7 +70,16 @@ def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
     """Normalize events (ns→µs timestamps, exact value cents) into a
     parquet dir the file stream source can read. Written once per
     (session, sf_dir) — the streaming operators share it. Keyed by
-    applicationId (id() can be reused after gc)."""
+    applicationId (id() can be reused after gc).
+
+    Staged as 4 files — the `_prepare_docs_input` discipline — so the
+    micro-batch count is a FIXED property of the fixture: the
+    foreachBatch entries (maxFilesPerTrigger=2) process exactly 2
+    batches, exercising the multi-batch merge path, instead of
+    inheriting the events scan's 32-task spread (which made them run
+    16 micro-batches — 16 state read+rewrite cycles per invocation —
+    purely as an artifact of load_table's parallelism floor; the
+    fixpoint itself is batch-boundary-independent by design)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _INPUT_CACHE.get(key)
     if cached is not None:
@@ -83,7 +92,7 @@ def _prepare_input(spark: SparkSession, sf_dir: str) -> str:
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
         F.timestamp_micros(F.col("ts_us")).alias("ts"),
     )
-    ev.write.mode("overwrite").parquet(path)
+    ev.repartition(4).write.mode("overwrite").parquet(path)
     _INPUT_CACHE[key] = path
     return path
 
