@@ -282,6 +282,123 @@ def _force_gc(spark) -> None:
         print(f"gc fence skipped: {exc}", file=sys.stderr)
 
 
+# Scaling-evidence subset (r12 verdict "Next round" #5): the driver's
+# 8-vs-32-core probe at sf0.1 shows 32 cores SLOWER for the median
+# entry (sub-second queries — task scheduling and exchange overhead
+# dominate), so sf0.1 cannot evidence parallel scaling at all. This
+# mode runs a heavy join/agg/dedup subset at ~sf1.0 (the key-shifted
+# 10x replication tests/test_scale_10x.py synthesizes) at two core
+# counts in SEPARATE subprocesses (the master string is fixed per
+# JVM) and records the per-entry ratio as a `scaling` block in the
+# newest BENCH_LOCAL record. Entries are chosen so the warm run does
+# the declared work (no result-front owners).
+_SCALING_OPS = [
+    "flagship_revenue_by_nation",
+    "agg_hash_groupby",
+    "agg_distinct_exact",
+    "agg_distinct_approx",
+    "join_equi_hash",
+    "join_star_q5_local",
+    "join_salted_skew",
+    "join_score_argmax",
+    "dedup_minhash_lsh",
+    "dedup_ngram_prefix",
+    "er_pipeline_e2e",
+    "agg_market_basket",
+    "evt_cusum_changepoint",
+    "fin_avg_cost_basis",
+    "fin_npv_schedule",
+    "agg_weighted_median",
+    "dq_order_totals_recon",
+    "txt_pmi_pairs",
+    "ml_linreg_multivar",
+    "profile_cardinality_report",
+]
+
+
+def _scaling_worker(sf_dir: str) -> None:
+    """Child process: time _SCALING_OPS at $SPARK_GRAFT_CPUS against
+    ``sf_dir`` (cold discarded, best-of-2 warm — the sweep convention)
+    and print one JSON line {op: {"warm": s, "cold": s}}."""
+    spark = get_spark("pe-pipeline-scaling")
+    registry = all_queries()
+    out: dict[str, dict] = {}
+    for op_id in _SCALING_OPS:
+        fn = registry[op_id].fn
+
+        def one() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        c = one()
+        w = min(one(), one())
+        out[op_id] = {"warm": round(w, 3), "cold": round(c, 3)}
+    print("SCALING_JSON:" + json.dumps(out))
+    spark.stop()
+
+
+def _scaling_main() -> None:
+    """Parent: synthesize/reuse the sf1.0 dir, run the worker at 32
+    and 8 cores, merge a `scaling` block into the newest BENCH_LOCAL
+    record (creating the file if the bench has not run this round)."""
+    import subprocess
+
+    from tests.test_scale_10x import SCALE_DIR, _build_scale_dir
+
+    _build_scale_dir()
+    per_cpus: dict[str, dict] = {}
+    for cpus in ("32", "8"):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = cpus
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", SCALE_DIR],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=REPO_ROOT,
+        )
+        line = next(
+            (
+                ln[len("SCALING_JSON:"):]
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("SCALING_JSON:")
+            ),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise SystemExit(f"scaling worker at {cpus} cpus produced no record")
+        per_cpus[cpus] = json.loads(line)
+    block = {
+        "sf_dir": SCALE_DIR,
+        "note": (
+            "warm sec at ~sf1.0 (10x key-shifted replication); "
+            "ratio_8_over_32 > 1 means more cores help"
+        ),
+        "loadavg": _loadavg(),
+        "calib": _calibration_probe(),
+        "cpus32": per_cpus["32"],
+        "cpus8": per_cpus["8"],
+        "ratio_8_over_32": {
+            op: round(per_cpus["8"][op]["warm"] / per_cpus["32"][op]["warm"], 2)
+            for op in per_cpus["32"]
+            if per_cpus["8"].get(op, {}).get("warm")
+        },
+    }
+    path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{_next_round():02d}.json")
+    doc = {}
+    if os.path.exists(path):
+        try:
+            doc = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            doc = {}
+    doc["scaling"] = block
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(json.dumps({"scaling": block}))
+
+
 def _runs_after_warm(warm_run_sec: float) -> int:
     """Repeats remaining AFTER the discarded cold run + first warm
     run: one more for sub-1.5 s warm paths (total best-of-3), none
@@ -477,6 +594,15 @@ def main() -> None:
     # persist the FULL result in-repo so every round keeps regression
     # visibility (r5 verdict lost per-op times for ~135 entries).
     local_path = os.path.join(REPO_ROOT, f"BENCH_LOCAL_r{_next_round():02d}.json")
+    # preserve a `scaling` block a prior --scaling run merged into
+    # this round's record (separate experiment, separate data dir)
+    if os.path.exists(local_path):
+        try:
+            prior = json.load(open(local_path))
+            if "scaling" in prior and "scaling" not in out:
+                out["scaling"] = prior["scaling"]
+        except (OSError, json.JSONDecodeError):
+            pass
     with open(local_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     # Memory hygiene for anything running after the sweep in the same
@@ -561,4 +687,9 @@ def _load_prev_bench() -> dict | None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        _scaling_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling-worker":
+        _scaling_worker(sys.argv[2])
+    else:
+        main()

@@ -40,16 +40,19 @@ def join_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     step3_attempt1.py:289-304), keep the best-scoring supplier per
     customer (argmax window, step3_attempt1.py:404-412).
 
-    Scale shape: the card side is small and explicitly broadcast, so
-    the fact side never shuffles for the join; the argmax is a
-    max(struct(score, -suppkey)) AGGREGATE, not a window — partial
-    maxes combine map-side, so the shuffle carries one pre-reduced
-    row per entity (E rows) instead of every scored pair (E x C rows
-    for a ranking window). Tie-break (lowest suppkey) rides inside
-    the struct ordering, so the survivor is still deterministic. At
-    100 TB the same plan holds because cards stay O(page), never
-    O(corpus). Score arithmetic is exact: integer-cent comparisons
-    and literal weights summed in a fixed order, rounded once."""
+    Scale shape (r13 rewrite): the scored pair space is NEVER
+    materialized — the argmax is decomposed over the 8 score classes
+    the weighted predicates induce (see the in-body comment), so the
+    entity side does E x O(log C) map-side work through broadcast
+    staircase lookups instead of the E x C cross join (which read
+    ~100x for 10x data in the sf1.0 scaling probe). Tie-break
+    (lowest suppkey) is the staircase's first-qualifying entry, so
+    the survivor is deterministic, and the winner's score is
+    recomputed with the original expression — integer-cent
+    comparisons and literal weights summed in a fixed order, rounded
+    once — so the emitted doubles are bit-identical to the
+    cross-join formulation (the oracle still declares the cross
+    join)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
@@ -57,23 +60,185 @@ def join_score_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_nationkey", "s_acctbal", "s_name"
     )
     z = F.lit(0.0)
-    score = F.round(
+    # ARGMAX DECOMPOSITION (r13, guide §8 "use what you know that the
+    # optimizer does not"): the E x C scored cross join materialized
+    # every pair — 1.5e9 rows at sf1.0 (121 s; ~100x for 10x data in
+    # the scaling probe, the registry's one quadratic plan). But the
+    # score takes only 8 distinct per-pair values: the segment term
+    # (0.3) is constant per CUSTOMER (it cannot move the argmax), and
+    # the remaining three predicates — nation match (1.0), supplier
+    # balance greater (0.9), (s_suppkey + c_custkey) % 7 == 0 (0.6) —
+    # partition the suppliers, for a fixed customer, into 8 classes
+    # with pairwise-distinct class scores (subset sums of
+    # {1.0, 0.9, 0.6} are unique). The argmax winner is therefore the
+    # MIN-SUPPKEY supplier of the highest nonempty class, and that
+    # min is answerable without touching E x C pairs: within any
+    # supplier group, the min-suppkey supplier with bal > x always
+    # lies on the group's RECORD-MAX STAIRCASE in suppkey order
+    # (if an earlier suppkey had an equal-or-higher balance it would
+    # win instead), and the first staircase entry with bal > x IS the
+    # answer; bal <= x symmetrically uses the record-min staircase.
+    # Build both staircases for every (nation-relation, mod-relation)
+    # group a customer can probe — (eq n | ne n) x (eq m | ne m) over
+    # the 25-nation x 7-residue grid, each supplier exploding into
+    # its 175 group memberships (supplier-side work: C x 175 rows,
+    # dimension-sized) — then resolve each customer with FOUR
+    # broadcast equi-joins against the ~700-row staircase table plus
+    # array filters, and recompute the winner's score with the
+    # ORIGINAL expression (bit-identical doubles) via one more
+    # broadcast join. No shuffle of the customer side, no pair
+    # materialization: E x O(log C) work instead of E x C.
+    # spread=False: the staircase build's inputs are dimension-sized
+    # (suppliers x 175 grid cells); the parallelism-floor repartition
+    # would turn every narrow stage into 32 near-empty tasks and the
+    # build cost becomes pure task-scheduling latency
+    sup = load_table(spark, sf_dir, "supplier", spread=False).select(
+        "s_suppkey",
+        "s_nationkey",
+        cents("s_acctbal").alias("bal"),
+        (F.col("s_suppkey") % 7).alias("smod"),
+    )
+    nat_dom = load_table(spark, sf_dir, "nation", spread=False).select(
+        F.col("n_nationkey").cast("long").alias("natkey")
+    )
+    mod_dom = spark.range(7).select(F.col("id").cast("long").alias("modkey"))
+    # group memberships: every (nation, residue) grid cell holds each
+    # supplier exactly once, with rel flags DERIVED from whether the
+    # cell matches the supplier (rel 0 = "customer value equals the
+    # supplier's", 1 = "differs") — one cross product with two
+    # dimension-sized broadcasts, no unions, C x 175 rows total
+    member = (
+        sup.crossJoin(F.broadcast(nat_dom))
+        .crossJoin(F.broadcast(mod_dom))
+        .select(
+            "s_suppkey",
+            "bal",
+            F.when(F.col("natkey") == F.col("s_nationkey"), 0)
+            .otherwise(1)
+            .alias("nat_rel"),
+            "natkey",
+            F.when(F.col("modkey") == F.col("smod"), 0)
+            .otherwise(1)
+            .alias("mod_rel"),
+            "modkey",
+        )
+    )
+    # staircases computed INSIDE the aggregate (one exchange, no
+    # window pass): sort each group's (suppkey, bal) array by suppkey
+    # and keep record-maxima / record-minima of bal with ONE linear
+    # fold per direction (array_append fires only on the O(log n)
+    # record points, so the fold is linear, not quadratic).
+    stair_fold = (
+        "aggregate(arr, named_struct("
+        " 'm', CAST({seed} AS BIGINT),"
+        " 'st', CAST(array() AS ARRAY<STRUCT<s_suppkey: BIGINT, bal: BIGINT>>)),"
+        " (acc, e) -> named_struct("
+        "  'm', {pick}(acc.m, e.bal),"
+        "  'st', CASE WHEN e.bal {op} acc.m"
+        "        THEN array_append(acc.st, e) ELSE acc.st END),"
+        " acc -> acc.st)"
+    )
+    # Deliberately NOT checkpointed: the four family joins below each
+    # broadcast their filter of this frame, and broadcast relations
+    # build CONCURRENTLY on the driver's broadcast thread pool — the
+    # four ~0.6 s supplier-side builds overlap, which A/B'd faster
+    # than serializing them behind one eager checkpoint (1.6-1.8 vs
+    # 1.8-2.6 s warm at sf0.1; the build stays dimension-sized at
+    # any SF).
+    stairs = (
+        member.groupBy("nat_rel", "natkey", "mod_rel", "modkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("s_suppkey", "bal"))
+            ).alias("arr")
+        )
+        .select(
+            "nat_rel",
+            "natkey",
+            "mod_rel",
+            "modkey",
+            F.expr(
+                stair_fold.format(
+                    op=">", seed=-(2**63), pick="greatest"
+                )
+            ).alias("up"),
+            F.expr(
+                stair_fold.format(
+                    op="<", seed=2**63 - 1, pick="least"
+                )
+            ).alias("dn"),
+        )
+    )
+    probe = c.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        cents("c_acctbal").alias("x"),
+        ((7 - F.col("c_custkey") % 7) % 7).cast("long").alias("m"),
+    )
+    resolved = probe
+    for tag, nat_rel, mod_rel in (
+        ("a", 0, 0),  # nation match, mod match: base 1.6, +0.9 if bal>
+        ("b", 0, 1),  # nation match only:      base 1.0
+        ("c", 1, 0),  # mod match only:         base 0.6
+        ("d", 1, 1),  # neither:                base 0.0
+    ):
+        st = stairs.where(
+            (F.col("nat_rel") == nat_rel) & (F.col("mod_rel") == mod_rel)
+        ).select(
+            F.col("natkey").alias(f"nk_{tag}"),
+            F.col("modkey").alias(f"mk_{tag}"),
+            F.col("up").alias(f"up_{tag}"),
+            F.col("dn").alias(f"dn_{tag}"),
+        )
+        resolved = resolved.join(
+            F.broadcast(st),
+            (F.col(f"nk_{tag}") == F.col("c_nationkey").cast("long"))
+            & (F.col(f"mk_{tag}") == F.col("m")),
+            "left",
+        )
+
+    def up_pick(tag: str):
+        return F.expr(
+            f"try_element_at(filter(up_{tag}, e -> e.bal > x), 1).s_suppkey"
+        )
+
+    def dn_pick(tag: str):
+        return F.expr(
+            f"try_element_at(filter(dn_{tag}, e -> e.bal <= x), 1).s_suppkey"
+        )
+
+    # class scores descend 2.5, 1.9, 1.6, 1.5, 1.0, 0.9, 0.6, 0.0 —
+    # pairwise distinct, so the winner is the first nonnull candidate
+    winner = resolved.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("x").alias("c_bal"),
+        F.coalesce(
+            up_pick("a"),  # 1.0+0.9+0.6
+            up_pick("b"),  # 1.0+0.9
+            dn_pick("a"),  # 1.0+0.6
+            up_pick("c"),  # 0.9+0.6
+            dn_pick("b"),  # 1.0
+            up_pick("d"),  # 0.9
+            dn_pick("c"),  # 0.6
+            dn_pick("d"),  # 0.0
+        ).alias("best_suppkey"),
+    ).where(F.col("best_suppkey").isNotNull())
+    # recompute the winner's score with the ORIGINAL expression so the
+    # emitted double is bit-identical to the cross-join formulation
+    win_score = F.round(
         F.when(F.col("c_nationkey") == F.col("s_nationkey"), F.lit(1.0)).otherwise(z)
-        + F.when(cents("s_acctbal") > cents("c_acctbal"), F.lit(0.9)).otherwise(z)
+        + F.when(cents("s_acctbal") > F.col("c_bal"), F.lit(0.9)).otherwise(z)
         + F.when((F.col("s_suppkey") + F.col("c_custkey")) % 7 == 0, F.lit(0.6)).otherwise(z)
         + F.when(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"), F.lit(0.3)).otherwise(z),
         3,
     )
-    scored = c.crossJoin(F.broadcast(s)).select(
-        "c_custkey", "s_suppkey", score.alias("score")
-    )
-    best = scored.groupBy("c_custkey").agg(
-        F.max(F.struct(F.col("score"), (-F.col("s_suppkey")).alias("neg"))).alias("b")
-    )
-    return best.select(
+    return winner.join(
+        F.broadcast(s), winner.best_suppkey == s.s_suppkey
+    ).select(
         "c_custkey",
-        (-F.col("b.neg")).alias("best_suppkey"),
-        F.col("b.score").alias("best_score"),
+        "best_suppkey",
+        win_score.alias("best_score"),
     )
 
 

@@ -67,10 +67,23 @@ def get_spark(
         # The status stores retain 1000 executions / 1000 jobs of
         # plan graphs and metrics even with the UI disabled (they
         # feed the status APIs) — cap them so a many-query session's
-        # listener heap stays bounded.
-        .config("spark.sql.ui.retainedExecutions", "50")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "200")
+        # listener heap stays bounded. NOTE: the caps truncate
+        # status-API history for EVERY get_spark() consumer; nothing
+        # in-repo reads those APIs today, and a consumer that needs
+        # deeper history can raise the caps via the env overrides
+        # (ADVICE r12).
+        .config(
+            "spark.sql.ui.retainedExecutions",
+            os.environ.get("SPARK_GRAFT_RETAINED_EXECUTIONS", "50"),
+        )
+        .config(
+            "spark.ui.retainedJobs",
+            os.environ.get("SPARK_GRAFT_RETAINED_JOBS", "100"),
+        )
+        .config(
+            "spark.ui.retainedStages",
+            os.environ.get("SPARK_GRAFT_RETAINED_STAGES", "200"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # managed tables (bucketed-join tests) land in tmp, not the repo
         .config(
