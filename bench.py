@@ -252,6 +252,7 @@ _RESULT_FRONT_OWNERS: dict[str, tuple] = {
     "merge_scd2": (("scd2", "all"),),
     "ts_outlier_repair": (("ts_daily_fence",),),
     "src_python_stream_source": (("pyss",),),
+    "dedup_connected_components": (("cc_labels",),),
 }
 
 # Same accounting rule for the three streaming entries that persist a

@@ -43,7 +43,7 @@ MAX_ITERS = 20
 # the same fixpoint, and the labels frame is an EAGER localCheckpoint
 # — already materialized and lineage-free, so reuse is safe and the
 # iterative driver loop runs once per (session, dataset).
-_COMP_CACHE: dict[tuple, DataFrame] = register_cache({})
+_COMP_CACHE: dict[tuple, DataFrame] = register_cache({}, name="cc_labels")
 
 # Standing (pre-batch) labels for graph_cc_incremental — the
 # "persisted output of the last clustering run" that the incremental
