@@ -712,6 +712,7 @@ def _staged_sink_input(spark: SparkSession, sf_dir: str, kind: str, write) -> st
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     app = spark.sparkContext.applicationId.replace(":", "_").replace("/", "_")
     path = os.path.join(tempfile.gettempdir(), f"pe_{kind}_{h}_{app}")
+    _sweep_prior_generations(f"pe_{kind}_{h}_", keep=path)
     write(path)
     _EVENTS_STAGE_CACHE[key] = path
     return path
