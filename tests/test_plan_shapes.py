@@ -73,16 +73,19 @@ def test_partial_aggregation(spark):
 
 
 def test_score_argmax_is_partial_aggregated(spark):
-    """join_score_argmax's argmax is a max(struct) aggregate, not a
-    ranking window: partial maxes must combine map-side so the
-    shuffle carries one pre-reduced row per entity, not every scored
-    pair (E x C rows at 100 TB)."""
+    """join_score_argmax (r13 staircase decomposition): the entity
+    side must never materialize the E x C scored pair relation — no
+    ranking window, no cartesian, and the entity resolves through
+    broadcast HASH joins against the dimension-sized staircase grid.
+    (The pre-r13 pin asserted map-side partial max over the scored
+    cross join; the rewrite removed the pair relation entirely, so
+    the aggregate under test is now the supplier-side staircase
+    build. Result equivalence with the cross-join formulation is
+    pinned bit-for-bit in tests/test_round13_ops.py.)"""
     plan = _plan(spark, "join_score_argmax")
-    # struct-max buffers aren't hash-aggregable: Spark plans a
-    # SortAggregate pair — what matters is the partial (map-side) half
-    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
-    assert "partial_max" in plan
     assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # four families + winner
 
 
 def test_topk_is_take_ordered(spark):
